@@ -1,0 +1,92 @@
+package graft.map
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model._
+import graft.operators.Embedding
+import graft.sources.Tables
+
+/** The data plane: materialize each root collection of a converted
+  * [[DocumentSchema]] as a nested DataFrame (SURVEY.md §3.3).
+  *
+  * The reference recurses top-down, issuing one full scan per tree node
+  * and one point-lookup SQL query per parent row
+  * (server/DBMigration.js:405-498, :524-575) — O(rows × depth) network
+  * round trips. Here the recursion becomes a bottom-up fold: deepest
+  * children first, each level exactly one shuffle
+  * (`groupBy(fk).agg(collect_list(struct(...)))`) plus one join, with no
+  * per-row boundary crossings. Tables referenced by multiple tree nodes
+  * are read once per node from Parquet (cheap — columnar scan with
+  * pruning); at cluster scale each level's shuffle partitions by the FK,
+  * and AQE handles skewed parents.
+  */
+class DataMapper(
+    spark: SparkSession,
+    sfDir: String,
+    db: DatabaseMeta,
+    loader: (SparkSession, String, String) => DataFrame = Tables.load) {
+
+  private def load(table: String): DataFrame = loader(spark, sfDir, table)
+
+  /** Build every root collection: (collection name, nested DataFrame). */
+  def mapAll(schema: DocumentSchema): Seq[(String, DataFrame)] =
+    schema.roots.map(r => r.name -> mapRoot(r))
+
+  /** Build one root collection's nested DataFrame. */
+  def mapRoot(root: CollectionNode): DataFrame = {
+    val meta = db(root.name)
+    val base = root.kind match {
+      case ConversionKind.Referencing =>
+        Embedding.renameFkRefs(load(root.name), meta.foreignKeys.map(_.columnName))
+      case _ => load(root.name)
+    }
+    nestChildren(base, root)
+  }
+
+  /** Recursively nest `node`'s embedded children into `df`. `df` must
+    * still carry the join column each child's FK references.
+    */
+  private def nestChildren(df: DataFrame, node: CollectionNode): DataFrame =
+    node.embedded.foldLeft(df) { (parentDf, child) =>
+      val childMeta = db(child.name)
+      val fkToParent = childMeta.foreignKeys
+        .find(_.referencedTable == node.name)
+        .getOrElse(throw new IllegalStateException(
+          s"${child.name} embedded under ${node.name} without an FK to it"))
+      val childDf = buildChild(child, fkToParent)
+      // Sort the embedded array by the child's surviving PK columns so
+      // output is deterministic under parallelism.
+      val dropped = droppedColumns(child, childMeta)
+      val sortKeys = childMeta.primaryKeys.filterNot(dropped.contains) match {
+        case Seq() => childDf.columns.toSeq.intersect(childMeta.columns).take(1)
+        case pks => pks
+      }
+      Embedding.oneWayEmbed(
+        parentDf, fkToParent.referencedColumn, childDf,
+        fkToParent.columnName, child.name, sortKeys)
+    }
+
+  /** Build a child's (pre-nesting) DataFrame: source rows, two-way
+    * enrichment with the other parent's attributes if applicable, then
+    * its own embedded children, keeping `fkToParent` for the group-by.
+    */
+  private def buildChild(child: CollectionNode, fkToParent: ForeignKeyMeta): DataFrame = {
+    val meta = db(child.name)
+    var df = load(child.name)
+    child.embeddedAttributesFrom.foreach { otherTable =>
+      val fkToOther = meta.foreignKeys
+        .find(fk => fk.referencedTable == otherTable && fk != fkToParent)
+        .getOrElse(throw new IllegalStateException(
+          s"${child.name}: no FK to two-way other parent $otherTable"))
+      df = Embedding.joinOtherParent(
+        df, fkToParent.columnName, fkToOther.columnName,
+        load(otherTable), fkToOther.referencedColumn)
+    }
+    nestChildren(df, child)
+  }
+
+  private def droppedColumns(child: CollectionNode, meta: TableMeta): Set[String] =
+    child.kind match {
+      case ConversionKind.TwoWayEmbedded => meta.foreignKeys.map(_.columnName).toSet
+      case _ => meta.foreignKeys.map(_.columnName).toSet // one-way drops its FK too
+    }
+}

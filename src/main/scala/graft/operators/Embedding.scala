@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The denormalization operators of the data plane (SURVEY.md §2.3).
+  *
+  * The reference computes every embedding with a driver-side nested loop —
+  * one indexed `SELECT ... WHERE fk = ?` round-trip per outer row
+  * (server/DBMigration.js:536-548, server/MySQLDBManager.js:284-312).
+  * Here each embedding level is exactly one shuffle
+  * (`groupBy(fk).agg(collect_list(struct(...)))`) plus one join, both
+  * planned by Catalyst: the child side shuffles on the FK, the parent
+  * joins on its PK, and small parents are broadcast automatically. At
+  * 100 TB the cost is O(data) with no per-row round trips; the one scale
+  * hazard is per-parent array size (a parent with millions of children
+  * makes a giant row) — `ObjectHashAggregate` spills the *map* but not a
+  * single row, so extreme fan-out keys should be referenced, not embedded
+  * (which is exactly what the reference's workload rule tends to decide).
+  */
+object Embedding {
+
+  /** J1 — one-way embedding join (server/DBMigration.js:264-280 schema,
+    * :500-522 data): for each parent row, an array column `childName` of
+    * child documents where `child(childFk) == parent(parentKey)`. The
+    * child's FK column is dropped (P2, server/DBMigration.js:271-276) and
+    * the key is omitted (null) when the array is empty — the reference
+    * only sets `document[name]` `if (res.length > 0)`
+    * (server/DBMigration.js:515-517); Spark's JSON sink then omits null
+    * fields, matching the reference's output byte shape.
+    *
+    * @param childSortKeys columns (pre-drop) to order the embedded array
+    *   by, making output deterministic under parallelism; the reference
+    *   inherits source-scan order, which is unspecified — we pin it.
+    */
+  def oneWayEmbed(
+      parent: DataFrame,
+      parentKey: String,
+      child: DataFrame,
+      childFk: String,
+      childName: String,
+      childSortKeys: Seq[String] = Seq.empty): DataFrame = {
+    val attrs = child.columns.filterNot(_ == childFk)
+    val nested = nestByKey(child, childFk, attrs, childName, childSortKeys)
+    parent
+      .join(nested, parent(parentKey) === nested(childFk), "left")
+      .drop(nested(childFk))
+      .withColumn(childName, emptyToNull(col(childName)))
+  }
+
+  /** J2 — two-way embedding join (server/DBMigration.js:282-317 schema,
+    * :524-575 data): junction table `child` has FKs to `parent` (the
+    * collection we are nesting under) and `otherParent`. Each embedded
+    * document is one `child ⋈ otherParent` match: child attributes minus
+    * *both* FK columns, plus the other parent's attributes minus its
+    * referenced key column. The fan-out is a genuine inner equi-join
+    * (golden collection2.json: salesorder docs under customer carry the
+    * shipper's companyName/phone). Result: `parent` with array column
+    * `childName`; empty arrays are omitted (null) as in J1.
+    */
+  def twoWayEmbed(
+      parent: DataFrame,
+      parentKey: String,
+      child: DataFrame,
+      childFkToParent: String,
+      childFkToOther: String,
+      otherParent: DataFrame,
+      otherKey: String,
+      childName: String,
+      childSortKeys: Seq[String] = Seq.empty): DataFrame = {
+    val enriched = joinOtherParent(
+      child, childFkToParent, childFkToOther, otherParent, otherKey)
+    val attrs = enriched.columns.filterNot(_ == childFkToParent)
+    val nested = nestByKey(enriched, childFkToParent, attrs, childName, childSortKeys)
+    parent
+      .join(nested, parent(parentKey) === nested(childFkToParent), "left")
+      .drop(nested(childFkToParent))
+      .withColumn(childName, emptyToNull(col(childName)))
+  }
+
+  /** The inner `child ⋈ otherParent` half of J2, exposed separately so the
+    * recursive mapper can enrich a child *before* nesting its own embedded
+    * children under it. Keeps `childFkToParent` (needed for the later
+    * group-by), drops `childFkToOther` and the other parent's key.
+    */
+  def joinOtherParent(
+      child: DataFrame,
+      childFkToParent: String,
+      childFkToOther: String,
+      otherParent: DataFrame,
+      otherKey: String): DataFrame = {
+    val other = otherParent.withColumnRenamed(otherKey, "__graft_other_key")
+    child
+      .join(other, child(childFkToOther) === other("__graft_other_key"), "inner")
+      .drop(childFkToOther, "__graft_other_key")
+  }
+
+  /** The nesting aggregate shared by J1/J2: group child rows by FK into a
+    * sorted array of structs. One shuffle on the FK; Catalyst plans an
+    * ObjectHashAggregate with map-side spill.
+    */
+  private def nestByKey(
+      child: DataFrame,
+      key: String,
+      attrs: Seq[String],
+      outName: String,
+      sortKeys: Seq[String]): DataFrame = {
+    val doc = struct(attrs.map(col): _*)
+    val agg =
+      if (sortKeys.isEmpty) collect_list(doc)
+      else {
+        // Sort by a (sortKeys..., doc) struct then project the doc back
+        // out: array_sort on a struct orders by fields left-to-right.
+        val keyed = struct(sortKeys.map(col) :+ doc.as("__doc"): _*)
+        transform(array_sort(collect_list(keyed)), x => x.getField("__doc"))
+      }
+    child.groupBy(col(key)).agg(agg.as(outName))
+  }
+
+  /** Empty embedded array → null, so the JSON sink omits the key
+    * (reference: `if (res.length > 0)` — server/DBMigration.js:515-517).
+    */
+  private def emptyToNull(c: Column): Column = when(size(c) > 0, c)
+
+  /** P3 — referencing collections rename every FK column `c` → `c_REF`,
+    * values unchanged (server/DBMigration.js:319-333; golden
+    * collection7.json `orderId_REF: 10248`).
+    */
+  def renameFkRefs(df: DataFrame, fkColumns: Seq[String]): DataFrame =
+    fkColumns.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "_REF"))
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model._
+
+/** Source layer: reads fixture tables and declares their key metadata.
+  *
+  * The reference introspects `information_schema` on a live MySQL/Postgres
+  * instance (server/DBMigration.js:30-91). For file-based sources there is
+  * no catalog, so a [[graft.model.SchemaSpec]] declares PK/FK; catalog
+  * *queries* (S6–S10 analogs) are then computed as DataFrame jobs in
+  * [[graft.operators.Catalog]].
+  */
+object Tables {
+
+  /** All driver-generated fixture tables (TESTDATA.md). */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one fixture table. Parquet → full predicate pushdown + column
+    * pruning from Catalyst; at cluster scale the same call reads a
+    * partitioned directory.
+    *
+    * `events.parquet` carries TIMESTAMP(NANOS) which Spark only reads
+    * with the nanosAsLong legacy flag (as an ns-epoch LongType column);
+    * set it idempotently here so every session (driver harness, tests,
+    * bench) gets it. Event queries convert ns → µs explicitly.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Declared FK graph of the TPC-H-ish fixture star schema
+    * (FIXTURES.md §3): the stand-in for information_schema introspection.
+    */
+  val tpchSpec: SchemaSpec = SchemaSpec(
+    "tpch",
+    Seq(
+      TableSpec("region", Seq("r_regionkey"), Seq.empty),
+      TableSpec("nation", Seq("n_nationkey"),
+        Seq(ForeignKeyMeta("n_regionkey", "region", "r_regionkey"))),
+      TableSpec("customer", Seq("c_custkey"),
+        Seq(ForeignKeyMeta("c_nationkey", "nation", "n_nationkey"))),
+      TableSpec("supplier", Seq("s_suppkey"),
+        Seq(ForeignKeyMeta("s_nationkey", "nation", "n_nationkey"))),
+      TableSpec("part", Seq("p_partkey"), Seq.empty),
+      TableSpec("orders", Seq("o_orderkey"),
+        Seq(ForeignKeyMeta("o_custkey", "customer", "c_custkey"))),
+      TableSpec("lineitem", Seq("l_orderkey", "l_linenumber"),
+        Seq(
+          ForeignKeyMeta("l_orderkey", "orders", "o_orderkey"),
+          ForeignKeyMeta("l_partkey", "part", "p_partkey"),
+          ForeignKeyMeta("l_suppkey", "supplier", "s_suppkey")))))
+
+  /** Tables participating in the migration pipeline (the extension tables
+    * `events`/`documents`/`embeddings` are not part of the FK graph).
+    */
+  def migrationTables: Seq[String] = tpchSpec.tableNames
+}

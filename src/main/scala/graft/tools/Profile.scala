@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.Catalog
+import graft.sources.Tables
+import graft.workload.LogPipeline
+import graft.queries.Fixtures
+
+/** Scratch profiling main (not part of the query surface). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    }
+    time("warmup count")(Tables.load(spark, dir, "region").count())
+    val stmts = time("statements")(
+      LogPipeline.statementsFromText(spark, Fixtures.mysqlLog, LogPipeline.MySqlLog))
+    time("stmts.count")(stmts.count())
+    val mentions = time("mentions plan")(LogPipeline.tableMentions(stmts))
+    time("mentions.count")(mentions.count())
+    val counts = time("tableCounts plan")(
+      Catalog.tableCounts(spark, dir, Tables.migrationTables))
+    time("counts.collect")(counts.collect())
+    val stats = time("workload plan")(LogPipeline.workloadStats(mentions, counts))
+    time("stats.collect")(stats.collect().foreach(println))
+    time("stats.collect again")(stats.collect())
+    time("write")(stats.repartition(1).write.mode("overwrite").parquet("/tmp/prof_out"))
+    spark.stop()
+  }
+}
