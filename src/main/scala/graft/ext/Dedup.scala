@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Portable._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.11 — additive scope beyond the reference surface).
+  *
+  * Scale design (the 100 TB story):
+  *   - Exact dedup is one hash-shuffle on the content key.
+  *   - MinHash/SimHash are linear scans producing tiny signatures; the
+  *     candidate join shuffles on (band, signature) buckets, never on
+  *     raw text, so the all-pairs O(n²) blowup is avoided. Bucket skew
+  *     (a boilerplate shingle shared by millions of docs) is the hazard:
+  *     cap shingle document-frequency upstream (`maxShingleDf`) exactly
+  *     like stopword removal.
+  *   - Verification (exact Jaccard) runs only on candidate pairs.
+  *   - Hashes here are md5-derived for oracle portability
+  *     ([[graft.functions.Portable]]); production would use xxhash64.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content, keep the lowest doc_id, count copies.
+    * One shuffle on the (hashed) content key.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(md5(col(textCol)).as("text_hash"), col("keep_id"), col("n_copies"))
+
+  /** Distinct (doc_id, shingle) pairs: word `n`-gram shingling. */
+  def shingleSet(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingles(col("t"), n)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs: inverted-index self-join on
+    * shingles → per-pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|).
+    * `minJaccard` filters on the (deterministically) rounded score.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingleSet(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signatures: for permutations p ∈ [0, numPerm), the min over
+    * the doc's shingles of hash60(p + "|" + shingle).
+    * Output: (doc_id, p, minhash).
+    */
+  def minhash(docs: DataFrame, numPerm: Int = 16, n: Int = 3): DataFrame = {
+    val sh = shingleSet(docs, n)
+    sh.select(col("doc_id"),
+        explode(sequence(lit(0), lit(numPerm - 1))).as("p"),
+        col("shingle"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(min(hash60(concat(col("p").cast("string"), lit("|"), col("shingle"))))
+        .as("minhash"))
+  }
+
+  /** MinHash-LSH candidate pairs with verified exact Jaccard: band the
+    * signature (`rowsPerBand` minhashes per band, joined to a string
+    * signature), bucket-join on (band, signature), then verify each
+    * candidate pair with the exact n-gram Jaccard.
+    * Output: (doc_a, doc_b, n_shared_bands, jaccard).
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      numPerm: Int = 16,
+      rowsPerBand: Int = 4,
+      n: Int = 3): DataFrame = {
+    val mh = minhash(docs, numPerm, n)
+    val bands = mh
+      .withColumn("band", (col("p") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("minhash")))),
+          x => x.getField("minhash").cast("string")),
+        ",").as("sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    // Verify candidates with exact Jaccard (no threshold: the caller
+    // filters; candidates are already LSH-selected).
+    val verified = ngramJaccard(docs, n, minJaccard = 0.0)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    cand.join(verified, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+  }
+
+  /** 60-bit SimHash over distinct unigram tokens: for each bit position,
+    * sum +1/−1 by whether the token hash has that bit set; the simhash
+    * takes bit=1 where the sum is strictly positive.
+    * Output: (doc_id, simhash).
+    */
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), hash60(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
+        .cast("long").as("simhash"))
+
+  /** SimHash near-dup pairs: block on 15-bit chunks of the signature
+    * (equal chunk ⇒ candidate), then exact Hamming distance via
+    * bit_count(xor). Output: (doc_a, doc_b, hamming) with
+    * hamming <= maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
+    val sh = simhash(docs)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, c * 15) & 32767"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

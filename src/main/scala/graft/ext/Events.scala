@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream-shaped batch operators over the `events` table
+  * (SURVEY.md §2.11): tumbling windows and gap sessionization. The
+  * `ts` column arrives as an ns-epoch LongType (nanosAsLong parquet
+  * flag); all temporal math is integer µs so both engines agree
+  * exactly. Streaming variants live in [[graft.streaming.EventStream]].
+  *
+  * Scale: the tumbling window is one shuffle on (window, type);
+  * sessionization shuffles once on user_id — the window function sort
+  * is per-user and AQE handles hot users; at 100 TB you would
+  * range-partition by user_id and day first.
+  */
+object Events {
+
+  // ns → µs via integer division: ts is an ns-epoch LongType (~1.7e18,
+  // above 2^53), so double division would lose precision.
+  private def tsMicros = expr("ts div 1000")
+
+  /** Hourly tumbling-window aggregate per event type.
+    * Output: (hour_start, event_type, n_events, sum_value, n_users).
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_us", tsMicros)
+      .withColumn("hour_start",
+        date_format(
+          timestamp_micros(expr("(ts_us div 3600000000) * 3600000000")),
+          "yyyy-MM-dd HH:mm:ss"))
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Gap-based sessionization: a new session starts when a user's gap
+    * from their previous event exceeds `gapMinutes`. Deterministic order
+    * within a user: (ts_us, event_id).
+    * Output: (user_id, session_id, n_events, session_start_us,
+    * session_end_us, duration_us).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("ts_us", tsMicros)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.11): media as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches.
+  *
+  * The Spark-side design is the real thing — schema, partitioning, and
+  * batch shape are what a 100 TB image/audio pipeline needs:
+  *
+  *   - payloads travel as a BinaryType column next to their metadata
+  *     (never driver-collected; `spark.sql.files.maxPartitionBytes`
+  *     bounds batch memory);
+  *   - decode/feature-extract runs per partition via a typed
+  *     `mapPartitions` over a case-class Dataset — the Scala analog of
+  *     Python's `mapInPandas` batch UDF: one iterator in, one iterator
+  *     out, so a codec can amortize model/library init per partition;
+  *   - the actual codec is STUBBED with a deterministic fake
+  *     ([[fakeDecode]]) because no image/audio libraries ship in this
+  *     container — the seam to replace is exactly that function.
+  */
+object Multimodal {
+
+  /** A decoded-media record: metadata extracted from a binary payload. */
+  final case class MediaMeta(
+      doc_id: Long,
+      media_type: String,
+      payload_bytes: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long)
+
+  /** Attach a synthetic binary payload to each document (UTF-8 bytes of
+    * its text — a stand-in for real image/audio bytes; the fixture set
+    * carries no binary column).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("n_chars"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+
+  /** The stubbed codec: deterministic fake dimensions derived from the
+    * payload size and id. Replace with a real decoder (JavaCV, TwelveMonkeys,
+    * etc.) — the signature (bytes in, metadata out) is the contract.
+    */
+  def fakeDecode(docId: Long, mediaType: String, payload: Array[Byte]): MediaMeta =
+    MediaMeta(
+      doc_id = docId,
+      media_type = mediaType,
+      payload_bytes = payload.length.toLong,
+      width = (docId % 16) * 120 + 160,
+      height = (docId % 9) * 120 + 90,
+      n_frames = if (mediaType == "image") 1L else payload.length % 30 + 1L)
+
+  /** Batch "decode": partition-at-a-time over the payload column. */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition init would go here (codec handles, model load)
+        it.map { case (id, mt, bytes) => fakeDecode(id, mt, bytes) }
+      }
+  }
+}

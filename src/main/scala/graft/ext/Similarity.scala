@@ -1,0 +1,145 @@
+package graft.ext
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Portable._
+
+/** Similarity search over an embedding column (SURVEY.md §2.11).
+  *
+  * Scale design: brute-force cosine top-k is the exactness baseline —
+  * the probe side is tiny and broadcast, so the big side streams once
+  * with no shuffle (cost O(n·k·d) per executor, embarrassingly
+  * parallel). The scale paths bound the candidate set instead of
+  * scanning: random-hyperplane LSH buckets (shuffle on 4-bit band
+  * buckets) and IVF (coarse centroids → partition-pruned probe of
+  * nprobe clusters). All floating reductions are sequential folds so
+  * results reproduce bit-identically on the DuckDB oracle
+  * ([[graft.functions.Portable]]).
+  */
+object Similarity {
+
+  /** Embeddings with the float vector cast to double (float32 values are
+    * exactly representable — both engines see identical doubles).
+    */
+  private def vecs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Brute-force cosine top-k: query vectors are those with
+    * vec_id % queryModulus == 0; for each, the k nearest others by
+    * cosine (ties broken by neighbor id).
+    * Output: (query_id, rank, neighbor_id, cos_sim).
+    */
+  def bruteForceTopK(emb: DataFrame, k: Int = 10, queryModulus: Int = 100): DataFrame = {
+    val all = vecs(emb)
+    val queries = all.filter(col("vec_id") % queryModulus === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weights, computed on the
+    * driver with the same md5 formula the oracle uses:
+    * w(p,d) = ((hash60(p + ":" + d) mod 2001) − 1000) / 1000 ∈ [−1, 1].
+    */
+  def hyperplanes(numPlanes: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    (0 until numPlanes).map(p =>
+      (0 until dims).map(d => ((h60(s"$p:$d") % 2001) - 1000) / 1000.0))
+  }
+
+  /** Random-hyperplane signatures: bit p of the signature is 1 iff
+    * dot(v, plane_p) >= 0 (sequential fold — sign must be reproducible).
+    * Output: (vec_id, v, sig) with sig a numPlanes-bit int.
+    */
+  def lshSignatures(emb: DataFrame, numPlanes: Int = 16, dims: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dims)
+    val sigExpr = (0 until numPlanes).map { p =>
+      val w = array(planes(p).map(lit): _*)
+      when(dot(col("v"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vecs(emb).withColumn("sig", sigExpr)
+  }
+
+  /** LSH-bucketed near-duplicate pairs: candidates share at least one
+    * 4-bit band of the 16-bit signature; candidates are verified with
+    * exact cosine and filtered at `minCos`.
+    * Output: (vec_a, vec_b, cos_sim).
+    */
+  def lshNearDup(emb: DataFrame, minCos: Double = 0.45): DataFrame = {
+    val sigs = lshSignatures(emb)
+    val bands = sigs.select(col("vec_id"), col("v"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bucket", expr("shiftright(sig, band * 4) & 15"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand.select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** IVF-style ANN: coarse centroids are the vectors with
+    * vec_id % centroidModulus == 0; every vector is assigned to its
+    * nearest centroid (cosine, ties to lowest centroid id); each query
+    * probes its `nprobe` nearest centroids and takes top-k within the
+    * probed clusters.
+    * Output: (query_id, rank, neighbor_id, cos_sim).
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      nprobe: Int = 2,
+      centroidModulus: Int = 100): DataFrame = {
+    val all = vecs(emb)
+    val centroids = all.filter(col("vec_id") % centroidModulus === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    // assignment: nearest centroid per vector (small centroid side →
+    // broadcast; at scale this is the classic IVF "coarse quantizer")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    val assigned = all.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("centroid_id"),
+        round(cosine(col("v"), col("cv")), 6).as("c_sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+    // probe list: nprobe nearest centroids per query
+    val queries = all.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_sim").desc, col("centroid_id"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("q_sim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    // search only the probed clusters
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable._
+
+/** Text-analysis operators (SURVEY.md §2.11): language ID, quality
+  * scoring, token counting, fingerprinting. All single-pass narrow
+  * transforms — no shuffle at all; at 100 TB these run at scan speed
+  * with whole-stage codegen (no UDFs).
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram-free heuristic
+    * language ID (token-equality counts are cheap and portable; real
+    * systems would use char-n-gram profiles — same dataflow shape).
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "de", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  private def score(toks: Column, words: Seq[String]): Column =
+    words.map(w => tokenCount(toks, w)).reduce(_ + _)
+
+  /** Language ID: per-language marker-word counts + argmax with a fixed
+    * priority order (en > es > de > fr > und on ties/zero).
+    * Output: (doc_id, s_en, s_es, s_de, s_fr, lang_pred).
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: markers.map { case (l, ws) => score(t, ws).as(s"s_$l") }: _*)
+    val Seq(en, es, de, fr) = markers.map(m => col(s"s_${m._1}"))
+    scored.withColumn("lang_pred",
+      when(en >= es && en >= de && en >= fr && en > 0, "en")
+        .when(es >= de && es >= fr && es > 0, "es")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("und"))
+  }
+
+  /** Quality scoring: length/punctuation/stopword ratios and a composite
+    * score. Output columns are deterministically rounded doubles.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val nCh = length(col("text"))
+    val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+    val stop = score(t, Seq("the", "a", "and", "of", "is"))
+    docs.select(
+      col("doc_id"),
+      nCh.as("n_chars_obs"),
+      nTok.as("n_tokens"),
+      round((nCh - (nTok - lit(1))).cast("double") / nTok, 6).as("avg_token_len"),
+      round(punct.cast("double") / nCh, 6).as("punct_ratio"),
+      round(stop.cast("double") / nTok, 6).as("stopword_ratio"),
+      round(
+        least(nTok.cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - punct.cast("double") / nCh), 6).as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single other chars).
+    * Output: (doc_id, ws_tokens, re_tokens, chars_per_token).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val ws = size(tokens(col("text")))
+    val re = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    docs.select(col("doc_id"), ws.as("ws_tokens"), re.as("re_tokens"),
+      round(length(col("text")).cast("double") / re, 6).as("chars_per_token"))
+  }
+
+  /** Document fingerprinting: a content fingerprint (md5 of
+    * whitespace-normalized lowercased text) plus a 31-polynomial rolling
+    * hash over token hash32s mod 1e9+7 (order-sensitive — reordered
+    * tokens change it, unlike the shingle-set ops).
+    * Output: (doc_id, fp_md5, fp_roll).
+    */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val hs = transform(tokens(col("text")), t => hash32(t))
+    val roll = aggregate(hs, lit(0L), (acc, h) => (acc * 31 + h) % 1000000007L)
+    docs.select(col("doc_id"), md5(norm).as("fp_md5"), roll.as("fp_roll"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic primitives.
+  *
+  * The driver hash-compares every query against a DuckDB oracle, so any
+  * hashing/scoring the extension operators do must be reproducible in
+  * ANSI-ish SQL on both engines, bit for bit:
+  *
+  *   - Hashes derive from `md5` (identical everywhere) rather than the
+  *     engine-specific `xxhash64`/`hash`: a 60-bit (or 32-bit) positive
+  *     int is parsed from the leading hex chars. In production on a
+  *     cluster you would swap [[hash60]] for `xxhash64` (same shape,
+  *     ~10× cheaper) — the LSH math is hash-agnostic.
+  *   - Floating reductions over arrays use `aggregate` (a sequential
+  *     left fold, matching DuckDB's `list_reduce`) rather than grouped
+  *     `sum`, whose merge order is nondeterministic under parallelism.
+  */
+object Portable {
+
+  /** 60-bit positive hash: first 15 hex chars of md5.
+    * DuckDB equivalent: `CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 32-bit positive hash: first 8 hex chars of md5.
+    * DuckDB equivalent: `CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)`.
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Whitespace tokens of trimmed text (single-space tokenizer — the
+    * fixture corpus is single-space separated; swap for `\\s+` splitting
+    * plus filter for messier corpora).
+    * DuckDB equivalent: `string_split(trim(text), ' ')`.
+    */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Word n-gram shingles of a token array (empty below n tokens).
+    * DuckDB (n=3): `[t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]`.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Sequential left-fold sum of a double array — deterministic and
+    * identical to DuckDB `list_reduce(list_prepend(0.0, xs), (a,b) -> a+b)`.
+    */
+  def foldSum(xs: Column): Column =
+    aggregate(xs, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two double arrays via sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y))
+
+  /** L2 norm via sequential fold. */
+  def norm(a: Column): Column =
+    sqrt(foldSum(transform(a, x => x * x)))
+
+  /** Cosine similarity of two double arrays, every step order-pinned. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Count of tokens in `toks` equal to the literal word `w`.
+    * DuckDB: `len(list_filter(toks, x -> x = 'w'))`.
+    */
+  def tokenCount(toks: Column, w: String): Column =
+    size(filter(toks, x => x === lit(w)))
+}

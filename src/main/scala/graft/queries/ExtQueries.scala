@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.sinks.JsonSink
+import graft.sources.Tables
+
+/** Extension-operator query surface (SURVEY.md §2.11): dedup, similarity
+  * search, text analysis, event windows, multimodal plumbing — each with
+  * a DuckDB oracle that mirrors the computation exactly (md5-derived
+  * hashes, sequential-fold float reductions; see
+  * [[graft.functions.Portable]]).
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared DuckDB SQL fragments ----------------------------------
+
+  /** 60-bit md5-derived hash (mirrors Portable.hash60). */
+  private def h60(x: String) =
+    s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+  /** 32-bit md5-derived hash (mirrors Portable.hash32). */
+  private def h32(x: String) =
+    s"CAST(concat('0x', substr(md5($x),1,8)) AS BIGINT)"
+  /** tokens + distinct 3-gram shingles CTEs over documents. */
+  private val shingleCtes =
+    """toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS shingle
+      |       FROM toks)""".stripMargin
+  /** sequential-fold dot product of two DOUBLE[64] (mirrors Portable.dot). */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, [$a[i]*$b[i] for i in range(1,65)]), (x,y) -> x+y)"
+  private def normSql(a: String) = s"sqrt(${dotSql(a, a)})"
+  private def cosSql(a: String, b: String) =
+    s"round((${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)})), 6)"
+  /** exact-Jaccard pair CTEs (after shingleCtes). */
+  private val jaccardCtes =
+    """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |ipairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |jac AS (SELECT da, db,
+      |          round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS j
+      |        FROM ipairs JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)""".stripMargin
+
+  val defs: Seq[(String, Q, Option[String])] = Seq(
+
+    // ---- dedup: exact -------------------------------------------------
+    ("x01_dedup_exact",
+      (s: SparkSession, dir: String) => Dedup.exact(t(s, dir, "documents")),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY text""".stripMargin)),
+
+    // ---- dedup: exact n-gram Jaccard ---------------------------------
+    ("x02_dedup_jaccard",
+      (s: SparkSession, dir: String) =>
+        Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, minJaccard = 0.8),
+      Some(s"""WITH $shingleCtes,
+              |$jaccardCtes
+              |SELECT da AS doc_a, db AS doc_b, j AS jaccard FROM jac WHERE j >= 0.8""".stripMargin)),
+
+    // ---- dedup: MinHash-LSH candidates + verification ----------------
+    ("x03_dedup_minhash_lsh",
+      (s: SparkSession, dir: String) => Dedup.minhashLsh(t(s, dir, "documents")),
+      Some(s"""WITH $shingleCtes,
+              |mh AS (SELECT doc_id, p,
+              |         min(${h60("CAST(p AS VARCHAR) || '|' || shingle")}) AS minhash
+              |       FROM sh, range(0, 16) r(p) GROUP BY doc_id, p),
+              |bands AS (SELECT doc_id, p // 4 AS band,
+              |            string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY p) AS sig
+              |          FROM mh GROUP BY doc_id, p // 4),
+              |cand AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nb
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+              |         GROUP BY 1, 2),
+              |$jaccardCtes
+              |SELECT da AS doc_a, db AS doc_b, nb AS n_shared_bands,
+              |  coalesce(j, 0.0) AS jaccard
+              |FROM cand LEFT JOIN jac USING (da, db)""".stripMargin)),
+
+    // ---- dedup: SimHash signatures -----------------------------------
+    ("x04_simhash",
+      (s: SparkSession, dir: String) => Dedup.simhash(t(s, dir, "documents")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+              |tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+              |th AS (SELECT doc_id, ${h60("tok")} AS h FROM tok),
+              |bitsum AS (SELECT doc_id, b,
+              |             sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+              |           FROM th, range(0, 60) r(b) GROUP BY doc_id, b)
+              |SELECT doc_id,
+              |  CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+              |FROM bitsum GROUP BY doc_id""".stripMargin)),
+
+    // ---- dedup: SimHash near-dup pairs (chunk blocking + Hamming) ----
+    ("x05_simhash_pairs",
+      (s: SparkSession, dir: String) =>
+        Dedup.simhashPairs(t(s, dir, "documents"))
+          .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming")),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+              |tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+              |th AS (SELECT doc_id, ${h60("tok")} AS h FROM tok),
+              |bitsum AS (SELECT doc_id, b,
+              |             sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+              |           FROM th, range(0, 60) r(b) GROUP BY doc_id, b),
+              |sp AS (SELECT doc_id,
+              |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+              |       FROM bitsum GROUP BY doc_id),
+              |ch AS (SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS chunk
+              |       FROM sp, range(0, 4) r(c))
+              |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 12""".stripMargin)),
+
+    // ---- similarity: embedding-cosine near-dup via hyperplane LSH ----
+    ("x06_embed_neardup",
+      (s: SparkSession, dir: String) =>
+        Similarity.lshNearDup(t(s, dir, "embeddings"), minCos = 0.45),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |pw AS (SELECT p, d,
+              |         ((${h60("CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")}) % 2001 - 1000) / 1000.0 AS w
+              |       FROM range(0, 16) rp(p), range(0, 64) rd(d)),
+              |planes AS (SELECT p, list(w ORDER BY d) AS wv FROM pw GROUP BY p),
+              |sigs AS (SELECT vec_id,
+              |           CAST(sum(CASE WHEN ${dotSql("v", "wv")} >= 0
+              |             THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+              |         FROM e, planes GROUP BY vec_id),
+              |bands AS (SELECT vec_id, band, (sig >> (band * 4)) & 15 AS bucket
+              |          FROM sigs, range(0, 4) rb(band)),
+              |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+              |         FROM bands a JOIN bands b
+              |           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT va AS vec_a, vb AS vec_b, ${cosSql("ea.v", "eb.v")} AS cos_sim
+              |FROM cand JOIN e ea ON ea.vec_id = va JOIN e eb ON eb.vec_id = vb
+              |WHERE ${cosSql("ea.v", "eb.v")} >= 0.45""".stripMargin)),
+
+    // ---- similarity: brute-force cosine top-k ------------------------
+    ("x07_ann_brute_topk",
+      (s: SparkSession, dir: String) =>
+        Similarity.bruteForceTopK(t(s, dir, "embeddings"), k = 10, queryModulus = 100),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+              |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+              |             ${cosSql("qv", "e.v")} AS cos_sim
+              |           FROM e, q WHERE e.vec_id != q.query_id),
+              |ranked AS (SELECT *, row_number() OVER
+              |             (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              |           FROM scored)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, cos_sim
+              |FROM ranked WHERE rnk <= 10""".stripMargin)),
+
+    // ---- similarity: IVF-style partition-pruned ANN ------------------
+    ("x08_ann_ivf",
+      (s: SparkSession, dir: String) =>
+        Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = Seq(7L, 177L, 357L)),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+              |a1 AS (SELECT e.vec_id, e.v, c.centroid_id, ${cosSql("e.v", "c.cv")} AS c_sim
+              |       FROM e, cents c),
+              |a2 AS (SELECT *, row_number() OVER
+              |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM a1),
+              |assigned AS (SELECT vec_id, v, centroid_id FROM a2 WHERE rn = 1),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (7, 177, 357)),
+              |p1 AS (SELECT query_id, qv, c.centroid_id, ${cosSql("qv", "c.cv")} AS q_sim
+              |       FROM q, cents c),
+              |p2 AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY q_sim DESC, centroid_id) AS rn FROM p1),
+              |probes AS (SELECT query_id, qv, centroid_id FROM p2 WHERE rn <= 2),
+              |s1 AS (SELECT probes.query_id, assigned.vec_id AS neighbor_id,
+              |         ${cosSql("probes.qv", "assigned.v")} AS cos_sim
+              |       FROM probes JOIN assigned USING (centroid_id)
+              |       WHERE assigned.vec_id != probes.query_id),
+              |s2 AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM s1)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, cos_sim
+              |FROM s2 WHERE rnk <= 5""".stripMargin)),
+
+    // ---- text: language ID -------------------------------------------
+    ("x09_text_langid",
+      (s: SparkSession, dir: String) => {
+        val df = TextAnalysis.languageId(t(s, dir, "documents"))
+        df.select(col("doc_id") +:
+          TextAnalysis.markers.map { case (l, _) => col(s"s_$l").cast("long").as(s"s_$l") } :+
+          col("lang_pred"): _*)
+      },
+      Some {
+        val cnt = (l: String, ws: Seq[String]) =>
+          ws.map(w => s"len(list_filter(t, x -> x = '$w'))").mkString(" + ")
+        val scores = TextAnalysis.markers
+          .map { case (l, ws) => s"CAST(${cnt(l, ws)} AS BIGINT) AS s_$l" }
+          .mkString(",\n  ")
+        s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+           |s AS (SELECT doc_id,
+           |  $scores
+           |FROM toks)
+           |SELECT doc_id, s_en, s_es, s_de, s_fr,
+           |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+           |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+           |       WHEN s_fr > 0 THEN 'fr'
+           |       ELSE 'und' END AS lang_pred
+           |FROM s""".stripMargin
+      }),
+
+    // ---- text: quality scoring ---------------------------------------
+    ("x10_text_quality",
+      (s: SparkSession, dir: String) => {
+        val df = TextAnalysis.quality(t(s, dir, "documents"))
+        df.select(col("doc_id"),
+          col("n_chars_obs").cast("long").as("n_chars_obs"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"),
+          col("quality_score"))
+      },
+      Some("""WITH b AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t,
+             |  len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+             |  len(list_filter(string_split(trim(text), ' '), x -> x = 'the'))
+             |  + len(list_filter(string_split(trim(text), ' '), x -> x = 'a'))
+             |  + len(list_filter(string_split(trim(text), ' '), x -> x = 'and'))
+             |  + len(list_filter(string_split(trim(text), ' '), x -> x = 'of'))
+             |  + len(list_filter(string_split(trim(text), ' '), x -> x = 'is')) AS stop
+             |FROM documents)
+             |SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars_obs,
+             |  CAST(len(t) AS BIGINT) AS n_tokens,
+             |  round(CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t), 6) AS avg_token_len,
+             |  round(CAST(punct AS DOUBLE) / length(text), 6) AS punct_ratio,
+             |  round(CAST(stop AS DOUBLE) / len(t), 6) AS stopword_ratio,
+             |  round(least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+             |    * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / length(text)), 6) AS quality_score
+             |FROM b""".stripMargin)),
+
+    // ---- text: token counting ----------------------------------------
+    ("x11_token_count",
+      (s: SparkSession, dir: String) => {
+        val df = TextAnalysis.tokenCounts(t(s, dir, "documents"))
+        df.select(col("doc_id"),
+          col("ws_tokens").cast("long").as("ws_tokens"),
+          col("re_tokens").cast("long").as("re_tokens"),
+          col("chars_per_token"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+             |  round(CAST(length(text) AS DOUBLE)
+             |    / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')), 6) AS chars_per_token
+             |FROM documents""".stripMargin)),
+
+    // ---- text: fingerprinting ----------------------------------------
+    ("x12_fingerprint",
+      (s: SparkSession, dir: String) => TextAnalysis.fingerprints(t(s, dir, "documents")),
+      Some(s"""SELECT doc_id,
+              |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+              |  list_reduce(
+              |    list_prepend(0::BIGINT,
+              |      [${h32("x")} for x in string_split(trim(text), ' ')]),
+              |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_roll
+              |FROM documents""".stripMargin)),
+
+    // ---- events: hourly tumbling window ------------------------------
+    ("x13_events_hourly",
+      (s: SparkSession, dir: String) => Events.tumblingHourly(t(s, dir, "events")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |  event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- events: gap sessionization ----------------------------------
+    ("x14_events_sessions",
+      (s: SparkSession, dir: String) => Events.sessionize(t(s, dir, "events")),
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+             |l AS (SELECT *, lag(ts_us) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM ev),
+             |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+             |        THEN 1 ELSE 0 END AS is_new FROM l),
+             |s AS (SELECT *, CAST(sum(is_new) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us, event_id
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+             |  max(ts_us) - min(ts_us) AS duration_us
+             |FROM s GROUP BY user_id, session_id""".stripMargin)),
+
+    // ---- multimodal: binary payload + stubbed batch decode -----------
+    ("x15_multimodal_meta",
+      (s: SparkSession, dir: String) =>
+        Multimodal.decodeMeta(s, t(s, dir, "documents")).toDF(),
+      Some("""SELECT doc_id,
+             |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+             |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+             |  (doc_id % 16) * 120 + 160 AS width,
+             |  (doc_id % 9) * 120 + 90 AS height,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+             |       ELSE octet_length(encode(text)) % 30 + 1 END AS BIGINT) AS n_frames
+             |FROM documents""".stripMargin)),
+
+    // ---- L5: Bangkok date normalization (parity op) ------------------
+    ("x16_date_norm",
+      (s: SparkSession, dir: String) =>
+        JsonSink.normalizeDates(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")))
+          .withColumnRenamed("o_orderdate", "order_date_bkk"),
+      Some("""SELECT o_orderkey,
+             |  strftime(o_orderdate + INTERVAL 7 HOUR, '%Y-%m-%d') AS order_date_bkk
+             |FROM orders""".stripMargin))
+  )
+}

@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
 
 /** The document sink (SURVEY.md §2.1 S4). The reference writes one
   * `collection{i}.json` JSON-array file per non-empty root collection and
@@ -39,6 +39,12 @@ object JsonSink {
         case TimestampType =>
           d.withColumn(f.name,
             date_format(from_utc_timestamp(col(f.name), "Asia/Bangkok"), "yyyy-MM-dd"))
+        case TimestampNTZType =>
+          // NTZ wall-times are UTC by fixture convention; under a UTC
+          // session the cast to instant is identity, then shift.
+          d.withColumn(f.name,
+            date_format(from_utc_timestamp(col(f.name).cast(TimestampType),
+              "Asia/Bangkok"), "yyyy-MM-dd"))
         case DateType =>
           d.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd"))
         case _ => d
