@@ -87,9 +87,8 @@ object ExtQueries {
     // ---- dedup: SimHash signatures -----------------------------------
     ("x04_simhash",
       (s: SparkSession, dir: String) => Dedup.simhash(t(s, dir, "documents")),
-      Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-              |tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
-              |th AS (SELECT doc_id, ${h60("tok")} AS h FROM tok),
+      Some(s"""WITH $shingleCtes,
+              |th AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
               |bitsum AS (SELECT doc_id, b,
               |             sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
               |           FROM th, range(0, 60) r(b) GROUP BY doc_id, b)
@@ -102,9 +101,8 @@ object ExtQueries {
       (s: SparkSession, dir: String) =>
         Dedup.simhashPairs(t(s, dir, "documents"))
           .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming")),
-      Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
-              |tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
-              |th AS (SELECT doc_id, ${h60("tok")} AS h FROM tok),
+      Some(s"""WITH $shingleCtes,
+              |th AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
               |bitsum AS (SELECT doc_id, b,
               |             sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
               |           FROM th, range(0, 60) r(b) GROUP BY doc_id, b),

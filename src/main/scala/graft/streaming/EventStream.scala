@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the event operators
+  * ([[graft.ext.Events]] is the batch form; SURVEY.md §2.11 marks the
+  * streaming flavor as the scale path for continuously-arriving event
+  * data). readStream → watermarked windowed aggregation → writeStream;
+  * custom session state via `flatMapGroupsWithState`.
+  */
+object EventStream {
+
+  /** One event as the typed stream element (ts in epoch micros). */
+  final case class Event(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  /** A closed session emitted by the stateful operator. */
+  final case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Long)
+
+  /** Per-user open-session state (one record per user). */
+  final case class OpenSession(start_us: Long, end_us: Long, n: Long)
+
+  /** Watermarked hourly tumbling counts per event type (append-mode
+    * safe: results finalize once the watermark passes the window end).
+    * Input must carry an event-time `ts` timestamp column.
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based streaming sessionization: per user, events extend the
+    * open session while gaps stay within `gapUs`; a larger gap (or an
+    * event-time timeout once the watermark passes end + gap) closes and
+    * emits it. State is one [[Session]]-shaped record per user — O(users)
+    * state, independent of stream length.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapUs: Long = 30L * 60 * 1000000): Dataset[Session] = {
+    import spark.implicits._
+
+    def update(
+        userId: Long,
+        batch: Iterator[Event],
+        state: GroupState[OpenSession]): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      if (state.hasTimedOut) {
+        state.getOption.foreach(s =>
+          out += Session(userId, s.start_us, s.end_us, s.n))
+        state.remove()
+      } else {
+        var cur = state.getOption
+        for (e <- batch.toSeq.sortBy(_.ts_us)) {
+          cur match {
+            case Some(s) if e.ts_us - s.end_us <= gapUs =>
+              cur = Some(s.copy(end_us = e.ts_us, n = s.n + 1))
+            case Some(s) =>
+              out += Session(userId, s.start_us, s.end_us, s.n)
+              cur = Some(OpenSession(e.ts_us, e.ts_us, 1))
+            case None =>
+              cur = Some(OpenSession(e.ts_us, e.ts_us, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close via event-time timeout once the watermark passes
+          // session end + gap
+          state.setTimeoutTimestamp((s.end_us + gapUs) / 1000)
+        }
+      }
+      out.iterator
+    }
+
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

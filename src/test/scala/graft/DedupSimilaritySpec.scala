@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Recall/precision sanity for the approximate dedup + ANN operators
+  * against their exact counterparts on the fixture corpus (planted
+  * near-duplicates have Jaccard ≈ 0.99).
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents").cache()
+  private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
+
+  test("exact dedup: one group per distinct text, keep_id is the min") {
+    val out = Dedup.exact(docs)
+    assert(out.count() === docs.select("text").distinct().count())
+    assert(out.agg(sum("n_copies")).first().getLong(0) === docs.count())
+  }
+
+  test("MinHash-LSH recall: catches nearly all pairs with exact Jaccard >= 0.95") {
+    val exact = Dedup.ngramJaccard(docs, minJaccard = 0.95)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (missed ${exact diff lsh})")
+  }
+
+  test("SimHash pairs: small Hamming distance implies high Jaccard overlap") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccard(docs, minJaccard = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    val precision = (pairs intersect exact).size.toDouble / pairs.size
+    assert(precision >= 0.8, s"simhash precision $precision too low")
+  }
+
+  test("IVF ANN recall vs brute force on shared queries") {
+    val brute = Similarity.bruteForceTopK(emb, k = 5, queryModulus = 100)
+      .filter(col("query_id").isin(0L, 100L, 200L))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queryIds = Seq(0L, 100L, 200L), k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // IVF with nprobe=3 of 5 clusters on unclustered random data is a
+    // pruning structure, not exhaustive — expect moderate recall.
+    assert(recall >= 0.5, s"IVF recall $recall vs brute force")
+  }
+
+  test("LSH near-dup candidates verify against exact cosine") {
+    val out = Similarity.lshNearDup(emb, minCos = 0.4).collect()
+    // every reported pair must satisfy the threshold (verification step)
+    assert(out.forall(_.getDouble(2) >= 0.4))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ext.Events
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+
+class EventsStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val us = 1000000L
+  private val min = 60 * us
+  // offset all event times well past epoch 0: the initial watermark is 0
+  // and stateful operators drop rows at/behind it
+  private val base = 86400L * us
+
+  test("batch sessionization splits on >30min gaps with deterministic ordering") {
+    val events = Seq(
+      (1L, 0L * min, 7L), (2L, 10L * min, 7L), (3L, 50L * min, 7L), // gap 40min
+      (4L, 55L * min, 7L),
+      (5L, 0L * min, 8L)
+    ).map { case (id, ts, u) => (id, ts * 1000, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.sessionize(events)
+      .orderBy("user_id", "session_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(out === Array(
+      (7L, 1L, 2L, 10L * min), // session 1: events 1,2 (10 min long)
+      (7L, 2L, 2L, 5L * min),  // session 2: events 3,4
+      (8L, 1L, 1L, 0L)))
+  }
+
+  test("streaming hourly counts finalize after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStream.hourlyCounts(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hourly").outputMode("append").start()
+    val h = 3600L * us
+    mem.addData((1L, 0L, "click", 1.0), (2L, 10L * min, "click", 2.0))
+    q.processAllAvailable()
+    // window [0,1h) not final yet
+    assert(spark.table("hourly").count() === 0)
+    mem.addData((3L, 2 * h, "view", 1.0)) // watermark → 1h50m, closes [0,1h)
+    q.processAllAvailable()
+    val rows = spark.table("hourly").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("n_events") === 2)
+    assert(rows.head.getAs[String]("hour_start") === "1970-01-01 00:00:00")
+    q.stop()
+  }
+
+  test("streaming sessionization emits closed sessions on gap and on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(spark, mem.toDS())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    mem.addData(
+      Event(1, base, 7, "click", 1.0),
+      Event(2, base + 10 * min, 7, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() === 0, "session still open")
+    // same batch gap-close: a later event 40min after the previous one
+    mem.addData(Event(3, base + 50 * min, 7, "click", 1.0))
+    q.processAllAvailable()
+    val afterGap = spark.table("sessions").as[Session].collect()
+    assert(afterGap.toSeq === Seq(Session(7, base, base + 10 * min, 2)))
+    // event-time timeout: push the watermark far past end+gap with
+    // another user's event
+    mem.addData(Event(4, base + 600 * min, 8, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(5, base + 1200 * min, 8, "click", 1.0))
+    q.processAllAvailable()
+    val all = spark.table("sessions").as[Session].collect().toSet
+    assert(all.contains(Session(7, base + 50 * min, base + 50 * min, 1)),
+      s"timeout-closed session missing: $all")
+    q.stop()
+  }
+}

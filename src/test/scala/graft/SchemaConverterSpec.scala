@@ -1,0 +1,122 @@
+package graft
+
+import graft.convert.SchemaConverter
+import graft.model._
+
+/** Decision-procedure tests (SURVEY.md §2.8): rule order, workload
+  * flips, self-reference, cyclic drop, first-match nesting.
+  */
+class SchemaConverterSpec extends SparkSpec {
+
+  private def tm(
+      name: String,
+      rows: Long,
+      cols: Seq[String],
+      pks: Seq[String],
+      fks: Seq[ForeignKeyMeta] = Seq.empty,
+      refdBy: Seq[String] = Seq.empty,
+      uaf: Long = 0L): TableMeta =
+    TableMeta(name, rows, cols, pks, fks, refdBy.nonEmpty, refdBy, gaf = 0L, uaf = uaf)
+
+  test("0-FK tables are roots regardless of workload") {
+    val db = DatabaseMeta("t", Seq(
+      tm("a", 10, Seq("id", "x"), Seq("id"), refdBy = Seq("b"), uaf = 1000000)),
+      maf = 1.0)
+    val out = SchemaConverter.convert(db)
+    assert(out.roots.map(n => (n.name, n.kind)) === Seq(("a", ConversionKind.Root)))
+  }
+
+  test("self-referencing table becomes referencing with _REF attrs") {
+    val db = DatabaseMeta("t", Seq(
+      tm("emp", 10, Seq("id", "mgr", "nm"), Seq("id"),
+        Seq(ForeignKeyMeta("mgr", "emp", "id")), refdBy = Seq("emp"))))
+    val out = SchemaConverter.convert(db)
+    assert(out.roots.head.kind === ConversionKind.Referencing)
+    assert(out.roots.head.attributes === Seq("id", "mgr_REF", "nm"))
+  }
+
+  test(">2 FKs always referencing; 1 FK embeds; 2 FKs two-way embeds under both parents") {
+    val db = DatabaseMeta("t", Seq(
+      tm("p1", 5, Seq("id1", "a1"), Seq("id1"), refdBy = Seq("j2", "c1")),
+      tm("p2", 5, Seq("id2", "a2"), Seq("id2"), refdBy = Seq("j2")),
+      tm("p3", 5, Seq("id3", "a3"), Seq("id3"), refdBy = Seq("f3")),
+      tm("c1", 5, Seq("cid", "fk1", "v"), Seq("cid"),
+        Seq(ForeignKeyMeta("fk1", "p1", "id1"))),
+      tm("j2", 5, Seq("jid", "fka", "fkb", "w"), Seq("jid"),
+        Seq(ForeignKeyMeta("fka", "p1", "id1"), ForeignKeyMeta("fkb", "p2", "id2"))),
+      tm("f3", 5, Seq("fid", "x1", "x2", "x3"), Seq("fid"),
+        Seq(ForeignKeyMeta("x1", "p1", "id1"), ForeignKeyMeta("x2", "p2", "id2"),
+          ForeignKeyMeta("x3", "p3", "id3")))))
+    val out = SchemaConverter.convert(db)
+    val rootKinds = out.roots.map(n => (n.name, n.kind)).toMap
+    assert(rootKinds("f3") === ConversionKind.Referencing)
+    val p1 = out.roots.find(_.name == "p1").get
+    assert(p1.embedded.map(_.name).sorted === Seq("c1", "j2"))
+    // two-way child under p1 inlines p2's attrs (minus its key)
+    val j2UnderP1 = p1.embedded.find(_.name == "j2").get
+    assert(j2UnderP1.attributes === Seq("jid", "w", "a2"))
+    assert(j2UnderP1.embeddedAttributesFrom === Some("p2"))
+    val p2 = out.roots.find(_.name == "p2").get
+    assert(p2.embedded.map(_.name) === Seq("j2"))
+    assert(p2.embedded.head.attributes === Seq("jid", "w", "a1"))
+    // one-way child drops its FK
+    val c1 = p1.embedded.find(_.name == "c1").get
+    assert(c1.attributes === Seq("cid", "v"))
+  }
+
+  test("workload rule: hot table (uaf > maf) stays referencing; parent of hot child too") {
+    val mk = (cUaf: Long, pUaf: Long) => DatabaseMeta("t", Seq(
+      tm("p", 10, Seq("id", "a"), Seq("id"), refdBy = Seq("c"), uaf = pUaf),
+      tm("g", 10, Seq("gid"), Seq("gid"), refdBy = Seq("p")),
+      tm("p2", 10, Seq("id", "fk", "a"), Seq("id"),
+        Seq(ForeignKeyMeta("fk", "g", "gid")), refdBy = Seq("c2"), uaf = pUaf),
+      tm("c", 10, Seq("cid", "fk", "v"), Seq("cid"),
+        Seq(ForeignKeyMeta("fk", "p", "id")), uaf = cUaf)), maf = 100.0)
+    // cold: c embeds into p
+    val cold = SchemaConverter.convert(mk(50, 0))
+    assert(cold.roots.find(_.name == "p").get.embedded.map(_.name) === Seq("c"))
+    // hot child: c referencing
+    val hot = SchemaConverter.convert(mk(500, 0))
+    assert(hot.roots.exists(r => r.name == "c" && r.kind == ConversionKind.Referencing))
+  }
+
+  test("referenced-by-hot-table rule: table whose referencing table is hot stays referencing") {
+    val db = DatabaseMeta("t", Seq(
+      tm("g", 10, Seq("gid"), Seq("gid"), refdBy = Seq("p")),
+      tm("p", 10, Seq("id", "fk"), Seq("id"),
+        Seq(ForeignKeyMeta("fk", "g", "gid")), refdBy = Seq("c")),
+      tm("c", 10, Seq("cid", "fk2"), Seq("cid"),
+        Seq(ForeignKeyMeta("fk2", "p", "id")), uaf = 500)), maf = 100.0)
+    val out = SchemaConverter.convert(db)
+    // p is referenced by c whose uaf > maf → p referencing (not embedded in g)
+    assert(out.roots.exists(r => r.name == "p" && r.kind == ConversionKind.Referencing))
+  }
+
+  test("FK-cyclic tables are dropped with a warning (reference parity)") {
+    val db = DatabaseMeta("t", Seq(
+      tm("root0", 1, Seq("id"), Seq("id")),
+      tm("x", 1, Seq("id", "fy"), Seq("id"), Seq(ForeignKeyMeta("fy", "y", "id")), Seq("y")),
+      tm("y", 1, Seq("id", "fx"), Seq("id"), Seq(ForeignKeyMeta("fx", "x", "id")), Seq("x"))))
+    val topo = SchemaConverter.topoOrder(db)
+    assert(topo.order === Seq("root0"))
+    assert(topo.droppedCyclic.toSet === Set("x", "y"))
+    val out = SchemaConverter.convert(db)
+    assert(out.find("x").isEmpty && out.find("y").isEmpty)
+  }
+
+  test("seeding falls back to single-FK self-referencing tables when no 0-FK table exists") {
+    val db = DatabaseMeta("t", Seq(
+      tm("emp", 10, Seq("id", "mgr"), Seq("id"),
+        Seq(ForeignKeyMeta("mgr", "emp", "id")), refdBy = Seq("emp", "dep")),
+      tm("dep", 10, Seq("did", "eid"), Seq("did"),
+        Seq(ForeignKeyMeta("eid", "emp", "id")))))
+    val topo = SchemaConverter.topoOrder(db)
+    assert(topo.order === Seq("emp", "dep"))
+    val out = SchemaConverter.convert(db)
+    // emp is a referencing ROOT that still receives dep embedded
+    // (assets/output.png shape)
+    val emp = out.roots.find(_.name == "emp").get
+    assert(emp.kind === ConversionKind.Referencing)
+    assert(emp.embedded.map(_.name) === Seq("dep"))
+  }
+}
