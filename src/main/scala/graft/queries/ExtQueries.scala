@@ -33,17 +33,26 @@ object ExtQueries {
       |sh AS (SELECT DISTINCT doc_id,
       |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS shingle
       |       FROM toks)""".stripMargin
+  /** same, with shingles hashed to 32-bit ints (mirrors
+    * Dedup.hashedShingleSet).
+    */
+  private def hashedShingleCtes =
+    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |shs AS (SELECT doc_id,
+       |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS shingle
+       |        FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, ${h32("shingle")} AS sh FROM shs)""".stripMargin
   /** sequential-fold dot product of two DOUBLE[64] (mirrors Portable.dot). */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, [$a[i]*$b[i] for i in range(1,65)]), (x,y) -> x+y)"
   private def normSql(a: String) = s"sqrt(${dotSql(a, a)})"
   private def cosSql(a: String, b: String) =
     s"round((${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)})), 6)"
-  /** exact-Jaccard pair CTEs (after shingleCtes). */
+  /** exact-Jaccard pair CTEs (after hashedShingleCtes). */
   private val jaccardCtes =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |ipairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |           GROUP BY 1, 2),
       |jac AS (SELECT da, db,
       |          round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS j
@@ -61,16 +70,16 @@ object ExtQueries {
     ("x02_dedup_jaccard",
       (s: SparkSession, dir: String) =>
         Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, minJaccard = 0.8),
-      Some(s"""WITH $shingleCtes,
+      Some(s"""WITH $hashedShingleCtes,
               |$jaccardCtes
               |SELECT da AS doc_a, db AS doc_b, j AS jaccard FROM jac WHERE j >= 0.8""".stripMargin)),
 
     // ---- dedup: MinHash-LSH candidates + verification ----------------
     ("x03_dedup_minhash_lsh",
       (s: SparkSession, dir: String) => Dedup.minhashLsh(t(s, dir, "documents")),
-      Some(s"""WITH $shingleCtes,
+      Some(s"""WITH $hashedShingleCtes,
               |mh AS (SELECT doc_id, p,
-              |         min(${h60("CAST(p AS VARCHAR) || '|' || shingle")}) AS minhash
+              |         min(((2*p+1) * sh + (12345*p+1)) % 2147483647) AS minhash
               |       FROM sh, range(0, 16) r(p) GROUP BY doc_id, p),
               |bands AS (SELECT doc_id, p // 4 AS band,
               |            string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY p) AS sig

@@ -22,6 +22,30 @@ object Profile {
       println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
     time("warmup count")(Tables.load(spark, dir, "region").count())
+    if (args.contains("lsh")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val sigs = graft.ext.Similarity.lshSignatures(emb)
+      time("sigs")(sigs.count())
+      import org.apache.spark.sql.functions._
+      val bands = sigs.select(col("vec_id"),
+          explode(sequence(lit(0), lit(3))).as("band"), col("sig"))
+        .withColumn("bucket", expr("shiftright(sig, band * 4) & 15"))
+        .select(col("vec_id"), col("band"), col("bucket"))
+      time("bucket histogram")(
+        bands.groupBy("band", "bucket").count().orderBy(desc("count")).show(8))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b")).distinct()
+      time("cand count")(println("cands: " + cand.count()))
+      time("neardup")(println("pairs: " + graft.ext.Similarity.lshNearDup(emb).count()))
+      time("neardup again")(graft.ext.Similarity.lshNearDup(emb).count())
+      val cg = graft.ext.Similarity.lshNearDup(emb).queryExecution.explainString(
+        org.apache.spark.sql.execution.CodegenMode)
+      println("codegen fallbacks: " + cg.split('\n').count(_.contains("Found too long")))
+      println(cg.split('\n').filter(l => l.contains("WholeStageCodegen") && l.contains("*")).mkString("\n").take(800))
+      spark.stop(); return
+    }
     val stmts = time("statements")(
       LogPipeline.statementsFromText(spark, Fixtures.mysqlLog, LogPipeline.MySqlLog))
     time("stmts.count")(stmts.count())

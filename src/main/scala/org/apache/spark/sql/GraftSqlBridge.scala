@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for graft's custom Catalyst expressions.
+  * Spark 4 made the conversion utilities `private[sql]`
+  * (org.apache.spark.sql.classic.ExpressionUtils), so this one-liner
+  * lives in the sql package to re-export them; everything else of graft
+  * stays in its own namespace.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
