@@ -122,6 +122,42 @@ object Embedding {
     */
   private def emptyToNull(c: Column): Column = when(size(c) > 0, c)
 
+  /** Skew-aware variant of the J1 nesting shuffle for the 100 TB path:
+    * a parent with millions of children turns the plain
+    * `groupBy(fk).agg(collect_list)` reduce task into a straggler (the
+    * partial-aggregation map side is fine — the hot key lands on ONE
+    * reducer). This salts the child rows into `salts` sub-groups, does a
+    * first collect per (fk, salt), then merges+sorts the per-salt chunks
+    * in a second, `salts`-times-smaller shuffle. Output is identical to
+    * [[oneWayEmbed]] (arrays sorted by `childSortKeys`); the giant final
+    * row still exists — that is inherent to the reference's document
+    * model — but no single shuffle task is hot.
+    */
+  def oneWayEmbedSalted(
+      parent: DataFrame,
+      parentKey: String,
+      child: DataFrame,
+      childFk: String,
+      childName: String,
+      childSortKeys: Seq[String],
+      salts: Int = 16): DataFrame = {
+    require(childSortKeys.nonEmpty, "salted embedding needs sort keys for a deterministic merge")
+    val attrs = child.columns.filterNot(_ == childFk)
+    val doc = struct(attrs.map(col): _*)
+    val keyed = struct(childSortKeys.map(col) :+ doc.as("__doc"): _*)
+    val chunked = child
+      .withColumn("__salt", pmod(hash(childSortKeys.map(col): _*), lit(salts)))
+      .groupBy(col(childFk), col("__salt"))
+      .agg(collect_list(keyed).as("__chunk"))
+      .groupBy(col(childFk))
+      .agg(transform(array_sort(flatten(collect_list(col("__chunk")))),
+        x => x.getField("__doc")).as(childName))
+    parent
+      .join(chunked, parent(parentKey) === chunked(childFk), "left")
+      .drop(chunked(childFk))
+      .withColumn(childName, emptyToNull(col(childName)))
+  }
+
   /** P3 — referencing collections rename every FK column `c` → `c_REF`,
     * values unchanged (server/DBMigration.js:319-333; golden
     * collection7.json `orderId_REF: 10248`).

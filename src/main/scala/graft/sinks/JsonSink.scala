@@ -25,6 +25,41 @@ object JsonSink {
       }
     }
 
+  /** Byte-parity framing (S4): the reference emits one
+    * `collection{i}.json` JSON-ARRAY file per non-empty collection and
+    * zips them (server/WriteToFile.js:5-62). This export mode streams
+    * each collection's JSON rows through the driver into the array
+    * framing inside a zip — O(1) driver memory (iterator, not collect),
+    * but single-writer by construction; it exists for output parity and
+    * export, while [[write]] is the scale path.
+    */
+  def writeZippedArrays(
+      collections: Seq[(String, DataFrame)], zipPath: String): Seq[String] = {
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(zipPath)))
+    try {
+      var idx = 0
+      collections.flatMap { case (name, df) =>
+        val it = df.toJSON.toLocalIterator()
+        if (!it.hasNext) None
+        else {
+          idx += 1
+          out.putNextEntry(new java.util.zip.ZipEntry(s"collection$idx.json"))
+          out.write('[')
+          var first = true
+          while (it.hasNext) {
+            if (!first) out.write(',')
+            out.write(it.next().getBytes("UTF-8"))
+            first = false
+          }
+          out.write(']')
+          out.closeEntry()
+          Some(name)
+        }
+      }
+    } finally out.close()
+  }
+
   /** L5 — date normalization parity (server/MySQLDBManager.js:268-276,
     * server/PostgresDBManager.js:284-293): the reference formats every
     * driver `Date` as a `"YYYY-MM-DD"` string in `Asia/Bangkok` time. The
