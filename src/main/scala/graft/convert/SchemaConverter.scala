@@ -92,10 +92,12 @@ object SchemaConverter {
           t.columns.filterNot(t.foreignKeys.map(_.columnName).contains)
         case ConversionKind.TwoWayEmbedded =>
           // child attrs minus both FKs ++ other parent attrs minus its
-          // referenced key (server/DBMigration.js:304-309)
+          // referenced key (server/DBMigration.js:304-309); a name
+          // collision yields ONE document field holding the other
+          // parent's value (JS overwrite — :563-569), so dedupe
           val (other, refCol) = otherParent.get
-          t.columns.filterNot(t.foreignKeys.map(_.columnName).contains) ++
-            other.columns.filterNot(_ == refCol)
+          (t.columns.filterNot(t.foreignKeys.map(_.columnName).contains) ++
+            other.columns.filterNot(_ == refCol)).distinct
       }
 
     for (name <- topo.order) {

@@ -82,6 +82,12 @@ object Embedding {
     * recursive mapper can enrich a child *before* nesting its own embedded
     * children under it. Keeps `childFkToParent` (needed for the later
     * group-by), drops `childFkToOther` and the other parent's key.
+    *
+    * Name collisions (e.g. orderdetail.unitPrice vs product.unitPrice in
+    * the Northwind demo) resolve to the OTHER PARENT's value: the
+    * reference assigns `doc[attribute] = embeddedData[columnName]` over
+    * the already-populated child document, overwriting the child's field
+    * (server/DBMigration.js:563-569).
     */
   def joinOtherParent(
       child: DataFrame,
@@ -90,9 +96,14 @@ object Embedding {
       otherParent: DataFrame,
       otherKey: String): DataFrame = {
     val other = otherParent.withColumnRenamed(otherKey, "__graft_other_key")
-    child
-      .join(other, child(childFkToOther) === other("__graft_other_key"), "inner")
+    val collisions = child.columns.toSet
+      .intersect(other.columns.toSet) - childFkToParent - childFkToOther
+    val childSafe = collisions.foldLeft(child)((d, c) =>
+      d.withColumnRenamed(c, s"__graft_dup_$c"))
+    childSafe
+      .join(other, childSafe(childFkToOther) === other("__graft_other_key"), "inner")
       .drop(childFkToOther, "__graft_other_key")
+      .drop(collisions.map(c => s"__graft_dup_$c").toSeq: _*)
   }
 
   /** The nesting aggregate shared by J1/J2: group child rows by FK into a
