@@ -112,7 +112,8 @@ object SchemaConverter {
             case Some(_) =>
               val node = CollectionNode(
                 t.name, attributesFor(t, ConversionKind.OneWayEmbedded, None),
-                ConversionKind.OneWayEmbedded)
+                ConversionKind.OneWayEmbedded,
+                parentFkColumn = Some(fk.columnName))
               schema = schema.mapNode(fk.referencedTable,
                 p => p.copy(embedded = p.embedded :+ node))
             case None =>
@@ -126,9 +127,22 @@ object SchemaConverter {
           }
         case ConversionKind.TwoWayEmbedded =>
           // Nest under BOTH parents; under each, inline the *other*
-          // parent's attributes (server/DBMigration.js:282-317).
+          // parent's attributes (server/DBMigration.js:282-317). When
+          // both FKs reference the SAME table (a follows/edges junction)
+          // the reference adds both copies under one parent and its
+          // per-document mapping then overwrites the first with the
+          // second (document[name] reassignment) — so only the
+          // second-FK-keyed variant survives; we add just that one.
           val Seq(fkA, fkB) = t.foreignKeys.take(2)
-          for ((fkParent, fkOther) <- Seq((fkA, fkB), (fkB, fkA))) {
+          val variants =
+            if (fkA.referencedTable == fkB.referencedTable) {
+              System.err.println(
+                s"[graft] WARNING: $name has both FKs into " +
+                  s"${fkA.referencedTable}; keeping the ${fkB.columnName}-keyed " +
+                  "embedding only (reference overwrite semantics)")
+              Seq((fkB, fkA))
+            } else Seq((fkA, fkB), (fkB, fkA))
+          for ((fkParent, fkOther) <- variants) {
             schema.find(fkParent.referencedTable) match {
               case Some(_) =>
                 val otherMeta = db(fkOther.referencedTable)
@@ -137,7 +151,8 @@ object SchemaConverter {
                   attributesFor(t, ConversionKind.TwoWayEmbedded,
                     Some((otherMeta, fkOther.referencedColumn))),
                   ConversionKind.TwoWayEmbedded,
-                  embeddedAttributesFrom = Some(fkOther.referencedTable))
+                  embeddedAttributesFrom = Some(fkOther.referencedTable),
+                  parentFkColumn = Some(fkParent.columnName))
                 schema = schema.mapNode(fkParent.referencedTable,
                   p => p.copy(embedded = p.embedded :+ node))
               case None =>

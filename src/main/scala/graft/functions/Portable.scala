@@ -48,33 +48,13 @@ object Portable {
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Sequential left-fold sum of a double array — deterministic and
-    * identical to DuckDB `list_reduce(list_prepend(0.0, xs), (a,b) -> a+b)`.
-    * (Higher-order-function form: interpreted per element — use only for
-    * variable-length arrays; fixed-dim vectors use the expanded forms
-    * below, which stay inside whole-stage codegen yet produce the same
-    * left-to-right association, hence identical bits.)
-    */
-  def foldSum(xs: Column): Column =
-    aggregate(xs, lit(0.0), (acc, x) => acc + x)
-
-  /** Dot product of two fixed-dim double arrays, expanded to a codegen'd
-    * left-associated sum: ((a1*b1 + a2*b2) + a3*b3) + … — bit-identical
-    * to the sequential fold (0.0 + x == x exactly).
-    */
-  def dot(a: Column, b: Column, dims: Int): Column =
-    (1 to dims).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
-
-  /** Dot product against a constant vector (literals fold into codegen). */
-  def dotLit(a: Column, w: Seq[Double]): Column =
-    w.zipWithIndex.map { case (wi, i) => element_at(a, i + 1) * lit(wi) }.reduce(_ + _)
-
-  /** L2 norm, expanded. */
-  def norm(a: Column, dims: Int): Column = sqrt(dot(a, a, dims))
-
-  /** Cosine similarity of two fixed-dim double arrays, order-pinned. */
-  def cosine(a: Column, b: Column, dims: Int): Column =
-    dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
+  // Vector math (dot/norm/cosine, hyperplane signatures) lives in the
+  // native codegen'd expressions [[CosineSim]] and [[HyperplaneSignature]]
+  // — both accumulate strictly left-to-right, bit-identical to DuckDB's
+  // `list_reduce(list_prepend(0.0, xs), (a,b) -> a+b)` fold. Composed
+  // builtins were measured and rejected: expanded 64-term sums blow the
+  // generated-method limit (whole-stage codegen disables itself) and
+  // higher-order `aggregate` is interpreted per element.
 
   /** Count of tokens in `toks` equal to the literal word `w`.
     * DuckDB: `len(list_filter(toks, x -> x = 'w'))`.

@@ -48,21 +48,30 @@ class DataMapper(
   private def nestChildren(df: DataFrame, node: CollectionNode): DataFrame =
     node.embedded.foldLeft(df) { (parentDf, child) =>
       val childMeta = db(child.name)
-      val fkToParent = childMeta.foreignKeys
-        .find(_.referencedTable == node.name)
+      // Bind by the recorded FK column when present (required when both
+      // of a junction's FKs reference the same parent table); fall back
+      // to referenced-table lookup for hand-built trees.
+      val fkToParent = child.parentFkColumn
+        .flatMap(c => childMeta.foreignKeys.find(_.columnName == c))
+        .orElse(childMeta.foreignKeys.find(_.referencedTable == node.name))
         .getOrElse(throw new IllegalStateException(
           s"${child.name} embedded under ${node.name} without an FK to it"))
       val childDf = buildChild(child, fkToParent)
+      // Two-way children had their FK-to-parent moved to the reserved
+      // grouping column by joinOtherParent.
+      val groupCol =
+        if (childDf.columns.contains(Embedding.ParentFkCol)) Embedding.ParentFkCol
+        else fkToParent.columnName
       // Sort the embedded array by the child's surviving PK columns so
       // output is deterministic under parallelism.
-      val dropped = droppedColumns(child, childMeta)
+      val dropped = childMeta.foreignKeys.map(_.columnName).toSet
       val sortKeys = childMeta.primaryKeys.filterNot(dropped.contains) match {
         case Seq() => childDf.columns.toSeq.intersect(childMeta.columns).take(1)
         case pks => pks
       }
       Embedding.oneWayEmbed(
         parentDf, fkToParent.referencedColumn, childDf,
-        fkToParent.columnName, child.name, sortKeys)
+        groupCol, child.name, sortKeys)
     }
 
   /** Build a child's (pre-nesting) DataFrame: source rows, two-way
@@ -84,9 +93,4 @@ class DataMapper(
     nestChildren(df, child)
   }
 
-  private def droppedColumns(child: CollectionNode, meta: TableMeta): Set[String] =
-    child.kind match {
-      case ConversionKind.TwoWayEmbedded => meta.foreignKeys.map(_.columnName).toSet
-      case _ => meta.foreignKeys.map(_.columnName).toSet // one-way drops its FK too
-    }
 }

@@ -92,7 +92,13 @@ final case class CollectionNode(
     attributes: Seq[String],
     kind: ConversionKind,
     embedded: Seq[CollectionNode] = Seq.empty,
-    embeddedAttributesFrom: Option[String] = None) {
+    embeddedAttributesFrom: Option[String] = None,
+    /** The FK column binding this embedded node to its parent — needed
+      * when several FKs reference the same table (e.g. a follows/edges
+      * junction with both FKs into one parent), where referenced-table
+      * lookup alone is ambiguous.
+      */
+    parentFkColumn: Option[String] = None) {
 
   /** BFS through the embedded tree, so an embedded collection is itself
     * addressable as a nesting target

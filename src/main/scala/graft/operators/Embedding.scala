@@ -58,6 +58,14 @@ object Embedding {
     * shipper's companyName/phone). Result: `parent` with array column
     * `childName`; empty arrays are omitted (null) as in J1.
     */
+  /** Reserved grouping-column name: the child's FK-to-parent is renamed
+    * to this before the other-parent join, so an other-parent attribute
+    * that happens to share the FK's name can survive into the documents
+    * (the reference's attribute-matching would populate it —
+    * server/DBMigration.js:563-569) without an ambiguous reference.
+    */
+  private[graft] val ParentFkCol = "__graft_pfk"
+
   def twoWayEmbed(
       parent: DataFrame,
       parentKey: String,
@@ -70,11 +78,11 @@ object Embedding {
       childSortKeys: Seq[String] = Seq.empty): DataFrame = {
     val enriched = joinOtherParent(
       child, childFkToParent, childFkToOther, otherParent, otherKey)
-    val attrs = enriched.columns.filterNot(_ == childFkToParent)
-    val nested = nestByKey(enriched, childFkToParent, attrs, childName, childSortKeys)
+    val attrs = enriched.columns.filterNot(_ == ParentFkCol)
+    val nested = nestByKey(enriched, ParentFkCol, attrs, childName, childSortKeys)
     parent
-      .join(nested, parent(parentKey) === nested(childFkToParent), "left")
-      .drop(nested(childFkToParent))
+      .join(nested, parent(parentKey) === nested(ParentFkCol), "left")
+      .drop(nested(ParentFkCol))
       .withColumn(childName, emptyToNull(col(childName)))
   }
 
@@ -95,10 +103,14 @@ object Embedding {
       childFkToOther: String,
       otherParent: DataFrame,
       otherKey: String): DataFrame = {
+    // The FK to the nesting parent moves to the reserved grouping name
+    // first, so even an other-parent column named like that FK joins in
+    // cleanly (it becomes a plain document attribute).
+    val childP = child.withColumnRenamed(childFkToParent, ParentFkCol)
     val other = otherParent.withColumnRenamed(otherKey, "__graft_other_key")
-    val collisions = child.columns.toSet
-      .intersect(other.columns.toSet) - childFkToParent - childFkToOther
-    val childSafe = collisions.foldLeft(child)((d, c) =>
+    val collisions = childP.columns.toSet
+      .intersect(other.columns.toSet) - ParentFkCol - childFkToOther
+    val childSafe = collisions.foldLeft(childP)((d, c) =>
       d.withColumnRenamed(c, s"__graft_dup_$c"))
     childSafe
       .join(other, childSafe(childFkToOther) === other("__graft_other_key"), "inner")

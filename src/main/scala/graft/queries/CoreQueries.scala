@@ -203,6 +203,22 @@ object CoreQueries {
              |  SELECT * FROM lineitem JOIN part ON l_partkey = p_partkey
              |) x ON x.l_orderkey = o_orderkey""".stripMargin)),
 
+    // ---- J1 skew path: salted two-phase nesting, same contract --------
+    // Must hash-match the same oracle as q13: the salted merge is an
+    // execution strategy, not a semantics change.
+    ("q15_embed_salted_flat",
+      (s: SparkSession, dir: String) => {
+        val nested = Embedding.oneWayEmbedSalted(
+          t(s, dir, "region"), "r_regionkey",
+          t(s, dir, "nation"), "n_regionkey", "nations", Seq("n_nationkey"), salts = 4)
+        nested.select(col("r_regionkey"), col("r_name"),
+            explode_outer(col("nations")).as("n"))
+          .select(col("r_regionkey"), col("r_name"),
+            col("n.n_nationkey").as("n_nationkey"), col("n.n_name").as("n_name"))
+      },
+      Some("""SELECT r_regionkey, r_name, n_nationkey, n_name
+             |FROM region LEFT JOIN nation ON n_regionkey = r_regionkey""".stripMargin)),
+
     // ---- A3: ordered string aggregation over data ---------------------
     ("q16_string_agg",
       (s: SparkSession, dir: String) => {

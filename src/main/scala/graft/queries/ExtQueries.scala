@@ -22,15 +22,18 @@ object ExtQueries {
   // The hashed-shingle set and the simhash table are each read by
   // several dedup queries (and multiple times within one plan — the
   // inverted-index self-join reads the set four times); memoize +
-  // persist per sfDir so one session's verify/bench pass computes each
-  // once. Small: O(docs × shingles) longs / O(docs) rows.
-  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // persist so one session's verify/bench pass computes each once.
+  // Small: O(docs × shingles) longs / O(docs) rows. Keyed by
+  // (applicationId, dir): a cached frame must never outlive its
+  // SparkContext (a second session in the same JVM would otherwise get
+  // a frame bound to a stopped context).
+  private val shingleCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate(dir,
+    shingleCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       Dedup.hashedShingleSet(t(s, dir, "documents")).persist())
-  private val simhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val simhashCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def simhashes(s: SparkSession, dir: String): DataFrame =
-    simhashCache.getOrElseUpdate(dir,
+    simhashCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       Dedup.simhash(t(s, dir, "documents")).persist())
 
   // ---- shared DuckDB SQL fragments ----------------------------------

@@ -62,7 +62,11 @@ object EventStream {
         for (e <- batch.toSeq.sortBy(_.ts_us)) {
           cur match {
             case Some(s) if e.ts_us - s.end_us <= gapUs =>
-              cur = Some(s.copy(end_us = e.ts_us, n = s.n + 1))
+              // min/max, not assignment: a late event the watermark still
+              // admits may precede the stored bounds — regressing end_us
+              // would later misread an in-session gap as a session break
+              cur = Some(OpenSession(
+                math.min(s.start_us, e.ts_us), math.max(s.end_us, e.ts_us), s.n + 1))
             case Some(s) =>
               out += Session(userId, s.start_us, s.end_us, s.n)
               cur = Some(OpenSession(e.ts_us, e.ts_us, 1))

@@ -9,7 +9,8 @@ import graft.queries.Fixtures
 /** Scratch profiling main (not part of the query surface). */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // dir is the first path-looking arg; remaining args are mode flags
+    val dir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,6 +23,11 @@ object Profile {
       println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
     time("warmup count")(Tables.load(spark, dir, "region").count())
+    if (args.contains("entry")) {
+      // driver-style smoke: entry() on a fresh session must return rows
+      time("entry rows")(println("entry rows: " + graft.SparkEntry.entry(spark).count()))
+      spark.stop(); return
+    }
     if (args.contains("lsh")) {
       val emb = Tables.load(spark, dir, "embeddings")
       val sigs = graft.ext.Similarity.lshSignatures(emb)

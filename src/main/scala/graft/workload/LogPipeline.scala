@@ -116,17 +116,10 @@ object LogPipeline {
         sum(when(col("stmt_type").isin("insert", "update", "delete"),
           col("num_rows")).otherwise(0L)).as("uaf"))
 
-  /** A6 — the global workload threshold: maf = 0.0125 × Σ gaf
-    * (server/models/RelationalDatabase.js:17-24).
-    */
-  def maf(stats: DataFrame): Double = {
-    val total = stats.agg(sum("gaf")).first()
-    if (total.isNullAt(0)) 0.0 else total.getLong(0) * 0.0125
-  }
-
   /** Fold the computed stats back into the driver-side metadata (the
     * reference mutates its Table objects in place —
-    * server/LogManager.js:86-99).
+    * server/LogManager.js:86-99), including the A6 global threshold
+    * maf = 0.0125 × Σ gaf (server/models/RelationalDatabase.js:17-24).
     */
   def applyWorkload(db: DatabaseMeta, stats: DataFrame): DatabaseMeta = {
     val byTable = stats.collect()

@@ -104,6 +104,34 @@ class SchemaConverterSpec extends SparkSpec {
     assert(out.find("x").isEmpty && out.find("y").isEmpty)
   }
 
+  test("junction with both FKs into the same parent embeds once, keyed on the second FK") {
+    import spark.implicits._
+    val db = DatabaseMeta("t", Seq(
+      tm("user", 3, Seq("uid", "uname"), Seq("uid"), refdBy = Seq("follows")),
+      tm("follows", 3, Seq("fid", "follower", "followee"), Seq("fid"),
+        Seq(ForeignKeyMeta("follower", "user", "uid"),
+          ForeignKeyMeta("followee", "user", "uid")))))
+    val out = SchemaConverter.convert(db)
+    val user = out.roots.find(_.name == "user").get
+    assert(user.embedded.map(_.name) === Seq("follows"),
+      "one surviving copy (reference document-key overwrite semantics)")
+    val f = user.embedded.head
+    assert(f.parentFkColumn === Some("followee"))
+    assert(f.attributes === Seq("fid", "uname"))
+    // and the data plane maps it without ambiguous-column crashes
+    val dfs = Map(
+      "user" -> Seq((1L, "ann"), (2L, "bo"), (3L, "cy")).toDF("uid", "uname"),
+      "follows" -> Seq((10L, 1L, 2L), (11L, 3L, 2L)).toDF("fid", "follower", "followee"))
+    val mapped = new graft.map.DataMapper(spark, "", db, (_, _, n) => dfs(n))
+      .mapRoot(user).orderBy("uid").collect()
+    val bo = mapped(1)
+    val fl = bo.getSeq[org.apache.spark.sql.Row](bo.fieldIndex("follows"))
+    assert(fl.map(_.getAs[Long]("fid")) === Seq(10L, 11L), "both followers of bo")
+    assert(fl.map(_.getAs[String]("uname")) === Seq("ann", "cy"),
+      "follower-side user attrs inlined")
+    assert(mapped(0).isNullAt(mapped(0).fieldIndex("follows")), "ann has no followers")
+  }
+
   test("seeding falls back to single-FK self-referencing tables when no 0-FK table exists") {
     val db = DatabaseMeta("t", Seq(
       tm("emp", 10, Seq("id", "mgr"), Seq("id"),
