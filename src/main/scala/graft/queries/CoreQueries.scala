@@ -388,6 +388,58 @@ object CoreQueries {
              |  strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate_str
              |FROM lineitem""".stripMargin)),
 
+    // ---- OLAP breadth: filtered scan-aggregate (TPC-H Q6 shape) -------
+    // Every predicate reaches the parquet scan (PushedFilters); the
+    // whole query is one scan + one scalar aggregate.
+    ("q27_filtered_agg",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+            count(lit(1)).as("n_rows")),
+      Some("""SELECT
+             |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+             |  AND l_shipdate < TIMESTAMP '1995-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // ---- OLAP breadth: window top-k per group -------------------------
+    ("q28_window_topk",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+            col("o_totalprice"))
+      },
+      Some("""SELECT o_orderpriority, CAST(rnk AS INTEGER) AS "rank", o_orderkey, o_totalprice
+             |FROM (SELECT *, row_number() OVER
+             |        (PARTITION BY o_orderpriority
+             |         ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |      FROM orders) x
+             |WHERE rnk <= 3""".stripMargin)),
+
+    // ---- OLAP breadth: temporal rollup --------------------------------
+    ("q29_orders_by_month",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("total_price")),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             |  count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total_price
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // ---- flattened hash-check of the nested migration output ----------
     ("q26_migrate_flat_check",
       (s: SparkSession, dir: String) => {
