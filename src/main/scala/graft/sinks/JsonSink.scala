@@ -15,12 +15,24 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   */
 object JsonSink {
 
-  /** Write every non-empty collection under `outDir/<name>/`. */
-  def write(collections: Seq[(String, DataFrame)], outDir: String): Seq[String] =
+  /** Write every non-empty collection under `outDir/<name>/`.
+    * `partitionBy` gives directory-partitioned output (e.g. by a region
+    * or date column) — at cluster scale downstream consumers then prune
+    * partitions instead of listing everything.
+    */
+  def write(
+      collections: Seq[(String, DataFrame)],
+      outDir: String,
+      partitionBy: Seq[String] = Seq.empty): Seq[String] =
     collections.flatMap { case (name, df) =>
       if (df.isEmpty) None
       else {
-        df.write.mode("overwrite").json(s"$outDir/$name")
+        val w = df.write.mode("overwrite")
+        val wp = partitionBy.filter(df.columns.contains) match {
+          case Seq() => w
+          case cols => w.partitionBy(cols: _*)
+        }
+        wp.json(s"$outDir/$name")
         Some(name)
       }
     }

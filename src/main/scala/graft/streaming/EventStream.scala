@@ -36,6 +36,19 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose key columns repeat within
+    * the watermark horizon (`dropDuplicatesWithinWatermark` keeps state
+    * bounded — O(events in the watermark window), the streaming analog
+    * of [[graft.ext.Dedup.exact]]'s hash-group).
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based streaming sessionization: per user, events extend the
     * open session while gaps stay within `gapUs`; a larger gap (or an
     * event-time timeout once the watermark passes end + gap) closes and
