@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Top-k rows per group as a first-class operator — the (c) rung of the
+  * custom-operator ladder: LogicalPlan node + Strategy + SparkPlan,
+  * registered per session (no SparkSessionExtensions needed since we
+  * inject an already-resolved plan).
+  *
+  * Why: the composed-builtin form (`row_number().over(Window...) <= k`)
+  * must SORT every group completely — at 100 TB that is a full
+  * sort-within-partitions of the whole fact table to keep k rows per
+  * group. This operator clusters by the group keys (one shuffle, same
+  * as the window) but then keeps a bounded k-element binary heap per
+  * group: O(n log k) with O(groups·k) memory, no sort buffer, no spill
+  * pressure. Emits each group's rows in rank order with a `rank` column
+  * appended, so results are byte-identical to the window form (given a
+  * total, deterministic ordering) — q28 verifies exactly that against
+  * the DuckDB oracle.
+  */
+case class TopKPerGroup(
+    groupBy: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan,
+    // constructor parameter (not a body val): plan transforms copy() the
+    // node, and a body-initialized attribute would mint a fresh exprId
+    // each time, orphaning downstream references to `rank`
+    rankAttr: AttributeReference =
+      AttributeReference("rank", IntegerType, nullable = false)()) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(
+    groupBy: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr :: Nil)
+
+  // One shuffle clustering each group into one partition — the same
+  // exchange the window form needs, but no child ordering requirement
+  // (that's the point: no sort).
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupBy) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // capture only serializable expression trees; generated projections
+    // and orderings are built per partition on the executor
+    val groupByLocal = groupBy
+    val orderLocal = order
+    val kLocal = k
+    val schema = child.output
+    val rankAttrLocal = rankAttr
+    val fn = (rows: Iterator[InternalRow]) => {
+      val groupProj = UnsafeProjection.create(groupByLocal, schema)
+      val ordering = GenerateOrdering.generate(orderLocal, schema)
+      // group key -> bounded heap holding the current best k rows;
+      // heap root is the WORST retained row (reverse ordering) so a
+      // better incoming row replaces it in O(log k)
+      val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
+      val reverse = ordering.reverse
+      while (rows.hasNext) {
+        val row = rows.next()
+        val key = groupProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kLocal) heap.add(row.copy())
+        else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      val joiner = UnsafeProjection.create(schema :+ rankAttrLocal, schema :+ rankAttrLocal)
+      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap { heap =>
+        val arr = new Array[InternalRow](heap.size)
+        var i = heap.size - 1
+        while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // heap pops worst-first
+        arr.iterator.zipWithIndex.map { case (r, idx) =>
+          rankRow.setInt(0, idx + 1)
+          joiner(joined(r, rankRow))
+        }
+      }
+    }
+    child.execute().mapPartitions(fn, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+
+  /** Strategy planning the logical node. Registered idempotently per
+    * session on first use (spark.experimental.extraStrategies — the
+    * public per-session registration point; SparkSessionExtensions
+    * would be the equivalent for builder-time registration).
+    */
+  object Strategy extends org.apache.spark.sql.execution.SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case TopKPerGroup(g, o, k, child, rankAttr) =>
+        TopKPerGroupExec(g, o, k, rankAttr, planLater(child)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Sort direction for [[topK]]'s order spec. */
+  sealed trait Dir
+  case object Asc extends Dir
+  case object Desc extends Dir
+
+  /** API surface: top `k` rows per `groupCols` by `orderSpec`
+    * (column name → direction; must form a total order for
+    * deterministic results), with a 1-based `rank` column appended.
+    * Attributes resolve directly against the input's analyzed plan, so
+    * the injected node is fully resolved on construction.
+    */
+  def topK(df: DataFrame, groupCols: Seq[String], orderSpec: Seq[(String, Dir)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(Strategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Strategy
+    val child = GraftSqlBridge.analyzedPlan(df)
+    def attr(n: String): Attribute = child.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column $n in ${child.output.map(_.name).mkString(", ")}"))
+    val sortOrders = orderSpec.map {
+      case (n, Asc) => SortOrder(attr(n), Ascending)
+      case (n, Desc) => SortOrder(attr(n), org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    GraftSqlBridge.ofRows(spark,
+      TopKPerGroup(groupCols.map(attr), sortOrders, k, child))
+  }
+}

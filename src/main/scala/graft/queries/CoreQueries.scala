@@ -428,6 +428,25 @@ object CoreQueries {
              |      FROM orders) x
              |WHERE rnk <= 3""".stripMargin)),
 
+    // ---- custom operator: heap-based top-k per group ------------------
+    // Same semantics and oracle as q28, executed by the custom
+    // LogicalPlan + Strategy + SparkPlan (graft.plans.TopKPerGroup):
+    // bounded per-group heaps after one clustering shuffle, no sort.
+    ("q30_topk_custom_op",
+      (s: SparkSession, dir: String) =>
+        graft.plans.TopKPerGroup.topK(t(s, dir, "orders"),
+          Seq("o_orderpriority"),
+          Seq("o_totalprice" -> graft.plans.TopKPerGroup.Desc,
+            "o_orderkey" -> graft.plans.TopKPerGroup.Asc), 3)
+          .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+            col("o_totalprice")),
+      Some("""SELECT o_orderpriority, CAST(rnk AS INTEGER) AS "rank", o_orderkey, o_totalprice
+             |FROM (SELECT *, row_number() OVER
+             |        (PARTITION BY o_orderpriority
+             |         ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |      FROM orders) x
+             |WHERE rnk <= 3""".stripMargin)),
+
     // ---- OLAP breadth: temporal rollup --------------------------------
     ("q29_orders_by_month",
       (s: SparkSession, dir: String) =>
