@@ -61,6 +61,12 @@ case class TopKPerGroupExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupBy) :: Nil
 
+  // the operator is partition-local, so the clustering it required
+  // stays visible downstream (a later groupBy/join on the same keys
+  // must not re-shuffle)
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     // capture only serializable expression trees; generated projections
     // and orderings are built per partition on the executor
@@ -139,13 +145,25 @@ object TopKPerGroup {
     * the injected node is fully resolved on construction.
     */
   def topK(df: DataFrame, groupCols: Seq[String], orderSpec: Seq[(String, Dir)], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, "at least one group column is required")
+    require(orderSpec.nonEmpty, "an order specification is required")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(Strategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Strategy
     val child = GraftSqlBridge.analyzedPlan(df)
-    def attr(n: String): Attribute = child.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no column $n in ${child.output.map(_.name).mkString(", ")}"))
+    // exact match first, then unique case-insensitive match (Spark's
+    // default resolver is case-insensitive); ambiguity is an error
+    def attr(n: String): Attribute =
+      child.output.find(_.name == n).getOrElse {
+        child.output.filter(_.name.equalsIgnoreCase(n)) match {
+          case Seq(a) => a
+          case Seq() => throw new IllegalArgumentException(
+            s"no column $n in ${child.output.map(_.name).mkString(", ")}")
+          case many => throw new IllegalArgumentException(
+            s"ambiguous column $n: ${many.map(_.name).mkString(", ")}")
+        }
+      }
     val sortOrders = orderSpec.map {
       case (n, Asc) => SortOrder(attr(n), Ascending)
       case (n, Desc) => SortOrder(attr(n), org.apache.spark.sql.catalyst.expressions.Descending)

@@ -27,11 +27,12 @@ object JsonSink {
     collections.flatMap { case (name, df) =>
       if (df.isEmpty) None
       else {
+        val missing = partitionBy.filterNot(c =>
+          df.columns.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"partitionBy columns not in $name: ${missing.mkString(", ")}")
         val w = df.write.mode("overwrite")
-        val wp = partitionBy.filter(df.columns.contains) match {
-          case Seq() => w
-          case cols => w.partitionBy(cols: _*)
-        }
+        val wp = if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)
         wp.json(s"$outDir/$name")
         Some(name)
       }

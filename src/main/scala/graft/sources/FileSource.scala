@@ -14,10 +14,15 @@ object FileSource {
 
   val supported: Set[String] = Set("parquet", "orc", "csv", "json")
 
-  /** Infer format from the path extension, default parquet. */
+  /** Infer format from the path extension; unknown extensions are an
+    * error (a silent parquet fallback would surface later as a cryptic
+    * 'not a Parquet file').
+    */
   def formatOf(path: String): String = {
     val ext = path.split('.').last.toLowerCase
-    if (supported(ext)) ext else "parquet"
+    require(supported(ext),
+      s"cannot infer format from '$path' (extension .$ext); pass format explicitly")
+    ext
   }
 
   def read(
@@ -34,7 +39,10 @@ object FileSource {
       case "csv" =>
         require(schema.nonEmpty, "CSV requires an explicit schema (no inference at scale)")
         r.option("header", "true").csv(path)
-      case "json" => r.json(path)
+      case "json" =>
+        // schema-less JSON would run a full inference pass (double I/O)
+        require(schema.nonEmpty, "JSON requires an explicit schema (no inference at scale)")
+        r.json(path)
       case "orc" => r.orc(path)
       case _ => r.parquet(path)
     }

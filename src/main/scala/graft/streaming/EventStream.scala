@@ -44,9 +44,10 @@ object EventStream {
   def dedupStream(
       events: DataFrame,
       keyCols: Seq[String],
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", watermark)
+      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Gap-based streaming sessionization: per user, events extend the
