@@ -327,6 +327,28 @@ object ExtQueries {
              |       ELSE octet_length(encode(text)) % 30 + 1 END AS BIGINT) AS n_frames
              |FROM documents""".stripMargin)),
 
+    // ---- events: deterministic moment statistics ----------------------
+    // mean/variance derived from exact DECIMAL first+second moments and
+    // combined in double with a fixed expression shape — the engine-
+    // portable form of avg()/var_pop(), whose native implementations
+    // (Welford / merge order) are not bit-reproducible across engines.
+    ("x17_value_stats",
+      (s: SparkSession, dir: String) => {
+        val sumv = sum(col("value").cast("decimal(28,10)")).cast("double")
+        val sumsq = sum((col("value") * col("value")).cast("decimal(28,10)")).cast("double")
+        val n = count(lit(1))
+        t(s, dir, "events").groupBy(col("event_type"))
+          .agg(n.as("n_events"),
+            round(sumv / n, 6).as("mean_value"),
+            round((sumsq - sumv * sumv / n) / n, 6).as("var_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS mean_value,
+             |  round((CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE)
+             |    - CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+             |      * CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*)) / count(*), 6) AS var_value
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>
