@@ -25,6 +25,20 @@ object Bench {
     // migration-pipeline queries.
     SparkEntry.queries.get("q02_table_counts").foreach(_(spark, sfDir).count())
     graft.queries.MigrationPipeline.converted(spark, sfDir)
+    // First use of higher-order functions (transform/array_sort lambdas)
+    // and object-hash collect aggregates loads a large codegen/classload
+    // tail; pay it here on a trivial same-shape aggregate instead of on
+    // whichever query sorts first alphabetically.
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      Seq((1, 2, "a"), (1, 1, "b")).toDF("g", "o", "v")
+        .groupBy("g")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("o"), col("v")))),
+            x => x.getField("v")), ", "))
+        .count()
+    }
     // Two timed runs per query, report the min: steady-state operator
     // cost rather than first-run codegen/JIT noise (the machine is
     // shared; single-shot numbers vary ±50%).

@@ -121,6 +121,17 @@ object Embedding {
   /** The nesting aggregate shared by J1/J2: group child rows by FK into a
     * sorted array of structs. One shuffle on the FK; Catalyst plans an
     * ObjectHashAggregate with map-side spill.
+    *
+    * Ordering strategy: sort-before-collect. An explicit
+    * `repartition(fk).sortWithinPartitions(fk, sortKeys)` feeds the
+    * collect in final order, so `collect_list` appends already-sorted
+    * rows and no per-group comparator ever touches the wide doc structs
+    * (the previous `array_sort(collect_list(struct))` form paid an
+    * O(m log m) struct comparison per parent AFTER collection). The
+    * aggregate's ClusteredDistribution(fk) is satisfied by the explicit
+    * repartition, so the plan still has exactly one exchange; the local
+    * sort is a radix/Tungsten row sort over narrow keys. EliminateSorts
+    * keeps the sort because collect_list is order-sensitive.
     */
   private def nestByKey(
       child: DataFrame,
@@ -128,16 +139,18 @@ object Embedding {
       attrs: Seq[String],
       outName: String,
       sortKeys: Seq[String]): DataFrame = {
-    // Put the sort keys first in the doc struct and array_sort the docs
-    // directly: struct comparison is field-by-field left-to-right, so
-    // with (unique-per-group) sort keys leading, the order equals
-    // sort-by-keys — without shuffling a duplicated (keys, doc) wrapper
-    // (halves the nesting shuffle payload vs the keyed-struct form).
+    // Keep the sort keys first in the doc struct: the field order is part
+    // of the document contract established in round 1 (and what the JSON
+    // sink emits), independent of how ordering is achieved.
     val keys = sortKeys.filter(attrs.contains)
     val ordered = if (keys.isEmpty) attrs else keys ++ attrs.filterNot(keys.contains)
     val doc = struct(ordered.map(col): _*)
-    val agg = if (sortKeys.isEmpty) collect_list(doc) else array_sort(collect_list(doc))
-    child.groupBy(col(key)).agg(agg.as(outName))
+    if (keys.isEmpty)
+      child.groupBy(col(key)).agg(collect_list(doc).as(outName))
+    else
+      child.repartition(col(key))
+        .sortWithinPartitions((key +: keys).map(col): _*)
+        .groupBy(col(key)).agg(collect_list(doc).as(outName))
   }
 
   /** Empty embedded array → null, so the JSON sink omits the key

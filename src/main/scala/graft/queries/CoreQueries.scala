@@ -375,9 +375,7 @@ object CoreQueries {
     // ---- the lineitem referencing collection (P3 applied by pipeline) -
     ("q25_migrate_lineitem_ref",
       (s: SparkSession, dir: String) => {
-        val (db, schema) = MigrationPipeline.converted(s, dir)
-        new graft.map.DataMapper(s, dir, db)
-          .mapRoot(schema.roots.find(_.name == "lineitem").get)
+        MigrationPipeline.mapRoot(s, dir, "lineitem")
           .withColumn("l_shipdate_str",
             date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))
           .drop("l_shipdate")

@@ -19,6 +19,15 @@ object MigrationPipeline {
 
   private val cache = TrieMap.empty[String, (DatabaseMeta, DocumentSchema)]
 
+  // Mapped root collections, memoized per (application, sfDir, root) and
+  // persisted: q24 (nested check), q26 (flattened check) and entry() all
+  // consume the same region tree — without this each of them re-executes
+  // the full multi-level nesting pipeline. At production scale the
+  // migration output is materialized exactly once and every downstream
+  // check reads the materialization; persist() is the in-session analog.
+  // Keyed by applicationId so a frame never outlives its SparkContext.
+  private val mapped = TrieMap.empty[(String, String, String), DataFrame]
+
   /** Introspect + workload + convert, memoized per scale-factor dir. */
   def converted(spark: SparkSession, sfDir: String): (DatabaseMeta, DocumentSchema) =
     cache.getOrElseUpdate(sfDir, {
@@ -36,13 +45,14 @@ object MigrationPipeline {
       (db, SchemaConverter.convert(db))
     })
 
-  /** One root collection's nested DataFrame. */
-  def mapRoot(spark: SparkSession, sfDir: String, rootName: String): DataFrame = {
-    val (db, schema) = converted(spark, sfDir)
-    val root = schema.roots.find(_.name == rootName)
-      .getOrElse(throw new IllegalArgumentException(s"no root $rootName"))
-    new DataMapper(spark, sfDir, db).mapRoot(root)
-  }
+  /** One root collection's nested DataFrame (memoized + persisted). */
+  def mapRoot(spark: SparkSession, sfDir: String, rootName: String): DataFrame =
+    mapped.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, rootName), {
+      val (db, schema) = converted(spark, sfDir)
+      val root = schema.roots.find(_.name == rootName)
+        .getOrElse(throw new IllegalArgumentException(s"no root $rootName"))
+      new DataMapper(spark, sfDir, db).mapRoot(root).persist()
+    })
 
   /** Flatten the converted tree to (collection, kind, parent, depth) rows
     * for the decision-procedure query surface.

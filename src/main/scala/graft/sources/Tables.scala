@@ -27,10 +27,20 @@ object Tables {
     * set it idempotently here so every session (driver harness, tests,
     * bench) gets it. Event queries convert ns → µs explicitly.
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
-  }
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    frames.getOrElseUpdate((spark, sfDir, name), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    })
+
+  // Memoized source frames: every spark.read.parquet re-lists the path
+  // and re-reads footers to infer the schema — pure overhead for the
+  // catalog queries that touch all seven tables' schemas per run. A
+  // DataFrame is an immutable plan, so sharing one per (session, dir,
+  // table) is safe; keying by the session object keeps frames from
+  // leaking across sessions/contexts.
+  private val frames =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   /** Declared FK graph of the TPC-H-ish fixture star schema
     * (FIXTURES.md §3): the stand-in for information_schema introspection.

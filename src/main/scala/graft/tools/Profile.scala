@@ -23,6 +23,15 @@ object Profile {
       println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
     time("warmup count")(Tables.load(spark, dir, "region").count())
+    // "q:<name>" args: time the named SparkEntry queries three times each
+    val qnames = args.filter(_.startsWith("q:")).map(_.drop(2))
+    if (qnames.nonEmpty) {
+      qnames.foreach { n =>
+        val fn = graft.SparkEntry.queries(n)
+        (1 to 3).foreach(i => time(s"$n run$i")(fn(spark, dir).count()))
+      }
+      spark.stop(); return
+    }
     if (args.contains("entry")) {
       // driver-style smoke: entry() on a fresh session must return rows
       time("entry rows")(println("entry rows: " + graft.SparkEntry.entry(spark).count()))
