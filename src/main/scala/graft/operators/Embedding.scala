@@ -119,19 +119,11 @@ object Embedding {
   }
 
   /** The nesting aggregate shared by J1/J2: group child rows by FK into a
-    * sorted array of structs. One shuffle on the FK; Catalyst plans an
-    * ObjectHashAggregate with map-side spill.
-    *
-    * Ordering strategy: sort-before-collect. An explicit
-    * `repartition(fk).sortWithinPartitions(fk, sortKeys)` feeds the
-    * collect in final order, so `collect_list` appends already-sorted
-    * rows and no per-group comparator ever touches the wide doc structs
-    * (the previous `array_sort(collect_list(struct))` form paid an
-    * O(m log m) struct comparison per parent AFTER collection). The
-    * aggregate's ClusteredDistribution(fk) is satisfied by the explicit
-    * repartition, so the plan still has exactly one exchange; the local
-    * sort is a radix/Tungsten row sort over narrow keys. EliminateSorts
-    * keeps the sort because collect_list is order-sensitive.
+    * sorted array of structs — executed by the custom order-preserving
+    * operator [[graft.plans.NestCollect]] (one clustering exchange + one
+    * narrow-key local sort + a single streaming pass; see its Scaladoc
+    * for why neither `array_sort(collect_list)` nor
+    * sort-before-`collect_list` survives at scale).
     */
   private def nestByKey(
       child: DataFrame,
@@ -144,13 +136,11 @@ object Embedding {
     // sink emits), independent of how ordering is achieved.
     val keys = sortKeys.filter(attrs.contains)
     val ordered = if (keys.isEmpty) attrs else keys ++ attrs.filterNot(keys.contains)
-    val doc = struct(ordered.map(col): _*)
-    if (keys.isEmpty)
+    if (keys.isEmpty) {
+      val doc = struct(ordered.map(col): _*)
       child.groupBy(col(key)).agg(collect_list(doc).as(outName))
-    else
-      child.repartition(col(key))
-        .sortWithinPartitions((key +: keys).map(col): _*)
-        .groupBy(col(key)).agg(collect_list(doc).as(outName))
+    } else
+      graft.plans.NestCollect.nest(child, key, ordered, keys, outName)
   }
 
   /** Empty embedded array → null, so the JSON sink omits the key

@@ -366,11 +366,66 @@ object CoreQueries {
 
     // ---- §3.1 end-to-end: the region root collection, nested ----------
     // 4-level document tree: region → nation → {customer → orders,
-    // supplier}. Nested schema has no SQL-expressible oracle (driver
-    // records a rows-only check); q26 hash-checks the flattened content.
+    // supplier}, built by the real migration pipeline and then serialized
+    // to ONE deterministic string per region so the nested content —
+    // every level, every attribute, every array ordering — is
+    // hash-checkable against a DuckDB oracle of correlated ordered
+    // string_aggs. (The truly-nested frame stays on `entry()`; round 1
+    // registered it here raw, and the harness' rows-only check choked on
+    // sorting an array-of-structs column.) Serialization choices that
+    // make bit-parity possible: money columns scaled to integer cents
+    // (`round(x*100)` — fixture prices are exact 2-decimal values, so no
+    // rounding ties exist and float→string formatting differences never
+    // arise) and timestamps via date_format/strftime.
     ("q24_migrate_region_nested",
-      (s: SparkSession, dir: String) => MigrationPipeline.mapRoot(s, dir, "region"),
-      None),
+      (s: SparkSession, dir: String) => {
+        val nested = MigrationPipeline.mapRoot(s, dir, "region")
+        val cents = (c: Column) => round(c * 100).cast("long")
+        val arr = (c: Column) => concat(lit("["), coalesce(c, lit("")), lit("]"))
+        val orderSer = (o: Column) => concat_ws(",",
+          o.getField("o_orderkey"), o.getField("o_orderstatus"),
+          cents(o.getField("o_totalprice")),
+          date_format(o.getField("o_orderdate"), "yyyy-MM-dd"),
+          o.getField("o_orderpriority"))
+        val custSer = (c: Column) => concat_ws(",",
+          c.getField("c_custkey"), c.getField("c_name"),
+          cents(c.getField("c_acctbal")), c.getField("c_mktsegment"),
+          arr(array_join(transform(c.getField("orders"), orderSer), ";")))
+        val supSer = (c: Column) => concat_ws(",",
+          c.getField("s_suppkey"), c.getField("s_name"),
+          cents(c.getField("s_acctbal")))
+        val natSer = (n: Column) => concat_ws("|",
+          n.getField("n_nationkey"), n.getField("n_name"),
+          arr(array_join(transform(n.getField("customer"), custSer), ";")),
+          arr(array_join(transform(n.getField("supplier"), supSer), ";")))
+        nested.select(col("r_regionkey"), col("r_name"),
+          arr(array_join(transform(col("nation"), natSer), "~")).as("doc"))
+      },
+      Some("""SELECT r_regionkey, r_name,
+             |  '[' || coalesce((
+             |    SELECT string_agg(
+             |      n.n_nationkey || '|' || n.n_name || '|[' ||
+             |        coalesce((
+             |          SELECT string_agg(
+             |            c.c_custkey || ',' || c.c_name || ',' ||
+             |              CAST(round(c.c_acctbal * 100) AS BIGINT) || ',' || c.c_mktsegment || ',[' ||
+             |              coalesce((
+             |                SELECT string_agg(
+             |                  o.o_orderkey || ',' || o.o_orderstatus || ',' ||
+             |                    CAST(round(o.o_totalprice * 100) AS BIGINT) || ',' ||
+             |                    strftime(o.o_orderdate, '%Y-%m-%d') || ',' || o.o_orderpriority,
+             |                  ';' ORDER BY o.o_orderkey)
+             |                FROM orders o WHERE o.o_custkey = c.c_custkey), '') || ']',
+             |            ';' ORDER BY c.c_custkey)
+             |          FROM customer c WHERE c.c_nationkey = n.n_nationkey), '') || ']|[' ||
+             |        coalesce((
+             |          SELECT string_agg(
+             |            s.s_suppkey || ',' || s.s_name || ',' || CAST(round(s.s_acctbal * 100) AS BIGINT),
+             |            ';' ORDER BY s.s_suppkey)
+             |          FROM supplier s WHERE s.s_nationkey = n.n_nationkey), '') || ']',
+             |      '~' ORDER BY n.n_nationkey)
+             |    FROM nation n WHERE n.n_regionkey = r.r_regionkey), '') || ']' AS doc
+             |FROM region r""".stripMargin)),
 
     // ---- the lineitem referencing collection (P3 applied by pipeline) -
     ("q25_migrate_lineitem_ref",
