@@ -14,8 +14,10 @@ import graft.functions.Portable._
   *     candidate join shuffles on (band, signature) buckets, never on
   *     raw text, so the all-pairs O(n²) blowup is avoided. Bucket skew
   *     (a boilerplate shingle shared by millions of docs) is the hazard:
-  *     cap shingle document-frequency upstream (`maxShingleDf`) exactly
-  *     like stopword removal.
+  *     [[capShingleDf]] drops shingles above a document-frequency cap
+  *     upstream of every inverted-index join, exactly like stopword
+  *     removal — the difference between O(n·df_cap) and a quadratic
+  *     bucket on boilerplate text.
   *   - Verification (exact Jaccard) runs only on candidate pairs.
   *   - Hashes here are md5-derived for oracle portability
   *     ([[graft.functions.Portable]]); production would use xxhash64.
@@ -41,12 +43,34 @@ object Dedup {
     * MinHash permutations become integer arithmetic. The (mirrored)
     * oracle hashes identically, so the rare 32-bit collision changes
     * both sides the same way.
+    *
+    * @param maxShingleDf drop shingles shared by more than this many
+    *   documents (see [[capShingleDf]]); `Int.MaxValue` disables the cap.
     */
-  def hashedShingleSet(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+  def hashedShingleSet(docs: DataFrame, n: Int = 3, maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"), explode(shingles(col("t"), n)).as("shingle"))
       .select(col("doc_id"), hash32(col("shingle")).as("sh"))
       .distinct()
+    if (maxShingleDf == Int.MaxValue) sh else capShingleDf(sh, maxShingleDf)
+  }
+
+  /** Document-frequency cap: remove every shingle that appears in more
+    * than `maxDf` documents. A shingle shared by m documents contributes
+    * m·(m−1)/2 rows to the inverted-index self-join — one boilerplate
+    * phrase across a web-scale corpus is a quadratic bucket and a
+    * guaranteed straggler; ultra-common shingles also carry ~zero
+    * near-dup signal (the same argument as stopword removal). The
+    * hot-shingle list is tiny by construction (only keys with df >
+    * maxDf), so it broadcasts and the cap costs one count aggregate plus
+    * a map-side anti join — no extra shuffle of the big side.
+    */
+  def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame = {
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("sh")
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: inverted-index self-join on
     * shingles → per-pair intersection counts → |A∩B| / (|A|+|B|−|A∩B|).

@@ -3,7 +3,6 @@ package graft.ext
 import java.security.MessageDigest
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.Portable._
 
 /** Similarity search over an embedding column (SURVEY.md §2.11).
@@ -41,6 +40,14 @@ object Similarity {
     * vec_id % queryModulus == 0; for each, the k nearest others by
     * cosine (ties broken by neighbor id).
     * Output: (query_id, rank, neighbor_id, cos_sim).
+    *
+    * Ranking runs on the custom heap operator
+    * ([[graft.plans.TopKPerGroup]]), not `row_number().over(Window)`:
+    * the window form shuffles ALL n·Q scored pairs to Q reducers (the
+    * grouping key has query cardinality — maximal skew) and sorts each.
+    * The heap operator's map-side partial keeps only k rows per (query,
+    * partition) before the exchange, so the shuffle carries O(P·Q·k)
+    * rows however large the corpus, and no sort ever runs.
     */
   def bruteForceTopK(emb: DataFrame, k: Int = 10, queryModulus: Int = 100): DataFrame = {
     val all = vecs(emb)
@@ -49,10 +56,16 @@ object Similarity {
     val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cos(col("qv"), col("v")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
+  }
+
+  /** Shared ranking tail: best `k` rows per query_id by (cos_sim desc,
+    * neighbor_id asc) with a 1-based `rank`, via the heap operator.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import graft.plans.TopKPerGroup
+    TopKPerGroup.topK(scored, Seq("query_id"),
+        Seq("cos_sim" -> TopKPerGroup.Desc, "neighbor_id" -> TopKPerGroup.Asc), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
   }
 
@@ -120,39 +133,42 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2,
       centroidModulus: Int = 100): DataFrame = {
+    import graft.plans.TopKPerGroup
     val all = vecs(emb)
     val centroids = all.filter(col("vec_id") % centroidModulus === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
     // assignment: nearest centroid per vector (small centroid side →
-    // broadcast; at scale this is the classic IVF "coarse quantizer")
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id"))
-    val assigned = all.join(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("centroid_id"),
-        round(cos(col("v"), col("cv")), 6).as("c_sim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    // broadcast; at scale this is the classic IVF "coarse quantizer").
+    // The heap operator with k=1, NOT a row_number window and NOT
+    // max_by: the window shuffles+sorts all n·C scored rows on vec_id,
+    // and max_by over a struct payload plans as SortAggregate (struct
+    // buffers are not hash-aggregable) — sorts again. The heap
+    // operator's map-side partial reduces to one row per (vector,
+    // partition) before the exchange, sort-free.
+    val assigned = TopKPerGroup.topK(
+        all.join(broadcast(centroids))
+          .select(col("vec_id"), col("v"), col("centroid_id"),
+            round(cos(col("v"), col("cv")), 6).as("c_sim")),
+        Seq("vec_id"),
+        Seq("c_sim" -> TopKPerGroup.Desc, "centroid_id" -> TopKPerGroup.Asc), 1)
       .select(col("vec_id"), col("v"), col("centroid_id"))
-    // probe list: nprobe nearest centroids per query
+    // probe list: nprobe nearest centroids per query (tiny frame, but the
+    // heap operator keeps the plan sort-free end to end)
     val queries = all.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("q_sim").desc, col("centroid_id"))
-    val probes = queries.join(broadcast(centroids))
+    val probeScored = queries.join(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("centroid_id"),
         round(cos(col("qv"), col("cv")), 6).as("q_sim"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nprobe)
+    val probes = TopKPerGroup.topK(probeScored, Seq("query_id"),
+        Seq("q_sim" -> TopKPerGroup.Desc, "centroid_id" -> TopKPerGroup.Asc), nprobe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
-    // search only the probed clusters
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    probes.join(assigned, Seq("centroid_id"))
+    // search only the probed clusters; the probe list is |queries|·nprobe
+    // rows, so broadcast it explicitly (post-operator stats are opaque to
+    // the planner and would otherwise pick a sort-merge join)
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cos(col("qv"), col("v")), 6).as("cos_sim"))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos_sim"))
+    rankTopK(scored, k)
   }
 }

@@ -44,6 +44,41 @@ case class TopKPerGroup(
     copy(child = newChild)
 }
 
+/** Map-side partial top-k: the same bounded-heap pass run BEFORE the
+  * clustering exchange, so at most `k` rows per (group, input partition)
+  * are shuffled instead of every row. Correct because top-k is
+  * decomposable: topK(∪ parts) = topK(∪ topK(part)). This is the
+  * aggregate-style partial/final split for an operator the window form
+  * cannot split at all — with G groups and P map partitions the exchange
+  * carries ≤ G·P·k rows, independent of input size; the skew a
+  * Q-cardinality grouping key creates on the reduce side is bounded the
+  * same way (each reducer receives ≤ P·k rows per group, not n).
+  */
+case class TopKPartialExec(
+    groupBy: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupByLocal = groupBy
+    val orderLocal = order
+    val kLocal = k
+    val schema = child.output
+    child.execute().mapPartitions({ rows =>
+      TopKPerGroup.heapsPerPartition(rows, groupByLocal, orderLocal, schema, kLocal)
+        .flatMap(_._2)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
+    copy(child = newChild)
+}
+
 case class TopKPerGroupExec(
     groupBy: Seq[Expression],
     order: Seq[SortOrder],
@@ -76,40 +111,16 @@ case class TopKPerGroupExec(
     val schema = child.output
     val rankAttrLocal = rankAttr
     val fn = (rows: Iterator[InternalRow]) => {
-      val groupProj = UnsafeProjection.create(groupByLocal, schema)
-      val ordering = GenerateOrdering.generate(orderLocal, schema)
-      // group key -> bounded heap holding the current best k rows;
-      // heap root is the WORST retained row (reverse ordering) so a
-      // better incoming row replaces it in O(log k)
-      val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
-      val reverse = ordering.reverse
-      while (rows.hasNext) {
-        val row = rows.next()
-        val key = groupProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, reverse)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
       val joiner = UnsafeProjection.create(schema :+ rankAttrLocal, schema :+ rankAttrLocal)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { heap =>
-        val arr = new Array[InternalRow](heap.size)
-        var i = heap.size - 1
-        while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // heap pops worst-first
-        arr.iterator.zipWithIndex.map { case (r, idx) =>
-          rankRow.setInt(0, idx + 1)
-          joiner(joined(r, rankRow))
+      TopKPerGroup.heapsPerPartition(rows, groupByLocal, orderLocal, schema, kLocal)
+        .flatMap { case (_, ranked) =>
+          ranked.iterator.zipWithIndex.map { case (r, idx) =>
+            rankRow.setInt(0, idx + 1)
+            joiner(joined(r, rankRow))
+          }
         }
-      }
     }
     child.execute().mapPartitions(fn, preservesPartitioning = true)
   }
@@ -120,15 +131,58 @@ case class TopKPerGroupExec(
 
 object TopKPerGroup {
 
-  /** Strategy planning the logical node. Registered idempotently per
-    * session on first use (spark.experimental.extraStrategies — the
-    * public per-session registration point; SparkSessionExtensions
-    * would be the equivalent for builder-time registration).
+  /** The shared bounded-heap pass: consume one partition, return per
+    * group the best `k` rows in rank order. Heap root is the WORST
+    * retained row (reverse ordering) so a better incoming row replaces
+    * it in O(log k); total cost O(n log k), memory O(groups·k).
+    */
+  private[plans] def heapsPerPartition(
+      rows: Iterator[InternalRow],
+      groupByLocal: Seq[Expression],
+      orderLocal: Seq[SortOrder],
+      schema: Seq[Attribute],
+      kLocal: Int): Iterator[(InternalRow, Array[InternalRow])] = {
+    val groupProj = UnsafeProjection.create(groupByLocal, schema)
+    val ordering = GenerateOrdering.generate(orderLocal, schema)
+    val heaps = new java.util.HashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
+    val reverse = ordering.reverse
+    while (rows.hasNext) {
+      val row = rows.next()
+      val key = groupProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, reverse)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < kLocal) heap.add(row.copy())
+      else if (ordering.compare(row, heap.peek()) < 0) {
+        heap.poll()
+        heap.add(row.copy())
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.entrySet().iterator().asScala.map { e =>
+      val heap = e.getValue
+      val arr = new Array[InternalRow](heap.size)
+      var i = heap.size - 1
+      while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // heap pops worst-first
+      e.getKey -> arr
+    }
+  }
+
+  /** Strategy planning the logical node: a map-side partial top-k below
+    * the clustering exchange (inserted by EnsureRequirements against the
+    * final's required distribution), then the final ranked top-k.
+    * Registered idempotently per session on first use
+    * (spark.experimental.extraStrategies — the public per-session
+    * registration point; SparkSessionExtensions would be the equivalent
+    * for builder-time registration).
     */
   object Strategy extends org.apache.spark.sql.execution.SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case TopKPerGroup(g, o, k, child, rankAttr) =>
-        TopKPerGroupExec(g, o, k, rankAttr, planLater(child)) :: Nil
+        TopKPerGroupExec(g, o, k, rankAttr,
+          TopKPartialExec(g, o, k, planLater(child))) :: Nil
       case _ => Nil
     }
   }

@@ -27,10 +27,15 @@ object ExtQueries {
   // (applicationId, dir): a cached frame must never outlive its
   // SparkContext (a second session in the same JVM would otherwise get
   // a frame bound to a stopped context).
+  // Shingle document-frequency cap for the near-dup queries: active (the
+  // fixture's max DF is 7, so 5 really drops shingles) and mirrored
+  // bit-exactly in the oracle CTEs — see Dedup.capShingleDf for the
+  // 100 TB rationale (quadratic buckets on boilerplate shingles).
+  private[queries] val MaxShingleDf = 5
   private val shingleCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      Dedup.hashedShingleSet(t(s, dir, "documents")).persist())
+      Dedup.hashedShingleSet(t(s, dir, "documents"), maxShingleDf = MaxShingleDf).persist())
   private val simhashCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     simhashCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
@@ -50,15 +55,17 @@ object ExtQueries {
       |sh AS (SELECT DISTINCT doc_id,
       |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS shingle
       |       FROM toks)""".stripMargin
-  /** same, with shingles hashed to 32-bit ints (mirrors
-    * Dedup.hashedShingleSet).
+  /** same, with shingles hashed to 32-bit ints and the document-frequency
+    * cap applied (mirrors Dedup.hashedShingleSet + capShingleDf).
     */
   private def hashedShingleCtes =
     s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
        |shs AS (SELECT doc_id,
        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS shingle
        |        FROM toks),
-       |sh AS (SELECT DISTINCT doc_id, ${h32("shingle")} AS sh FROM shs)""".stripMargin
+       |sh0 AS (SELECT DISTINCT doc_id, ${h32("shingle")} AS sh FROM shs),
+       |sh AS (SELECT * FROM sh0 WHERE sh NOT IN
+       |        (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf))""".stripMargin
   /** sequential-fold dot product of two DOUBLE[64] (mirrors Portable.dot). */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, [$a[i]*$b[i] for i in range(1,65)]), (x,y) -> x+y)"
