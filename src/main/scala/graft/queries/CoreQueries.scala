@@ -122,6 +122,27 @@ object CoreQueries {
         t(s, dir, "nation").drop("n_regionkey"),
       Some("SELECT n_nationkey, n_name FROM nation")),
 
+    // ---- L5 inside the migration: normalizing-loader parity mode ------
+    // The reference formats every date value to an Asia/Bangkok
+    // "YYYY-MM-DD" string AT LOAD TIME, inside the migration data path
+    // (server/MySQLDBManager.js:268-276) — not as a post-step. This runs
+    // the lineitem referencing collection through the DataMapper with
+    // the normalizing loader plugged into its scan seam, so the FK→_REF
+    // rename and the date normalization compose exactly as the
+    // reference's loader does. (x16 covers the operator standalone.)
+    ("q09_migrate_normalized_dates",
+      (s: SparkSession, dir: String) => {
+        val (db, schema) = MigrationPipeline.converted(s, dir)
+        new graft.map.DataMapper(s, dir, db,
+          graft.sinks.JsonSink.normalizingLoader(Tables.load))
+          .mapRoot(schema.roots.find(_.name == "lineitem").get)
+      },
+      Some("""SELECT l_orderkey AS "l_orderkey_REF", l_partkey AS "l_partkey_REF",
+             |  l_suppkey AS "l_suppkey_REF", l_linenumber, l_quantity, l_extendedprice,
+             |  l_discount, l_tax, l_returnflag, l_linestatus,
+             |  strftime(l_shipdate + INTERVAL 7 HOUR, '%Y-%m-%d') AS l_shipdate
+             |FROM lineitem""".stripMargin)),
+
     // ---- J4: left outer join ------------------------------------------
     ("q10_join_left",
       (s: SparkSession, dir: String) => {

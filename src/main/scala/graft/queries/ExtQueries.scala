@@ -356,6 +356,37 @@ object ExtQueries {
              |      * CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*)) / count(*), 6) AS var_value
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // ---- streaming/batch parity: sessionize via the STREAMING path ----
+    // The flatMapGroupsWithState sessionizer replayed over the bounded
+    // events table (MemoryStream + sentinel-driven watermark close, see
+    // EventStream.sessionizeReplay) must produce exactly the batch
+    // operator's sessions — same oracle SQL as x14. Emitted sessions get
+    // the batch form's ordinal session_id per user (ordered by start
+    // time) and duration.
+    ("x18_stream_session_parity",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val out = graft.streaming.EventStream.sessionizeReplay(s, t(s, dir, "events"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_us"))
+        out.withColumn("session_id", row_number().over(w).cast("long"))
+          .select(col("user_id"), col("session_id"),
+            col("n_events"),
+            col("session_start_us"), col("session_end_us"),
+            (col("session_end_us") - col("session_start_us")).as("duration_us"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+             |l AS (SELECT *, lag(ts_us) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM ev),
+             |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+             |        THEN 1 ELSE 0 END AS is_new FROM l),
+             |s AS (SELECT *, CAST(sum(is_new) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us, event_id
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+             |  max(ts_us) - min(ts_us) AS duration_us
+             |FROM s GROUP BY user_id, session_id""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>

@@ -147,6 +147,58 @@ object JdbcSource {
          |GROUP BY ccu.table_name) q""".stripMargin
   }
 
+  /** Introspect a live database into [[DatabaseMeta]] through the
+    * standard `java.sql.DatabaseMetaData` API — the dialect-independent
+    * fallback for engines with neither `information_schema` nor
+    * `pg_catalog` (Derby, SQLite, Oracle, …). Catalog metadata is
+    * driver-side by nature (tens of rows); row counts still go through
+    * Spark's JDBC reader as pushed-down `COUNT(*)` subqueries, so the
+    * data-plane path is exercised and the source DBMS does the counting.
+    * Unlike the dialect SQL path, `DatabaseMetaData.getPrimaryKeys` also
+    * yields PK columns, which the file path gets from [[SchemaSpec]].
+    */
+  def introspectViaMetadata(
+      spark: SparkSession,
+      conn: Conn,
+      schemaPattern: String = null): DatabaseMeta = {
+    def drain[A](rs: java.sql.ResultSet)(f: java.sql.ResultSet => A): Seq[A] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[A]
+      while (rs.next()) buf += f(rs)
+      rs.close()
+      buf.toSeq
+    }
+    val jdbc = java.sql.DriverManager.getConnection(conn.url, conn.props)
+    try {
+      val md = jdbc.getMetaData
+      val tables = drain(md.getTables(null, schemaPattern, "%", Array("TABLE")))(
+        _.getString("TABLE_NAME"))
+      val metas = tables.map { t =>
+        val cols = drain(md.getColumns(null, schemaPattern, t, "%"))(rs =>
+          rs.getInt("ORDINAL_POSITION") -> rs.getString("COLUMN_NAME"))
+          .sortBy(_._1).map(_._2)
+        val pks = drain(md.getPrimaryKeys(null, schemaPattern, t))(rs =>
+          rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME"))
+          .sortBy(_._1).map(_._2)
+        val fks = drain(md.getImportedKeys(null, schemaPattern, t))(rs =>
+          ForeignKeyMeta(rs.getString("FKCOLUMN_NAME"),
+            rs.getString("PKTABLE_NAME"), rs.getString("PKCOLUMN_NAME")))
+        // COUNT(*) surfaces as INTEGER on some engines (Derby), BIGINT
+        // on others — go through Number
+        val n = spark.read.jdbc(conn.url, rowCountSql(t), conn.props)
+          .first().get(0).asInstanceOf[Number].longValue()
+        (t, cols, pks, fks, n)
+      }
+      val referencedBy = metas
+        .flatMap { case (t, _, _, fks, _) => fks.map(fk => fk.referencedTable -> t) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+      DatabaseMeta(conn.database, metas.map { case (t, cols, pks, fks, n) =>
+        TableMeta(t, n, cols, pks, fks,
+          isReferenced = referencedBy.contains(t),
+          referencingTables = referencedBy.getOrElse(t, Seq.empty))
+      })
+    } finally jdbc.close()
+  }
+
   /** Introspect a live database into [[DatabaseMeta]] (the JDBC analog
     * of [[graft.operators.Catalog.introspect]]).
     */

@@ -105,4 +105,46 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Batch-replay proof of batch/streaming parity: run the bounded
+    * `events` table through the STREAMING sessionizer (MemoryStream →
+    * [[sessionize]] → memory sink) and return every emitted session.
+    *
+    * Two far-future sentinel events (excluded user_id −1) drive the
+    * event-time watermark past every real session's end + gap after the
+    * data batch, so the event-time timeouts close and emit all remaining
+    * open state: batch N's watermark comes from batch N−1's data, hence
+    * two rounds. The result is the complete session set — identical to
+    * the batch operator's ([[graft.ext.Events.sessionize]]), which the
+    * x18 query surface verifies against the same DuckDB oracle as x14.
+    *
+    * Driver-side collect is inherent to MemoryStream replay (it exists
+    * to feed a socket-like source from memory); the production path is
+    * readStream over an unbounded source with the same query graph.
+    */
+  def sessionizeReplay(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = events.selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
+        "event_type", "value")
+      .as[Event].collect()
+    require(ev.nonEmpty, "empty events input")
+    val maxUs = ev.iterator.map(_.ts_us).max
+    val stream = MemoryStream[Event]
+    val qname = s"graft_session_replay_${replaySeq.incrementAndGet()}"
+    val q = sessionize(spark, stream.toDS())
+      .writeStream.format("memory").queryName(qname).outputMode("append").start()
+    try {
+      stream.addData(ev.toSeq)
+      q.processAllAvailable()
+      stream.addData(Event(-1L, maxUs + 2L * 3600 * 1000000, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(-2L, maxUs + 4L * 3600 * 1000000, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname).filter(col("user_id") >= 0)
+  }
 }
