@@ -190,6 +190,73 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 12): DataFrame =
     simhashPairsFromSig(simhash(docs), maxHamming)
 
+  /** Connected components over near-dup pairs: every document reachable
+    * through pair edges gets the MINIMUM doc_id of its component as
+    * `cluster_id` — the cluster-resolution step that turns pairwise
+    * near-dup output into "keep one representative per group".
+    *
+    * Algorithm: distributed min-label propagation — each round joins the
+    * current labels across the (bidirectional) edge list and takes the
+    * per-node minimum of own and neighbor labels, until a fixpoint. Each
+    * round is one join + one aggregate (both shuffling on doc ids);
+    * rounds = component diameter. Near-dup clusters are dense and
+    * shallow (diameter a few hops), so this converges in 2–4 rounds on
+    * real corpora; for adversarial chain-shaped graphs the published
+    * alternating large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") bounds rounds at
+    * O(log n) with the same per-round dataflow — the loop below is the
+    * seam to swap it into. The driver only coordinates rounds and reads
+    * a has-anything-changed flag; labels stay distributed.
+    *
+    * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for every
+    * doc appearing in at least one pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).persist()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("neighbor_min"))
+      val next = labels.as("l")
+        .join(neighborMin.as("m"), col("l.doc_id") === col("m.src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"),
+            coalesce(col("m.neighbor_min"), col("l.cluster_id"))).as("cluster_id"))
+        .persist()
+      next.count() // materialize before unpersisting the parent
+      changed = !next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full-corpus cluster resolution: every document gets its component's
+    * min doc_id as `cluster_id` (its own id when it has no near-dup),
+    * the component size, and `keep` = is-the-representative. Downstream
+    * dedup is then `filter(keep)` — the canonical "drop near-duplicate
+    * training documents, keep one canonical copy" operation.
+    * Output: (doc_id, cluster_id, cluster_size, keep).
+    */
+  def resolveClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val full = docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = full.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+
   /** [[simhashPairs]] over a prebuilt (doc_id, simhash) table. */
   def simhashPairsFromSig(sh: DataFrame, maxHamming: Int = 12): DataFrame = {
     val chunks = sh.select(col("doc_id"), col("simhash"),

@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Portable._
+
+/** Sampling operators for training-data pipelines (SURVEY.md §2.11
+  * scope): corpus mixing wants per-stratum quotas ("50 % of English,
+  * 10 % of French…"), and at pipeline scale the sample must be
+  * DETERMINISTIC — re-running the job, adding executors, or re-reading
+  * a lost partition must select the same rows. Random `sample()` gives
+  * none of that; hashing the row identity does.
+  */
+object Sampling {
+
+  /** Deterministic stratified sampling: keep a row iff
+    * `hash(stratum ":" id) mod 100 < pct(stratum)`. The hash is the
+    * portable md5-derived [[graft.functions.Portable.hash32]] (swap for
+    * xxhash64 in production — same shape), so membership is a pure
+    * function of the row's identity: stable across runs, executors,
+    * retries, and engines (the DuckDB oracle reproduces it exactly).
+    * Narrow, shuffle-free, codegen'd — runs at scan speed.
+    *
+    * @param ratesPct (stratum value → percentage kept), e.g.
+    *   `Seq("en" -> 50, "fr" -> 10)`
+    * @param defaultPct percentage for strata not listed
+    */
+  def stratifiedByHash(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      ratesPct: Seq[(String, Int)],
+      defaultPct: Int): DataFrame = {
+    require(defaultPct >= 0 && defaultPct <= 100, s"defaultPct out of range: $defaultPct")
+    ratesPct.foreach { case (s, p) =>
+      require(p >= 0 && p <= 100, s"rate for $s out of range: $p") }
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(
+      pmod(hash32(concat_ws(":", col(stratumCol), col(idCol))), lit(100)) < rate)
+  }
+}

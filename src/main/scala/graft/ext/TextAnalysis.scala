@@ -73,6 +73,31 @@ object TextAnalysis {
       round(length(col("text")).cast("double") / re, 6).as("chars_per_token"))
   }
 
+  /** Per-document top-k terms by TF-IDF, with the IDF kept in the
+    * engine-portable rational form `tf · N / df` (one IEEE division —
+    * bit-identical everywhere; `log` is libm-dependent and would break
+    * the oracle in the last ulp, and it is monotone so the ranking is
+    * unchanged). Term DF is a vocabulary-sized table joined on `term`;
+    * at corpus scale the ultra-hot terms ("the") skew that shuffle —
+    * AQE skew-join splits them, and since per-term rows are independent
+    * the split is safe. Ranking runs on the heap operator
+    * ([[graft.plans.TopKPerGroup]]) — no per-document sort.
+    * Output: (doc_id, rank, term, tfidf).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import graft.plans.TopKPerGroup
+    val n = docs.count() // metadata-sized scalar (corpus cardinality)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * lit(n) / col("df"), 6).as("tfidf"))
+    TopKPerGroup.topK(scored, Seq("doc_id"),
+        Seq("tfidf" -> TopKPerGroup.Desc, "term" -> TopKPerGroup.Asc), k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** Document fingerprinting: a content fingerprint (md5 of
     * whitespace-normalized lowercased text) plus a 31-polynomial rolling
     * hash over token hash32s mod 1e9+7 (order-sensitive — reordered

@@ -72,6 +72,28 @@ object ExtQueries {
   private def normSql(a: String) = s"sqrt(${dotSql(a, a)})"
   private def cosSql(a: String, b: String) =
     s"round((${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)})), 6)"
+  /** language-ID CTEs ending in lang(doc_id, lang_pred) — mirrors
+    * TextAnalysis.languageId (shared by x09's expanded form and x21).
+    */
+  private def langPredCtes: String = {
+    val cnt = (ws: Seq[String]) =>
+      ws.map(w => s"len(list_filter(t, x -> x = '$w'))").mkString(" + ")
+    val scores = TextAnalysis.markers
+      .map { case (l, ws) => s"CAST(${cnt(ws)} AS BIGINT) AS s_$l" }
+      .mkString(",\n  ")
+    s"""ltoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |ls AS (SELECT doc_id,
+       |  $scores
+       |FROM ltoks),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+       |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+       |       WHEN s_fr > 0 THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |FROM ls)""".stripMargin
+  }
+
   /** exact-Jaccard pair CTEs (after hashedShingleCtes). */
   private val jaccardCtes =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -355,6 +377,62 @@ object ExtQueries {
              |    - CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
              |      * CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*)) / count(*), 6) AS var_value
              |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ---- dedup: cluster resolution over near-dup pairs ----------------
+    // Pairwise near-dups → connected components (min-label propagation)
+    // → one representative per cluster. The DuckDB oracle computes the
+    // same components with a recursive CTE (min reachable id).
+    ("x19_dedup_clusters",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Dedup.resolveClusters(
+          t(s, dir, "documents"),
+          Dedup.ngramJaccardFromShingles(hashedShingles(s, dir), minJaccard = 0.8)
+            .select(col("doc_a"), col("doc_b"))),
+      Some(s"""WITH RECURSIVE $hashedShingleCtes,
+              |$jaccardCtes,
+              |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+              |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
+              |reach(n, m) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
+              |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+              |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+              |             FROM documents d LEFT JOIN cc USING (doc_id)),
+              |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM resolved GROUP BY cluster_id)
+              |SELECT r.doc_id, r.cluster_id, csz.cluster_size,
+              |  r.doc_id = r.cluster_id AS keep
+              |FROM resolved r JOIN csz USING (cluster_id)""".stripMargin)),
+
+    // ---- text: per-doc top terms by TF-IDF (rational form) ------------
+    ("x20_tfidf_topterms",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), k = 3),
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+             |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |scored AS (SELECT doc_id, term,
+             |    round(tf * (SELECT count(*) FROM documents) / df, 6) AS tfidf
+             |  FROM tf JOIN dfr USING (term)),
+             |ranked AS (SELECT *, row_number() OVER
+             |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM scored)
+             |SELECT doc_id, CAST(rnk AS INTEGER) AS "rank", term, tfidf
+             |FROM ranked WHERE rnk <= 3""".stripMargin)),
+
+    // ---- sampling: deterministic per-language quotas ------------------
+    ("x21_stratified_sample",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Sampling.stratifiedByHash(
+          TextAnalysis.languageId(t(s, dir, "documents"))
+            .select(col("doc_id"), col("lang_pred")),
+          stratumCol = "lang_pred", idCol = "doc_id",
+          ratesPct = Seq("en" -> 50, "es" -> 30, "de" -> 20, "fr" -> 10),
+          defaultPct = 5),
+      Some(s"""WITH $langPredCtes
+              |SELECT doc_id, lang_pred FROM lang
+              |WHERE (${h32("lang_pred || ':' || CAST(doc_id AS VARCHAR)")}) % 100 <
+              |  CASE lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
+              |       WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin)),
 
     // ---- streaming/batch parity: sessionize via the STREAMING path ----
     // The flatMapGroupsWithState sessionizer replayed over the bounded

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Sampling, TextAnalysis}
+
+class ClusterSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components: chain, triangle, and singletons resolve to min id") {
+    // components: {1,2,3,4} (a chain — worst case for label propagation),
+    // {10,11,12} (a triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("resolveClusters: unpaired docs are their own singleton representatives") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((2L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.resolveClusters(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out === Seq(
+      (1L, 1L, 1L, true), (2L, 2L, 2L, true), (3L, 3L, 1L, true),
+      (4L, 4L, 1L, true), (5L, 2L, 2L, false), (6L, 6L, 1L, true)))
+    // dedup = filter(keep): exactly one survivor per cluster
+    assert(out.count(_._4) === 5)
+  }
+
+  test("stratified sampling is deterministic and respects per-stratum rates") {
+    val rows = (for (i <- 1L to 2000L) yield (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val sample = Sampling.stratifiedByHash(rows, "lang", "doc_id",
+      Seq("en" -> 50, "fr" -> 10), defaultPct = 0)
+    val again = Sampling.stratifiedByHash(rows, "lang", "doc_id",
+      Seq("en" -> 50, "fr" -> 10), defaultPct = 0)
+    // determinism: same rows both runs
+    assert(sample.collect().toSet === again.collect().toSet)
+    val byLang = sample.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 docs per stratum; md5-uniform membership ⇒ counts near rate
+    assert(byLang("en") > 400 && byLang("en") < 600, byLang)
+    assert(byLang("fr") > 50 && byLang("fr") < 160, byLang)
+  }
+
+  test("tfidf top terms: rare term outranks common term within a doc") {
+    val docs = Seq(
+      (1L, "alpha alpha zebra common common common"),
+      (2L, "common beta beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("term").as[String].collect().toSeq
+    // doc 1: alpha tf=2 df=1 → 6.0; zebra tf=1 df=1 → 3.0; common tf=3 df=3 → 3.0
+    // tie at 3.0 broken by term asc: common < zebra
+    assert(top === Seq("alpha", "common"))
+  }
+}
