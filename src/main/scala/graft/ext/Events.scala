@@ -37,6 +37,35 @@ object Events {
         sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Sliding (hopping) windows: each event lands in `win/slide`
+    * overlapping windows. Implemented by exploding a small constant
+    * range (k = 0 .. win/slide − 1) and computing each window start with
+    * integer µs arithmetic — `window_start = (ts div slide − k) · slide`
+    * covers exactly the windows containing ts, so no post-filter is
+    * needed. One shuffle on (window, type); the explode multiplies rows
+    * by the constant overlap factor before the map-side partial
+    * aggregation collapses them, so the exchange still carries only
+    * per-(window, type) partials.
+    * Output: (window_start, event_type, n_events, sum_value).
+    */
+  def slidingCounts(events: DataFrame, winMinutes: Int = 60, slideMinutes: Int = 15): DataFrame = {
+    require(winMinutes % slideMinutes == 0, "window must be a multiple of slide")
+    val slideUs = slideMinutes * 60L * 1000000L
+    val overlap = winMinutes / slideMinutes
+    events
+      .withColumn("ts_us", tsMicros)
+      .select(col("event_type"), col("value"), col("ts_us"),
+        explode(sequence(lit(0), lit(overlap - 1))).as("k"))
+      .withColumn("window_start",
+        date_format(
+          timestamp_micros(expr(s"(ts_us div $slideUs - k) * $slideUs")),
+          "yyyy-MM-dd HH:mm:ss"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user's gap
     * from their previous event exceeds `gapMinutes`. Deterministic order
     * within a user: (ts_us, event_id).

@@ -120,6 +120,60 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Deterministic coarse centroids: the vectors with
+    * vec_id % modulus == 0 (the shared IVF/k-means seeding rule).
+    */
+  private def modulusCentroids(all: DataFrame, modulus: Int): DataFrame =
+    all.filter(col("vec_id") % modulus === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+
+  /** Nearest-centroid assignment (the IVF "coarse quantizer"): the heap
+    * operator with k=1, NOT a row_number window and NOT max_by — the
+    * window shuffles+sorts all n·C scored rows on vec_id, and max_by
+    * over a struct payload plans as SortAggregate (struct buffers are
+    * not hash-aggregable), which sorts again. The heap operator's
+    * map-side partial reduces to one row per (vector, partition) before
+    * the exchange, sort-free. Ties: highest cosine, then lowest
+    * centroid id. Output: (vec_id, v, centroid_id).
+    */
+  private def assignToCentroids(all: DataFrame, centroids: DataFrame): DataFrame = {
+    import graft.plans.TopKPerGroup
+    TopKPerGroup.topK(
+        all.join(broadcast(centroids))
+          .select(col("vec_id"), col("v"), col("centroid_id"),
+            round(cos(col("v"), col("cv")), 6).as("c_sim")),
+        Seq("vec_id"),
+        Seq("c_sim" -> TopKPerGroup.Desc, "centroid_id" -> TopKPerGroup.Asc), 1)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+  }
+
+  /** One Lloyd iteration of k-means over the embedding column — the
+    * training step that produces a real IVF coarse quantizer (the
+    * modulus seeding above is iteration 0). Assignment is the shared
+    * sort-free quantizer; the update step computes per-centroid
+    * elementwise means DETERMINISTICALLY: `posexplode` to (centroid,
+    * dim, value) rows, exact DECIMAL sums per (centroid, dim) — double
+    * summation order under parallelism is nondeterministic and would
+    * break reproducibility (and the oracle) — then one rounded double
+    * division. Long-format output (one row per centroid × dimension)
+    * keeps the result SQL-comparable and sortable.
+    * Scale: two shuffles total — the k=1 heap assignment and one
+    * (centroid, dim)-keyed aggregate of narrow rows with map-side
+    * partials; n·64 exploded rows never materialize (codegen pipelines
+    * the explode into the partial aggregate).
+    * Output: (centroid_id, dim, n_members, mean_val).
+    */
+  def kmeansStep(emb: DataFrame, centroidModulus: Int = 100): DataFrame = {
+    val all = vecs(emb)
+    val assigned = assignToCentroids(all, modulusCentroids(all, centroidModulus))
+    assigned
+      .select(col("centroid_id"), posexplode(col("v")).as(Seq("dim", "val")))
+      .groupBy(col("centroid_id"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("val").cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_val"))
+  }
+
   /** IVF-style ANN: coarse centroids are the vectors with
     * vec_id % centroidModulus == 0; every vector is assigned to its
     * nearest centroid (cosine, ties to lowest centroid id); each query
@@ -133,25 +187,10 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2,
       centroidModulus: Int = 100): DataFrame = {
-    import graft.plans.TopKPerGroup
     val all = vecs(emb)
-    val centroids = all.filter(col("vec_id") % centroidModulus === 0)
-      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
-    // assignment: nearest centroid per vector (small centroid side →
-    // broadcast; at scale this is the classic IVF "coarse quantizer").
-    // The heap operator with k=1, NOT a row_number window and NOT
-    // max_by: the window shuffles+sorts all n·C scored rows on vec_id,
-    // and max_by over a struct payload plans as SortAggregate (struct
-    // buffers are not hash-aggregable) — sorts again. The heap
-    // operator's map-side partial reduces to one row per (vector,
-    // partition) before the exchange, sort-free.
-    val assigned = TopKPerGroup.topK(
-        all.join(broadcast(centroids))
-          .select(col("vec_id"), col("v"), col("centroid_id"),
-            round(cos(col("v"), col("cv")), 6).as("c_sim")),
-        Seq("vec_id"),
-        Seq("c_sim" -> TopKPerGroup.Desc, "centroid_id" -> TopKPerGroup.Asc), 1)
-      .select(col("vec_id"), col("v"), col("centroid_id"))
+    val centroids = modulusCentroids(all, centroidModulus)
+    val assigned = assignToCentroids(all, centroids)
+    import graft.plans.TopKPerGroup
     // probe list: nprobe nearest centroids per query (tiny frame, but the
     // heap operator keeps the plan sort-free end to end)
     val queries = all.filter(col("vec_id").isin(queryIds: _*))

@@ -235,6 +235,25 @@ object ExtQueries {
               |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, cos_sim
               |FROM s2 WHERE rnk <= 5""".stripMargin)),
 
+    // ---- similarity: k-means Lloyd step (IVF quantizer training) ------
+    // Sort-free nearest-centroid assignment + deterministic elementwise
+    // means (exact DECIMAL sums per (centroid, dim) — double summation
+    // order is nondeterministic under parallelism). Long-format output.
+    ("x22_kmeans_step",
+      (s: SparkSession, dir: String) =>
+        Similarity.kmeansStep(t(s, dir, "embeddings")),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+              |a1 AS (SELECT e.vec_id, e.v, c.centroid_id, ${cosSql("e.v", "c.cv")} AS c_sim
+              |       FROM e, cents c),
+              |a2 AS (SELECT *, row_number() OVER
+              |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM a1),
+              |assigned AS (SELECT vec_id, v, centroid_id FROM a2 WHERE rn = 1)
+              |SELECT centroid_id, CAST(dim - 1 AS BIGINT) AS dim, count(*) AS n_members,
+              |  round(CAST(sum(CAST(v[dim] AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS mean_val
+              |FROM assigned, range(1, 65) r(dim)
+              |GROUP BY centroid_id, dim""".stripMargin)),
+
     // ---- text: language ID -------------------------------------------
     ("x09_text_langid",
       (s: SparkSession, dir: String) => {
@@ -325,6 +344,16 @@ object ExtQueries {
              |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
              |  count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- events: sliding (hopping) windows ---------------------------
+    ("x23_events_sliding",
+      (s: SparkSession, dir: String) => Events.slidingCounts(t(s, dir, "events")),
+      Some("""WITH ev AS (SELECT event_type, value, epoch_ns(ts) // 1000 AS ts_us FROM events)
+             |SELECT strftime(make_timestamp((ts_us // 900000000 - k) * 900000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+             |FROM ev, range(0, 4) r(k)
+             |GROUP BY 1, 2""".stripMargin)),
 
     // ---- events: gap sessionization ----------------------------------
     ("x14_events_sessions",
