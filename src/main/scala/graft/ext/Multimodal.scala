@@ -67,4 +67,39 @@ object Multimodal {
         it.map { case (id, mt, bytes) => fakeDecode(id, mt, bytes) }
       }
   }
+
+  /** One sampled (and resized) frame of a media payload. */
+  final case class FrameMeta(
+      doc_id: Long,
+      media_type: String,
+      frame_idx: Long,
+      out_w: Long,
+      out_h: Long)
+
+  /** Frame sampling + resize planning — the preprocessing fan-out of a
+    * vision training pipeline: pick ≤ `maxFrames` evenly-strided frames
+    * per payload and compute the aspect-preserving fit into
+    * `target`×`target` (all integer math, so the plan is reproducible
+    * and oracle-checkable; the actual pixel work would live in the same
+    * typed batch seam as [[fakeDecode]]). A flatMap on the decoded
+    * Dataset: one media row fans out to its sampled frames — rows
+    * multiply by ≤ maxFrames BEFORE any shuffle, and downstream
+    * per-frame work (embedding, hashing) parallelizes per frame.
+    * Output: (doc_id, media_type, frame_idx, out_w, out_h).
+    */
+  def sampleFrames(
+      spark: SparkSession,
+      docs: DataFrame,
+      maxFrames: Int = 4,
+      target: Long = 224L): Dataset[FrameMeta] = {
+    import spark.implicits._
+    decodeMeta(spark, docs).flatMap { m =>
+      val step = math.max(1L, m.n_frames / maxFrames)
+      val longSide = math.max(m.width, m.height)
+      val outW = m.width * target / longSide
+      val outH = m.height * target / longSide
+      (0L until m.n_frames by step)
+        .map(i => FrameMeta(m.doc_id, m.media_type, i, outW, outH))
+    }
+  }
 }

@@ -385,6 +385,24 @@ object ExtQueries {
              |       ELSE octet_length(encode(text)) % 30 + 1 END AS BIGINT) AS n_frames
              |FROM documents""".stripMargin)),
 
+    // ---- multimodal: frame sampling + resize planning -----------------
+    ("x24_frame_sample",
+      (s: SparkSession, dir: String) =>
+        Multimodal.sampleFrames(s, t(s, dir, "documents")).toDF(),
+      Some("""WITH m AS (SELECT doc_id,
+             |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+             |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |    (doc_id % 16) * 120 + 160 AS width,
+             |    (doc_id % 9) * 120 + 90 AS height,
+             |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+             |         ELSE octet_length(encode(text)) % 30 + 1 END AS BIGINT) AS n_frames
+             |  FROM documents)
+             |SELECT doc_id, media_type,
+             |  CAST(unnest(range(0, n_frames, greatest(1, n_frames // 4))) AS BIGINT) AS frame_idx,
+             |  width * 224 // greatest(width, height) AS out_w,
+             |  height * 224 // greatest(width, height) AS out_h
+             |FROM m""".stripMargin)),
+
     // ---- events: deterministic moment statistics ----------------------
     // mean/variance derived from exact DECIMAL first+second moments and
     // combined in double with a fixed expression shape — the engine-
