@@ -211,32 +211,56 @@ object Dedup {
     * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for every
     * doc appearing in at least one pair.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).persist()
-    var changed = true
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // The loop body is RDD, not DataFrame, deliberately — this is the
+    // "genuine iterative algorithm" carve-out (the same reason GraphX is
+    // RDD-based): a DataFrame join re-plans, re-optimizes (AQE stage by
+    // stage) and re-generates code EVERY round because each round's plan
+    // carries fresh attribute ids, and that fixed cost dwarfs the data
+    // work at any scale where rounds are latency-bound. The RDD loop
+    // keys everything once with one HashPartitioner, so the per-round
+    // joins are narrow (no shuffle at all — both sides co-partitioned);
+    // the only shuffle per round is the tiny reduceByKey of candidate
+    // labels.
+    //
+    // Two shrink moves per round: neighbor-min (one-hop propagation) and
+    // path halving (label(label(v)) — pointer doubling), giving
+    // O(log diameter) rounds on chain-shaped components. Convergence is
+    // one action per round: the changed-count job materializes the new
+    // labels (filling their cache) and yields the flag in the same pass
+    // (the old-vs-new join is narrow — co-partitioned).
+    val spark = pairs.sparkSession
+    val sc = spark.sparkContext
+    import spark.implicits._
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(sc.defaultParallelism, 64)))
+    // (dst, src): keyed by the side whose label we read
+    val edgesByDst = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .distinct()
+      .partitionBy(part).cache()
+    var labels = edgesByDst.keys.distinct().map(v => (v, v))
+      .partitionBy(part).cache()
     var iter = 0
-    while (changed && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("cluster_id")).as("neighbor_min"))
-      val next = labels.as("l")
-        .join(neighborMin.as("m"), col("l.doc_id") === col("m.src"), "left")
-        .select(col("l.doc_id").as("doc_id"),
-          least(col("l.cluster_id"),
-            coalesce(col("m.neighbor_min"), col("l.cluster_id"))).as("cluster_id"))
-        .persist()
-      next.count() // materialize before unpersisting the parent
-      changed = !next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).isEmpty
-      labels.unpersist()
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edgesByDst.join(labels) // narrow: same partitioner
+        .map { case (_, (src, lab)) => (src, lab) }
+      val parentMin = labels.map(_.swap)
+        .partitionBy(part).join(labels) // label(label(v))
+        .map { case (_, (node, lab2)) => (node, lab2) }
+      val next = labels.union(neighborMin).union(parentMin)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .cache()
+      val changedCount = labels.join(next)
+        .filter { case (_, (o, n)) => o != n }.count() // materializes next
+      labels.unpersist(blocking = false)
       labels = next
+      converged = changedCount == 0
       iter += 1
     }
-    edges.unpersist()
-    labels
+    edgesByDst.unpersist(blocking = false)
+    labels.toDF("doc_id", "cluster_id")
   }
 
   /** Full-corpus cluster resolution: every document gets its component's
