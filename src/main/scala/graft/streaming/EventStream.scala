@@ -135,8 +135,17 @@ object EventStream {
     val maxUs = ev.iterator.map(_.ts_us).max
     val stream = MemoryStream[Event]
     val qname = s"graft_session_replay_${replaySeq.incrementAndGet()}"
-    val q = sessionize(spark, stream.toDS())
-      .writeStream.format("memory").queryName(qname).outputMode("append").start()
+    // A streaming query pins its state-store partitioning at start; state
+    // partitions cost a commit per batch each, so size them to the state
+    // (session-per-user records), not to the batch default. Restored
+    // after start — the value is only read at query planning.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        sessionize(spark, stream.toDS())
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       stream.addData(ev.toSeq)
       q.processAllAvailable()
