@@ -410,6 +410,32 @@ object ExtQueries {
              |  height * 224 // greatest(width, height) AS out_h
              |FROM m""".stripMargin)),
 
+    // ---- events: backward as-of join (custom binary operator) ---------
+    // Each event picks up the user's latest purchase at-or-before it —
+    // the "state as of this event" join, executed by the co-partitioned
+    // merge-scan operator (graft.plans.AsOfJoin). DuckDB's native
+    // ASOF LEFT JOIN is the oracle.
+    ("x25_asof_last_purchase",
+      (s: SparkSession, dir: String) => {
+        val ev = t(s, dir, "events").selectExpr(
+          "event_id", "ts div 1000 as ts_us", "user_id", "event_type", "value")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user_id"), col("ts_us").as("p_ts_us"))
+          .agg(max(col("value")).as("p_value"))
+        graft.plans.AsOfJoin.asOf(ev, purchases,
+            leftKeys = Seq("user_id"), rightKeys = Seq("p_user_id"),
+            leftTsCol = "ts_us", rightTsCol = "p_ts_us")
+          .drop("p_user_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id,
+             |              event_type, value FROM events),
+             |p AS (SELECT user_id, ts_us AS p_ts_us, max(value) AS p_value
+             |      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_us)
+             |SELECT e.event_id, e.ts_us, e.user_id, e.event_type, e.value,
+             |  p.p_ts_us, p.p_value
+             |FROM ev e ASOF LEFT JOIN p
+             |  ON e.user_id = p.user_id AND e.ts_us >= p.p_ts_us""".stripMargin)),
+
     // ---- events: deterministic moment statistics ----------------------
     // mean/variance derived from exact DECIMAL first+second moments and
     // combined in double with a fixed expression shape — the engine-
