@@ -514,6 +514,38 @@ object ExtQueries {
               |  CASE lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
               |       WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin)),
 
+    // ---- text: corpus token-length distribution per language ----------
+    // Exact linear-interpolation percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`: both compute x[⌊h⌋] + (h−⌊h⌋)·Δ with
+    // h = p·(n−1)) over integer token counts — the corpus profile a
+    // mixing/curation pipeline reads before setting per-language quotas.
+    ("x26_corpus_stats",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val lang = TextAnalysis.languageId(docs).select(col("doc_id"), col("lang_pred"))
+        val toks = docs.select(col("doc_id"),
+          size(graft.functions.Portable.tokens(col("text"))).as("n_tokens"))
+        lang.join(toks, Seq("doc_id"))
+          .groupBy(col("lang_pred"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("n_tokens")).cast("long").as("min_tokens"),
+            max(col("n_tokens")).cast("long").as("max_tokens"),
+            round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+            round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"),
+            round(expr("percentile(n_tokens, 0.99)"), 6).as("p99_tokens"))
+      },
+      Some(s"""WITH $langPredCtes,
+              |tk AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens FROM documents)
+              |SELECT lang_pred, count(*) AS n_docs,
+              |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+              |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+              |  round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+              |  round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+              |  round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+              |FROM lang JOIN tk USING (doc_id)
+              |GROUP BY lang_pred""".stripMargin)),
+
     // ---- streaming/batch parity: sessionize via the STREAMING path ----
     // The flatMapGroupsWithState sessionizer replayed over the bounded
     // events table (MemoryStream + sentinel-driven watermark close, see
