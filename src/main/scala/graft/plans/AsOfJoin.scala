@@ -71,7 +71,11 @@ case class AsOfJoinExec(
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTs = leftTs; val rTs = rightTs
     val lSchema = left.output; val rSchema = right.output
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+    val lRdd = left.execute(); val rRdd = right.execute()
+    require(lRdd.getNumPartitions == rRdd.getNumPartitions,
+      s"as-of join children not co-partitioned (${lRdd.getNumPartitions} vs " +
+        s"${rRdd.getNumPartitions}) — EnsureRequirements should have aligned them")
+    lRdd.zipPartitions(rRdd) { (lIter, rIter) =>
       // (key..., ts) projections into a common shape so one ordering
       // compares across sides
       val keyTypes = lKeys.map(_.dataType) :+ lTs.dataType

@@ -24,4 +24,13 @@ object GraftSqlBridge {
   /** A DataFrame's analyzed logical plan (resolved attributes). */
   def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** The planner strategies a SparkSessionExtensions instance would
+    * contribute (the build method is private[sql]) — lets tests assert
+    * builder-time registration without constructing a second session.
+    */
+  def plannerStrategies(
+      ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark.asInstanceOf[classic.SparkSession])
 }
