@@ -249,9 +249,13 @@ object Dedup {
       val parentMin = labels.map(_.swap)
         .partitionBy(part).join(labels) // label(label(v))
         .map { case (_, (node, lab2)) => (node, lab2) }
-      val next = labels.union(neighborMin).union(parentMin)
+      var next = labels.union(neighborMin).union(parentMin)
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-        .cache()
+      // truncate lineage periodically: each round chains on the previous
+      // labels, and a straggler recompute late in a long run would
+      // otherwise replay the whole chain
+      if (iter % 10 == 9) next = next.localCheckpoint()
+      next = next.cache()
       val changedCount = labels.join(next)
         .filter { case (_, (o, n)) => o != n }.count() // materializes next
       labels.unpersist(blocking = false)
@@ -259,6 +263,11 @@ object Dedup {
       converged = changedCount == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "partial labels would silently produce multiple representatives " +
+          "per component; raise maxIter for this graph")
     edgesByDst.unpersist(blocking = false)
     labels.toDF("doc_id", "cluster_id")
   }

@@ -94,7 +94,9 @@ object Multimodal {
       target: Long = 224L): Dataset[FrameMeta] = {
     import spark.implicits._
     decodeMeta(spark, docs).flatMap { m =>
-      val step = math.max(1L, m.n_frames / maxFrames)
+      // ceil-division stride: floor (n/maxFrames) would emit up to
+      // 2·maxFrames−1 frames whenever n is not a multiple of maxFrames
+      val step = math.max(1L, (m.n_frames + maxFrames - 1) / maxFrames)
       val longSide = math.max(m.width, m.height)
       val outW = m.width * target / longSide
       val outH = m.height * target / longSide

@@ -86,13 +86,17 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import graft.plans.TopKPerGroup
-    val n = docs.count() // metadata-sized scalar (corpus cardinality)
+    // corpus cardinality as a broadcast one-row frame, NOT an eager
+    // .count() — the count action would run a full extra scan of the
+    // corpus at plan-construction time; this stays lazy and single-job
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
-        round(col("tf") * lit(n) / col("df"), 6).as("tfidf"))
+        round(col("tf") * col("__n_docs") / col("df"), 6).as("tfidf"))
     TopKPerGroup.topK(scored, Seq("doc_id"),
         Seq("tfidf" -> TopKPerGroup.Desc, "term" -> TopKPerGroup.Asc), k)
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))

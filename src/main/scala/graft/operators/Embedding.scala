@@ -136,11 +136,16 @@ object Embedding {
     // sink emits), independent of how ordering is achieved.
     val keys = sortKeys.filter(attrs.contains)
     val ordered = if (keys.isEmpty) attrs else keys ++ attrs.filterNot(keys.contains)
-    if (keys.isEmpty) {
+    if (sortKeys.isEmpty) {
       val doc = struct(ordered.map(col): _*)
       child.groupBy(col(key)).agg(collect_list(doc).as(outName))
     } else
-      graft.plans.NestCollect.nest(child, key, ordered, keys, outName)
+      // order by EVERY doc attr (keys first) — the same total order the
+      // round-1 array_sort over the whole struct gave. Sorting only by
+      // the caller's keys would leave ties in shuffle-arrival order
+      // (Spark's sort is not stable) whenever a sort key is not unique
+      // per group; trailing attrs cost comparator time only on ties.
+      graft.plans.NestCollect.nest(child, key, ordered, ordered, outName)
   }
 
   /** Empty embedded array → null, so the JSON sink omits the key

@@ -68,9 +68,12 @@ case class AsOfJoinExec(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // capture only serializable locals — a `this` reference in the
+    // closure would drag the whole plan subtree into every task binary
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTs = leftTs; val rTs = rightTs
     val lSchema = left.output; val rSchema = right.output
+    val outputLocal = output
     val lRdd = left.execute(); val rRdd = right.execute()
     require(lRdd.getNumPartitions == rRdd.getNumPartitions,
       s"as-of join children not co-partitioned (${lRdd.getNumPartitions} vs " +
@@ -89,14 +92,23 @@ case class AsOfJoinExec(
       val rKeyOnly = UnsafeProjection.create(rKeys, rSchema)
       val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rSchema.size)
       val joined = new JoinedRow
-      val resultProj = UnsafeProjection.create(output, lSchema ++ rSchema.map(_.withNullability(true)))
+      val resultProj = UnsafeProjection.create(
+        outputLocal, lSchema ++ rSchema.map(_.withNullability(true)))
 
       new Iterator[InternalRow] {
         private var rNext: InternalRow = _           // lookahead right row
         private var held: UnsafeRow = _              // last right row ≤ current left (same key)
         private var heldKey: UnsafeRow = _
         private def advanceRight(): Unit = {
-          rNext = if (rIter.hasNext) rIter.next().copy() else null
+          rNext = null
+          // SQL semantics: a NULL key never equals anything and a NULL ts
+          // never satisfies `<=` — rows carrying either can never match,
+          // so skip them here (the nulls-first natural ordering would
+          // otherwise let them through and diverge from ASOF semantics)
+          while (rNext == null && rIter.hasNext) {
+            val candidate = rIter.next()
+            if (!rProj(candidate).anyNull) rNext = candidate.copy()
+          }
         }
         advanceRight()
 
@@ -112,7 +124,8 @@ case class AsOfJoinExec(
             heldKey = rKeyOnly(held).copy()
             advanceRight()
           }
-          val matched = held != null && keyOrd.compare(heldKey, lk) == 0
+          // a left NULL key or NULL ts joins nothing, same as SQL
+          val matched = !lkt.anyNull && held != null && keyOrd.compare(heldKey, lk) == 0
           resultProj(joined(l, if (matched) held else nullRight))
         }
       }
@@ -168,20 +181,30 @@ object AsOfJoin {
         org.apache.spark.sql.functions.col(c).as(c)): _*)
     val rPlan = GraftSqlBridge.analyzedPlan(rightSafe)
     def attr(plan: LogicalPlan, n: String): Attribute =
-      plan.output.find(_.name == n).getOrElse {
-        plan.output.filter(_.name.equalsIgnoreCase(n)) match {
+      plan.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => plan.output.filter(_.name.equalsIgnoreCase(n)) match {
           case Seq(a) => a
           case Seq() => throw new IllegalArgumentException(
             s"no column $n in ${plan.output.map(_.name).mkString(", ")}")
           case many => throw new IllegalArgumentException(
             s"ambiguous column $n: ${many.map(_.name).mkString(", ")}")
         }
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: ${many.size} columns share the name")
       }
     val lk = leftKeys.map(attr(lPlan, _): Expression)
     val rk = rightKeys.map(attr(rPlan, _): Expression)
     require(lk.map(_.dataType) == rk.map(_.dataType),
       "as-of join key types must match on both sides")
+    val lTsAttr = attr(lPlan, leftTsCol)
+    val rTsAttr = attr(rPlan, rightTsCol)
+    // the merge comparator is built from the LEFT types and applied to
+    // rows projected with the RIGHT types — a mismatch would compare
+    // reinterpreted bits silently, so fail fast instead
+    require(lTsAttr.dataType == rTsAttr.dataType,
+      s"as-of join timestamp types must match: ${lTsAttr.dataType} vs ${rTsAttr.dataType}")
     GraftSqlBridge.ofRows(spark,
-      AsOfJoin(lk, rk, attr(lPlan, leftTsCol), attr(rPlan, rightTsCol), lPlan, rPlan))
+      AsOfJoin(lk, rk, lTsAttr, rTsAttr, lPlan, rPlan))
   }
 }

@@ -93,15 +93,18 @@ case class NestCollectExec(
   override def outputOrdering: Seq[SortOrder] = groupBy.map(SortOrder(_, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // capture only serializable locals — a `this` reference in the
+    // closure would drag the whole plan subtree into every task binary
     val groupByLocal = groupBy
     val docExprsLocal = docExprs
     val schema = child.output
     val numOut = groupByLocal.size + 1
+    val outType = outAttr.dataType
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(groupByLocal, schema)
       val docProj = UnsafeProjection.create(docExprsLocal, schema)
       val resultProj = UnsafeProjection.create(
-        groupByLocal.map(_.dataType).toArray :+ outAttrType)
+        groupByLocal.map(_.dataType).toArray :+ outType)
       new Iterator[InternalRow] {
         private var curKey: UnsafeRow = _
         private val docs = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
@@ -145,8 +148,6 @@ case class NestCollectExec(
     }, preservesPartitioning = true)
   }
 
-  private def outAttrType = outAttr.dataType
-
   override protected def withNewChildInternal(newChild: SparkPlan): NestCollectExec =
     copy(child = newChild)
 }
@@ -181,14 +182,17 @@ object NestCollect {
     if (!spark.experimental.extraStrategies.contains(Strategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Strategy
     val plan = GraftSqlBridge.analyzedPlan(child)
-    def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse {
-      plan.output.filter(_.name.equalsIgnoreCase(n)) match {
+    def attr(n: String): Attribute = plan.output.filter(_.name == n) match {
+      case Seq(a) => a
+      case Seq() => plan.output.filter(_.name.equalsIgnoreCase(n)) match {
         case Seq(a) => a
         case Seq() => throw new IllegalArgumentException(
           s"no column $n in ${plan.output.map(_.name).mkString(", ")}")
         case many => throw new IllegalArgumentException(
           s"ambiguous column $n: ${many.map(_.name).mkString(", ")}")
       }
+      case many => throw new IllegalArgumentException(
+        s"ambiguous column $n: ${many.size} columns share the name")
     }
     val docExprs = attrs.map(a => attr(a): Expression)
     val elemType = StructType(attrs.zip(docExprs).map { case (n, e) =>

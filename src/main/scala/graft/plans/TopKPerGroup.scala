@@ -209,14 +209,17 @@ object TopKPerGroup {
     // exact match first, then unique case-insensitive match (Spark's
     // default resolver is case-insensitive); ambiguity is an error
     def attr(n: String): Attribute =
-      child.output.find(_.name == n).getOrElse {
-        child.output.filter(_.name.equalsIgnoreCase(n)) match {
+      child.output.filter(_.name == n) match {
+        case Seq(a) => a
+        case Seq() => child.output.filter(_.name.equalsIgnoreCase(n)) match {
           case Seq(a) => a
           case Seq() => throw new IllegalArgumentException(
             s"no column $n in ${child.output.map(_.name).mkString(", ")}")
           case many => throw new IllegalArgumentException(
             s"ambiguous column $n: ${many.map(_.name).mkString(", ")}")
         }
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column $n: ${many.size} columns share the name")
       }
     val sortOrders = orderSpec.map {
       case (n, Asc) => SortOrder(attr(n), Ascending)

@@ -405,7 +405,7 @@ object ExtQueries {
              |         ELSE octet_length(encode(text)) % 30 + 1 END AS BIGINT) AS n_frames
              |  FROM documents)
              |SELECT doc_id, media_type,
-             |  CAST(unnest(range(0, n_frames, greatest(1, n_frames // 4))) AS BIGINT) AS frame_idx,
+             |  CAST(unnest(range(0, n_frames, greatest(1, (n_frames + 3) // 4))) AS BIGINT) AS frame_idx,
              |  width * 224 // greatest(width, height) AS out_w,
              |  height * 224 // greatest(width, height) AS out_h
              |FROM m""".stripMargin)),

@@ -27,11 +27,16 @@ object Tables {
     * set it idempotently here so every session (driver harness, tests,
     * bench) gets it. Event queries convert ns → µs explicitly.
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // lazy eviction: drop frames whose session's context is gone, so a
+    // long-lived JVM cycling sessions (test suites, notebooks) does not
+    // retain stopped sessions and their plans forever
+    frames.keys.filter(_._1.sparkContext.isStopped).foreach(frames.remove)
     frames.getOrElseUpdate((spark, sfDir, name), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
     })
+  }
 
   // Memoized source frames: every spark.read.parquet re-lists the path
   // and re-reads footers to infer the schema — pure overhead for the
