@@ -546,6 +546,58 @@ object ExtQueries {
               |FROM lang JOIN tk USING (doc_id)
               |GROUP BY lang_pred""".stripMargin)),
 
+    // ---- capstone: the full corpus-curation pass in ONE plan ----------
+    // language ID → quality gate → near-dup cluster dedup (keep one
+    // representative) → per-language stratified sampling — the whole
+    // LLM-training-data curation pipeline as a single lazy DataFrame,
+    // so Catalyst sees (and the oracle verifies) the composition, not
+    // just the parts. Every stage is an operator proven green on its
+    // own query (x09/x10/x19/x21).
+    ("x27_curation_pipeline",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val lang = TextAnalysis.languageId(docs).select(col("doc_id"), col("lang_pred"))
+        val qual = TextAnalysis.quality(docs)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("quality_score"))
+        val keep = resolvedClusters(s, dir)
+          .filter(col("keep")).select(col("doc_id"), col("cluster_id"))
+        val gated = lang.join(qual, Seq("doc_id")).join(keep, Seq("doc_id"))
+          .filter(col("quality_score") >= 0.5)
+        graft.ext.Sampling.stratifiedByHash(gated, "lang_pred", "doc_id",
+            ratesPct = Seq("en" -> 50, "es" -> 30, "de" -> 20, "fr" -> 10),
+            defaultPct = 5)
+          .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+            col("quality_score"), col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE $hashedShingleCtes,
+              |$jaccardCtes,
+              |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+              |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
+              |reach(n, m) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
+              |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+              |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+              |             FROM documents d LEFT JOIN cc USING (doc_id)),
+              |$langPredCtes,
+              |qb AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t,
+              |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct FROM documents),
+              |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+              |        round(least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+              |          * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / length(text)), 6)
+              |          AS quality_score
+              |      FROM qb)
+              |SELECT r.doc_id, lang.lang_pred, q.n_tokens, q.quality_score, r.cluster_id
+              |FROM resolved r
+              |JOIN lang USING (doc_id) JOIN q USING (doc_id)
+              |WHERE r.doc_id = r.cluster_id
+              |  AND q.quality_score >= 0.5
+              |  AND (${h32("lang.lang_pred || ':' || CAST(r.doc_id AS VARCHAR)")}) % 100 <
+              |    CASE lang.lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
+              |         WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin)),
+
     // ---- streaming/batch parity: sessionize via the STREAMING path ----
     // The flatMapGroupsWithState sessionizer replayed over the bounded
     // events table (MemoryStream + sentinel-driven watermark close, see
