@@ -52,7 +52,19 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("t"), n)).as("shingle"))
       .select(col("doc_id"), hash32(col("shingle")).as("sh"))
       .distinct()
-    if (maxShingleDf == Int.MaxValue) sh else capShingleDf(sh, maxShingleDf)
+    if (maxShingleDf == Int.MaxValue) sh
+    else {
+      // persist the pre-cap set: the cap reads it TWICE (the hot-shingle
+      // aggregate feeding the broadcast, then the anti-join probe), and
+      // without the persist each read re-runs the full corpus scan +
+      // tokenize + explode + the distinct's shuffle — at 100 TB that
+      // doubles the dominant cost (callers only persist the capped
+      // result). MEMORY_AND_DISK: shingle ids are two longs per row and
+      // spill cleanly; cache eviction is LRU if several corpora flow
+      // through one session.
+      capShingleDf(sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        maxShingleDf)
+    }
   }
 
   /** Document-frequency cap: remove every shingle that appears in more
@@ -150,10 +162,29 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    // Verify candidates with exact Jaccard (no threshold: the caller
-    // filters; candidates are already LSH-selected).
-    val verified = ngramJaccardFromShingles(sh, minJaccard = 0.0)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // Verify ONLY the candidate pairs: fan each candidate out by doc_a's
+    // shingles, equi-join doc_b's shingles on (doc_b, sh), and count the
+    // matches — intersection size per candidate pair. Cost is
+    // O(|candidates| · shingles/doc), proportional to what the LSH
+    // selected, NOT the full co-shingle pair join (that all-pairs pass is
+    // exactly the work LSH exists to avoid; routing verification through
+    // it would make this a strict superset of the exact operator).
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = cand.select("doc_a", "doc_b")
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val verified = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 6)
+          .as("jaccard"))
+    // zero-intersection candidates (possible only via hash collisions in
+    // the band signature) verify to jaccard 0.0
     cand.join(verified, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
         coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
@@ -211,7 +242,15 @@ object Dedup {
     * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for every
     * doc appearing in at least one pair.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * observable the path-halving O(log diameter) claim is tested against
+    * (chain-graph stress in HotKeyStressSpec).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     // The loop body is RDD, not DataFrame, deliberately — this is the
     // "genuine iterative algorithm" carve-out (the same reason GraphX is
     // RDD-based): a DataFrame join re-plans, re-optimizes (AQE stage by
@@ -253,9 +292,11 @@ object Dedup {
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
       // truncate lineage periodically: each round chains on the previous
       // labels, and a straggler recompute late in a long run would
-      // otherwise replay the whole chain
+      // otherwise replay the whole chain. localCheckpoint() already
+      // assigns its own storage level, so it REPLACES cache() on those
+      // rounds — calling both throws ("cannot change storage level").
       if (iter % 10 == 9) next = next.localCheckpoint()
-      next = next.cache()
+      else next = next.cache()
       val changedCount = labels.join(next)
         .filter { case (_, (o, n)) => o != n }.count() // materializes next
       labels.unpersist(blocking = false)
@@ -269,7 +310,7 @@ object Dedup {
           "partial labels would silently produce multiple representatives " +
           "per component; raise maxIter for this graph")
     edgesByDst.unpersist(blocking = false)
-    labels.toDF("doc_id", "cluster_id")
+    (labels.toDF("doc_id", "cluster_id"), iter)
   }
 
   /** Full-corpus cluster resolution: every document gets its component's

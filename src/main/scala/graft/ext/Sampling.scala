@@ -37,10 +37,11 @@ object Sampling {
     val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
       when(col(stratumCol) === s, lit(p)).otherwise(acc)
     }
-    // a NULL stratum is excluded outright (SQL `s || ':' || id` is NULL
-    // and NULL < rate filters the row; concat_ws would silently skip the
-    // NULL and hash on the id alone — engines would then disagree)
-    df.filter(col(stratumCol).isNotNull &&
+    // a NULL stratum OR a NULL id is excluded outright (SQL
+    // `s || ':' || id` is NULL and NULL < rate filters the row; concat_ws
+    // would silently skip EITHER null argument and hash on the remainder
+    // alone — engines would then disagree on exactly those rows)
+    df.filter(col(stratumCol).isNotNull && col(idCol).isNotNull &&
       pmod(hash32(concat_ws(":", col(stratumCol), col(idCol))), lit(100)) < rate)
   }
 }

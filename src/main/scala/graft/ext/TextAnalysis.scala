@@ -90,8 +90,13 @@ object TextAnalysis {
     // .count() — the count action would run a full extra scan of the
     // corpus at plan-construction time; this stays lazy and single-job
     val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+    // tf feeds BOTH the document-frequency aggregate and the score join;
+    // persist it so the corpus is scanned + tokenized + term-shuffled
+    // once, not twice (the DF aggregate materializes it, the join reads
+    // the cache). (doc_id, term, tf) rows spill cleanly to disk.
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))

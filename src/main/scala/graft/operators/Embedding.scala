@@ -157,12 +157,17 @@ object Embedding {
     * a parent with millions of children turns the plain
     * `groupBy(fk).agg(collect_list)` reduce task into a straggler (the
     * partial-aggregation map side is fine — the hot key lands on ONE
-    * reducer). This salts the child rows into `salts` sub-groups, does a
-    * first collect per (fk, salt), then merges+sorts the per-salt chunks
-    * in a second, `salts`-times-smaller shuffle. Output is identical to
-    * [[oneWayEmbed]] (arrays sorted by `childSortKeys`); the giant final
-    * row still exists — that is inherent to the reference's document
-    * model — but no single shuffle task is hot.
+    * reducer). This salts the child rows into `salts` sub-groups, builds
+    * a PRE-SORTED chunk per (fk, salt) with [[graft.plans.NestCollect]]
+    * (the same narrow-key Tungsten sort + streaming cut as the normal
+    * path — no wide-struct comparator), then merges the k sorted chunks
+    * per parent with [[graft.functions.MergeSortedArrays]] in a second,
+    * `salts`-times-smaller shuffle: O(m·log k) comparator calls instead
+    * of the O(m·log m) full `array_sort(flatten(...))` re-sort. Output is
+    * identical to [[oneWayEmbed]] (arrays totally ordered by the doc
+    * struct's fields, sort keys first); the giant final row still
+    * exists — that is inherent to the reference's document model — but no
+    * single shuffle task is hot and no full-array re-sort runs.
     */
   def oneWayEmbedSalted(
       parent: DataFrame,
@@ -176,13 +181,15 @@ object Embedding {
     val attrs = child.columns.toSeq.filterNot(_ == childFk)
     val keys = childSortKeys.filter(attrs.contains)
     val ordered = if (keys.isEmpty) attrs else keys ++ attrs.filterNot(keys.contains)
-    val doc = struct(ordered.map(col): _*)
-    val chunked = child
+    val salted = child
       .withColumn("__salt", pmod(hash(childSortKeys.map(col): _*), lit(salts)))
-      .groupBy(col(childFk), col("__salt"))
-      .agg(collect_list(doc).as("__chunk"))
+    val chunked = graft.plans.NestCollect
+      .nestMulti(salted, Seq(childFk, "__salt"), ordered, ordered, "__chunk")
       .groupBy(col(childFk))
-      .agg(array_sort(flatten(collect_list(col("__chunk")))).as(childName))
+      .agg(collect_list(col("__chunk")).as("__chunks"))
+      .select(col(childFk),
+        graft.functions.MergeSortedArrays.merge_sorted_arrays(col("__chunks"))
+          .as(childName))
     parent
       .join(chunked, parent(parentKey) === chunked(childFk), "left")
       .drop(chunked(childFk))

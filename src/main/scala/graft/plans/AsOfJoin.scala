@@ -170,8 +170,7 @@ object AsOfJoin {
     require(leftKeys.nonEmpty, "as-of join needs at least one equality key")
     require(leftKeys.size == rightKeys.size, "key lists must pair up")
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(Strategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Strategy
+    graft.plans.Strategies.register(spark, Strategy)
     val lPlan = GraftSqlBridge.analyzedPlan(left)
     val sharedIds = lPlan.outputSet.intersect(
       GraftSqlBridge.analyzedPlan(right).outputSet)

@@ -175,12 +175,24 @@ object NestCollect {
       key: String,
       attrs: Seq[String],
       sortKeys: Seq[String],
+      outName: String): DataFrame =
+    nestMulti(child, Seq(key), attrs, sortKeys, outName)
+
+  /** [[nest]] with a composite grouping key — used by the salted hot-key
+    * embedding to build per-(fk, salt) pre-sorted chunks. Output columns:
+    * (`keys`…, `outName`).
+    */
+  def nestMulti(
+      child: DataFrame,
+      keys: Seq[String],
+      attrs: Seq[String],
+      sortKeys: Seq[String],
       outName: String): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key is required")
     require(attrs.nonEmpty, "at least one doc attribute is required")
     require(sortKeys.nonEmpty, "sort keys are required (deterministic array order)")
     val spark = child.sparkSession
-    if (!spark.experimental.extraStrategies.contains(Strategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Strategy
+    graft.plans.Strategies.register(spark, Strategy)
     val plan = GraftSqlBridge.analyzedPlan(child)
     def attr(n: String): Attribute = plan.output.filter(_.name == n) match {
       case Seq(a) => a
@@ -202,6 +214,6 @@ object NestCollect {
       outName, ArrayType(elemType, containsNull = false), nullable = false)()
     val sortOrders = sortKeys.map(k => SortOrder(attr(k), Ascending))
     GraftSqlBridge.ofRows(spark,
-      NestCollect(Seq(attr(key)), sortOrders, attrs, docExprs, outName, plan, outAttr))
+      NestCollect(keys.map(attr(_)), sortOrders, attrs, docExprs, outName, plan, outAttr))
   }
 }

@@ -203,8 +203,7 @@ object TopKPerGroup {
     require(groupCols.nonEmpty, "at least one group column is required")
     require(orderSpec.nonEmpty, "an order specification is required")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(Strategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ Strategy
+    graft.plans.Strategies.register(spark, Strategy)
     val child = GraftSqlBridge.analyzedPlan(df)
     // exact match first, then unique case-insensitive match (Spark's
     // default resolver is case-insensitive); ambiguity is an error

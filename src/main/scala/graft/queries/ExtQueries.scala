@@ -142,10 +142,18 @@ object ExtQueries {
               |         FROM bands a JOIN bands b
               |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
               |         GROUP BY 1, 2),
-              |$jaccardCtes
+              |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              |cinter AS (SELECT c.da, c.db, count(*) AS inter
+              |           FROM cand c
+              |           JOIN sh a ON a.doc_id = c.da
+              |           JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
+              |           GROUP BY c.da, c.db),
+              |cjac AS (SELECT da, db,
+              |           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS j
+              |         FROM cinter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)
               |SELECT da AS doc_a, db AS doc_b, nb AS n_shared_bands,
               |  coalesce(j, 0.0) AS jaccard
-              |FROM cand LEFT JOIN jac USING (da, db)""".stripMargin)),
+              |FROM cand LEFT JOIN cjac USING (da, db)""".stripMargin)),
 
     // ---- dedup: SimHash signatures -----------------------------------
     ("x04_simhash",
