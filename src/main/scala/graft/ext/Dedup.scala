@@ -59,11 +59,11 @@ object Dedup {
       // without the persist each read re-runs the full corpus scan +
       // tokenize + explode + the distinct's shuffle — at 100 TB that
       // doubles the dominant cost (callers only persist the capped
-      // result). MEMORY_AND_DISK: shingle ids are two longs per row and
-      // spill cleanly; cache eviction is LRU if several corpora flow
-      // through one session.
-      capShingleDf(sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        maxShingleDf)
+      // result). Routed through InternalCaches: memoized per canonical
+      // plan (repeat invocations reuse one entry) and releasable by the
+      // session via InternalCaches.release — a bare persist here would
+      // leak one unreleasable CacheManager entry per distinct corpus.
+      capShingleDf(graft.tools.InternalCaches.persist(sh), maxShingleDf)
     }
   }
 
@@ -280,6 +280,7 @@ object Dedup {
       .partitionBy(part).cache()
     var labels = edgesByDst.keys.distinct().map(v => (v, v))
       .partitionBy(part).cache()
+    var labelsCheckpointed = false // never unpersist a checkpointed generation
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -295,11 +296,18 @@ object Dedup {
       // otherwise replay the whole chain. localCheckpoint() already
       // assigns its own storage level, so it REPLACES cache() on those
       // rounds — calling both throws ("cannot change storage level").
-      if (iter % 10 == 9) next = next.localCheckpoint()
+      val nextCheckpointed = iter % 10 == 9
+      if (nextCheckpointed) next = next.localCheckpoint()
       else next = next.cache()
       val changedCount = labels.join(next)
         .filter { case (_, (o, n)) => o != n }.count() // materializes next
-      labels.unpersist(blocking = false)
+      // A localCheckpoint'd generation must KEEP its blocks: its lineage
+      // is already truncated, so unpersisting it would leave the next
+      // round's MEMORY_ONLY-cached child unable to recompute after an
+      // eviction ("checkpoint block not found"). Those blocks are freed
+      // by the ContextCleaner once the RDD is unreferenced.
+      if (!labelsCheckpointed) labels.unpersist(blocking = false)
+      labelsCheckpointed = nextCheckpointed
       labels = next
       converged = changedCount == 0
       iter += 1

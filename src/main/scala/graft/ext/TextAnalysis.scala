@@ -94,9 +94,12 @@ object TextAnalysis {
     // persist it so the corpus is scanned + tokenized + term-shuffled
     // once, not twice (the DF aggregate materializes it, the join reads
     // the cache). (doc_id, term, tf) rows spill cleanly to disk.
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // InternalCaches memoizes per canonical plan and lets the session
+    // release the entry (InternalCaches.release) — repeated calls no
+    // longer accumulate unreleasable CacheManager entries.
+    val tf = graft.tools.InternalCaches.persist(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))

@@ -67,9 +67,12 @@ case class MergeSortedArrays(child: Expression)
     val headIdx = new Array[Int](k)
     implicit val byHead: Ordering[Int] = new Ordering[Int] {
       override def compare(a: Int, b: Int): Int =
-        // PriorityQueue is a max-heap; invert for min-first
-        -ord.compare(chunks(a).get(headIdx(a), elementType),
-          chunks(b).get(headIdx(b), elementType))
+        // PriorityQueue is a max-heap; invert for min-first by SWAPPING
+        // arguments, never by negating — an underlying comparator is
+        // allowed to return Int.MinValue, whose negation overflows back
+        // to Int.MinValue and silently inverts the comparison.
+        ord.compare(chunks(b).get(headIdx(b), elementType),
+          chunks(a).get(headIdx(a), elementType))
     }
     val pq = new scala.collection.mutable.PriorityQueue[Int]()
     i = 0

@@ -1,0 +1,58 @@
+package graft.tools
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Per-session registry for the engine's INTERNAL persists (intermediate
+  * frames an operator caches because its own plan reads them several
+  * times — e.g. the pre-cap shingle set, the tf table under TF-IDF).
+  *
+  * Why this exists: `df.persist()` registers a CacheManager entry that
+  * outlives the query; Spark's LRU evicts *blocks* under pressure but
+  * never the *entries*, so an operator that persists internally and
+  * hands back a lazy result leaks one entry per distinct input in a
+  * long-lived session, with no handle for the caller to release. This
+  * registry (a) memoizes by canonical plan, so re-invoking an operator
+  * on the same input reuses the one entry instead of stacking warnings
+  * and bookkeeping, and (b) gives sessions a single release point:
+  * [[release]] unpersists every graft-internal cache of that session.
+  *
+  * Keys carry the applicationId so a cached frame can never be handed
+  * to a different (restarted) SparkContext in the same JVM.
+  */
+object InternalCaches {
+
+  private val entries = TrieMap.empty[(String, Int), DataFrame]
+
+  /** Persist `df` (idempotent per canonical plan per session) and
+    * return the cached frame. MEMORY_AND_DISK by default: internal
+    * intermediates are re-read within one plan and must survive
+    * eviction by spilling, not by recompute.
+    */
+  def persist(
+      df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val key = (df.sparkSession.sparkContext.applicationId,
+      df.queryExecution.analyzed.semanticHash())
+    entries.getOrElseUpdate(key, df.persist(level))
+  }
+
+  /** Unpersist every internal cache registered by this session. Call
+    * after the consuming actions complete (e.g. end of a verify/bench
+    * pass, or session teardown in a long-lived service).
+    */
+  def release(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    entries.keys.filter(_._1 == appId).foreach { k =>
+      entries.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Number of live internal cache entries for this session (test
+    * observability).
+    */
+  def liveCount(spark: SparkSession): Int =
+    entries.keys.count(_._1 == spark.sparkContext.applicationId)
+}
