@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+import graft.operators.Embedding
+import graft.plans.AsOfJoin
+
+/** Skew and convergence stress tests — the adversarial shapes the scale
+  * story claims to survive, run at sizes big enough to mean it:
+  *
+  *   1. a chain-shaped component (worst case for label propagation) —
+  *      the path-halving O(log diameter) round bound of
+  *      [[Dedup.connectedComponentsWithRounds]], including the round-10
+  *      localCheckpoint lineage-truncation path nothing else reaches;
+  *   2. one parent with 10⁶ children — the hot-key embedding
+  *      ([[Embedding.oneWayEmbedSalted]]) must be byte-identical to the
+  *      plain path it de-skews;
+  *   3. one user with 10⁶ events — the as-of merge scan
+  *      ([[AsOfJoin]]) is O(|L|+|R|) per key, so a single hot key is a
+  *      long scan, not a blowup.
+  */
+class HotKeyStressSpec extends SparkSpec {
+
+  test("chain graph (2 components × 10^4 nodes): exact labels within the " +
+      "path-halving log2 round bound, crossing the checkpoint path") {
+    val n = 10000L
+    // two disjoint chains 0..n-1 and n..2n-1 (edge i—i+1, minus the one
+    // that would bridge them); min-label = each chain's head
+    val edges = spark.range(0, 2 * n - 1).filter(col("id") =!= n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(edges)
+    val byCluster = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCluster === Map(0L -> n, n -> n))
+    // label distance to the head doubles per round (neighbor-min +
+    // label(label(v))), so ~log2(n) rounds + the final no-change round;
+    // +4 covers propagation warm-up and the convergence check
+    val bound = (math.log(2.0 * n) / math.log(2)).ceil.toInt + 4
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+    // the chain is deep enough that the loop crossed iteration 10 — the
+    // localCheckpoint generation (and the skip-unpersist handling of it)
+    // is genuinely exercised, not just written
+    assert(rounds > 10,
+      s"chain converged in $rounds rounds — never reached the checkpoint path")
+  }
+
+  test("hot parent with 10^6 children: salted embedding is identical to " +
+      "the plain embedding it de-skews") {
+    import spark.implicits._
+    val parents = Seq((1L, "hot"), (2L, "childless")).toDF("p_id", "p_name")
+    val children = spark.range(1000000L).select(
+      col("id").as("c_id"),
+      lit(1L).as("fk"),
+      concat(lit("v"), col("id") % 997).as("payload"))
+    val plain = Embedding.oneWayEmbed(
+      parents, "p_id", children, "fk", "kids", Seq("c_id"))
+    val salted = Embedding.oneWayEmbedSalted(
+      parents, "p_id", children, "fk", "kids", Seq("c_id"), salts = 16)
+    // byte-level equality of the full nested document (order included),
+    // without collecting a 10^6-element array to the driver
+    def sig(df: DataFrame): Seq[(Long, String, String)] =
+      df.select(col("p_id"), col("p_name"),
+          md5(coalesce(to_json(col("kids")), lit("<absent>"))).as("h"))
+        .orderBy("p_id").as[(Long, String, String)].collect().toSeq
+    val s = sig(salted); val p = sig(plain)
+    assert(s === p)
+    assert(s.map(_._1) === Seq(1L, 2L))
+    // the childless parent embeds nothing in BOTH paths (null array, so
+    // the JSON sink will omit the key)
+    assert(salted.filter(col("p_id") === 2 && col("kids").isNull).count() === 1)
+  }
+
+  test("single user with 10^6 events through the as-of merge scan") {
+    val purchases = spark.range(1000000L).select(
+      lit(1L).as("p_user_id"),
+      (col("id") * 2).as("p_ts"),
+      col("id").as("p_val"))
+    val probes = spark.range(100000L).select(
+        lit(1L).as("user_id"), (col("id") * 20 + 1).as("ts"))
+      .unionAll(spark.range(1).select(
+        lit(2L).as("user_id"), lit(100L).as("ts")))
+    val out = AsOfJoin.asOf(
+      probes, purchases, Seq("user_id"), Seq("p_user_id"), "ts", "p_ts")
+    // ts = 20i+1 matches p_ts = 20i exactly (the greatest even number
+    // <= an odd probe), i.e. p_val = (ts-1)/2 — checkable row-by-row
+    // without materializing anything on the driver
+    val wrong = out.filter(col("user_id") === 1 &&
+      (col("p_val").isNull || col("p_val") =!= (col("ts") - 1) / 2)).count()
+    assert(wrong === 0)
+    // the keyless user matches nothing and survives with nulls
+    val orphan = out.filter(col("user_id") === 2).select("p_val").collect()
+    assert(orphan.length === 1 && orphan.head.isNullAt(0))
+    assert(out.count() === 100001)
+  }
+}
