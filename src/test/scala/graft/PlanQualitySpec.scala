@@ -76,6 +76,30 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
 
+  test("x03 LSH verify is candidates-only: no unrestricted co-shingle self-join") {
+    val p = finalPlan(q("x03_dedup_minhash_lsh"))
+    // the x02 anti-pattern is an INNER self-join keyed on the shingle
+    // ALONE (every co-shingle pair — the all-pairs pass LSH exists to
+    // avoid); reintroducing it through the verification step must fail
+    // here. The df-cap's LeftAnti against the broadcast hot-shingle
+    // list also joins on [sh] and is fine — hence the Inner restriction.
+    val shOnlyJoin = """Join \[sh#\d+L?\], \[sh#\d+L?\], Inner""".r
+    assert(shOnlyJoin.findFirstIn(p).isEmpty,
+      "verification regressed to an all-co-shingle-pairs join:\n" + p)
+    // the candidates-only equi-join on (doc_b, sh) IS present
+    val candJoin = """Join \[doc_b#\d+L?, sh#\d+L?\]""".r
+    assert(candJoin.findFirstIn(p).isDefined,
+      "missing the candidates-only (doc_b, sh) verify join:\n" + p)
+  }
+
+  test("q15 salted embed merges pre-sorted chunks — no full-array re-sort") {
+    val p = finalPlan(q("q15_embed_salted_flat"))
+    assert(p.contains("merge_sorted_arrays"),
+      "salted embed lost the k-way merge expression:\n" + p)
+    assert(!p.contains("array_sort"),
+      "salted embed regressed to the O(m log m) array_sort re-sort:\n" + p)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
