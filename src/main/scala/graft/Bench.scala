@@ -5,13 +5,40 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every query-surface entry on
   * SPARK_GRAFT_SF_DIR and prints one JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Methodology: each query is timed `SPARK_GRAFT_BENCH_RUNS` times
+  * (default 3) after a session-wide warmup; the REPORTED number (and
+  * the total) is the MEDIAN — on a shared machine min-of-few
+  * under-reports contention while a single shot over-reports it, and
+  * round 3 proved the failure mode (a committed artifact claimed a 52%
+  * regression for what an idle re-run showed was a 2× speedup). The min
+  * is kept as `queries_min` for cross-machine comparability, and
+  * /proc/loadavg is stamped before and after so a contended run is
+  * visible IN the artifact instead of being indistinguishable from a
+  * real regression.
   */
 object Bench {
+
+  private def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ").take(3).mkString(",")
+      finally src.close()
+    } catch { case _: Exception => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val loadBefore = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // production registration path: strategies injected at build time,
+      // not via the per-call experimental fallback — the bench measures
+      // the deployment configuration, and a strategy accidentally
+      // dropped from GraftExtensions would surface here as a planning
+      // failure rather than being silently papered over
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -39,11 +66,11 @@ object Bench {
             x => x.getField("v")), ", "))
         .count()
     }
-    // Two timed runs per query, report the min: steady-state operator
-    // cost rather than first-run codegen/JIT noise (the machine is
-    // shared; single-shot numbers vary ±50%).
+    // `runs` timed executions per query; the first run's codegen/JIT
+    // tail is covered by the session warmup above, so all runs measure
+    // steady state and the median is robust to one contention spike.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
@@ -52,13 +79,18 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.sorted
+      name -> (times(times.size / 2), times.head) // (median, min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadAfter = loadavg()
+    def jsonMap(f: ((String, (Double, Double))) => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val totalMin = results.map(_._2._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","runs":$runs,""" +
+      s""""total_min":$totalMin,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+      s""""queries":${jsonMap(_._2._1)},"queries_min":${jsonMap(_._2._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
