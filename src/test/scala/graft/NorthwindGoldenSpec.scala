@@ -31,7 +31,14 @@ class NorthwindGoldenSpec extends SparkSpec {
       .toDF("productId", "productName", "unitPrice", "categoryId", "supplierId"),
     "customer" -> Seq(("ALFKI", "Customer NRZBB")).toDF("custId", "companyName"),
     "shipper" -> Seq((1, "Shipper GVSUA", "(503) 555-0137")).toDF("shipperId", "companyName", "phone"),
-    "employee" -> Seq((1, "Davis", "Sara")).toDF("employeeId", "lastname", "firstname"),
+    "employee" -> Seq((1, "Davis", "Sara"), (2, "Funk", "Don"))
+      .toDF("employeeId", "lastname", "firstname"),
+    // self-junction: BOTH FKs reference employee (mentee, mentor) — the
+    // reference's overwrite semantics keep only the second-FK-keyed
+    // embedding (SchemaConverter.scala:136-144), and the data plane must
+    // survive parent == other-parent lineage (NestCollect.scala:50-54)
+    "mentorship" -> Seq((1, 1, 2), (2, 2, 1))
+      .toDF("mentorshipId", "employeeId", "mentorId"),
     "region" -> Seq((1, "Eastern")).toDF("regionId", "regiondescription"),
     "territory" -> Seq(("01581", "Westboro", 1)).toDF("territoryId", "territorydescription", "regionId"),
     "employeeterritory" -> Seq((1, "01581")).toDF("employeeId", "territoryId"),
@@ -46,6 +53,8 @@ class NorthwindGoldenSpec extends SparkSpec {
     "territory" -> Seq(fk("regionId", "region", "regionId")),
     "employeeterritory" -> Seq(fk("employeeId", "employee", "employeeId"),
       fk("territoryId", "territory", "territoryId")),
+    "mentorship" -> Seq(fk("employeeId", "employee", "employeeId"),
+      fk("mentorId", "employee", "employeeId")),
     "salesorder" -> Seq(fk("custId", "customer", "custId"),
       fk("shipperId", "shipper", "shipperId")),
     "orderdetail" -> Seq(fk("orderId", "salesorder", "orderId"),
@@ -56,7 +65,7 @@ class NorthwindGoldenSpec extends SparkSpec {
   // reference inherits this from its catalog scan order)
   private val tableOrder = Seq("category", "supplier", "product", "customer",
     "shipper", "employee", "region", "territory", "employeeterritory",
-    "salesorder", "orderdetail")
+    "salesorder", "orderdetail", "mentorship")
 
   private def mkDb(orderdetailUaf: Long): DatabaseMeta = {
     val referencedBy = fks.toSeq
@@ -131,6 +140,32 @@ class NorthwindGoldenSpec extends SparkSpec {
     assert(od.columns.toSet === Set("orderDetailId", "orderId_REF", "productId_REF", "unitPrice"))
     assert(od.orderBy("orderDetailId").select("orderId_REF").as[Int].collect().toSeq
       === Seq(10248, 10248))
+  }
+
+  test("self-junction: both FKs into employee — one embedding, keyed by the " +
+      "second FK, with the first-FK employee's attrs inlined") {
+    val employee = cold.roots.find(_.name == "employee").get
+    val node = employee.embedded.find(_.name == "mentorship").get
+    assert(node.embeddedAttributesFrom === Some("employee"))
+    assert(node.parentFkColumn === Some("mentorId"),
+      "reference overwrite semantics keep the SECOND FK as the nesting key")
+    // exactly one mentorship embedding in the whole tree (no duplicate
+    // under the same parent)
+    assert(employee.embedded.count(_.name == "mentorship") === 1)
+    val docs = mapper(mkDb(0L)).mapRoot(employee).orderBy("employeeId").collect()
+    assert(docs.length === 2)
+    def mentorships(r: Row): Seq[Row] = r.getSeq[Row](r.fieldIndex("mentorship"))
+    // (1,1,2): mentee 1, mentor 2 → nests under employee 2 with the
+    // MENTEE's attributes inlined; (2,2,1) symmetric
+    val m1 = mentorships(docs(0)); val m2 = mentorships(docs(1))
+    assert(m1.length === 1 && m2.length === 1)
+    assert(m1.head.getAs[String]("lastname") === "Funk",
+      "employee 1's doc carries mentorship (2,2,1) with employee 2 inlined")
+    assert(m2.head.getAs[String]("lastname") === "Davis",
+      "employee 2's doc carries mentorship (1,1,2) with employee 1 inlined")
+    val fields = m1.head.schema.fieldNames.toSet
+    assert(fields === Set("mentorshipId", "lastname", "firstname"),
+      s"both FK columns elided, other-employee attrs inlined; got $fields")
   }
 
   test("3-level nested region document with employee attrs inlined (collection4.json)") {
