@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.NoInline
 import graft.functions.Portable._
 
 /** Sampling operators for training-data pipelines (SURVEY.md §2.11
@@ -40,8 +41,25 @@ object Sampling {
     // a NULL stratum OR a NULL id is excluded outright (SQL
     // `s || ':' || id` is NULL and NULL < rate filters the row; concat_ws
     // would silently skip EITHER null argument and hash on the remainder
-    // alone — engines would then disagree on exactly those rows)
-    df.filter(col(stratumCol).isNotNull && col(idCol).isNotNull &&
-      pmod(hash32(concat_ws(":", col(stratumCol), col(idCol))), lit(100)) < rate)
+    // alone — engines would then disagree on exactly those rows).
+    //
+    // The keep decision is computed as a PROJECTED column wrapped in
+    // [[NoInline]], then filtered on by attribute: the predicate
+    // references the stratum ~5× (key concat + every rate arm), and
+    // when the stratum is a DERIVED column (language ID over text),
+    // Filter-through-Project pushdown would substitute the stratum's
+    // full defining expression into every reference — measured 200×
+    // slower at 10× scale (PushPredicateThroughNonJoin has no
+    // expensive-duplication guard, and a Filter's condition determinism
+    // is not even consulted for the Project case — only a
+    // nondeterministic PROJECT field blocks the push, which is exactly
+    // what the NoInline projection provides). The isNotNull conjuncts
+    // stay below it, free to reach the scan.
+    val keep = "__graft_keep"
+    df.filter(col(stratumCol).isNotNull && col(idCol).isNotNull)
+      .withColumn(keep, NoInline.noInline(
+        pmod(hash32(concat_ws(":", col(stratumCol), col(idCol))), lit(100)) < rate))
+      .filter(col(keep))
+      .drop(keep)
   }
 }

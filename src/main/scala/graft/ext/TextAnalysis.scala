@@ -21,17 +21,24 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "les", "et", "est", "une"))
 
-  private def score(toks: Column, words: Seq[String]): Column =
-    words.map(w => tokenCount(toks, w)).reduce(_ + _)
+  // marker counting runs on separator-doubled text with codegen'd
+  // string primitives (tokenCountInSpaced) — the interpreted
+  // ArrayFilter form was the hottest CodegenFallback path in the whole
+  // text pipeline, and the doubling pass is hoisted into ONE projected
+  // column per scan instead of being re-evaluated per marker
+  private def score(spaced: Column, words: Seq[String]): Column =
+    words.map(w => tokenCountInSpaced(spaced, w)).reduce(_ + _)
 
   /** Language ID: per-language marker-word counts + argmax with a fixed
     * priority order (en > es > de > fr > und on ties/zero).
     * Output: (doc_id, s_en, s_es, s_de, s_fr, lang_pred).
     */
   def languageId(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val scored = docs.select(
-      col("doc_id") +: markers.map { case (l, ws) => score(t, ws).as(s"s_$l") }: _*)
+    val scored = docs
+      .withColumn("__spaced", spacedText(col("text")))
+      .select(
+        col("doc_id") +: markers.map { case (l, ws) =>
+          score(col("__spaced"), ws).as(s"s_$l") }: _*)
     val Seq(en, es, de, fr) = markers.map(m => col(s"s_${m._1}"))
     scored.withColumn("lang_pred",
       when(en >= es && en >= de && en >= fr && en > 0, "en")
@@ -49,8 +56,8 @@ object TextAnalysis {
     val nTok = size(t)
     val nCh = length(col("text"))
     val punct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
-    val stop = score(t, Seq("the", "a", "and", "of", "is"))
-    docs.select(
+    val stop = score(col("__spaced"), Seq("the", "a", "and", "of", "is"))
+    docs.withColumn("__spaced", spacedText(col("text"))).select(
       col("doc_id"),
       nCh.as("n_chars_obs"),
       nTok.as("n_tokens"),

@@ -32,6 +32,20 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.contains("x21probe")) {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, dir, "documents")
+      val lang = graft.ext.TextAnalysis.languageId(docs)
+        .select(col("doc_id"), col("lang_pred"))
+      time("langid only")(lang.count())
+      val sampled = graft.ext.Sampling.stratifiedByHash(lang, "lang_pred", "doc_id",
+        Seq("en" -> 50, "es" -> 30, "de" -> 20, "fr" -> 10), 5)
+      time("stratified run1")(sampled.count())
+      time("stratified run2")(sampled.count())
+      println("=== executed plan ===")
+      println(sampled.queryExecution.executedPlan.toString.take(6000))
+      spark.stop(); return
+    }
     if (args.contains("entry")) {
       // driver-style smoke: entry() on a fresh session must return rows
       time("entry rows")(println("entry rows: " + graft.SparkEntry.entry(spark).count()))

@@ -100,6 +100,24 @@ class PlanQualitySpec extends SparkSpec {
       "salted embed regressed to the O(m log m) array_sort re-sort:\n" + p)
   }
 
+  test("x21 sampling decision is projected once — never inlined into a filter") {
+    val p = finalPlan(q("x21_stratified_sample"))
+    // the NoInline barrier column is present and the keep-filter runs on
+    // its attribute; if pushdown ever re-inlines the decision, the
+    // language-ID expression gets cloned per reference (measured 200×
+    // at 10× scale)
+    assert(p.contains("no_inline"), p)
+    val keepFilters = p.linesIterator
+      .filter(l => l.contains("Filter") && l.contains("__graft_keep")).toSeq
+    assert(keepFilters.nonEmpty, "missing the projected keep-filter:\n" + p)
+    assert(keepFilters.forall(l => !l.contains("md5") && !l.contains("replace(")),
+      "sampling decision re-inlined into the filter:\n" + keepFilters.mkString("\n"))
+    // the separator-doubling pass is hoisted: one occurrence per plan
+    // rendering (executed tree + formatted details), not one per marker
+    assert("replace\\(trim\\(text".r.findAllIn(p).size <= 2,
+      "spacedText no longer hoisted — doubling re-evaluated per marker:\n" + p)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
