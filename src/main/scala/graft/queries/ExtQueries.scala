@@ -32,21 +32,25 @@ object ExtQueries {
   // bit-exactly in the oracle CTEs — see Dedup.capShingleDf for the
   // 100 TB rationale (quadratic buckets on boilerplate shingles).
   private[queries] val MaxShingleDf = 5
+  // persists routed through InternalCaches so a long-lived session can
+  // drop every graft-internal cache with one release() call; the
+  // TrieMap keeps the memoized DataFrame identity per dir cheap.
   private val shingleCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def hashedShingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      Dedup.hashedShingleSet(t(s, dir, "documents"), maxShingleDf = MaxShingleDf).persist())
+      graft.tools.InternalCaches.persist(
+        Dedup.hashedShingleSet(t(s, dir, "documents"), maxShingleDf = MaxShingleDf)))
   private val simhashCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     simhashCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      Dedup.simhash(t(s, dir, "documents")).persist())
+      graft.tools.InternalCaches.persist(Dedup.simhash(t(s, dir, "documents"))))
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private def resolvedClusters(s: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
-      graft.ext.Dedup.resolveClusters(
+      graft.tools.InternalCaches.persist(graft.ext.Dedup.resolveClusters(
         t(s, dir, "documents"),
         Dedup.ngramJaccardFromShingles(hashedShingles(s, dir), minJaccard = 0.8)
-          .select(col("doc_a"), col("doc_b"))).persist())
+          .select(col("doc_a"), col("doc_b")))))
 
   // ---- shared DuckDB SQL fragments ----------------------------------
 

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+
+import graft.tools.InternalCaches
+
+/** Contract of the internal-persist registry: memoization by canonical
+  * plan (re-invocation must NOT stack cache entries — the leak the
+  * registry exists to prevent) and a working release handle.
+  */
+class InternalCachesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshFrame(tag: String) =
+    Seq((1, tag), (2, tag)).toDF("id", "v").groupBy("v").count()
+
+  test("semantically equal plans share one entry; release unpersists") {
+    val before = InternalCaches.liveCount(spark)
+    val a = InternalCaches.persist(freshFrame("x"))
+    a.count()
+    // a SECOND build of the same logical plan (fresh expression ids)
+    // must land on the same entry — this is what bounds a long-lived
+    // session's entry count at O(distinct inputs)
+    val b = InternalCaches.persist(freshFrame("x"))
+    assert(InternalCaches.liveCount(spark) === before + 1)
+    assert(b.storageLevel !== StorageLevel.NONE)
+    // a different plan is a different entry
+    val c = InternalCaches.persist(freshFrame("y"))
+    assert(InternalCaches.liveCount(spark) === before + 2)
+    InternalCaches.release(spark)
+    assert(InternalCaches.liveCount(spark) === 0)
+    assert(a.storageLevel === StorageLevel.NONE, "release must unpersist")
+    assert(c.storageLevel === StorageLevel.NONE)
+    // released frames stay usable — they just recompute
+    assert(a.count() === 1)
+  }
+}
