@@ -121,13 +121,27 @@ object Dedup {
   def minhash(docs: DataFrame, numPerm: Int = 16, n: Int = 3): DataFrame =
     minhashFromShingles(hashedShingleSet(docs, n), numPerm)
 
-  /** [[minhash]] over a prebuilt hashed-shingle set. */
+  /** [[minhash]] over a prebuilt hashed-shingle set.
+    *
+    * All `numPerm` permutation minima are computed in ONE aggregation
+    * pass over the (doc_id, sh) rows — one `min` column per permutation,
+    * unpivoted to (doc_id, p, minhash) after the aggregate — instead of
+    * exploding every shingle row `numPerm`× before the shuffle. The
+    * map-side partial collapses each partition to one row per doc
+    * either way, but the exploded form shuffles and hashes numPerm×
+    * the rows and pays the explode itself on the biggest frame in the
+    * pipeline; at corpus scale the signature stage is the dominant
+    * scan, so a 16× row reduction there is the difference between the
+    * shuffle fitting in memory and spilling.
+    */
   def minhashFromShingles(sh: DataFrame, numPerm: Int = 16): DataFrame = {
-    sh.select(col("doc_id"), col("sh"),
-        explode(sequence(lit(0), lit(numPerm - 1))).as("p"))
-      .groupBy(col("doc_id"), col("p"))
-      .agg(min(((lit(2) * col("p") + 1) * col("sh") + (lit(12345) * col("p") + 1))
-        % 2147483647L).as("minhash"))
+    val mins = (0 until numPerm).map(p =>
+      min(((lit(2L * p + 1)) * col("sh") + lit(12345L * p + 1))
+        % 2147483647L).as(s"__m$p"))
+    val stack = (0 until numPerm).map(p => s"$p, __m$p").mkString(", ")
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .selectExpr("doc_id", s"stack($numPerm, $stack) AS (p, minhash)")
   }
 
   /** MinHash-LSH candidate pairs with verified exact Jaccard: band the
