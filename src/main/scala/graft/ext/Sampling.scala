@@ -62,4 +62,29 @@ object Sampling {
       .filter(col(keep))
       .drop(keep)
   }
+
+  /** Corpus-mixing weights: per stratum (language, source, domain…),
+    * document/token counts, the stratum's share of all tokens, and the
+    * up/down-weighting factor that would equalize token mass across
+    * strata (`mix_weight` = target-tokens-per-stratum / actual) — the
+    * table a training pipeline derives sampling temperatures and epoch
+    * multipliers from. NULL strata are excluded, like [[stratifiedByHash]].
+    * Output: (stratum, n_docs, n_tokens, token_share, mix_weight).
+    *
+    * Scale shape: one aggregation shuffle with stratum cardinality keys
+    * plus a broadcast one-row total — no second pass over the corpus.
+    */
+  def mixWeights(docs: DataFrame, stratumCol: String, textCol: String = "text"): DataFrame = {
+    val per = docs.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        size(tokens(col(textCol))).cast("long").as("__n_tok"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"), sum("__n_tok").as("n_tokens"))
+    val totals = per.agg(sum("n_tokens").as("__tot"), count(lit(1)).as("__k"))
+    per.crossJoin(broadcast(totals))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot"), 6).as("token_share"),
+        round((col("__tot").cast("double") / col("__k")) / col("n_tokens"), 6)
+          .as("mix_weight"))
+  }
 }

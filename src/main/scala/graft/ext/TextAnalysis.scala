@@ -117,6 +117,44 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Repetition-based quality metrics (the Gopher/C4-style repetition
+    * filters adapted to a single-line corpus): per document, the
+    * distinct-token fraction, the most-frequent-token fraction, and the
+    * duplicate-bigram fraction. Heavily repetitive documents (boiler-
+    * plate, keyword stuffing, degenerate generations) score low on
+    * distinct fractions and high on duplicate fractions and are the
+    * canonical pre-training drop set alongside near-dup removal.
+    * Output: (doc_id, n_tokens, distinct_token_frac, top_token_frac,
+    * dup_bigram_frac).
+    *
+    * Scale shape: two shuffles keyed by doc_id(+token/bigram), both
+    * with map-side partial aggregation; no per-doc arrays are ever
+    * materialized (the explode streams), so documents of any length
+    * pass through in bounded memory.
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tokStats = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+    val bgStats = docs
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bg"), countDistinct("bg").as("d_bg"))
+    // inner join: a doc with <2 tokens has no bigram row and drops out,
+    // mirrored exactly by the oracle's bigram join
+    tokStats.join(bgStats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("distinct_token_frac"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6)
+          .as("top_token_frac"),
+        round(lit(1.0) - col("d_bg").cast("double") / col("n_bg"), 6)
+          .as("dup_bigram_frac"))
+  }
+
   /** Document fingerprinting: a content fingerprint (md5 of
     * whitespace-normalized lowercased text) plus a 31-polynomial rolling
     * hash over token hash32s mod 1e9+7 (order-sensitive — reordered

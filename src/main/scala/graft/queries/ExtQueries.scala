@@ -610,6 +610,44 @@ object ExtQueries {
               |    CASE lang.lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
               |         WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin)),
 
+    // ---- text: repetition-based quality metrics -----------------------
+    // Gopher/C4-style repetition filters: distinct-token fraction, top
+    // token fraction, duplicate-bigram fraction per document.
+    ("x28_repetition_quality",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.repetitionMetrics(t(s, dir, "documents")),
+      Some("""WITH tk AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+             |            FROM documents),
+             |c AS (SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2),
+             |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |         count(*) AS n_distinct, max(c) AS top_c FROM c GROUP BY 1),
+             |t2 AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id,
+             |         unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+             |       FROM t2),
+             |bs AS (SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS d_bg
+             |       FROM bg GROUP BY 1)
+             |SELECT ts.doc_id, ts.n_tokens,
+             |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_token_frac,
+             |  round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+             |  round(1.0 - CAST(d_bg AS DOUBLE) / n_bg, 6) AS dup_bigram_frac
+             |FROM ts JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin)),
+
+    // ---- sampling: corpus-mixing weights per language -----------------
+    // Token-mass share per stratum and the factor that would equalize
+    // token mass across strata — the input to mixing temperatures.
+    ("x29_mix_weights",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Sampling.mixWeights(t(s, dir, "documents"), "lang"),
+      Some("""WITH per AS (SELECT lang AS stratum, count(*) AS n_docs,
+             |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS k FROM per)
+             |SELECT stratum, n_docs, n_tokens,
+             |  round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+             |  round((CAST(t AS DOUBLE) / k) / n_tokens, 6) AS mix_weight
+             |FROM per, tot""".stripMargin)),
+
     // ---- streaming/batch parity: sessionize via the STREAMING path ----
     // The flatMapGroupsWithState sessionizer replayed over the bounded
     // events table (MemoryStream + sentinel-driven watermark close, see
