@@ -32,10 +32,14 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(md5(col(textCol)).as("text_hash"), col("keep_id"), col("n_copies"))
 
-  /** Distinct (doc_id, shingle) pairs: word `n`-gram shingling. */
+  /** Distinct (doc_id, shingle) pairs: word `n`-gram shingling
+    * (zipped-slice form; the shingle string is built codegen'd after
+    * the explode — see [[graft.functions.Portable.shingleStructs]]).
+    */
   def shingleSet(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(shingles(col("t"), n)).as("shingle"))
+      .select(col("doc_id"), explode(shingleStructs(col("t"), n)).as("s"))
+      .select(col("doc_id"), shingleText(col("s"), n).as("shingle"))
       .distinct()
 
   /** Distinct (doc_id, sh) pairs with the shingle hashed to a 32-bit int
@@ -49,8 +53,8 @@ object Dedup {
     */
   def hashedShingleSet(docs: DataFrame, n: Int = 3, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), explode(shingles(col("t"), n)).as("shingle"))
-      .select(col("doc_id"), hash32(col("shingle")).as("sh"))
+      .select(col("doc_id"), explode(shingleStructs(col("t"), n)).as("s"))
+      .select(col("doc_id"), hash32(shingleText(col("s"), n)).as("sh"))
       .distinct()
     if (maxShingleDf == Int.MaxValue) sh
     else {

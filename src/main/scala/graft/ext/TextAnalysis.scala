@@ -139,8 +139,11 @@ object TextAnalysis {
         sum("c").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max("c").as("top_c"))
+    // bigram identity only (no string needed): aggregate directly on
+    // the zipped (token, next-token) struct — zero per-element lambdas
     val bgStats = docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .select(col("doc_id"),
+        explode(shingleStructs(tokens(col("text")), 2)).as("bg"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_bg"), countDistinct("bg").as("d_bg"))
     // inner join: a doc with <2 tokens has no bigram row and drops out,

@@ -41,12 +41,39 @@ object Portable {
 
   /** Word n-gram shingles of a token array (empty below n tokens).
     * DuckDB (n=3): `[t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, len(t)-1)]`.
+    *
+    * This is the SPECIFICATION form (it reads like the oracle CTE) and
+    * the cross-check target in tests; operators use [[shingleStructs]] +
+    * [[shingleText]] instead — the per-element `transform` lambda here
+    * is CodegenFallback and interpreted per element, measured ~8×
+    * slower over the corpus than the zipped-slice form.
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
+
+  /** Word n-gram shingles as an array of n-field structs (field `j` =
+    * token i+j), built by zipping n array slices — one array operation
+    * per ROW instead of a lambda invocation per element. Empty (never
+    * null for non-null input) below n tokens. Recover the space-joined
+    * shingle string of [[shingles]] with [[shingleText]] after
+    * exploding; or aggregate on the struct directly when only identity
+    * matters (it carries exactly the n tokens).
+    */
+  def shingleStructs(toks: Column, n: Int): Column = {
+    val len = greatest(lit(0), size(toks) - (n - 1))
+    arrays_zip((0 until n).map(j => slice(toks, lit(j + 1), len)): _*)
+  }
+
+  /** Space-joined shingle string from one exploded [[shingleStructs]]
+    * element — plain codegen'd concat, byte-equal to the corresponding
+    * [[shingles]] element (split() tokens are never null, so concat_ws
+    * never skips a field).
+    */
+  def shingleText(s: Column, n: Int): Column =
+    concat_ws(" ", (0 until n).map(j => s.getField(j.toString)): _*)
 
   // Vector math (dot/norm/cosine, hyperplane signatures) lives in the
   // native codegen'd expressions [[CosineSim]] and [[HyperplaneSignature]]

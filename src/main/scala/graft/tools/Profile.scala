@@ -32,6 +32,29 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.contains("x28probe")) {
+      import org.apache.spark.sql.functions._
+      import graft.functions.Portable._
+      val docs = Tables.load(spark, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      time("tok stats")(tok.groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(sum("c"), count(lit(1)), max("c")).count())
+      val bg = docs.select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 2)).as("bg"))
+      time("bg explode only")(bg.count())
+      time("bg stats")(bg.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bg"), countDistinct("bg").as("d_bg")).count())
+      val t = tokens(col("text"))
+      val zipped = arrays_zip(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1))
+      val bg2 = docs.select(col("doc_id"), explode(zipped).as("bg"))
+      time("bg zip explode")(bg2.count())
+      time("bg zip stats")(bg2.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bg"), countDistinct("bg").as("d_bg")).count())
+      time("full")(graft.ext.TextAnalysis.repetitionMetrics(docs).count())
+      time("full again")(graft.ext.TextAnalysis.repetitionMetrics(docs).count())
+      spark.stop(); return
+    }
     if (args.contains("x21probe")) {
       import org.apache.spark.sql.functions._
       val docs = Tables.load(spark, dir, "documents")

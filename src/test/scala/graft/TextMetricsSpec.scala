@@ -24,6 +24,22 @@ class TextMetricsSpec extends SparkSpec {
       (2L, 4L, 1.0, 0.25, 0.0)))
   }
 
+  test("zipped-slice shingles equal the specification (lambda) form") {
+    import graft.functions.Portable._
+    val df = Seq("a b c d e", "x y", "solo", "p q r", "", "a a a a")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(2, 3)) {
+      val spec = df.select(col("doc_id"),
+        explode(shingles(tokens(col("text")), n)).as("s"))
+      val fast = df.select(col("doc_id"),
+          explode(shingleStructs(tokens(col("text")), n)).as("st"))
+        .select(col("doc_id"), shingleText(col("st"), n).as("s"))
+      assert(fast.exceptAll(spec).isEmpty && spec.exceptAll(fast).isEmpty,
+        s"n=$n shingle forms diverge")
+      assert(fast.count() === spec.count(), s"n=$n count mismatch")
+    }
+  }
+
   test("mix weights equalize token mass across strata") {
     val docs = Seq(
       (1L, "en", "one two three four five six"),   // 6 tokens
