@@ -93,18 +93,38 @@ object Similarity {
         col("v"), hyperplanes(numPlanes, dims)))
 
   /** LSH-bucketed near-duplicate pairs: candidates share at least one
-    * 4-bit band of the 16-bit signature; candidates are verified with
-    * exact cosine and filtered at `minCos`.
+    * `bandBits`-bit band of the `numPlanes`-bit signature; candidates
+    * are verified with exact cosine and filtered at `minCos`.
     * Output: (vec_a, vec_b, cos_sim).
+    *
+    * SIZE THE BUCKETS TO THE CORPUS: expected bucket occupancy is
+    * n / 2^bandBits per band, and the candidate join emits
+    * O(occupancy²·buckets·bands) pairs — with the fixture default
+    * (4-bit buckets, 16 per band) a 2000-vector corpus already puts
+    * ~125 vectors per bucket and ~500k pairs through verification. At
+    * scale, grow `bandBits` ≈ log2(n / desired_occupancy) and restore
+    * recall by growing `numPlanes` (more bands of wider buckets): a
+    * band match at 2·bandBits implies a match of both constituent
+    * bandBits halves, so wider bands strictly shrink the candidate set.
+    * The fixture default stays (16, 4) — the x06 oracle mirrors it
+    * bit-for-bit.
     */
-  def lshNearDup(emb: DataFrame, minCos: Double = 0.45): DataFrame = {
+  def lshNearDup(
+      emb: DataFrame,
+      minCos: Double = 0.45,
+      numPlanes: Int = 16,
+      bandBits: Int = 4): DataFrame = {
+    require(numPlanes % bandBits == 0 && numPlanes <= 60,
+      s"numPlanes ($numPlanes) must be a multiple of bandBits ($bandBits), <= 60")
+    val nBands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1
     val all = vecs(emb)
     // candidate pairs carry ids only (deduping (id,id) pairs shuffles
     // 16 bytes/row; carrying the vectors through the shuffle costs ~30×)
-    val bands = lshSignatures(emb)
-      .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("band"),
+    val bands = lshSignatures(emb, numPlanes)
+      .select(col("vec_id"), explode(sequence(lit(0), lit(nBands - 1))).as("band"),
         col("sig"))
-      .withColumn("bucket", expr("shiftright(sig, band * 4) & 15"))
+      .withColumn("bucket", expr(s"shiftright(sig, band * $bandBits) & $mask"))
       .select(col("vec_id"), col("band"), col("bucket"))
     val cand = bands.as("a")
       .join(bands.as("b"),

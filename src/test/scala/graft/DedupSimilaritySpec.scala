@@ -57,4 +57,16 @@ class DedupSimilaritySpec extends SparkSpec {
     // every reported pair must satisfy the threshold (verification step)
     assert(out.forall(_.getDouble(2) >= 0.4))
   }
+
+  test("wider LSH bands (the scale knob) strictly shrink toward the default's pairs") {
+    // same 16 planes regrouped as 2 bands × 8 bits: an 8-bit band match
+    // implies both constituent 4-bit bands match, so the wide variant's
+    // pair set must be a subset of the default's (deterministic planes)
+    val narrow = Similarity.lshNearDup(emb, minCos = 0.4)
+      .select("vec_a", "vec_b")
+    val wide = Similarity.lshNearDup(emb, minCos = 0.4, numPlanes = 16, bandBits = 8)
+      .select("vec_a", "vec_b")
+    assert(wide.exceptAll(narrow).isEmpty, "wide-band pairs must be a subset")
+    assert(wide.count() <= narrow.count())
+  }
 }
