@@ -339,6 +339,35 @@ object Dedup {
     (labels.toDF("doc_id", "cluster_id"), iter)
   }
 
+  /** Benchmark decontamination screen: for every training document, the
+    * number of distinct word `n`-grams it shares with a benchmark/eval
+    * document set, and a `contaminated` flag at `minShared` — the
+    * standard "did the eval set leak into the training corpus" check
+    * run before any training data ships.
+    *
+    * Scale shape: the benchmark side reduces to a DISTINCT shingle-hash
+    * set — benchmarks are small by nature, so it is broadcast and the
+    * corpus-side scan never shuffles on the join; one (doc_id)-keyed
+    * aggregate with map-side partials follows. Longer `n` (default 5)
+    * keeps chance collisions near zero; `minShared` tunes strictness.
+    * Output: (doc_id, n_shared, contaminated) for every `docs` row.
+    */
+  def contaminationScreen(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 5,
+      minShared: Long = 1L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val d = hashedShingleSet(docs, n)
+    val b = hashedShingleSet(bench, n).select("sh").distinct()
+    val ov = d.join(broadcast(b), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.select(col("doc_id")).join(ov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** Full-corpus cluster resolution: every document gets its component's
     * min doc_id as `cluster_id` (its own id when it has no near-dup),
     * the component size, and `keep` = is-the-representative. Downstream

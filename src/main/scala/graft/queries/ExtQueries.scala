@@ -648,6 +648,31 @@ object ExtQueries {
              |  round((CAST(t AS DOUBLE) / k) / n_tokens, 6) AS mix_weight
              |FROM per, tot""".stripMargin)),
 
+    // ---- dedup: benchmark decontamination screen ----------------------
+    // The src0 slice plays the benchmark/eval set; every other document
+    // is screened for shared distinct 5-grams against it.
+    ("x30_contamination",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        Dedup.contaminationScreen(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), n = 5, minShared = 1L)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t
+              |            FROM documents),
+              |g5 AS (SELECT doc_id, source,
+              |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+              |                 t[i+3] || ' ' || t[i+4]
+              |                 for i in range(1, len(t) - 3)]) AS s
+              |       FROM tk),
+              |ds AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM g5 WHERE source <> 'src0'),
+              |bs AS (SELECT DISTINCT ${h32("s")} AS sh FROM g5 WHERE source = 'src0'),
+              |ov AS (SELECT doc_id, count(*) AS n_shared FROM ds JOIN bs USING (sh) GROUP BY 1)
+              |SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared,
+              |  COALESCE(ov.n_shared, 0) >= 1 AS contaminated
+              |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+              |LEFT JOIN ov USING (doc_id)""".stripMargin)),
+
     // ---- streaming/batch parity: sessionize via the STREAMING path ----
     // The flatMapGroupsWithState sessionizer replayed over the bounded
     // events table (MemoryStream + sentinel-driven watermark close, see
