@@ -648,6 +648,19 @@ object ExtQueries {
              |  round((CAST(t AS DOUBLE) / k) / n_tokens, 6) AS mix_weight
              |FROM per, tot""".stripMargin)),
 
+    // ---- streaming/batch parity: hourly windows via the STREAMING path
+    // The chained streaming aggregation (exact n_users without
+    // countDistinct) replayed over the bounded events table must equal
+    // the batch tumbling aggregate — same oracle SQL as x13.
+    ("x31_stream_hourly_parity",
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStream.hourlyCountsReplay(s, t(s, dir, "events")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |  event_type, count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // ---- dedup: benchmark decontamination screen ----------------------
     // The src0 slice plays the benchmark/eval set; every other document
     // is screened for shared distinct 5-grams against it.

@@ -36,6 +36,70 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming twin of [[graft.ext.Events.tumblingHourly]] with EXACT
+    * n_users: `countDistinct` is unsupported in streaming aggregations,
+    * so this chains two windowed aggregations in append mode (multiple
+    * stateful operators, Spark ≥ 3.5): a per-(window, type, user)
+    * partial, then a `window_time`-keyed roll-up whose row count per
+    * window IS the exact distinct-user count. The DECIMAL value sums
+    * re-aggregate exactly (decimal addition is associative — the same
+    * portability rule the batch operator uses), so the streaming output
+    * is bit-comparable to the batch oracle.
+    */
+  def hourlyCountsExact(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val perUser = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(col("value").cast("decimal(28,10)")).as("sv"))
+    perUser
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(sum("n_ev").as("n_events"),
+        sum("sv").cast("double").as("sum_value"),
+        count(lit(1)).as("n_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
+  }
+
+  /** Batch-replay parity harness for [[hourlyCountsExact]], same shape
+    * as [[sessionizeReplay]]: MemoryStream → the chained streaming
+    * aggregation → memory sink, with two far-future sentinel events
+    * (filtered back out) driving the watermark past every real window's
+    * close so append mode emits everything. The result must equal the
+    * batch tumbling aggregate row-for-row (x31 verifies against x13's
+    * DuckDB oracle).
+    */
+  def hourlyCountsReplay(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = events.selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
+        "event_type", "value")
+      .as[Event].collect()
+    require(ev.nonEmpty, "empty events input")
+    val maxUs = ev.iterator.map(_.ts_us).max
+    val stream = MemoryStream[Event]
+    val qname = s"graft_hourly_replay_${replaySeq.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        hourlyCountsExact(
+            stream.toDS().withColumn("ts", timestamp_micros(col("ts_us"))))
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      stream.addData(ev.toSeq)
+      q.processAllAvailable()
+      stream.addData(Event(-1L, maxUs + 4L * 3600 * 1000000, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(-2L, maxUs + 8L * 3600 * 1000000, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname).filter(col("event_type") =!= "sentinel")
+  }
+
   /** Streaming exact dedup: drop events whose key columns repeat within
     * the watermark horizon (`dropDuplicatesWithinWatermark` keeps state
     * bounded — O(events in the watermark window), the streaming analog

@@ -32,6 +32,24 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.contains("q14probe")) {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.load(spark, dir, "orders")
+      val lineitem = Tables.load(spark, dir, "lineitem")
+      val part = Tables.load(spark, dir, "part")
+      val enriched = graft.operators.Embedding.joinOtherParent(
+        lineitem, "l_orderkey", "l_partkey", part, "p_partkey")
+      time("enrich join")(enriched.count())
+      val attrs = enriched.columns.filterNot(_ == graft.operators.Embedding.ParentFkCol).toSeq
+      val nested = graft.plans.NestCollect.nest(
+        enriched, graft.operators.Embedding.ParentFkCol,
+        Seq("l_linenumber") ++ attrs.filterNot(_ == "l_linenumber"),
+        Seq("l_linenumber") ++ attrs.filterNot(_ == "l_linenumber"), "items")
+      time("nest")(nested.count())
+      val full = graft.SparkEntry.queries("q14_embed_twoway_flat")
+      (1 to 3).foreach(i => time(s"q14 full run$i")(full(spark, dir).count()))
+      spark.stop(); return
+    }
     if (args.contains("x28probe")) {
       import org.apache.spark.sql.functions._
       import graft.functions.Portable._

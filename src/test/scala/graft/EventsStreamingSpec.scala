@@ -79,4 +79,13 @@ class EventsStreamingSpec extends SparkSpec {
       s"timeout-closed session missing: $all")
     q.stop()
   }
+
+  test("chained streaming hourly agg (exact n_users) equals the batch aggregate") {
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val streamed = EventStream.hourlyCountsReplay(spark, events)
+    val batch = Events.tumblingHourly(events)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streaming and batch hourly aggregates diverge")
+    assert(streamed.count() === batch.count())
+  }
 }
