@@ -104,4 +104,49 @@ object Multimodal {
         .map(i => FrameMeta(m.doc_id, m.media_type, i, outW, outH))
     }
   }
+
+  /** Deterministic per-frame feature vector: dim `d` =
+    * ((hash32("doc:frame:d") mod 2001) − 1000) / 1000 ∈ [−1, 1] — the
+    * featurization STAND-IN in the same honest sense as [[fakeDecode]]
+    * (a real pipeline embeds pixels in the typed batch seam; the
+    * md5-derived fake is oracle-reproducible). Built as a flat `array()`
+    * of codegen'd expressions — no per-element lambda.
+    */
+  def frameEmbedding(frames: DataFrame, dims: Int = 8): DataFrame = {
+    import graft.functions.Portable.hash32
+    frames.select(col("doc_id"), col("frame_idx"),
+      array((0 until dims).map(d =>
+        (hash32(concat_ws(":", col("doc_id"), col("frame_idx"), lit(d))) % 2001 - 1000)
+          .cast("double") / 1000.0): _*).as("fv"))
+  }
+
+  /** The multimodal ANN capstone: decode → frame-sample → featurize →
+    * top-k nearest frames of OTHER documents, per query frame — the
+    * whole vision-curation preprocessing path (dedup-by-similarity over
+    * frames) composed in one lazy plan. Query frames (doc_id <
+    * `queryDocs`) broadcast; ranking is the sort-free heap operator.
+    * Output: (q_doc, q_frame, rank, n_doc, n_frame, cos_sim).
+    */
+  def frameAnn(
+      spark: SparkSession,
+      docs: DataFrame,
+      k: Int = 3,
+      queryDocs: Long = 10L): DataFrame = {
+    import graft.plans.TopKPerGroup
+    val emb = frameEmbedding(sampleFrames(spark, docs).toDF())
+    val q = emb.filter(col("doc_id") < queryDocs)
+      .select(col("doc_id").as("q_doc"), col("frame_idx").as("q_frame"),
+        col("fv").as("qv"))
+    val targets = emb.select(col("doc_id").as("n_doc"),
+      col("frame_idx").as("n_frame"), col("fv").as("nv"))
+    val scored = targets.join(broadcast(q), col("n_doc") =!= col("q_doc"))
+      .select(col("q_doc"), col("q_frame"), col("n_doc"), col("n_frame"),
+        round(graft.functions.CosineSim.cosine_sim(col("qv"), col("nv")), 6)
+          .as("cos_sim"))
+    TopKPerGroup.topK(scored, Seq("q_doc", "q_frame"),
+        Seq("cos_sim" -> TopKPerGroup.Desc, "n_doc" -> TopKPerGroup.Asc,
+          "n_frame" -> TopKPerGroup.Asc), k)
+      .select(col("q_doc"), col("q_frame"), col("rank"),
+        col("n_doc"), col("n_frame"), col("cos_sim"))
+  }
 }

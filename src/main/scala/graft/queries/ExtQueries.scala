@@ -77,12 +77,12 @@ object ExtQueries {
        |sh0 AS (SELECT DISTINCT doc_id, ${h32("shingle")} AS sh FROM shs),
        |sh AS (SELECT * FROM sh0 WHERE sh NOT IN
        |        (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf))""".stripMargin
-  /** sequential-fold dot product of two DOUBLE[64] (mirrors Portable.dot). */
-  private def dotSql(a: String, b: String) =
-    s"list_reduce(list_prepend(0.0, [$a[i]*$b[i] for i in range(1,65)]), (x,y) -> x+y)"
-  private def normSql(a: String) = s"sqrt(${dotSql(a, a)})"
-  private def cosSql(a: String, b: String) =
-    s"round((${dotSql(a, b)}) / ((${normSql(a)}) * (${normSql(b)})), 6)"
+  /** sequential-fold dot product of two DOUBLE[dims] (mirrors Portable.dot). */
+  private def dotSql(a: String, b: String, dims: Int = 64) =
+    s"list_reduce(list_prepend(0.0, [$a[i]*$b[i] for i in range(1,${dims + 1})]), (x,y) -> x+y)"
+  private def normSql(a: String, dims: Int = 64) = s"sqrt(${dotSql(a, a, dims)})"
+  private def cosSql(a: String, b: String, dims: Int = 64) =
+    s"round((${dotSql(a, b, dims)}) / ((${normSql(a, dims)}) * (${normSql(b, dims)})), 6)"
   /** language-ID CTEs ending in lang(doc_id, lang_pred) — mirrors
     * TextAnalysis.languageId (shared by x09's expanded form and x21).
     */
@@ -647,6 +647,37 @@ object ExtQueries {
              |  round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
              |  round((CAST(t AS DOUBLE) / k) / n_tokens, 6) AS mix_weight
              |FROM per, tot""".stripMargin)),
+
+    // ---- multimodal capstone: decode → frame-sample → featurize → ANN
+    // The vision-preprocessing path composed in one plan; the
+    // featurization is the oracle-reproducible stand-in (fakeDecode's
+    // honest-stub policy), everything around it is the real dataflow.
+    ("x32_multimodal_frame_ann",
+      (s: SparkSession, dir: String) =>
+        Multimodal.frameAnn(s, t(s, dir, "documents")),
+      Some {
+        val fvDim = (side: String) =>
+          s"""[CAST((${h32(s"CAST($side.doc_id AS VARCHAR) || ':' || CAST($side.frame_idx AS VARCHAR) || ':' || CAST(d AS VARCHAR)")}) % 2001 - 1000 AS DOUBLE) / 1000.0
+             |      for d in range(0, 8)]""".stripMargin
+        s"""WITH m AS (SELECT doc_id,
+           |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+           |         ELSE octet_length(encode(text)) % 30 + 1 END AS BIGINT) AS n_frames
+           |  FROM documents),
+           |f AS (SELECT doc_id,
+           |    CAST(unnest(range(0, n_frames, greatest(1, (n_frames + 3) // 4))) AS BIGINT) AS frame_idx
+           |  FROM m),
+           |e AS (SELECT doc_id, frame_idx, ${fvDim("f")} AS fv FROM f),
+           |sc AS (SELECT q.doc_id AS q_doc, q.frame_idx AS q_frame,
+           |         n.doc_id AS n_doc, n.frame_idx AS n_frame,
+           |         ${cosSql("q.fv", "n.fv", 8)} AS cos_sim
+           |       FROM e q JOIN e n ON n.doc_id <> q.doc_id
+           |       WHERE q.doc_id < 10),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY q_doc, q_frame
+           |         ORDER BY cos_sim DESC, n_doc, n_frame) AS rnk FROM sc)
+           |SELECT q_doc, q_frame, CAST(rnk AS INTEGER) AS "rank",
+           |  n_doc, n_frame, cos_sim
+           |FROM r WHERE rnk <= 3""".stripMargin
+      }),
 
     // ---- streaming/batch parity: hourly windows via the STREAMING path
     // The chained streaming aggregation (exact n_users without
