@@ -133,7 +133,11 @@ object Multimodal {
       k: Int = 3,
       queryDocs: Long = 10L): DataFrame = {
     import graft.plans.TopKPerGroup
-    val emb = frameEmbedding(sampleFrames(spark, docs).toDF())
+    // the decode → frame → featurize prefix feeds BOTH sides of the
+    // query/target self-join; persist it (releasable, memoized) so the
+    // non-codegen typed decode seam runs once, not twice
+    val emb = graft.tools.InternalCaches.persist(
+      frameEmbedding(sampleFrames(spark, docs).toDF()))
     val q = emb.filter(col("doc_id") < queryDocs)
       .select(col("doc_id").as("q_doc"), col("frame_idx").as("q_frame"),
         col("fv").as("qv"))
