@@ -56,11 +56,12 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("ANN rankers execute with zero sorts and a partial top-k stage") {
-    Seq("x07_ann_brute_topk", "x08_ann_ivf").foreach { name =>
-      val p = finalPlan(q(name))
-      assert(!p.contains("Sort "), s"$name plan has a sort:\n$p")
-      assert(p.contains("TopKPartial"), s"$name missing map-side partial top-k:\n$p")
-    }
+    Seq("x07_ann_brute_topk", "x08_ann_ivf", "x32_multimodal_frame_ann")
+      .foreach { name =>
+        val p = finalPlan(q(name))
+        assert(!p.contains("Sort "), s"$name plan has a sort:\n$p")
+        assert(p.contains("TopKPartial"), s"$name missing map-side partial top-k:\n$p")
+      }
   }
 
   test("embedding nest: custom operator, exactly one exchange below it") {
