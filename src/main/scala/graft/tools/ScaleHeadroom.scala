@@ -88,7 +88,9 @@ object ScaleHeadroom {
                               // the query set (vec_id % 100 == 0) grows
                               // with the corpus, so cost is corpus×queries
     "x08_ann_ivf",            // the IVF scale path for the same problem
-    "x27_curation_pipeline")  // the composed curation pass
+    "x27_curation_pipeline",  // the composed curation pass
+    "x28_repetition_quality", // token/bigram repetition metrics
+    "x30_contamination")      // benchmark 5-gram overlap screen
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
