@@ -24,6 +24,48 @@ class TextMetricsSpec extends SparkSpec {
       (2L, 4L, 1.0, 0.25, 0.0)))
   }
 
+  test("repetition-metric invariants hold across a generated corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0 until 200).map { i =>
+      val n = 2 + rnd.nextInt(50)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs).collect()
+    assert(m.length === 200, "every >=2-token doc must survive")
+    m.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val df = r.getAs[Double]("distinct_token_frac")
+      val tf = r.getAs[Double]("top_token_frac")
+      val bg = r.getAs[Double]("dup_bigram_frac")
+      assert(n >= 2)
+      assert(df > 0.0 && df <= 1.0, s"distinct_frac out of range: $df")
+      // the top token appears at least n/n_distinct times (pigeonhole)
+      assert(tf >= 1.0 / n - 1e-9 && tf <= 1.0, s"top_frac out of range: $tf")
+      assert(bg >= 0.0 && bg < 1.0, s"dup_bigram_frac out of range: $bg")
+      // fractions decode back to integer counts
+      assert(math.abs(df * n - math.round(df * n)) < 1e-3)
+    }
+  }
+
+  test("mix-weight invariants: shares sum to 1, weights restore the uniform target") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 300).map { i =>
+      val lang = Seq("en", "es", "de", "fr", "zh")(rnd.nextInt(5))
+      (i.toLong, lang, Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val rows = Sampling.mixWeights(docs, "lang").collect()
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"token shares must sum to 1: $shareSum")
+    val k = rows.length
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      val restored = r.getAs[Double]("mix_weight") * r.getAs[Long]("n_tokens")
+      assert(math.abs(restored - tot.toDouble / k) < tot * 1e-5,
+        s"weight x tokens must hit the uniform target: $restored vs ${tot.toDouble / k}")
+    }
+  }
+
   test("zipped-slice shingles equal the specification (lambda) form") {
     import graft.functions.Portable._
     val df = Seq("a b c d e", "x y", "solo", "p q r", "", "a a a a")
