@@ -66,6 +66,22 @@ class TextMetricsSpec extends SparkSpec {
     }
   }
 
+  test("contamination screen: copied benchmark text flags, disjoint text does not") {
+    import graft.ext.Dedup
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // contains benchmark 5-grams
+      (2L, "one two three four five six seven"),             // disjoint
+      (3L, "tiny doc")                                       // <5 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationScreen(docs, bench, n = 5, minShared = 1L)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    // doc 1 shares the benchmark's 5-grams ("alpha..epsilon" etc.):
+    // benchmark has 3 distinct 5-grams, doc 1 contains all 3 of them
+    assert(out === Seq((1L, 3L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
   test("zipped-slice shingles equal the specification (lambda) form") {
     import graft.functions.Portable._
     val df = Seq("a b c d e", "x y", "solo", "p q r", "", "a a a a")
