@@ -69,7 +69,15 @@ object Bench {
     // `runs` timed executions per query; the first run's codegen/JIT
     // tail is covered by the session warmup above, so all runs measure
     // steady state and the median is robust to one contention spike.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name filter for iterating on specific
+    // queries locally (SPARK_GRAFT_BENCH_ONLY=x31,x32); the driver never
+    // sets it, so round artifacts always cover the full surface.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      only.forall(f => f.exists(name.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -83,14 +91,30 @@ object Bench {
       name -> (times(times.size / 2), times.head) // (median, min)
     }
     val loadAfter = loadavg()
-    def jsonMap(f: ((String, (Double, Double))) => Double): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + f((k, v)) }
+    def jsonMap(f: ((String, (Double, Double))) => Double, fmt: Double => String): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + fmt(f((k, v))) }
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalMin = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","runs":$runs,""" +
-      s""""total_min":$totalMin,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
-      s""""queries":${jsonMap(_._2._1)},"queries_min":${jsonMap(_._2._2)},"sf":"$sfDir"}""")
+    def f2(d: Double): String = "%.2f".format(d)
+    def f6(d: Double): String = "%.6f".format(d)
+    // Full-precision detail line first (medians, mins, loadavg stamps) —
+    // for human diffing across rounds.
+    println(s"""{"metric":"total_detail","value":${f6(total)},"unit":"sec","stat":"median","runs":$runs,""" +
+      s""""total_min":${f6(totalMin)},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+      s""""queries":${jsonMap(_._2._1, f6)},"queries_min":${jsonMap(_._2._2, f6)},"sf":"$sfDir"}""")
+    // The contract line LAST, and deliberately compact: the harness that
+    // consumes this output keeps only the final ~2KB of stdout (rounds
+    // 1–4 all recorded parsed:null because the full-precision line plus
+    // sbt's trailing "[success]" banner overflowed that window). Two
+    // decimals here; full precision in the detail line above.
+    val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"median",""" +
+      s""""runs":$runs,"queries":${jsonMap(_._2._1, f2)},"sf":"$sfDir"}"""
+    if (compact.length > 1880)
+      // keep the parse contract even if the query surface outgrows the
+      // window: drop per-query detail before breaking parseability
+      println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"median","runs":$runs,"sf":"$sfDir"}""")
+    else println(compact)
     spark.stop()
   }
 }

@@ -87,18 +87,34 @@ object EventStream {
     // overhead (version copy per batch per store) dominates over
     // parallelism for a 3-batch replay
     // default (HDFS-backed, in-memory) state store: measured faster
-    // than RocksDB for this one-shot 3-batch replay (6.4s vs 5.3s warm
-    // — the native store's write amplification buys durability this
-    // harness doesn't need); the remaining cost IS the level-1
-    // exact-distinct state commit, inherent to the parity proof
+    // than RocksDB for this one-shot replay (6.4s vs 5.3s warm — the
+    // native store's write amplification buys durability this harness
+    // doesn't need); the remaining cost IS the level-1 exact-distinct
+    // state commit, inherent to the parity proof.
+    // No-data micro-batches OFF for the replay: every watermark advance
+    // here is driven by a sentinel DATA batch, so the interleaved empty
+    // batches only re-commit the ~|events| level-1 state map (measured
+    // ~0.6 s per empty batch at sf0.1, ~45% of the harness); disabling
+    // them halves the batch count with bit-identical output. A
+    // production continuous stream keeps the default: there, no-data
+    // batches are what emit results when the source goes quiet.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     val q =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         hourlyCountsExact(
             stream.toDS().withColumn("ts", timestamp_micros(col("ts_us"))))
           .writeStream.format("memory").queryName(qname).outputMode("append").start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevNoData match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+          case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+        }
+      }
     try {
       stream.addData(ev.toSeq)
       q.processAllAvailable()
@@ -213,13 +229,26 @@ object EventStream {
     // partitions cost a commit per batch each, so size them to the state
     // (session-per-user records), not to the batch default. Restored
     // after start — the value is only read at query planning.
+    // No-data micro-batches OFF, same rationale as hourlyCountsReplay:
+    // the sentinel data batches advance the watermark, and the
+    // event-time timeouts fire inside those batches; the empty batches
+    // in between only re-commit per-user state.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     val q =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         sessionize(spark, stream.toDS())
           .writeStream.format("memory").queryName(qname).outputMode("append").start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevNoData match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+          case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+        }
+      }
     try {
       stream.addData(ev.toSeq)
       q.processAllAvailable()
