@@ -66,6 +66,34 @@ object Events {
         sum(col("value").cast("decimal(28,10)")).cast("double").as("sum_value"))
   }
 
+  /** Point-in-interval range join: attribute each event to the session
+    * whose [start, end] interval contains it, per user — the canonical
+    * event-analytics interval join (and the general form of "enrich a
+    * point stream from an interval table"). The join is equi on
+    * `user_id` with the range condition evaluated after co-partitioning,
+    * so the plan is ONE shuffle pair on user_id and a linear per-user
+    * scan — no cartesian, no broadcast of the fact side. At 100 TB both
+    * sides would be bucketed by user_id and the shuffle disappears; a
+    * hot user is bounded by that user's |sessions| × |events|, which the
+    * gap structure keeps small (sessions per user ≪ events per user).
+    *
+    * Output: (event_id, user_id, session_id, session_start_us) — every
+    * event maps to exactly one session by construction of the gap
+    * partitioning (session intervals of one user never overlap).
+    */
+  def sessionAttribution(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sessions = sessionize(events, gapMinutes)
+      .select(col("user_id").as("s_user"), col("session_id"),
+        col("session_start_us"), col("session_end_us"))
+    events
+      .select(col("event_id"), col("user_id"), tsMicros.as("ts_us"))
+      .join(sessions,
+        col("user_id") === col("s_user") &&
+          col("ts_us").between(col("session_start_us"), col("session_end_us")))
+      .select(col("event_id"), col("user_id"), col("session_id"),
+        col("session_start_us"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user's gap
     * from their previous event exceeds `gapMinutes`. Deterministic order
     * within a user: (ts_us, event_id).

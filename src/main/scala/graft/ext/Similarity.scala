@@ -194,6 +194,54 @@ object Similarity {
           .as("mean_val"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the shared
+    * coarse quantizer, then compare vectors ONLY within their cluster —
+    * a vector is a duplicate iff some lower-id cluster-mate has cosine
+    * >= `minCos` with it. Lowest id per neighborhood survives, so the
+    * keep-set is deterministic (the paper keeps a random point per
+    * ε-ball; a stable tie-break is what makes the operator testable and
+    * idempotent across runs).
+    *
+    * Scale: this is the paper's own trick for avoiding O(n²) — the
+    * pairwise pass runs per cluster after ONE shuffle of (id, vector)
+    * rows keyed by centroid, so cost is Σ|cluster|² ≈ n·occupancy.
+    * Size `centroidModulus` so occupancy = n/k stays O(10³) at the
+    * target corpus (k ≈ n/1000), exactly like the IVF bucket knob; a
+    * pathologically hot centroid is bounded by occupancy², not n², and
+    * AQE splits the skewed partition.
+    *
+    * Output: (vec_id, centroid_id, n_witnesses, max_sim, is_dup) —
+    * witnesses are the lower-id cluster-mates above threshold; max_sim
+    * is NULL for survivors.
+    */
+  def semDedup(
+      emb: DataFrame,
+      minCos: Double = 0.7,
+      centroidModulus: Int = 100): DataFrame = {
+    val all = vecs(emb)
+    val assigned = assignToCentroids(all, modulusCentroids(all, centroidModulus))
+    // explicit renames on the probe side: both join inputs descend from
+    // the same `assigned` plan, and self-join attribute resolution would
+    // otherwise be ambiguous
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("centroid_id").as("centroid_b"),
+      col("vec_id").as("id_b"), col("v").as("vb"))
+    val witnesses = a.join(b,
+        col("centroid_id") === col("centroid_b") && col("id_a") < col("id_b"))
+      .select(col("id_b").as("vec_id"),
+        round(cos(col("va"), col("vb")), 6).as("c_sim"))
+      .filter(col("c_sim") >= minCos)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_witnesses"), max(col("c_sim")).as("max_sim"))
+    assigned.select(col("vec_id"), col("centroid_id"))
+      .join(witnesses, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("n_witnesses"), lit(0L)).as("n_witnesses"),
+        col("max_sim"),
+        col("n_witnesses").isNotNull.as("is_dup"))
+  }
+
   /** IVF-style ANN: coarse centroids are the vectors with
     * vec_id % centroidModulus == 0; every vector is assigned to its
     * nearest centroid (cosine, ties to lowest centroid id); each query

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Events, Multimodal, Scrub, Similarity, TextAnalysis}
 import graft.sinks.JsonSink
 import graft.sources.Tables
 
@@ -747,6 +747,71 @@ object ExtQueries {
              |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
              |  max(ts_us) - min(ts_us) AS duration_us
              |FROM s GROUP BY user_id, session_id""".stripMargin)),
+
+    // ---- dedup: SemDeDup-style semantic dedup over embeddings --------
+    // Cluster with the shared coarse quantizer, pairwise cosine ONLY
+    // within clusters, keep the lowest id per near-dup neighborhood
+    // (Similarity.semDedup; threshold shared with x06's near-dup pass).
+    ("x33_semdedup",
+      (s: SparkSession, dir: String) =>
+        Similarity.semDedup(t(s, dir, "embeddings"), minCos = 0.45),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+              |a1 AS (SELECT e.vec_id, e.v, c.centroid_id, ${cosSql("e.v", "c.cv")} AS c_sim
+              |       FROM e, cents c),
+              |a2 AS (SELECT *, row_number() OVER
+              |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM a1),
+              |assigned AS (SELECT vec_id, v, centroid_id FROM a2 WHERE rn = 1),
+              |pw AS (SELECT b.vec_id, ${cosSql("a.v", "b.v")} AS c_sim
+              |       FROM assigned a JOIN assigned b
+              |         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+              |w AS (SELECT vec_id, count(*) AS n_witnesses, max(c_sim) AS max_sim
+              |      FROM pw WHERE c_sim >= 0.45 GROUP BY vec_id)
+              |SELECT s.vec_id, s.centroid_id,
+              |  CAST(COALESCE(w.n_witnesses, 0) AS BIGINT) AS n_witnesses,
+              |  w.max_sim, w.n_witnesses IS NOT NULL AS is_dup
+              |FROM assigned s LEFT JOIN w ON s.vec_id = w.vec_id""".stripMargin)),
+
+    // ---- scrub: pattern-based PII redaction --------------------------
+    // Emails first, then digit runs, counts taken against the text each
+    // rule actually saw (Scrub.redact's sequential contract).
+    ("x34_pii_scrub",
+      (s: SparkSession, dir: String) =>
+        Scrub.redact(t(s, dir, "events"), Seq("event_id"), "props"),
+      Some {
+        val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        s"""SELECT event_id,
+           |  CAST(len(regexp_extract_all(props, '$email')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(
+           |    regexp_replace(props, '$email', '<EMAIL>', 'g'), '[0-9]+')) AS BIGINT) AS n_num,
+           |  regexp_replace(regexp_replace(props, '$email', '<EMAIL>', 'g'),
+           |    '[0-9]+', '<NUM>', 'g') AS redacted
+           |FROM events""".stripMargin
+      }),
+
+    // ---- events: point-in-interval range join ------------------------
+    // Attribute every event to its containing session — equi on user_id
+    // plus a range condition evaluated after co-partitioning
+    // (Events.sessionAttribution). The oracle states the same
+    // containment join over independently derived session bounds.
+    ("x35_session_attribution",
+      (s: SparkSession, dir: String) =>
+        Events.sessionAttribution(t(s, dir, "events")),
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+             |l AS (SELECT *, lag(ts_us) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM ev),
+             |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+             |        THEN 1 ELSE 0 END AS is_new FROM l),
+             |s AS (SELECT *, CAST(sum(is_new) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us, event_id
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n),
+             |sess AS (SELECT user_id, session_id, min(ts_us) AS session_start_us,
+             |           max(ts_us) AS session_end_us
+             |         FROM s GROUP BY user_id, session_id)
+             |SELECT e.event_id, e.user_id, x.session_id, x.session_start_us
+             |FROM ev e JOIN sess x
+             |  ON e.user_id = x.user_id
+             | AND e.ts_us BETWEEN x.session_start_us AND x.session_end_us""".stripMargin)),
 
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",

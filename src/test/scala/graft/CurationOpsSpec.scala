@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Events, Scrub, Similarity}
+import graft.sources.Tables
+
+/** Round-5 curation operators: SemDeDup-style embedding cluster dedup,
+  * pattern redaction, and the point-in-interval session attribution
+  * join. Crafted fixtures pin the semantic contracts; the fixture-table
+  * cases pin the invariants the oracles can't state (per-row
+  * exhaustiveness, cross-operator consistency).
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- semDedup ------------------------------------------------------
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("semDedup: identical lower-id cluster-mate marks a dup; keepers survive") {
+    val dim = 64
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+    // centroids (ids 0, 100) on axes 0 and 1; 1 duplicates 0's vector,
+    // 101 is near 100 (cos ~0.995), 50 is orthogonal to everything
+    val emb = embDf(Seq(
+      0L -> unit(0),
+      100L -> unit(1),
+      1L -> unit(0),
+      101L -> unit(1).updated(2, 0.1f),
+      50L -> unit(3)))
+    val out = Similarity.semDedup(emb, minCos = 0.45, centroidModulus = 100)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 5, "every vector classified exactly once")
+    assert(out(1L).getBoolean(4), "identical twin of vec 0 must be a dup")
+    assert(out(101L).getBoolean(4), "near-twin of vec 100 must be a dup")
+    Seq(0L, 100L, 50L).foreach { id =>
+      assert(!out(id).getBoolean(4), s"vec $id must survive")
+      assert(out(id).isNullAt(3), s"survivor $id carries no max_sim")
+    }
+    assert(out(1L).getLong(2) === 1L, "exactly one witness (vec 0)")
+    assert(out(1L).getDouble(3) === 1.0, "identical vectors score cos 1")
+  }
+
+  test("semDedup: keep-set is closed under the witness rule on the fixture") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = Similarity.semDedup(emb, minCos = 0.45).cache()
+    try {
+      assert(out.count() === emb.count(), "one verdict per vector")
+      // is_dup <=> witnesses exist <=> max_sim present
+      assert(out.filter(col("is_dup") =!= (col("n_witnesses") > 0)).count() === 0)
+      assert(out.filter(col("is_dup") =!= col("max_sim").isNotNull).count() === 0)
+      // the minimum id of every cluster can never be a dup (no lower id)
+      val minIds = out.groupBy("centroid_id").agg(min("vec_id").as("vec_id"))
+      assert(out.join(minIds, Seq("centroid_id", "vec_id"))
+        .filter(col("is_dup")).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // ---- Scrub ---------------------------------------------------------
+
+  test("scrub: sequential rules — email digits are not double-counted") {
+    val df = Seq(
+      (1L, "mail bob.smith99@example.com and 12345 then 6"),
+      (2L, "no pii here"),
+      (3L, "7 8 9")).toDF("id", "txt")
+    val out = Scrub.redact(df, Seq("id"), "txt")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 1L, "one email")
+    assert(out(1L).getLong(2) === 2L, "digits inside the email already masked")
+    assert(out(1L).getString(3) === "mail <EMAIL> and <NUM> then <NUM>")
+    assert(out(2L).getLong(1) === 0L && out(2L).getLong(2) === 0L)
+    assert(out(2L).getString(3) === "no pii here")
+    assert(out(3L).getLong(2) === 3L)
+  }
+
+  test("scrub: custom rule order changes attribution, as documented") {
+    val df = Seq((1L, "a1@2b.co x")).toDF("id", "txt")
+    // digits inside the email consumed by the num rule first, which then
+    // breaks the email pattern's match — order is semantics, not style
+    val numFirst = Scrub.redact(df, Seq("id"), "txt",
+      Scrub.DefaultRules.reverse).collect().head
+    assert(numFirst.getString(3) === "a<NUM>@<NUM>b.co x")
+    val emailFirst = Scrub.redact(df, Seq("id"), "txt").collect().head
+    assert(emailFirst.getString(3) === "<EMAIL> x")
+  }
+
+  // ---- sessionAttribution -------------------------------------------
+
+  test("session attribution: total, exhaustive, and consistent with sessionize") {
+    val events = Tables.load(spark, sf, "events")
+    val attr = Events.sessionAttribution(events).cache()
+    try {
+      assert(attr.count() === events.count(), "every event lands in exactly one session")
+      assert(attr.select("event_id").distinct().count() === events.count(),
+        "no event attributed twice")
+      // per-session event counts must reproduce sessionize's n_events
+      val counted = attr.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_attr"))
+      val mismatch = Events.sessionize(events)
+        .join(counted, Seq("user_id", "session_id"), "full")
+        .filter(col("n_events").isNull || col("n_attr").isNull ||
+          col("n_events") =!= col("n_attr"))
+      assert(mismatch.count() === 0)
+    } finally attr.unpersist()
+  }
+}

@@ -119,6 +119,29 @@ class PlanQualitySpec extends SparkSpec {
       "spacedText no longer hoisted — doubling re-evaluated per marker:\n" + p)
   }
 
+  test("x33 semDedup pairwise pass is cluster-keyed — never all-pairs") {
+    val p = finalPlan(q("x33_semdedup"))
+    // the whole point of clustering first is that the n² pass never
+    // exists; a cartesian/BNLJ over the corpus must fail here. (The
+    // centroid frame itself is broadcast — that join is the k-way
+    // quantizer, tiny, and keyed by nothing, so restrict the assertion
+    // to the non-broadcast joins.)
+    assert(!p.contains("CartesianProduct"),
+      "semDedup pairwise pass regressed to a cartesian product:\n" + p)
+    val clusterJoin = """Join \[centroid_id#\d+L?\], \[centroid_b#\d+L?\]""".r
+    assert(clusterJoin.findFirstIn(p).isDefined,
+      "missing the centroid-keyed pairwise join:\n" + p)
+  }
+
+  test("x35 session attribution co-partitions on user_id — no nested loop") {
+    val p = finalPlan(q("x35_session_attribution"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join lost its user_id equi key:\n" + p)
+    val userJoin = """Join \[user_id#\d+L?\], \[s_user#\d+L?\]""".r
+    assert(userJoin.findFirstIn(p).isDefined,
+      "missing the user_id-keyed containment join:\n" + p)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
