@@ -220,7 +220,15 @@ object Similarity {
       minCos: Double = 0.7,
       centroidModulus: Int = 100): DataFrame = {
     val all = vecs(emb)
-    val assigned = assignToCentroids(all, modulusCentroids(all, centroidModulus))
+    witnessDedup(
+      assignToCentroids(all, modulusCentroids(all, centroidModulus)), minCos)
+  }
+
+  /** The within-cluster witness pass shared by both semDedup variants:
+    * pairwise cosine strictly inside each cluster, a vector is a dup
+    * iff a lower-id cluster-mate scores >= minCos.
+    */
+  private def witnessDedup(assigned: DataFrame, minCos: Double): DataFrame = {
     // explicit renames on the probe side: both join inputs descend from
     // the same `assigned` plan, and self-join attribute resolution would
     // otherwise be ambiguous
@@ -240,6 +248,52 @@ object Similarity {
         coalesce(col("n_witnesses"), lit(0L)).as("n_witnesses"),
         col("max_sim"),
         col("n_witnesses").isNotNull.as("is_dup"))
+  }
+
+  /** [[semDedup]] with a TWO-LEVEL quantizer — the assignment scale
+    * path. The flat quantizer scores every vector against every
+    * centroid: with occupancy held constant (k = n/occ, the SemDeDup
+    * sizing rule) that is O(n²/occ) — the 10× probe measured it ~13×
+    * (HEADROOM.md). Here centroids are first assigned to
+    * `superFactor`-times-sparser super-centroids, and each vector is
+    * scored only against its super-cell's centroids: O(n·(k₁ + k/k₁))
+    * — with k₁ ≈ √k the classic √n speedup, and every stage stays a
+    * broadcast join + the sort-free heap top-1.
+    *
+    * The result is an APPROXIMATE nearest-centroid assignment (exact
+    * within the super-cell; a vector near a cell boundary may land in
+    * the second-best cluster — the standard IVF trade-off, recoverable
+    * with multi-probe). The witness pass and output contract are
+    * identical to [[semDedup]].
+    */
+  def semDedupHierarchical(
+      emb: DataFrame,
+      minCos: Double = 0.7,
+      centroidModulus: Int = 100,
+      superFactor: Int = 16): DataFrame = {
+    import graft.plans.TopKPerGroup
+    val all = vecs(emb)
+    val centroids = modulusCentroids(all, centroidModulus)
+    val supers = all.filter(col("vec_id") % (centroidModulus.toLong * superFactor) === 0)
+      .select(col("vec_id").as("super_id"), col("v").as("sv"))
+    def nearestSuper(df: DataFrame, idCols: Seq[String], vCol: String): DataFrame =
+      TopKPerGroup.topK(
+          df.join(broadcast(supers))
+            .select(idCols.map(col) :+ col(vCol) :+ col("super_id") :+
+              round(cos(col(vCol), col("sv")), 6).as("s_sim"): _*),
+          idCols,
+          Seq("s_sim" -> TopKPerGroup.Desc, "super_id" -> TopKPerGroup.Asc), 1)
+        .select(idCols.map(col) :+ col(vCol) :+ col("super_id"): _*)
+    val centToSuper = nearestSuper(centroids, Seq("centroid_id"), "cv")
+    val vecToSuper = nearestSuper(all, Seq("vec_id"), "v")
+    val assigned = TopKPerGroup.topK(
+        vecToSuper.join(broadcast(centToSuper), Seq("super_id"))
+          .select(col("vec_id"), col("v"), col("centroid_id"),
+            round(cos(col("v"), col("cv")), 6).as("c_sim")),
+        Seq("vec_id"),
+        Seq("c_sim" -> TopKPerGroup.Desc, "centroid_id" -> TopKPerGroup.Asc), 1)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+    witnessDedup(assigned, minCos)
   }
 
   /** IVF-style ANN: coarse centroids are the vectors with

@@ -813,6 +813,65 @@ object ExtQueries {
              |  ON e.user_id = x.user_id
              | AND e.ts_us BETWEEN x.session_start_us AND x.session_end_us""".stripMargin)),
 
+    // ---- sketches: KMV distinct-count estimate -----------------------
+    // Bottom-64 md5-hash sketch per event type vs the exact distinct —
+    // the verifiable cardinality sketch (Sketches.kmvDistinct; an HLL
+    // would never hash-match an independent engine).
+    ("x36_kmv_distinct",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Sketches.kmvDistinct(t(s, dir, "events"), "event_type", "user_id"),
+      Some(s"""WITH u AS (SELECT DISTINCT event_type,
+              |            ${h60("CAST(user_id AS VARCHAR)")} AS h FROM events),
+              |r AS (SELECT *, row_number() OVER
+              |        (PARTITION BY event_type ORDER BY h) AS rn FROM u),
+              |s AS (SELECT event_type, count(*) AS n_seen, max(h) AS kth
+              |      FROM r WHERE rn <= 64 GROUP BY event_type),
+              |e AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+              |      FROM events GROUP BY event_type),
+              |est AS (SELECT e.event_type, e.n_exact,
+              |          CASE WHEN s.n_seen < 64 THEN s.n_seen
+              |               ELSE CAST(round(63.0 * 1152921504606846976.0 /
+              |                      CAST(s.kth AS DOUBLE)) AS BIGINT) END AS kmv_estimate
+              |        FROM e JOIN s USING (event_type))
+              |SELECT event_type, n_exact, CAST(64 AS BIGINT) AS kmv_k, kmv_estimate,
+              |  round(abs(kmv_estimate - n_exact) / CAST(n_exact AS DOUBLE), 6) AS rel_err
+              |FROM est""".stripMargin)),
+
+    // ---- dedup: SemDeDup with the two-level quantizer (scale path) ---
+    // Same witness contract as x33; assignment goes vector → super-cell
+    // → cell so cost is O(n·(k₁+k/k₁)) instead of the flat O(n·k)
+    // (HEADROOM.md measured the flat form ~13× at 10× data).
+    ("x37_semdedup_hier",
+      (s: SparkSession, dir: String) =>
+        Similarity.semDedupHierarchical(t(s, dir, "embeddings"), minCos = 0.45),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+              |sups AS (SELECT vec_id AS super_id, v AS sv FROM e WHERE vec_id % 1600 = 0),
+              |cs1 AS (SELECT c.centroid_id, c.cv, s.super_id,
+              |          ${cosSql("c.cv", "s.sv")} AS s_sim FROM cents c, sups s),
+              |cs2 AS (SELECT *, row_number() OVER
+              |          (PARTITION BY centroid_id ORDER BY s_sim DESC, super_id) AS rn FROM cs1),
+              |c2s AS (SELECT centroid_id, cv, super_id FROM cs2 WHERE rn = 1),
+              |vs1 AS (SELECT e.vec_id, e.v, s.super_id,
+              |          ${cosSql("e.v", "s.sv")} AS s_sim FROM e, sups s),
+              |vs2 AS (SELECT *, row_number() OVER
+              |          (PARTITION BY vec_id ORDER BY s_sim DESC, super_id) AS rn FROM vs1),
+              |v2s AS (SELECT vec_id, v, super_id FROM vs2 WHERE rn = 1),
+              |a1 AS (SELECT t.vec_id, t.v, m.centroid_id, ${cosSql("t.v", "m.cv")} AS c_sim
+              |       FROM v2s t JOIN c2s m ON t.super_id = m.super_id),
+              |a2 AS (SELECT *, row_number() OVER
+              |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM a1),
+              |assigned AS (SELECT vec_id, v, centroid_id FROM a2 WHERE rn = 1),
+              |pw AS (SELECT b.vec_id, ${cosSql("a.v", "b.v")} AS c_sim
+              |       FROM assigned a JOIN assigned b
+              |         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+              |w AS (SELECT vec_id, count(*) AS n_witnesses, max(c_sim) AS max_sim
+              |      FROM pw WHERE c_sim >= 0.45 GROUP BY vec_id)
+              |SELECT s.vec_id, s.centroid_id,
+              |  CAST(COALESCE(w.n_witnesses, 0) AS BIGINT) AS n_witnesses,
+              |  w.max_sim, w.n_witnesses IS NOT NULL AS is_dup
+              |FROM assigned s LEFT JOIN w ON s.vec_id = w.vec_id""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>

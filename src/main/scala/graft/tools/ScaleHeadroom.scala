@@ -90,7 +90,16 @@ object ScaleHeadroom {
     "x08_ann_ivf",            // the IVF scale path for the same problem
     "x27_curation_pipeline",  // the composed curation pass
     "x28_repetition_quality", // token/bigram repetition metrics
-    "x30_contamination")      // benchmark 5-gram overlap screen
+    "x30_contamination",      // benchmark 5-gram overlap screen
+    "x33_semdedup",           // FLAT quantizer: assignment is n·k with
+                              // k ∝ n (stride preserves vec_id % modulus)
+                              // — measured ~13×; kept as the honest
+                              // baseline the hierarchical form fixes
+    "x37_semdedup_hier",      // two-level quantizer: n·(k₁+k/k₁) —
+                              // the assignment scale path
+    "x35_session_attribution", // user-keyed containment join
+    "x36_kmv_distinct")       // bottom-k sketch: distinct shuffle + k-row
+                              // partial merges — expect ~linear
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

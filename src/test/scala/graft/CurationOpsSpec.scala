@@ -58,6 +58,17 @@ class CurationOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("semDedup hierarchical: degenerates to the flat form under one super-cell") {
+    // sf0.001 embeddings have a single super-centroid (only vec_id 0 is
+    // ≡ 0 mod 1600), so every centroid shares one super-cell and the
+    // two-level assignment must reproduce the flat assignment EXACTLY —
+    // the approximation only appears once cell boundaries exist
+    val emb = Tables.load(spark, sf, "embeddings")
+    val flat = Similarity.semDedup(emb, minCos = 0.45).collect().toSet
+    val hier = Similarity.semDedupHierarchical(emb, minCos = 0.45).collect().toSet
+    assert(hier === flat)
+  }
+
   // ---- Scrub ---------------------------------------------------------
 
   test("scrub: sequential rules — email digits are not double-counted") {
@@ -84,6 +95,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(numFirst.getString(3) === "a<NUM>@<NUM>b.co x")
     val emailFirst = Scrub.redact(df, Seq("id"), "txt").collect().head
     assert(emailFirst.getString(3) === "<EMAIL> x")
+  }
+
+  // ---- KMV sketch ----------------------------------------------------
+
+  test("kmv: exact below k, bounded error and partitioning-invariant above") {
+    import graft.ext.Sketches
+    // 40 distinct users in group "small" (< k=64 -> exact), 5000 in "big"
+    val rows = (1 to 40).map(i => ("small", i.toLong)) ++
+      (1 to 20000).map(i => ("big", (i % 5000).toLong + 1000L))
+    val df = rows.toDF("g", "user")
+    val out = Sketches.kmvDistinct(df, "g", "user")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("small").getLong(1) === 40L)
+    assert(out("small").getLong(3) === 40L, "below k the sketch is exact")
+    assert(out("small").getDouble(4) === 0.0)
+    assert(out("big").getLong(1) === 5000L)
+    // k=64 gives ~1/sqrt(k-2) ~ 13% std error; 3 sigma bound
+    assert(out("big").getDouble(4) < 0.4,
+      s"estimate ${out("big").getLong(3)} too far from 5000")
+    // the sketch is a function of the SET: any partitioning, same answer
+    val repart = Sketches.kmvDistinct(df.repartition(17), "g", "user")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(repart("big") === out("big").getLong(3))
+    assert(repart("small") === 40L)
   }
 
   // ---- sessionAttribution -------------------------------------------
