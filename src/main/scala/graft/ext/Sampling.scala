@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.NoInline
 import graft.functions.Portable._
@@ -61,6 +61,42 @@ object Sampling {
         pmod(hash32(concat_ws(":", col(stratumCol), col(idCol))), lit(100)) < rate))
       .filter(col(keep))
       .drop(keep)
+  }
+
+  /** Deterministic weighted priority sampling: per stratum, keep the
+    * `k` rows with the smallest priority key `h60(id) div w` — the
+    * priority-sampling shape (Duffield–Lund–Thorup: priority = u/w,
+    * u uniform) with [[graft.functions.Portable.hash60]] playing the
+    * uniform draw. Higher weight ⇒ smaller key ⇒ more likely kept, and
+    * every kept row is a pure function of the input set. INTEGER
+    * division is deliberate: the classical u^(1/w) float key would
+    * hinge on libm `pow` rounding agreeing across engines; `h div w`
+    * is exact everywhere, so the sample is oracle-verifiable
+    * bit-for-bit. Rows with NULL/non-positive weight or NULL
+    * stratum/id are excluded (same rule as [[stratifiedByHash]]).
+    *
+    * Scale shape: narrow projection, then the heap operator's
+    * map-side partial caps the exchange at k rows per (stratum,
+    * partition) — the selection never sorts and never shuffles the
+    * corpus. Output: (stratumCol, idCol, weight, priority).
+    */
+  def weightedPriority(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      weight: Column,
+      k: Int): DataFrame = {
+    import graft.plans.TopKPerGroup
+    val scored = df
+      .select(col(stratumCol), col(idCol), weight.cast("long").as("weight"))
+      .filter(col(stratumCol).isNotNull && col(idCol).isNotNull && col("weight") > 0)
+      .withColumn("__h", hash60(col(idCol).cast("string")))
+      // `div`, not `/`: Column./ is always floating-point division
+      .withColumn("priority", expr("__h div weight"))
+      .drop("__h")
+    TopKPerGroup.topK(scored, Seq(stratumCol),
+        Seq("priority" -> TopKPerGroup.Asc, idCol -> TopKPerGroup.Asc), k)
+      .select(col(stratumCol), col(idCol), col("weight"), col("priority"))
   }
 
   /** Corpus-mixing weights: per stratum (language, source, domain…),

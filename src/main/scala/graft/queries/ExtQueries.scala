@@ -872,6 +872,37 @@ object ExtQueries {
               |  w.max_sim, w.n_witnesses IS NOT NULL AS is_dup
               |FROM assigned s LEFT JOIN w ON s.vec_id = w.vec_id""".stripMargin)),
 
+    // ---- sampling: deterministic weighted priority sample ------------
+    // 25 documents per language, weighted by token count — integer
+    // priority keys (h60(id) div w) keep the sample oracle-exact where
+    // the classical float u^(1/w) key would hinge on libm rounding.
+    ("x38_weighted_sample",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.ext.Sampling.weightedPriority(docs, "lang", "doc_id",
+          size(graft.functions.Portable.tokens(col("text"))), k = 25)
+      },
+      Some(s"""WITH w AS (SELECT lang, doc_id,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS weight,
+              |    ${h60("CAST(doc_id AS VARCHAR)")} // CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS priority
+              |  FROM documents
+              |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+              |    AND len(string_split(trim(text), ' ')) > 0),
+              |r AS (SELECT *, row_number() OVER
+              |        (PARTITION BY lang ORDER BY priority, doc_id) AS rn FROM w)
+              |SELECT lang, doc_id, weight, priority FROM r WHERE rn <= 25""".stripMargin)),
+
+    // ---- streaming/batch parity: bounded-state dedup -----------------
+    // dropDuplicatesWithinWatermark over (user, type, hour) replayed on
+    // the bounded table; at key grain the streaming survivors ARE the
+    // distinct key set (EventStream.dedupReplay).
+    ("x39_stream_dedup_parity",
+      (s: SparkSession, dir: String) =>
+        graft.streaming.EventStream.dedupReplay(s, t(s, dir, "events")),
+      Some("""SELECT DISTINCT user_id, event_type,
+             |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start
+             |FROM events""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>

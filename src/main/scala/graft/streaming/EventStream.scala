@@ -126,6 +126,47 @@ object EventStream {
     spark.table(qname).filter(col("event_type") =!= "sentinel")
   }
 
+  /** Batch-replay parity harness for [[dedupStream]]: the bounded
+    * events table through the STREAMING bounded-state dedup, keyed on
+    * (user_id, event_type, hour bucket). Which physical row survives a
+    * key collision depends on intra-batch arrival order, so the harness
+    * PROJECTS THE KEY COLUMNS ONLY — at that grain the streaming output
+    * is exactly the distinct key set, which the batch oracle states as
+    * `SELECT DISTINCT`. No sentinels: `dropDuplicatesWithinWatermark`
+    * emits survivors as they arrive (the watermark only bounds state
+    * retention, which is the property the operator exists for).
+    */
+  def dedupReplay(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = events.selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
+        "event_type", "value")
+      .as[Event].collect()
+    require(ev.nonEmpty, "empty events input")
+    val stream = MemoryStream[Event]
+    val qname = s"graft_dedup_replay_${replaySeq.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        dedupStream(
+            stream.toDS()
+              .withColumn("ts", timestamp_micros(col("ts_us")))
+              .withColumn("hour_start", date_format(
+                timestamp_micros(expr("(ts_us div 3600000000) * 3600000000")),
+                "yyyy-MM-dd HH:mm:ss")),
+            Seq("user_id", "event_type", "hour_start"))
+          .select(col("user_id"), col("event_type"), col("hour_start"))
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      stream.addData(ev.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(qname)
+  }
+
   /** Streaming exact dedup: drop events whose key columns repeat within
     * the watermark horizon (`dropDuplicatesWithinWatermark` keeps state
     * bounded — O(events in the watermark window), the streaming analog

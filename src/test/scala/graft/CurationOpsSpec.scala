@@ -97,6 +97,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(emailFirst.getString(3) === "<EMAIL> x")
   }
 
+  // ---- weighted priority sampling ------------------------------------
+
+  test("weightedPriority: picks the k smallest integer keys, deterministically") {
+    import graft.ext.Sampling
+    import graft.functions.Portable
+    val df = (1L to 40L).map(i => (if (i <= 20) "a" else "b", i, i)).toDF("g", "id", "w")
+    val out = Sampling.weightedPriority(df, "g", "id", col("w"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.length === 10, "5 per stratum")
+    // expected: the 5 smallest h60(id) div w per group, computed directly
+    val expected = df
+      .withColumn("p", expr(s"cast(conv(substring(md5(cast(id as string)),1,15),16,10) as bigint) div w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1).toSeq
+      .flatMap { case (_, rows) => rows.sortBy(r => (r._3, r._2)).take(5) }
+      .toSet
+    assert(out.toSet === expected)
+    // a repartitioned input selects the same rows (pure function of the set)
+    val again = Sampling.weightedPriority(df.repartition(13), "g", "id", col("w"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(again === out.toSet)
+    // null stratum / null id / zero weight rows are excluded, not crashed on
+    val dirty = Seq((Option("a"), Option(1L), 0L), (None, Option(2L), 5L),
+      (Option("a"), Option.empty[Long], 5L), (Option("a"), Option(3L), 4L))
+      .toDF("g", "id", "w")
+    val cleaned = Sampling.weightedPriority(dirty, "g", "id", col("w"), k = 10).collect()
+    assert(cleaned.map(_.getLong(1)).toSeq === Seq(3L))
+  }
+
   // ---- KMV sketch ----------------------------------------------------
 
   test("kmv: exact below k, bounded error and partitioning-invariant above") {
