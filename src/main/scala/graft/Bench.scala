@@ -107,14 +107,23 @@ object Bench {
     // consumes this output keeps only the final ~2KB of stdout (rounds
     // 1–4 all recorded parsed:null because the full-precision line plus
     // sbt's trailing "[success]" banner overflowed that window). Two
-    // decimals here; full precision in the detail line above.
-    val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"median",""" +
-      s""""runs":$runs,"queries":${jsonMap(_._2._1, f2)},"sf":"$sfDir"}"""
-    if (compact.length > 1880)
-      // keep the parse contract even if the query surface outgrows the
-      // window: drop per-query detail before breaking parseability
-      println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"median","runs":$runs,"sf":"$sfDir"}""")
-    else println(compact)
+    // decimals here; full precision in the detail line above. If the
+    // query surface outgrows the window, drop the FASTEST queries from
+    // the map first (the slow ones are the signal) and say how many —
+    // parseability is the contract, never silently.
+    val budget = 1880
+    def compactLine(qs: Seq[(String, (Double, Double))], omitted: Int): String = {
+      val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"median","runs":$runs,""" +
+        om + s""""queries":${qs.map { case (k, v) => "\"" + k + "\":" + f2(v._1) }
+            .mkString("{", ",", "}")},"sf":"${new java.io.File(sfDir).getName}"}"""
+    }
+    val bySlowest = results.sortBy(-_._2._1)
+    val keep = Iterator.range(0, results.size + 1)
+      .map(drop => bySlowest.dropRight(drop))
+      .find(kept => compactLine(kept.sortBy(_._1), results.size - kept.size).length <= budget)
+      .getOrElse(Seq.empty)
+    println(compactLine(keep.sortBy(_._1), results.size - keep.size))
     spark.stop()
   }
 }
