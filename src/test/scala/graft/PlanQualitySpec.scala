@@ -119,6 +119,30 @@ class PlanQualitySpec extends SparkSpec {
       "spacedText no longer hoisted — doubling re-evaluated per marker:\n" + p)
   }
 
+  test("sketch and weighted-sample selections stay sort-free heap partials") {
+    // x36's bottom-k sketch merge and x38's priority selection both ride
+    // TopKPerGroup: the exchange must carry k-row partials, and a
+    // regression to a window row_number (global sort per group) fails here
+    Seq("x36_kmv_distinct", "x38_weighted_sample").foreach { name =>
+      val p = finalPlan(q(name))
+      assert(!p.contains("Sort "), s"$name plan has a sort:\n$p")
+      assert(p.contains("TopKPartial"), s"$name missing map-side partial top-k:\n$p")
+    }
+  }
+
+  test("x37 hierarchical assignment joins are all broadcast — no corpus shuffle") {
+    val p = finalPlan(q("x37_semdedup_hier"))
+    // super-centroids and the centroid→super map are tiny frames; every
+    // assignment join must broadcast them. The only shuffle joins allowed
+    // are the witness pass (centroid-keyed) and the final left join.
+    assert(!p.contains("CartesianProduct"), p)
+    val clusterJoin = """Join \[centroid_id#\d+L?\], \[centroid_b#\d+L?\]""".r
+    assert(clusterJoin.findFirstIn(p).isDefined,
+      "missing the centroid-keyed pairwise join:\n" + p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "hierarchical assignment lost its broadcast joins:\n" + p)
+  }
+
   test("x33 semDedup pairwise pass is cluster-keyed — never all-pairs") {
     val p = finalPlan(q("x33_semdedup"))
     // the whole point of clustering first is that the n² pass never
