@@ -47,8 +47,9 @@ object Scrub {
     val (finalText, counts) =
       rules.foldLeft((col(textCol), Seq.empty[Column])) {
         case ((text, acc), Rule(name, pat, repl)) =>
-          val n = size(regexp_extract_all(text, lit(pat), lit(0)))
-            .cast("long").as(s"n_$name")
+          // regexp_count, not size(regexp_extract_all): same match walk,
+          // but counts without materializing the match array
+          val n = regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
           (regexp_replace(text, pat, repl), acc :+ n)
       }
     df.select(idCols.map(col) ++ counts :+ finalText.as("redacted"): _*)

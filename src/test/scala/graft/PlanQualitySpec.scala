@@ -143,6 +143,19 @@ class PlanQualitySpec extends SparkSpec {
       "hierarchical assignment lost its broadcast joins:\n" + p)
   }
 
+  test("scrub and weighted-sample scans are column-pruned") {
+    // per-row map operators must not drag full rows through the scan:
+    // x34 needs (event_id, props), x38 needs (lang, doc_id, text)
+    val p34 = finalPlan(q("x34_pii_scrub"))
+    val rs34 = p34.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs34.contains("props") && !rs34.contains("user_id") && !rs34.contains("value"),
+      "x34 scan not pruned to (event_id, props): " + rs34)
+    val p38 = finalPlan(q("x38_weighted_sample"))
+    val rs38 = p38.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs38.contains("text") && !rs38.contains("source") && !rs38.contains("n_chars"),
+      "x38 scan not pruned to (lang, doc_id, text): " + rs38)
+  }
+
   test("x33 semDedup pairwise pass is cluster-keyed — never all-pairs") {
     val p = finalPlan(q("x33_semdedup"))
     // the whole point of clustering first is that the n² pass never
