@@ -77,6 +77,10 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       only.forall(f => f.exists(name.startsWith))
     }
+    // an empty selection (empty or typo'd filter) must fail loudly — a
+    // {"value":0.00,"queries":{}} artifact would read as a perfect run
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(",")).getOrElse("")} matched no queries")
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -96,8 +100,10 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalMin = results.map(_._2._2).sum
-    def f2(d: Double): String = "%.2f".format(d)
-    def f6(d: Double): String = "%.6f".format(d)
+    // Locale.ROOT, not default-locale format: a comma-decimal JVM locale
+    // would emit "40,10" and break the JSON contract line
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    def f6(d: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, d)
     // Full-precision detail line first (medians, mins, loadavg stamps) —
     // for human diffing across rounds.
     println(s"""{"metric":"total_detail","value":${f6(total)},"unit":"sec","stat":"median","runs":$runs,""" +

@@ -79,7 +79,10 @@ object Events {
     *
     * Output: (event_id, user_id, session_id, session_start_us) — every
     * event maps to exactly one session by construction of the gap
-    * partitioning (session intervals of one user never overlap).
+    * partitioning (session intervals of one user never overlap). The
+    * user match is NULL-SAFE (`<=>`): sessionize's window partitioning
+    * groups NULL users into their own sessions, and a null-rejecting
+    * `===` would silently drop exactly those events, breaking totality.
     */
   def sessionAttribution(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val sessions = sessionize(events, gapMinutes)
@@ -88,7 +91,7 @@ object Events {
     events
       .select(col("event_id"), col("user_id"), tsMicros.as("ts_us"))
       .join(sessions,
-        col("user_id") === col("s_user") &&
+        col("user_id") <=> col("s_user") &&
           col("ts_us").between(col("session_start_us"), col("session_end_us")))
       .select(col("event_id"), col("user_id"), col("session_id"),
         col("session_start_us"))

@@ -75,6 +75,14 @@ object Sampling {
     * bit-for-bit. Rows with NULL/non-positive weight or NULL
     * stratum/id are excluded (same rule as [[stratifiedByHash]]).
     *
+    * WEIGHTS ARE INTEGERS: the column is ROUNDED to long (not
+    * truncated), so fractional weights below 0.5 round to 0 and are
+    * excluded, and weights within ±0.5 of each other may collapse.
+    * Callers with fractional weights (quality scores in (0,1), …)
+    * must pre-scale to a meaningful integer range — e.g.
+    * `round(score * 1000)` — because sub-integer resolution cannot
+    * survive an integer key by construction.
+    *
     * Scale shape: narrow projection, then the heap operator's
     * map-side partial caps the exchange at k rows per (stratum,
     * partition) — the selection never sorts and never shuffles the
@@ -88,7 +96,7 @@ object Sampling {
       k: Int): DataFrame = {
     import graft.plans.TopKPerGroup
     val scored = df
-      .select(col(stratumCol), col(idCol), weight.cast("long").as("weight"))
+      .select(col(stratumCol), col(idCol), round(weight).cast("long").as("weight"))
       .filter(col(stratumCol).isNotNull && col(idCol).isNotNull && col("weight") > 0)
       .withColumn("__h", hash60(col(idCol).cast("string")))
       // `div`, not `/`: Column./ is always floating-point division

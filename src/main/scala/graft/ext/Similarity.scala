@@ -156,15 +156,36 @@ object Similarity {
     * the exchange, sort-free. Ties: highest cosine, then lowest
     * centroid id. Output: (vec_id, v, centroid_id).
     */
-  private def assignToCentroids(all: DataFrame, centroids: DataFrame): DataFrame = {
+  private def assignToCentroids(all: DataFrame, centroids: DataFrame): DataFrame =
+    nearestRef(all, Seq("vec_id"), "v", centroids, "centroid_id", "cv")
+
+  /** The generic quantizer behind every assignment in this file: for
+    * each point, the single nearest reference vector by rounded cosine
+    * (ties to the lowest reference id), via the broadcast join + heap
+    * top-1. Keeping ONE implementation is a bit-compatibility
+    * requirement, not style: flat and hierarchical SemDeDup must agree
+    * wherever their cell structures coincide, which only holds if both
+    * share the exact rounding and tie-break expressions.
+    * Output: point id columns + vCol + refId.
+    */
+  private def nearestRef(points: DataFrame, idCols: Seq[String], vCol: String,
+      refs: DataFrame, refId: String, refVec: String): DataFrame =
+    top1ByCos(points.join(broadcast(refs)), idCols, vCol, refId, refVec)
+
+  /** Top-1-by-cosine over ALREADY-PAIRED (point, candidate-ref) rows —
+    * for callers whose candidate set is not a full cross join (the
+    * hierarchical quantizer pairs each vector only with its super-cell's
+    * centroids). Same rounding and tie-break as [[nearestRef]].
+    */
+  private def top1ByCos(pairs: DataFrame, idCols: Seq[String], vCol: String,
+      refId: String, refVec: String): DataFrame = {
     import graft.plans.TopKPerGroup
     TopKPerGroup.topK(
-        all.join(broadcast(centroids))
-          .select(col("vec_id"), col("v"), col("centroid_id"),
-            round(cos(col("v"), col("cv")), 6).as("c_sim")),
-        Seq("vec_id"),
-        Seq("c_sim" -> TopKPerGroup.Desc, "centroid_id" -> TopKPerGroup.Asc), 1)
-      .select(col("vec_id"), col("v"), col("centroid_id"))
+        pairs.select(idCols.map(col) :+ col(vCol) :+ col(refId) :+
+          round(cos(col(vCol), col(refVec)), 6).as("__sim"): _*),
+        idCols,
+        Seq("__sim" -> TopKPerGroup.Desc, refId -> TopKPerGroup.Asc), 1)
+      .select(idCols.map(col) :+ col(vCol) :+ col(refId): _*)
   }
 
   /** One Lloyd iteration of k-means over the embedding column — the
@@ -253,7 +274,7 @@ object Similarity {
   /** [[semDedup]] with a TWO-LEVEL quantizer — the assignment scale
     * path. The flat quantizer scores every vector against every
     * centroid: with occupancy held constant (k = n/occ, the SemDeDup
-    * sizing rule) that is O(n²/occ) — the 10× probe measured it ~13×
+    * sizing rule) that is O(n²/occ) — the 10× probe measured it 13–16×
     * (HEADROOM.md). Here centroids are first assigned to
     * `superFactor`-times-sparser super-centroids, and each vector is
     * scored only against its super-cell's centroids: O(n·(k₁ + k/k₁))
@@ -271,28 +292,27 @@ object Similarity {
       minCos: Double = 0.7,
       centroidModulus: Int = 100,
       superFactor: Int = 16): DataFrame = {
-    import graft.plans.TopKPerGroup
     val all = vecs(emb)
+    val superMod = centroidModulus.toLong * superFactor
     val centroids = modulusCentroids(all, centroidModulus)
-    val supers = all.filter(col("vec_id") % (centroidModulus.toLong * superFactor) === 0)
+    val supers = all.filter(col("vec_id") % superMod === 0)
       .select(col("vec_id").as("super_id"), col("v").as("sv"))
-    def nearestSuper(df: DataFrame, idCols: Seq[String], vCol: String): DataFrame =
-      TopKPerGroup.topK(
-          df.join(broadcast(supers))
-            .select(idCols.map(col) :+ col(vCol) :+ col("super_id") :+
-              round(cos(col(vCol), col("sv")), 6).as("s_sim"): _*),
-          idCols,
-          Seq("s_sim" -> TopKPerGroup.Desc, "super_id" -> TopKPerGroup.Asc), 1)
-        .select(idCols.map(col) :+ col(vCol) :+ col("super_id"): _*)
-    val centToSuper = nearestSuper(centroids, Seq("centroid_id"), "cv")
-    val vecToSuper = nearestSuper(all, Seq("vec_id"), "v")
-    val assigned = TopKPerGroup.topK(
-        vecToSuper.join(broadcast(centToSuper), Seq("super_id"))
-          .select(col("vec_id"), col("v"), col("centroid_id"),
-            round(cos(col("v"), col("cv")), 6).as("c_sim")),
-        Seq("vec_id"),
-        Seq("c_sim" -> TopKPerGroup.Desc, "centroid_id" -> TopKPerGroup.Asc), 1)
-      .select(col("vec_id"), col("v"), col("centroid_id"))
+    // Every super-centroid is itself a centroid; pin it to ITS OWN cell
+    // rather than trusting the cosine assignment. Without this, two
+    // near-identical supers can tie at rounded cos 1.000000 and the
+    // tie-break strands the higher-id super's cell with zero centroids —
+    // any vector whose rounded similarity still prefers that cell would
+    // then vanish at the cell join, violating the one-verdict-per-vector
+    // contract.
+    val centToSuper = nearestRef(centroids, Seq("centroid_id"), "cv", supers,
+        "super_id", "sv")
+      .withColumn("super_id",
+        when(col("centroid_id") % superMod === 0, col("centroid_id"))
+          .otherwise(col("super_id")))
+    val vecToSuper = nearestRef(all, Seq("vec_id"), "v", supers, "super_id", "sv")
+    val assigned = top1ByCos(
+      vecToSuper.join(broadcast(centToSuper), Seq("super_id")),
+      Seq("vec_id"), "v", "centroid_id", "cv")
     witnessDedup(assigned, minCos)
   }
 

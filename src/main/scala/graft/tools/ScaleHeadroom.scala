@@ -93,7 +93,7 @@ object ScaleHeadroom {
     "x30_contamination",      // benchmark 5-gram overlap screen
     "x33_semdedup",           // FLAT quantizer: assignment is n·k with
                               // k ∝ n (stride preserves vec_id % modulus)
-                              // — measured ~13×; kept as the honest
+                              // — measured 13–16× across probe runs;
                               // baseline the hierarchical form fixes
     "x37_semdedup_hier",      // two-level quantizer: n·(k₁+k/k₁) —
                               // the assignment scale path

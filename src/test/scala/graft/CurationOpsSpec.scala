@@ -97,6 +97,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(emailFirst.getString(3) === "<EMAIL> x")
   }
 
+  test("semDedup hierarchical: near-identical supers cannot strand a cell") {
+    val dim = 64
+    def v(c0: Float, c1: Float): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == 0) c0 else if (i == 1) c1 else 0.0f)
+    // supers 0 and 1600 differ by 1e-4 — their mutual cosine ROUNDS to
+    // 1.000000, so centroid 1600's nearest-super tie-breaks to super 0,
+    // stranding cell 1600 with zero centroids unless the self-pin holds.
+    // Vector 1601 leans just enough toward 1600 that its rounded
+    // similarity strictly prefers super 1600: without the pin it would
+    // vanish at the cell join.
+    val emb = embDf(Seq(
+      0L -> v(1.0f, 0.0f),
+      1600L -> v(1.0f, 1e-4f),
+      1601L -> v(1.0f, 0.3f)))
+    val out = Similarity.semDedupHierarchical(emb, minCos = 0.45, centroidModulus = 100)
+    assert(out.count() === 3, "one verdict per vector even with tied super-cells")
+  }
+
   // ---- weighted priority sampling ------------------------------------
 
   test("weightedPriority: picks the k smallest integer keys, deterministically") {
@@ -151,6 +169,17 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   // ---- sessionAttribution -------------------------------------------
+
+  test("session attribution: NULL-user events keep their sessions (null-safe join)") {
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, Some(10L), 0L * ns), (2L, Some(10L), 60L * ns),
+      (3L, Option.empty[Long], 0L * ns), (4L, Option.empty[Long], 120L * ns))
+      .toDF("event_id", "user_id", "ts")
+    val attr = Events.sessionAttribution(ev)
+    assert(attr.count() === 4, "null-user events must not be dropped")
+    assert(attr.filter(col("user_id").isNull).count() === 2)
+  }
 
   test("session attribution: total, exhaustive, and consistent with sessionize") {
     val events = Tables.load(spark, sf, "events")

@@ -145,15 +145,22 @@ class PlanQualitySpec extends SparkSpec {
 
   test("scrub and weighted-sample scans are column-pruned") {
     // per-row map operators must not drag full rows through the scan:
-    // x34 needs (event_id, props), x38 needs (lang, doc_id, text)
-    val p34 = finalPlan(q("x34_pii_scrub"))
-    val rs34 = p34.linesIterator.filter(_.contains("ReadSchema")).mkString
-    assert(rs34.contains("props") && !rs34.contains("user_id") && !rs34.contains("value"),
-      "x34 scan not pruned to (event_id, props): " + rs34)
-    val p38 = finalPlan(q("x38_weighted_sample"))
-    val rs38 = p38.linesIterator.filter(_.contains("ReadSchema")).mkString
-    assert(rs38.contains("text") && !rs38.contains("source") && !rs38.contains("n_chars"),
-      "x38 scan not pruned to (lang, doc_id, text): " + rs38)
+    // x34 needs (event_id, props), x38 needs (lang, doc_id, text).
+    // Assert on the LEAF SCAN'S OUTPUT COLUMNS, not the ReadSchema
+    // lines: when another suite has cached the table in the shared
+    // session, the plan embeds the cache-build's full-width FileScan in
+    // its InMemoryRelation printout — what matters is what THIS query's
+    // scan (file or cache) actually emits.
+    def leafScanCols(p: String): String =
+      """(?:FileScan parquet|InMemoryTableScan) \[([^\]]*)\]""".r
+        .findFirstMatchIn(p).map(_.group(1)).getOrElse(
+          fail("no scan node found in plan:\n" + p))
+    val c34 = leafScanCols(finalPlan(q("x34_pii_scrub")))
+    assert(c34.contains("props") && !c34.contains("user_id") && !c34.contains("value"),
+      "x34 scan not pruned to (event_id, props): " + c34)
+    val c38 = leafScanCols(finalPlan(q("x38_weighted_sample")))
+    assert(c38.contains("text") && !c38.contains("source") && !c38.contains("n_chars"),
+      "x38 scan not pruned to (lang, doc_id, text): " + c38)
   }
 
   test("x33 semDedup pairwise pass is cluster-keyed — never all-pairs") {
@@ -174,9 +181,12 @@ class PlanQualitySpec extends SparkSpec {
     val p = finalPlan(q("x35_session_attribution"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "range join lost its user_id equi key:\n" + p)
-    val userJoin = """Join \[user_id#\d+L?\], \[s_user#\d+L?\]""".r
+    // the null-safe equi key plans as (coalesce(k, 0), isnull(k)) pairs —
+    // still a hash-joinable key on user_id, which is the property asserted
+    val userJoin =
+      """Join \[coalesce\(user_id#\d+L?, 0\), isnull\(user_id#\d+L?\)\], \[coalesce\(s_user#\d+L?, 0\), isnull\(s_user#\d+L?\)\]""".r
     assert(userJoin.findFirstIn(p).isDefined,
-      "missing the user_id-keyed containment join:\n" + p)
+      "missing the null-safe user_id-keyed containment join:\n" + p)
   }
 
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
