@@ -368,6 +368,76 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** Incremental ingest screen — the daily-pipeline form of dedup:
+    * screen an INCOMING batch against the EXISTING corpus without ever
+    * comparing existing×existing (that work was done when those docs
+    * were ingested). Two gates, exact first:
+    *   1. exact — md5(incoming.text) present in the existing corpus's
+    *      distinct hash set (in production: the stored exact-hash index,
+    *      probed via broadcast/bloom when it fits);
+    *   2. near — n-gram shingles on both sides, with the DF cap LEARNED
+    *      FROM THE EXISTING SIDE applied to both (the hot-shingle list
+    *      is part of the stored index — boilerplate is boilerplate
+    *      whichever side it appears on), an inverted-index join strictly
+    *      incoming→existing, Jaccard over the capped sets, and the best
+    *      existing match per incoming doc (highest jaccard, ties to the
+    *      lowest existing id) at >= `minJaccard`.
+    *
+    * Scale shape: the existing side reduces to two precomputable
+    * index artifacts (hash set + capped shingle set); per-batch cost is
+    * the incoming scan plus an index probe shuffled on shingle —
+    * O(|incoming| · overlap), never O(corpus²). The best-match pick
+    * rides the heap operator's map-side partial, sort-free.
+    *
+    * Output, one row per incoming doc: (doc_id, is_exact_dup,
+    * near_dup_of, near_jaccard, verdict) with verdict ∈ 'drop_exact' |
+    * 'drop_near' | 'keep' (exact wins when both fire).
+    */
+  def incrementalScreen(
+      existing: DataFrame,
+      incoming: DataFrame,
+      n: Int = 3,
+      minJaccard: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    import graft.plans.TopKPerGroup
+    val exHash = existing.select(md5(col("text")).as("h")).distinct()
+      .withColumn("ex", lit(true))
+    val exactFlag = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exHash, Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("ex"), lit(false)).as("is_exact_dup"))
+    val exShRaw = hashedShingleSet(existing, n)
+    val (exSh, inSh) =
+      if (maxShingleDf == Int.MaxValue) (exShRaw, hashedShingleSet(incoming, n))
+      else {
+        val hot = exShRaw.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("sh")
+        (exShRaw.join(broadcast(hot), Seq("sh"), "left_anti"),
+          hashedShingleSet(incoming, n).join(broadcast(hot), Seq("sh"), "left_anti"))
+      }
+    val exSizes = exSh.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
+      .withColumnRenamed("doc_id", "ex_doc")
+    val inSizes = inSh.groupBy("doc_id").agg(count(lit(1)).as("n_in"))
+    val inter = inSh
+      .join(exSh.withColumnRenamed("doc_id", "ex_doc"), Seq("sh"))
+      .groupBy(col("doc_id"), col("ex_doc"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter.join(inSizes, Seq("doc_id")).join(exSizes, Seq("ex_doc"))
+      .select(col("doc_id"), col("ex_doc"),
+        round(col("inter").cast("double") / (col("n_in") + col("n_ex") - col("inter")), 6)
+          .as("jac"))
+      .filter(col("jac") >= minJaccard)
+    val best = TopKPerGroup.topK(scored, Seq("doc_id"),
+        Seq("jac" -> TopKPerGroup.Desc, "ex_doc" -> TopKPerGroup.Asc), 1)
+      .select(col("doc_id"), col("ex_doc").as("near_dup_of"),
+        col("jac").as("near_jaccard"))
+    exactFlag.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        col("near_dup_of"), col("near_jaccard"),
+        when(col("is_exact_dup"), lit("drop_exact"))
+          .when(col("near_dup_of").isNotNull, lit("drop_near"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   /** Full-corpus cluster resolution: every document gets its component's
     * min doc_id as `cluster_id` (its own id when it has no near-dup),
     * the component size, and `keep` = is-the-representative. Downstream

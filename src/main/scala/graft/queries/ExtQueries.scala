@@ -906,6 +906,55 @@ object ExtQueries {
              |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start
              |FROM events""".stripMargin)),
 
+    // ---- dedup: incremental ingest screen ----------------------------
+    // src2 plays the daily batch; everything else is the already-curated
+    // corpus. Exact-hash gate then best near-dup match against the
+    // existing side only (Dedup.incrementalScreen — the cost shape is
+    // |batch|·overlap, never corpus²).
+    ("x40_incremental_screen",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalScreen(
+          docs.filter(col("source") =!= "src2"),
+          docs.filter(col("source") === "src2"),
+          n = 3, minJaccard = 0.8, maxShingleDf = MaxShingleDf)
+      },
+      Some(s"""WITH inc AS (SELECT * FROM documents WHERE source = 'src2'),
+              |ex AS (SELECT * FROM documents WHERE source <> 'src2'),
+              |exh AS (SELECT DISTINCT md5(text) AS h FROM ex),
+              |ef AS (SELECT i.doc_id, (exh.h IS NOT NULL) AS is_exact_dup
+              |       FROM inc i LEFT JOIN exh ON md5(i.text) = exh.h),
+              |tx AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM ex),
+              |sx AS (SELECT doc_id,
+              |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+              |       FROM tx),
+              |shx0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM sx),
+              |hot AS (SELECT sh FROM shx0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
+              |shx AS (SELECT * FROM shx0 WHERE sh NOT IN (SELECT sh FROM hot)),
+              |ti AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM inc),
+              |si AS (SELECT doc_id,
+              |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+              |       FROM ti),
+              |shi0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM si),
+              |shi AS (SELECT * FROM shi0 WHERE sh NOT IN (SELECT sh FROM hot)),
+              |szx AS (SELECT doc_id AS ex_doc, count(*) AS n_ex FROM shx GROUP BY 1),
+              |szi AS (SELECT doc_id, count(*) AS n_in FROM shi GROUP BY 1),
+              |ip AS (SELECT i.doc_id, e.doc_id AS ex_doc, count(*) AS inter
+              |       FROM shi i JOIN shx e USING (sh) GROUP BY 1, 2),
+              |j AS (SELECT ip.doc_id, ip.ex_doc,
+              |        round(CAST(inter AS DOUBLE) / (n_in + n_ex - inter), 6) AS jac
+              |      FROM ip JOIN szi USING (doc_id) JOIN szx USING (ex_doc)),
+              |jf AS (SELECT * FROM j WHERE jac >= 0.8),
+              |b AS (SELECT *, row_number() OVER
+              |        (PARTITION BY doc_id ORDER BY jac DESC, ex_doc) AS rn FROM jf),
+              |best AS (SELECT doc_id, ex_doc AS near_dup_of, jac AS near_jaccard
+              |         FROM b WHERE rn = 1)
+              |SELECT ef.doc_id, ef.is_exact_dup, best.near_dup_of, best.near_jaccard,
+              |  CASE WHEN ef.is_exact_dup THEN 'drop_exact'
+              |       WHEN best.near_dup_of IS NOT NULL THEN 'drop_near'
+              |       ELSE 'keep' END AS verdict
+              |FROM ef LEFT JOIN best USING (doc_id)""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>

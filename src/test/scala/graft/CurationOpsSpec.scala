@@ -168,6 +168,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(repart("small") === 40L)
   }
 
+  // ---- incremental screen --------------------------------------------
+
+  test("incrementalScreen: exact wins over near; best match deterministic") {
+    import graft.ext.Dedup
+    def doc(id: Long, words: String) = (id, words)
+    val existing = Seq(
+      doc(1L, "a b c d e f g h"),
+      doc(2L, "a b c d e f g z"),   // near-dup of 1 (shares most 3-grams)
+      doc(3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val incoming = Seq(
+      doc(10L, "a b c d e f g h"),  // exact copy of 1 AND near 2 -> drop_exact
+      doc(11L, "a b c d e f g q"),  // near 1 and 2, no exact -> drop_near, best match
+      doc(12L, "x y z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text") // novel -> keep
+    val out = Dedup.incrementalScreen(existing, incoming, n = 3, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 3, "one verdict per incoming doc")
+    assert(out(10L).getString(4) === "drop_exact")
+    assert(out(10L).getBoolean(1))
+    assert(out(11L).getString(4) === "drop_near")
+    // doc 11 shares 5 of its 6 shingles with doc 1 AND with doc 2 minus
+    // the differing tail; the higher-jaccard (or lower-id on tie)
+    // existing doc must win deterministically
+    assert(out(11L).getLong(2) === 1L, "best match is existing doc 1")
+    assert(out(12L).getString(4) === "keep")
+    assert(out(12L).isNullAt(2) && out(12L).isNullAt(3))
+  }
+
   // ---- sessionAttribution -------------------------------------------
 
   test("session attribution: NULL-user events keep their sessions (null-safe join)") {
