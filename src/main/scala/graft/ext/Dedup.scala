@@ -405,14 +405,22 @@ object Dedup {
     val exactFlag = incoming.select(col("doc_id"), md5(col("text")).as("h"))
       .join(exHash, Seq("h"), "left")
       .select(col("doc_id"), coalesce(col("ex"), lit(false)).as("is_exact_dup"))
-    val exShRaw = hashedShingleSet(existing, n)
+    // Both shingle sets are read several times by this plan (the hot
+    // aggregate, the cap anti-joins, the size aggregates, the probe
+    // join); persist them via the releasable registry or every read
+    // re-scans and re-shingles its corpus. In production the EXISTING
+    // side's artifacts are the stored index, computed once at ingest —
+    // this persist is the single-job stand-in for that reuse.
+    val exShRaw = graft.tools.InternalCaches.persist(hashedShingleSet(existing, n))
+    val inShRaw = graft.tools.InternalCaches.persist(hashedShingleSet(incoming, n))
     val (exSh, inSh) =
-      if (maxShingleDf == Int.MaxValue) (exShRaw, hashedShingleSet(incoming, n))
+      if (maxShingleDf == Int.MaxValue) (exShRaw, inShRaw)
       else {
         val hot = exShRaw.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDf).select("sh")
-        (exShRaw.join(broadcast(hot), Seq("sh"), "left_anti"),
-          hashedShingleSet(incoming, n).join(broadcast(hot), Seq("sh"), "left_anti"))
+        (graft.tools.InternalCaches.persist(
+            exShRaw.join(broadcast(hot), Seq("sh"), "left_anti")),
+          inShRaw.join(broadcast(hot), Seq("sh"), "left_anti"))
       }
     val exSizes = exSh.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
       .withColumnRenamed("doc_id", "ex_doc")
