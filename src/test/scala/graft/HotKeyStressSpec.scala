@@ -95,4 +95,48 @@ class HotKeyStressSpec extends SparkSpec {
     assert(orphan.length === 1 && orphan.head.isNullAt(0))
     assert(out.count() === 100001)
   }
+
+  test("one 10^3-vector cluster through semDedup: occupancy² pairwise, exact verdicts") {
+    // every vector leans on axis 0, so the single centroid (vec 0) takes
+    // the WHOLE corpus — the pathological hot cluster the Scaladoc says
+    // is bounded by occupancy², not n². 1000 vectors → ~500k in-cluster
+    // pairs through the witness join. Vectors split into two families:
+    // ids ≡ 0 (mod 2) share axis 1 (mutual cos ≈ 1 → all dups of vec 0's
+    // family head), odd ids get a per-id axis (cos to everything ≈ the
+    // axis-0 lean alone, below threshold → all survive).
+    import graft.ext.Similarity
+    import spark.implicits._
+    val dim = 64
+    val n = 1000
+    val rows = (0 until n).map { i =>
+      val v = Array.fill(dim)(0.0f)
+      v(0) = 1.0f
+      if (i % 2 == 0) v(1) = 10.0f else v(2 + (i % 60)) = 10.0f
+      (i.toLong, v.toSeq)
+    }
+    val out = Similarity.semDedup(rows.toDF("vec_id", "embedding"),
+      minCos = 0.9, centroidModulus = n).cache()
+    try {
+      assert(out.count() === n, "one verdict per vector")
+      assert(out.select(countDistinct("centroid_id")).first().getLong(0) === 1,
+        "the whole corpus lands in one cluster")
+      // even family: identical directions, every member but the head is a dup
+      assert(out.filter(col("vec_id") % 2 === 0 && col("vec_id") > 0)
+        .filter(!col("is_dup")).count() === 0)
+      assert(!out.filter(col("vec_id") === 0).first().getBoolean(4),
+        "the lowest id survives")
+      // odd family: each direction shared by ~16 ids (i % 60 cycles), so
+      // every odd id except the first per axis has a lower-id twin; the
+      // axis-minimum odd ids (3 <= id < 123 stepping the 60 axes twice
+      // per cycle...) — assert instead the exact closure rule: an odd id
+      // is a dup iff a LOWER odd id shares its axis
+      val odd = out.filter(col("vec_id") % 2 === 1)
+        .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+      odd.keys.foreach { id =>
+        val axis = 2 + (id % 60)
+        val expectDup = (1L until id by 2).exists(j => 2 + (j % 60) == axis)
+        assert(odd(id) === expectDup, s"odd vec $id axis $axis")
+      }
+    } finally out.unpersist()
+  }
 }
