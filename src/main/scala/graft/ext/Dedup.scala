@@ -81,11 +81,17 @@ object Dedup {
     * maxDf), so it broadcasts and the cap costs one count aggregate plus
     * a map-side anti join — no extra shuffle of the big side.
     */
-  def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame = {
+  def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame =
+    sh.join(broadcast(hotShingles(sh, maxDf)), Seq("sh"), "left_anti")
+
+  /** The hot-shingle list behind [[capShingleDf]] — exposed separately
+    * so [[incrementalScreen]] can learn the list from one side and
+    * apply it to both.
+    */
+  def hotShingles(sh: DataFrame, maxDf: Int): DataFrame = {
     require(maxDf > 0, s"maxDf must be positive, got $maxDf")
-    val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("sh")
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
   /** Exact n-gram Jaccard near-dup pairs: inverted-index self-join on
@@ -416,11 +422,14 @@ object Dedup {
     val (exSh, inSh) =
       if (maxShingleDf == Int.MaxValue) (exShRaw, inShRaw)
       else {
-        val hot = exShRaw.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleDf).select("sh")
+        // the hot list is learned from the EXISTING side ([[hotShingles]]
+        // keeps capShingleDf's positive-maxDf guard) and applied to both;
+        // both capped sets are read twice (size aggregate + probe join)
+        val hot = hotShingles(exShRaw, maxShingleDf)
         (graft.tools.InternalCaches.persist(
             exShRaw.join(broadcast(hot), Seq("sh"), "left_anti")),
-          inShRaw.join(broadcast(hot), Seq("sh"), "left_anti"))
+          graft.tools.InternalCaches.persist(
+            inShRaw.join(broadcast(hot), Seq("sh"), "left_anti")))
       }
     val exSizes = exSh.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
       .withColumnRenamed("doc_id", "ex_doc")

@@ -99,6 +99,16 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // PRECONDITION: key columns are non-null. Event is a flat
+    // non-nullable record (a NULL user_id/event_type would fail the
+    // encoder with an opaque error) — the batch twins handle NULL keys,
+    // but streaming parity is only claimed for clean keys; screen at
+    // ingest. Checked here so the failure names the actual problem.
+    val dirty = events.filter(col("user_id").isNull || col("event_type").isNull ||
+      col("ts").isNull || col("event_id").isNull).limit(1).count()
+    require(dirty == 0,
+      "replay harness requires non-null event_id/ts/user_id/event_type " +
+        "(the batch operators handle NULL keys; the typed MemoryStream replay does not)")
     val ev = events.selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
         "event_type", "value")
       .as[Event].collect()
@@ -142,7 +152,7 @@ object EventStream {
   def hourlyCountsReplay(spark: SparkSession, events: DataFrame): DataFrame =
     replayHarness(spark, events, Seq(4L, 8L)) { ds =>
       hourlyCountsExact(ds.withColumn("ts", timestamp_micros(col("ts_us"))))
-    }.filter(col("event_type") =!= "sentinel")
+    }.filter(!(col("event_type") <=> "sentinel"))
 
   /** Batch-replay parity harness for [[dedupStream]]: the bounded
     * events table through the STREAMING bounded-state dedup, keyed on
