@@ -164,6 +164,44 @@ object TextAnalysis {
     * tokens change it, unlike the shingle-set ops).
     * Output: (doc_id, fp_md5, fp_roll).
     */
+  /** Corpus collocation statistics: bigram LIFT — the exact-ratio
+    * association measure lift(w₁,w₂) = P(w₁w₂) / (P(w₁)·P(w₂)) =
+    * (c₁₂/N) · (M/c₁) · (M/c₂) with N total bigrams, M total tokens.
+    * PMI is log(lift); the log is deliberately NOT taken — every input
+    * is an exact integer count and one rounded double division keeps
+    * the score bit-reproducible across engines, where `ln` would hinge
+    * on libm agreement (the same argument as [[graft.ext.Sampling]]'s
+    * integer priority keys). Ranking by lift ≡ ranking by PMI (log is
+    * monotone).
+    *
+    * Scale shape: one explode→aggregate per grain with map-side
+    * combines (bigram and unigram counts), then the bigram table joins
+    * the unigram counts twice — vocabulary-sized frames, broadcast. The
+    * `minCount` floor prunes the hapax tail BEFORE the joins, which is
+    * what keeps the bigram table bounded on a 100 TB corpus (Zipf: the
+    * tail IS the table).
+    * Output: (w1, w2, c_pair, c_w1, c_w2, lift), c_pair >= minCount.
+    */
+  def collocationLift(docs: DataFrame, minCount: Long = 5L): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+    val totalTokens = uni.agg(sum("c_w").as("m_tokens"))
+    val bg = docs
+      .select(explode(shingleStructs(tokens(col("text")), 2)).as("bg"))
+      .select(col("bg").getField("0").as("w1"), col("bg").getField("1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+    val totalBg = bg.agg(sum("c_pair").as("n_bigrams"))
+    bg.filter(col("c_pair") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_w1")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_w2")), Seq("w2"))
+      .crossJoin(broadcast(totalTokens))
+      .crossJoin(broadcast(totalBg))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_w1"), col("c_w2"),
+        round(
+          col("c_pair").cast("double") * col("m_tokens") * col("m_tokens") /
+            (col("n_bigrams") * col("c_w1") * col("c_w2")), 6).as("lift"))
+  }
+
   def fingerprints(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val hs = transform(tokens(col("text")), t => hash32(t))

@@ -955,6 +955,27 @@ object ExtQueries {
               |       ELSE 'keep' END AS verdict
               |FROM ef LEFT JOIN best USING (doc_id)""".stripMargin)),
 
+    // ---- text: bigram collocation lift -------------------------------
+    // Exact-ratio association (PMI without the log — integer counts,
+    // one rounded division; ln would hinge on libm agreement).
+    ("x41_collocation_lift",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.collocationLift(t(s, dir, "documents"), minCount = 5L),
+      Some("""WITH toks AS (SELECT string_split(trim(text), ' ') AS t FROM documents),
+             |uni AS (SELECT unnest(t) AS w FROM toks),
+             |uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+             |mt AS (SELECT CAST(sum(c_w) AS BIGINT) AS m_tokens FROM uc),
+             |bgs AS (SELECT unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS bg
+             |        FROM toks),
+             |bc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS c_pair FROM bgs GROUP BY 1, 2),
+             |nb AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_bigrams FROM bc)
+             |SELECT w1, w2, c_pair, u1.c_w AS c_w1, u2.c_w AS c_w2,
+             |  round(CAST(c_pair AS DOUBLE) * m_tokens * m_tokens /
+             |        (n_bigrams * u1.c_w * u2.c_w), 6) AS lift
+             |FROM bc JOIN uc u1 ON bc.w1 = u1.w
+             |        JOIN uc u2 ON bc.w2 = u2.w, mt, nb
+             |WHERE c_pair >= 5""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>

@@ -112,4 +112,23 @@ class TextMetricsSpec extends SparkSpec {
       ("en", 2L, 8L, 0.8, 0.625),   // 5/8
       ("fr", 1L, 2L, 0.2, 2.5)))    // 5/2
   }
+
+  test("collocation lift matches the hand-computed exact ratio") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // tokens: a=3, b=3, c=1, M=7; bigrams: (a,b)=3, (b,a)=1, (b,c)=1, N=5
+    val out = TextAnalysis.collocationLift(docs, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size === 3)
+    val ab = out(("a", "b"))
+    assert((ab.getLong(2), ab.getLong(3), ab.getLong(4)) === ((3L, 3L, 3L)))
+    // lift = (3/5) / ((3/7)(3/7)) = 147/45
+    assert(ab.getDouble(5) === math.rint(147.0 / 45.0 * 1e6) / 1e6)
+    val bc = out(("b", "c"))
+    // lift = (1/5) / ((3/7)(1/7)) = 49/15
+    assert(bc.getDouble(5) === math.rint(49.0 / 15.0 * 1e6) / 1e6)
+    // a doc too short for bigrams contributes tokens only, no crash
+    val out1 = TextAnalysis.collocationLift(
+      Seq((1L, "solo")).toDF("doc_id", "text"), minCount = 1L)
+    assert(out1.count() === 0)
+  }
 }
