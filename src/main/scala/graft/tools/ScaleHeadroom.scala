@@ -100,9 +100,11 @@ object ScaleHeadroom {
     "x35_session_attribution", // user-keyed containment join
     "x36_kmv_distinct",       // bottom-k sketch: distinct shuffle + k-row
                               // partial merges — expect ~linear
-    "x40_incremental_screen") // batch-vs-index probe: |batch| grows 10×
+    "x40_incremental_screen", // batch-vs-index probe: |batch| grows 10×
                               // but existing-side index build dominates
                               // here — expect ~linear in corpus
+    "x41_collocation_lift")   // two explode→agg passes + vocab joins —
+                              // expect ~linear
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
