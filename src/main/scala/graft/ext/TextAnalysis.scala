@@ -202,6 +202,30 @@ object TextAnalysis {
             (col("n_bigrams") * col("c_w1") * col("c_w2")), 6).as("lift"))
   }
 
+  /** Per-stratum vocabulary heavy hitters: the k most frequent tokens
+    * within each stratum (language, source, domain) — the input to
+    * per-language tokenizer training and stopword derivation. Exact, so
+    * the ranking is oracle-verifiable; at corpora where exact counts
+    * are too hot, the KMV pattern ([[graft.ext.Sketches]]) is the
+    * drop-in sketch seam.
+    *
+    * Scale shape: explode → one (stratum, token)-keyed count with
+    * map-side combines, then the heap operator's partial top-k — ≤ k
+    * rows per (stratum, partition) cross the second exchange, no sort.
+    * Output: (stratum, rank, token, n) — ties broken by token asc.
+    */
+  def heavyHitters(docs: DataFrame, stratumCol: String, k: Int = 5): DataFrame = {
+    import graft.plans.TopKPerGroup
+    val counts = docs
+      .filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol), explode(tokens(col("text"))).as("token"))
+      .groupBy(col(stratumCol), col("token"))
+      .agg(count(lit(1)).as("n"))
+    TopKPerGroup.topK(counts, Seq(stratumCol),
+        Seq("n" -> TopKPerGroup.Desc, "token" -> TopKPerGroup.Asc), k)
+      .select(col(stratumCol), col("rank"), col("token"), col("n"))
+  }
+
   def fingerprints(docs: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val hs = transform(tokens(col("text")), t => hash32(t))

@@ -976,6 +976,18 @@ object ExtQueries {
              |        JOIN uc u2 ON bc.w2 = u2.w, mt, nb
              |WHERE c_pair >= 5""".stripMargin)),
 
+    // ---- text: per-language vocabulary heavy hitters -----------------
+    ("x42_heavy_hitters",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.heavyHitters(t(s, dir, "documents"), "lang", k = 5),
+      Some("""WITH toks AS (SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+             |        FROM documents WHERE lang IS NOT NULL),
+             |c AS (SELECT lang, token, count(*) AS n FROM toks GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY lang ORDER BY n DESC, token) AS "rank" FROM c)
+             |SELECT lang, CAST("rank" AS INTEGER) AS "rank", token, n
+             |FROM r WHERE "rank" <= 5""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>

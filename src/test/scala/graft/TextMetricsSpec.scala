@@ -113,6 +113,21 @@ class TextMetricsSpec extends SparkSpec {
       ("fr", 1L, 2L, 0.2, 2.5)))    // 5/2
   }
 
+  test("heavy hitters: exact per-stratum top tokens, ties by token") {
+    val docs = Seq(
+      (1L, "en", "a a a b b c"),
+      (2L, "en", "b c d"),
+      (3L, "fr", "x y y"),
+      (4L, null.asInstanceOf[String], "dropped dropped")).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.heavyHitters(docs, "lang", k = 2)
+      .orderBy("lang", "rank")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // en: a=3, b=3 tie -> a first; fr: y=2, x=1
+    assert(out.toSeq === Seq(
+      ("en", 1, "a", 3L), ("en", 2, "b", 3L),
+      ("fr", 1, "y", 2L), ("fr", 2, "x", 1L)))
+  }
+
   test("collocation lift matches the hand-computed exact ratio") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     // tokens: a=3, b=3, c=1, M=7; bigrams: (a,b)=3, (b,a)=1, (b,c)=1, N=5
