@@ -97,6 +97,74 @@ object Events {
         col("session_start_us"))
   }
 
+  /** Two-step funnel attribution: for every `fromType` event, the FIRST
+    * `toType` event by the same user strictly after it and within
+    * `windowMinutes` — conversion analysis, the sequence-analytics
+    * primitive. Deterministic even under timestamp ties: the best
+    * candidate is picked by (ts asc, event_id asc) on the heap operator,
+    * never by join order.
+    *
+    * Scale shape: both sides are type-pruned at the scan (the filter
+    * pushes down), the candidate join is equi on user_id with the range
+    * evaluated after co-partitioning (same shape as
+    * [[sessionAttribution]]), and the per-click best rides the heap
+    * partial — candidates per click are bounded by the window, so the
+    * exchange carries ≤ 1 row per (click, partition).
+    *
+    * Output: (click_id, user_id, click_ts_us, purchase_id,
+    * purchase_ts_us, delay_us) — null purchase columns when the funnel
+    * did not convert.
+    */
+  def funnel(
+      events: DataFrame,
+      fromType: String = "click",
+      toType: String = "purchase",
+      windowMinutes: Int = 30): DataFrame = {
+    import graft.plans.TopKPerGroup
+    val windowUs = windowMinutes * 60L * 1000000L
+    val from = events.filter(col("event_type") === fromType)
+      .select(col("event_id").as("click_id"), col("user_id"), tsMicros.as("click_ts_us"))
+    val to = events.filter(col("event_type") === toType)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        tsMicros.as("p_ts_us"))
+    val cand = from.join(to,
+      col("user_id") === col("p_user") &&
+        col("p_ts_us") > col("click_ts_us") &&
+        col("p_ts_us") <= col("click_ts_us") + windowUs)
+    val best = TopKPerGroup.topK(cand, Seq("click_id"),
+        Seq("p_ts_us" -> TopKPerGroup.Asc, "purchase_id" -> TopKPerGroup.Asc), 1)
+      .select(col("click_id"), col("purchase_id"),
+        col("p_ts_us").as("purchase_ts_us"))
+    from.join(best, Seq("click_id"), "left")
+      .select(col("click_id"), col("user_id"), col("click_ts_us"),
+        col("purchase_id"), col("purchase_ts_us"),
+        (col("purchase_ts_us") - col("click_ts_us")).as("delay_us"))
+  }
+
+  /** Day-grain cohort retention: users are cohorted by their first
+    * active day; each (cohort_day, day_offset) cell counts the distinct
+    * cohort members active `day_offset` days later — the standard
+    * retention triangle. Day boundaries are integer µs divisions (UTC),
+    * so both engines agree exactly.
+    *
+    * Scale shape: one (user)-keyed min-aggregate for the cohort
+    * assignment, one distinct (user, day) pass, then a
+    * (cohort, offset)-keyed countDistinct — all map-side combined; the
+    * cohort join broadcasts when the user dimension fits, shuffles on
+    * user_id otherwise.
+    * Output: (cohort_day, day_offset, n_users).
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val userDays = events
+      .select(col("user_id"), expr(s"(ts div 1000) div $dayUs").as("day"))
+      .distinct()
+    val cohorts = userDays.groupBy("user_id").agg(min("day").as("cohort_day"))
+    userDays.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user's gap
     * from their previous event exceeds `gapMinutes`. Deterministic order
     * within a user: (ts_us, event_id).

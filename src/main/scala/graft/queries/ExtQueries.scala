@@ -988,6 +988,35 @@ object ExtQueries {
              |SELECT lang, CAST("rank" AS INTEGER) AS "rank", token, n
              |FROM r WHERE "rank" <= 5""".stripMargin)),
 
+    // ---- events: two-step funnel attribution -------------------------
+    ("x43_funnel",
+      (s: SparkSession, dir: String) => Events.funnel(t(s, dir, "events")),
+      Some("""WITH c AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) // 1000 AS click_ts_us
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT event_id AS purchase_id, user_id AS p_user, epoch_ns(ts) // 1000 AS p_ts_us
+             |      FROM events WHERE event_type = 'purchase'),
+             |cand AS (SELECT c.click_id, p.purchase_id, p.p_ts_us
+             |         FROM c JOIN p ON c.user_id = p.p_user
+             |          AND p.p_ts_us > c.click_ts_us
+             |          AND p.p_ts_us <= c.click_ts_us + 1800000000),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY click_id ORDER BY p_ts_us, purchase_id) AS rn FROM cand),
+             |b AS (SELECT click_id, purchase_id, p_ts_us FROM r WHERE rn = 1)
+             |SELECT c.click_id, c.user_id, c.click_ts_us, b.purchase_id,
+             |  b.p_ts_us AS purchase_ts_us, b.p_ts_us - c.click_ts_us AS delay_us
+             |FROM c LEFT JOIN b USING (click_id)""".stripMargin)),
+
+    // ---- events: day-grain cohort retention --------------------------
+    ("x44_retention",
+      (s: SparkSession, dir: String) => Events.retentionCohorts(t(s, dir, "events")),
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+             |              (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
+             |co AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+             |SELECT co.cohort_day, ud.day - co.cohort_day AS day_offset,
+             |  count(DISTINCT ud.user_id) AS n_users
+             |FROM ud JOIN co USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>

@@ -168,6 +168,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(repart("small") === 40L)
   }
 
+  // ---- funnel + retention --------------------------------------------
+
+  test("funnel: first in-window conversion wins; ties break by id; no-match is null") {
+    val minUs = 60L * 1000000L
+    def ev(id: Long, tpe: String, tUs: Long, user: Long = 1L) =
+      (id, user, tpe, tUs * 1000) // ts column is ns
+    val events = Seq(
+      ev(1L, "click", 0L),
+      ev(2L, "purchase", 60L * minUs),  // 60 min in — outside click 1's window
+      ev(3L, "purchase", 120L),
+      ev(4L, "purchase", 120L),         // tie with 3 at the same ts
+      ev(5L, "click", 100L),
+      ev(6L, "click", 100L * minUs),    // nothing ever follows this one
+      ev(7L, "purchase", 10L, 2L)       // other user — never matches user 1
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.funnel(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 3, "one row per click")
+    // click 1 at t=0: purchases 3 and 4 tie at t=120 — lowest id wins;
+    // purchase 2 is outside the 30-min window
+    assert(out(1L).getLong(3) === 3L)
+    assert(out(5L).getLong(3) === 3L && out(5L).getLong(5) === 20L,
+      "click at t=100 converts on the t=120 purchase, delay 20us")
+    assert(out(6L).isNullAt(3) && out(6L).isNullAt(5),
+      "no purchase within 30 min after the late click")
+  }
+
+  test("retention: cohort by first day, offsets count distinct returning users") {
+    val dayNs = 86400L * 1000000000L
+    val events = Seq(
+      (1L, 10L, "view", 0L * dayNs),          // u10 cohort day 0
+      (2L, 10L, "view", 0L * dayNs + 5),      // same day, dedup
+      (3L, 10L, "view", 2L * dayNs),          // offset 2
+      (4L, 20L, "view", 0L * dayNs + 7),      // u20 cohort day 0
+      (5L, 30L, "view", 1L * dayNs)           // u30 cohort day 1
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.retentionCohorts(events)
+      .orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((0L, 0L, 2L), (0L, 2L, 1L), (1L, 0L, 1L)))
+  }
+
   // ---- incremental screen --------------------------------------------
 
   test("incrementalScreen: exact wins over near; best match deterministic") {
