@@ -163,6 +163,16 @@ class PlanQualitySpec extends SparkSpec {
       "x38 scan not pruned to (lang, doc_id, text): " + c38)
   }
 
+  test("x43 funnel candidate join is user-keyed and type filters reach the scans") {
+    val p = finalPlan(q("x43_funnel"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "funnel lost its user_id equi key:\n" + p)
+    // both sides' event_type filters push to the parquet scan (or prune
+    // the cached scan) — the funnel never reads non-participating types
+    assert(p.contains("EqualTo(event_type,click)") ||
+      p.contains("event_type#") && p.contains("= click"), p)
+  }
+
   test("x33 semDedup pairwise pass is cluster-keyed — never all-pairs") {
     val p = finalPlan(q("x33_semdedup"))
     // the whole point of clustering first is that the n² pass never
