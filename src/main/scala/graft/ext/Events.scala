@@ -156,13 +156,20 @@ object Events {
     */
   def retentionCohorts(events: DataFrame): DataFrame = {
     val dayUs = 86400L * 1000000L
-    val userDays = events
-      .select(col("user_id"), expr(s"(ts div 1000) div $dayUs").as("day"))
-      .distinct()
+    // userDays feeds both the cohort min-aggregate and the join — two
+    // reads; persist or the events scan + distinct exchange run twice
+    val userDays = graft.tools.InternalCaches.persist(
+      events
+        .select(col("user_id"), expr(s"(ts div 1000) div $dayUs").as("day"))
+        .distinct())
     val cohorts = userDays.groupBy("user_id").agg(min("day").as("cohort_day"))
     userDays.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      // plain count, not countDistinct: userDays is distinct at
+      // (user, day) and day is fixed within a (cohort, offset) group, so
+      // each user appears exactly once — the distinct-agg path would
+      // only add a second keyed exchange for a semantic no-op
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Gap-based sessionization: a new session starts when a user's gap

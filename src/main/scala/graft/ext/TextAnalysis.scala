@@ -184,7 +184,11 @@ object TextAnalysis {
     */
   def collocationLift(docs: DataFrame, minCount: Long = 5L): DataFrame = {
     val toks = docs.select(explode(tokens(col("text"))).as("w"))
-    val uni = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+    // the vocabulary aggregate feeds the total AND both joins — three
+    // reads; persist via the releasable registry or the corpus scan +
+    // explode + count runs three times (same hazard tfidfTopTerms pins)
+    val uni = graft.tools.InternalCaches.persist(
+      toks.groupBy("w").agg(count(lit(1)).as("c_w")))
     val totalTokens = uni.agg(sum("c_w").as("m_tokens"))
     val bg = docs
       .select(explode(shingleStructs(tokens(col("text")), 2)).as("bg"))
@@ -197,9 +201,13 @@ object TextAnalysis {
       .crossJoin(broadcast(totalTokens))
       .crossJoin(broadcast(totalBg))
       .select(col("w1"), col("w2"), col("c_pair"), col("c_w1"), col("c_w2"),
+        // the denominator multiplies THROUGH a double: three BIGINTs
+        // (n_bigrams · c_w1 · c_w2) overflow Long at large-corpus counts
+        // (~1e18 already at sf1's scale) — one IEEE product is
+        // bit-identical across engines, so parity survives the cast
         round(
           col("c_pair").cast("double") * col("m_tokens") * col("m_tokens") /
-            (col("n_bigrams") * col("c_w1") * col("c_w2")), 6).as("lift"))
+            (col("n_bigrams").cast("double") * col("c_w1") * col("c_w2")), 6).as("lift"))
   }
 
   /** Per-stratum vocabulary heavy hitters: the k most frequent tokens

@@ -971,7 +971,7 @@ object ExtQueries {
              |nb AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_bigrams FROM bc)
              |SELECT w1, w2, c_pair, u1.c_w AS c_w1, u2.c_w AS c_w2,
              |  round(CAST(c_pair AS DOUBLE) * m_tokens * m_tokens /
-             |        (n_bigrams * u1.c_w * u2.c_w), 6) AS lift
+             |        (CAST(n_bigrams AS DOUBLE) * u1.c_w * u2.c_w), 6) AS lift
              |FROM bc JOIN uc u1 ON bc.w1 = u1.w
              |        JOIN uc u2 ON bc.w2 = u2.w, mt, nb
              |WHERE c_pair >= 5""".stripMargin)),

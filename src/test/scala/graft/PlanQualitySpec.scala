@@ -167,10 +167,25 @@ class PlanQualitySpec extends SparkSpec {
     val p = finalPlan(q("x43_funnel"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "funnel lost its user_id equi key:\n" + p)
-    // both sides' event_type filters push to the parquet scan (or prune
-    // the cached scan) — the funnel never reads non-participating types
-    assert(p.contains("EqualTo(event_type,click)") ||
-      p.contains("event_type#") && p.contains("= click"), p)
+    val userJoin = """Join \[user_id#\d+L?\], \[p_user#\d+L?\]""".r
+    assert(userJoin.findFirstIn(p).isDefined,
+      "missing the user-keyed candidate join:\n" + p)
+    // BOTH sides' event_type equality pushes to the parquet scan; when
+    // another suite cached `events` in the shared session, the parquet
+    // PushedFilters line is absent and the filter prunes the cache scan
+    // instead — then require it BELOW the join (adjacent to the leaf
+    // scan), not post-join on the candidate set
+    if (p.contains("FileScan parquet")) {
+      Seq("EqualTo(event_type,click)", "EqualTo(event_type,purchase)").foreach(f =>
+        assert(p.contains(f), s"missing pushed funnel type filter $f:\n$p"))
+    } else {
+      Seq("click", "purchase").foreach { t =>
+        val filterThenScan =
+          (s"""(?s)Filter [^\\n]*event_type#\\d+ = $t[^\\n]*\\n\\s*\\+?- InMemoryTableScan""").r
+        assert(filterThenScan.findFirstIn(p).isDefined,
+          s"$t type filter not adjacent to the cache scan:\n$p")
+      }
+    }
   }
 
   test("x33 semDedup pairwise pass is cluster-keyed — never all-pairs") {
