@@ -455,6 +455,44 @@ object Dedup {
           .otherwise(lit("keep")).as("verdict"))
   }
 
+  /** Cross-source overlap matrix — the provenance audit that tells a
+    * curation pipeline which dataset pairs share content before mixing
+    * them: per source pair, the Jaccard of their distinct shingle-hash
+    * sets. Exact on purpose (the numbers drive de-weighting decisions);
+    * at corpus scale each source's set is replaced by a bottom-k sketch
+    * (the [[graft.ext.Sketches]] KMV seam — Jaccard from merged
+    * sketches) rather than this exact pairwise join.
+    *
+    * Scale shape: one distinct (source, shingle) aggregate, then a
+    * shingle-keyed self-join whose output is Σ_sh C(sources(sh), 2) —
+    * bounded by (#sources choose 2) per shingle, NOT by corpus size;
+    * with sources ≪ corpus this is the cheap direction of the join.
+    * Output: (source_a, source_b, n_a, n_b, n_shared, jaccard) for
+    * pairs sharing at least one shingle.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("source"), tokens(col("text")).as("t"))
+      .select(col("source"), explode(shingleStructs(col("t"), n)).as("s"))
+      .select(col("source"), hash32(shingleText(col("s"), n)).as("sh"))
+      .distinct()
+    val cached = graft.tools.InternalCaches.persist(sh)
+    val sizes = cached.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val shared = cached.as("a")
+      .join(cached.withColumnRenamed("source", "source_b").as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("source_b"))
+      .groupBy(col("a.source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_sh", "n_a"), "source_a")
+      .join(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_sh", "n_b"), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** Full-corpus cluster resolution: every document gets its component's
     * min doc_id as `cluster_id` (its own id when it has no near-dup),
     * the component size, and `keep` = is-the-representative. Downstream

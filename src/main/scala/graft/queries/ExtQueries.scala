@@ -1017,6 +1017,24 @@ object ExtQueries {
              |FROM ud JOIN co USING (user_id)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- dedup: cross-source overlap audit ---------------------------
+    ("x45_source_overlap",
+      (s: SparkSession, dir: String) =>
+        Dedup.sourceOverlap(t(s, dir, "documents")),
+      Some(s"""WITH tk AS (SELECT source, string_split(trim(text), ' ') AS t FROM documents),
+              |sg AS (SELECT source,
+              |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+              |       FROM tk),
+              |sh AS (SELECT DISTINCT source, ${h32("s")} AS sh FROM sg),
+              |sz AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+              |ov AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+              |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+              |       GROUP BY 1, 2)
+              |SELECT ov.source_a, ov.source_b, x.n_sh AS n_a, y.n_sh AS n_b, ov.n_shared,
+              |  round(CAST(ov.n_shared AS DOUBLE) / (x.n_sh + y.n_sh - ov.n_shared), 6) AS jaccard
+              |FROM ov JOIN sz x ON x.source = ov.source_a
+              |        JOIN sz y ON y.source = ov.source_b""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>

@@ -237,6 +237,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(12L).isNullAt(2) && out(12L).isNullAt(3))
   }
 
+  test("sourceOverlap: exact pairwise shingle jaccard, disjoint pairs absent") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "s1", "a b c d e"),      // shingles: abc bcd cde
+      (2L, "s2", "a b c x y"),      // abc bcx cxy -> shares abc with s1
+      (3L, "s3", "p q r s t")).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet === Set(("s1", "s2")), "only the overlapping pair appears")
+    val r = out(("s1", "s2"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((3L, 3L, 1L)))
+    assert(r.getDouble(5) === 0.2) // 1 / (3 + 3 - 1)
+  }
+
   // ---- sessionAttribution -------------------------------------------
 
   test("session attribution: NULL-user events keep their sessions (null-safe join)") {
