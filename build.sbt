@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: ..." banner after `sbt run` output: the
+// bench/verify harness keeps only a stdout tail and parses the LAST
+// line as JSON — the banner printing after Bench's contract line is
+// exactly what broke that parse. Failure reporting is unaffected
+// ([error] lines and the non-zero exit code still happen).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

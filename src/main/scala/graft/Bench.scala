@@ -70,12 +70,15 @@ object Bench {
     // tail is covered by the session warmup above, so all runs measure
     // steady state and the median is robust to one contention spike.
     // Optional comma-separated name filter for iterating on specific
-    // queries locally (SPARK_GRAFT_BENCH_ONLY=x31,x32); the driver never
-    // sets it, so round artifacts always cover the full surface.
+    // queries locally (SPARK_GRAFT_BENCH_ONLY=x31_stream_hourly,...);
+    // names match EXACTLY — a prefix like "x3" selects nothing and trips
+    // the loud-failure require below rather than silently timing x30–x39.
+    // The driver never sets it, so round artifacts always cover the full
+    // surface.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
-      only.forall(f => f.exists(name.startsWith))
+      only.forall(f => f.contains(name))
     }
     // an empty selection (empty or typo'd filter) must fail loudly — a
     // {"value":0.00,"queries":{}} artifact would read as a perfect run
@@ -117,10 +120,18 @@ object Bench {
     // query surface outgrows the window, drop the FASTEST queries from
     // the map first (the slow ones are the signal) and say how many —
     // parseability is the contract, never silently.
+    // The contract line carries `total_min` and a compact loadavg stamp
+    // ("1m,5m,15m before;after") so a contended run indicts ITSELF in
+    // the round artifact: if load ≫ 32 or total ≫ total_min, the number
+    // is machine noise, not a regression — three rounds running, a
+    // loaded committed bench was mistaken for a slowdown because this
+    // evidence lived only in the detail line the consumer's tail window
+    // discards.
     val budget = 1880
     def compactLine(qs: Seq[(String, (Double, Double))], omitted: Int): String = {
       val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"median","runs":$runs,""" +
+        s""""total_min":${f2(totalMin)},"load":"$loadBefore;$loadAfter",""" +
         om + s""""queries":${qs.map { case (k, v) => "\"" + k + "\":" + f2(v._1) }
             .mkString("{", ",", "}")},"sf":"${new java.io.File(sfDir).getName}"}"""
     }

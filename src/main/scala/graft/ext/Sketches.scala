@@ -39,7 +39,13 @@ object Sketches {
       k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val twoPow60 = 1152921504606846976.0 // 2^60, exact as a double
+    // NULL items are excluded before hashing: hash60(NULL) is NULL,
+    // which would survive distinct() as a phantom member and inflate
+    // n_seen relative to n_exact (countDistinct ignores NULLs) — and
+    // NULL ordering differs between engines, so a NULL in the bottom-k
+    // would also break oracle parity.
     val hashed = df
+      .filter(col(itemCol).isNotNull)
       .select(col(groupCol), Portable.hash60(col(itemCol).cast("string")).as("h"))
       .distinct()
     val bottomK = graft.plans.TopKPerGroup.topK(

@@ -821,7 +821,8 @@ object ExtQueries {
       (s: SparkSession, dir: String) =>
         graft.ext.Sketches.kmvDistinct(t(s, dir, "events"), "event_type", "user_id"),
       Some(s"""WITH u AS (SELECT DISTINCT event_type,
-              |            ${h60("CAST(user_id AS VARCHAR)")} AS h FROM events),
+              |            ${h60("CAST(user_id AS VARCHAR)")} AS h FROM events
+              |           WHERE user_id IS NOT NULL),
               |r AS (SELECT *, row_number() OVER
               |        (PARTITION BY event_type ORDER BY h) AS rn FROM u),
               |s AS (SELECT event_type, count(*) AS n_seen, max(h) AS kth

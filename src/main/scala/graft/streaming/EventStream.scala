@@ -100,18 +100,22 @@ object EventStream {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // PRECONDITION: key columns are non-null. Event is a flat
-    // non-nullable record (a NULL user_id/event_type would fail the
-    // encoder with an opaque error) — the batch twins handle NULL keys,
-    // but streaming parity is only claimed for clean keys; screen at
-    // ingest. Checked here so the failure names the actual problem.
-    val dirty = events.filter(col("user_id").isNull || col("event_type").isNull ||
-      col("ts").isNull || col("event_id").isNull).limit(1).count()
-    require(dirty == 0,
+    // non-nullable record — the batch twins handle NULL keys, but
+    // streaming parity is only claimed for clean keys; screen at
+    // ingest. The check runs on the already-collected driver rows (the
+    // replay materializes its harness-sized input anyway), not as a
+    // separate Spark job that would tax every benchmarked replay; the
+    // collect is untyped because a NULL in a primitive-typed column
+    // would fail the Event encoder with an opaque NPE before any typed
+    // check could run.
+    val rows = events.selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
+        "event_type", "value").collect()
+    require(rows.forall(r =>
+        !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3)),
       "replay harness requires non-null event_id/ts/user_id/event_type " +
         "(the batch operators handle NULL keys; the typed MemoryStream replay does not)")
-    val ev = events.selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
-        "event_type", "value")
-      .as[Event].collect()
+    val ev = rows.map(r =>
+      Event(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
     require(ev.nonEmpty, "empty events input")
     val maxUs = ev.iterator.map(_.ts_us).max
     val stream = MemoryStream[Event]
