@@ -114,6 +114,19 @@ object Events {
     * Output: (click_id, user_id, click_ts_us, purchase_id,
     * purchase_ts_us, delay_us) — null purchase columns when the funnel
     * did not convert.
+    *
+    * NULL users: the candidate join is deliberately null-REJECTING
+    * (`===`), the opposite of [[sessionAttribution]]'s `<=>`. Session
+    * attribution enriches events with per-user structure, so a NULL
+    * user's events still form sessions and must not be dropped —
+    * totality is the contract. A funnel asserts that the SAME person
+    * clicked and then purchased; two anonymous events carry no such
+    * identity, and `<=>` would conflate every anonymous click with
+    * every anonymous purchase into one phantom mega-user. So NULL-user
+    * clicks stay in the output (the left join keeps them) but can never
+    * convert — purchase columns null — and NULL-user purchases attach
+    * to nothing. The x43 oracle mirrors this via SQL's native
+    * null-rejecting `=`.
     */
   def funnel(
       events: DataFrame,

@@ -195,6 +195,25 @@ class CurationOpsSpec extends SparkSpec {
       "no purchase within 30 min after the late click")
   }
 
+  test("funnel: NULL-user clicks are kept but never convert (null-rejecting join)") {
+    // The deliberate asymmetry vs sessionAttribution's <=> (see the
+    // funnel Scaladoc): anonymous events carry no shared identity, so
+    // an anonymous click must not match an anonymous purchase.
+    val events = Seq(
+      (1L, Option(1L), "click", 0L),
+      (2L, Option(1L), "purchase", 120L * 1000),
+      (3L, Option.empty[Long], "click", 0L),          // anonymous click
+      (4L, Option.empty[Long], "purchase", 60L * 1000) // anonymous purchase, in-window
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Events.funnel(events).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 2, "both clicks present: totality of the left join")
+    assert(out(1L).getLong(3) === 2L, "identified user converts normally")
+    assert(out(3L).isNullAt(1), "anonymous click keeps its NULL user")
+    assert(out(3L).isNullAt(3) && out(3L).isNullAt(4) && out(3L).isNullAt(5),
+      "anonymous click never converts — purchase columns all null")
+  }
+
   test("retention: cohort by first day, offsets count distinct returning users") {
     val dayNs = 86400L * 1000000000L
     val events = Seq(
