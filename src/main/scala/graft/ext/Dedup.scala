@@ -459,9 +459,9 @@ object Dedup {
     * curation pipeline which dataset pairs share content before mixing
     * them: per source pair, the Jaccard of their distinct shingle-hash
     * sets. Exact on purpose (the numbers drive de-weighting decisions);
-    * at corpus scale each source's set is replaced by a bottom-k sketch
-    * (the [[graft.ext.Sketches]] KMV seam — Jaccard from merged
-    * sketches) rather than this exact pairwise join.
+    * at corpus scale each source's set is replaced by a bottom-k KMV
+    * sketch — [[sourceOverlapSketch]] is that form, with cost
+    * independent of shared vocabulary.
     *
     * Scale shape: one distinct (source, shingle) aggregate, then a
     * shingle-keyed self-join whose output is Σ_sh C(sources(sh), 2) —
@@ -491,6 +491,62 @@ object Dedup {
         col("n_shared"),
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  /** Sketch-based cross-source overlap — the corpus-scale form of
+    * [[sourceOverlap]], implementing the KMV seam its Scaladoc names.
+    * Each source's distinct-shingle set is replaced by its bottom-k
+    * sketch (the k smallest [[graft.functions.Portable.hash60]] values,
+    * same estimator as [[graft.ext.Sketches]]); for a pair (A,B) the
+    * merged bottom-k of S_A ∪ S_B is a uniform hash-order sample of
+    * A ∪ B, so the fraction of merged-sketch members present in BOTH
+    * per-source sketches estimates J(A,B) (Bar-Yossef et al. 2002; the
+    * θ-sketch intersection rule). When |A ∪ B| ≤ k the sketch IS the
+    * set and the estimate is exact — the crafted-fixture spec relies on
+    * this degeneracy.
+    *
+    * Scale shape: the corpus is touched ONCE (the same distinct
+    * (source, shingle-hash) aggregate as the exact audit, with the
+    * bottom-k riding the heap partials so ≤ k rows per source per
+    * partition cross the exchange); everything downstream runs on
+    * #sources·k rows — the pair expansion is a broadcast of the tiny
+    * distinct-source list and the output is (#sources choose 2) rows.
+    * Unlike the exact audit there is NO shingle-keyed self-join, so
+    * cost is INDEPENDENT of how much vocabulary the sources share —
+    * the dimension along which exact x45 grows.
+    * Output: (source_a, source_b, kmv_k, n_merged, n_both,
+    * jaccard_est) for every source pair (shared or not).
+    */
+  def sourceOverlapSketch(docs: DataFrame, n: Int = 3, k: Int = 256): DataFrame = {
+    import graft.plans.TopKPerGroup
+    require(k >= 2, "KMV needs k >= 2")
+    val sh = docs.select(col("source"), tokens(col("text")).as("t"))
+      .select(col("source"), explode(shingleStructs(col("t"), n)).as("s"))
+      .select(col("source"), hash60(shingleText(col("s"), n)).as("h"))
+      .distinct()
+    val sk = TopKPerGroup.topK(sh, Seq("source"), Seq("h" -> TopKPerGroup.Asc), k)
+    // unordered pair expansion: each sketch row meets every OTHER
+    // source once; (least, greatest) folds (a,b) and (b,a) into one
+    // pair key, so each pair sees the union of both sketches
+    val srcs = sk.select(col("source").as("other")).distinct()
+    val merged = sk.join(broadcast(srcs), col("source") =!= col("other"))
+      .select(
+        least(col("source"), col("other")).as("source_a"),
+        greatest(col("source"), col("other")).as("source_b"),
+        col("h"), col("source"))
+      // integer flags, not boolean max: both engines agree on int
+      // aggregation semantics everywhere
+      .groupBy(col("source_a"), col("source_b"), col("h"))
+      .agg(max(when(col("source") === col("source_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("source") === col("source_b"), 1).otherwise(0)).as("in_b"))
+    val mk = TopKPerGroup.topK(merged, Seq("source_a", "source_b"),
+      Seq("h" -> TopKPerGroup.Asc), k)
+    mk.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_merged"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("n_both"))
+      .select(col("source_a"), col("source_b"), lit(k.toLong).as("kmv_k"),
+        col("n_merged"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_merged"), 6).as("jaccard_est"))
   }
 
   /** Full-corpus cluster resolution: every document gets its component's

@@ -169,22 +169,24 @@ object Similarity {
     * Output: point id columns + vCol + refId.
     */
   private def nearestRef(points: DataFrame, idCols: Seq[String], vCol: String,
-      refs: DataFrame, refId: String, refVec: String): DataFrame =
-    top1ByCos(points.join(broadcast(refs)), idCols, vCol, refId, refVec)
+      refs: DataFrame, refId: String, refVec: String, k: Int = 1): DataFrame =
+    topKByCos(points.join(broadcast(refs)), idCols, vCol, refId, refVec, k)
 
-  /** Top-1-by-cosine over ALREADY-PAIRED (point, candidate-ref) rows —
+  /** Top-k-by-cosine over ALREADY-PAIRED (point, candidate-ref) rows —
     * for callers whose candidate set is not a full cross join (the
     * hierarchical quantizer pairs each vector only with its super-cell's
-    * centroids). Same rounding and tie-break as [[nearestRef]].
+    * centroids). k=1 is the assignment case; k>1 is the multi-probe
+    * case (keep the k nearest refs per point). Same rounding and
+    * tie-break as [[nearestRef]].
     */
-  private def top1ByCos(pairs: DataFrame, idCols: Seq[String], vCol: String,
-      refId: String, refVec: String): DataFrame = {
+  private def topKByCos(pairs: DataFrame, idCols: Seq[String], vCol: String,
+      refId: String, refVec: String, k: Int = 1): DataFrame = {
     import graft.plans.TopKPerGroup
     TopKPerGroup.topK(
         pairs.select(idCols.map(col) :+ col(vCol) :+ col(refId) :+
           round(cos(col(vCol), col(refVec)), 6).as("__sim"): _*),
         idCols,
-        Seq("__sim" -> TopKPerGroup.Desc, refId -> TopKPerGroup.Asc), 1)
+        Seq("__sim" -> TopKPerGroup.Desc, refId -> TopKPerGroup.Asc), k)
       .select(idCols.map(col) :+ col(vCol) :+ col(refId): _*)
   }
 
@@ -282,16 +284,25 @@ object Similarity {
     * broadcast join + the sort-free heap top-1.
     *
     * The result is an APPROXIMATE nearest-centroid assignment (exact
-    * within the super-cell; a vector near a cell boundary may land in
-    * the second-best cluster — the standard IVF trade-off, recoverable
-    * with multi-probe). The witness pass and output contract are
+    * within the probed super-cells; a vector near a cell boundary may
+    * land in the second-best cluster — the standard IVF trade-off).
+    * `nprobe` is the standard recovery knob: each vector considers the
+    * centroids of its `nprobe` nearest super-cells instead of only the
+    * best one, at cost O(n·(k₁ + nprobe·k/k₁)) — still a broadcast
+    * join + heap top-1, no new shuffle. nprobe=1 is the pure
+    * hierarchical assignment (the x37 contract); nprobe=k₁ degenerates
+    * to the exact flat assignment, so on a boundary fixture nprobe=2
+    * provably recovers dup verdicts the single-probe pass misses (see
+    * CurationOpsSpec). The witness pass and output contract are
     * identical to [[semDedup]].
     */
   def semDedupHierarchical(
       emb: DataFrame,
       minCos: Double = 0.7,
       centroidModulus: Int = 100,
-      superFactor: Int = 16): DataFrame = {
+      superFactor: Int = 16,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val all = vecs(emb)
     val superMod = centroidModulus.toLong * superFactor
     val centroids = modulusCentroids(all, centroidModulus)
@@ -309,8 +320,13 @@ object Similarity {
       .withColumn("super_id",
         when(col("centroid_id") % superMod === 0, col("centroid_id"))
           .otherwise(col("super_id")))
-    val vecToSuper = nearestRef(all, Seq("vec_id"), "v", supers, "super_id", "sv")
-    val assigned = top1ByCos(
+    // nprobe nearest super-cells per vector; each centroid belongs to
+    // exactly ONE cell (centToSuper is a top-1 assignment), so the
+    // candidate set below is duplicate-free and the top-1 over it is
+    // exact within the probed cells.
+    val vecToSuper = nearestRef(all, Seq("vec_id"), "v", supers, "super_id", "sv",
+      k = nprobe)
+    val assigned = topKByCos(
       vecToSuper.join(broadcast(centToSuper), Seq("super_id")),
       Seq("vec_id"), "v", "centroid_id", "cv")
     witnessDedup(assigned, minCos)

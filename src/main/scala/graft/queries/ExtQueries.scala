@@ -1036,6 +1036,41 @@ object ExtQueries {
               |FROM ov JOIN sz x ON x.source = ov.source_a
               |        JOIN sz y ON y.source = ov.source_b""".stripMargin)),
 
+    // ---- dedup: sketch-based overlap audit (the corpus-scale form) ---
+    // Per-source KMV bottom-256 shingle sketches; pair Jaccard estimated
+    // from the merged sketches (Dedup.sourceOverlapSketch). The oracle
+    // computes the SAME sketch bit-for-bit — like x36, the whole point
+    // of a KMV over an HLL is that an independent engine reproduces it.
+    ("x46_source_overlap_kmv",
+      (s: SparkSession, dir: String) =>
+        Dedup.sourceOverlapSketch(t(s, dir, "documents")),
+      Some(s"""WITH tk AS (SELECT source, string_split(trim(text), ' ') AS t FROM documents),
+              |sg AS (SELECT source,
+              |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+              |       FROM tk),
+              |sh AS (SELECT DISTINCT source, ${h60("s")} AS h FROM sg),
+              |sk AS (SELECT source, h FROM
+              |        (SELECT source, h, row_number() OVER
+              |           (PARTITION BY source ORDER BY h) AS rn FROM sh)
+              |       WHERE rn <= 256),
+              |srcs AS (SELECT DISTINCT source AS other FROM sk),
+              |mg AS (SELECT least(s.source, o.other) AS source_a,
+              |         greatest(s.source, o.other) AS source_b, s.h,
+              |         max(CASE WHEN s.source = least(s.source, o.other) THEN 1 ELSE 0 END) AS in_a,
+              |         max(CASE WHEN s.source = greatest(s.source, o.other) THEN 1 ELSE 0 END) AS in_b
+              |       FROM sk s JOIN srcs o ON s.source <> o.other
+              |       GROUP BY 1, 2, 3),
+              |mk AS (SELECT * FROM
+              |        (SELECT *, row_number() OVER
+              |           (PARTITION BY source_a, source_b ORDER BY h) AS rn FROM mg)
+              |       WHERE rn <= 256)
+              |SELECT source_a, source_b, CAST(256 AS BIGINT) AS kmv_k,
+              |  count(*) AS n_merged,
+              |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+              |  round(CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              |        / count(*), 6) AS jaccard_est
+              |FROM mk GROUP BY source_a, source_b""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>

@@ -97,6 +97,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(emailFirst.getString(3) === "<EMAIL> x")
   }
 
+  test("semDedup hierarchical multi-probe: nprobe=2 recovers the boundary dup and matches flat") {
+    val dim = 64
+    def ang(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq.tabulate(dim)(i =>
+        if (i == 0) math.cos(r).toFloat else if (i == 1) math.sin(r).toFloat else 0.0f)
+    }
+    // centroidModulus=2, superFactor=2: supers at 0° (id 0) and 90°
+    // (id 4) split the quadrant at 45°; centroids C2 (55°) and C6 (20°)
+    // land in opposite cells. The near-dup pair 101 (43°) / 103 (47°),
+    // cos 4° ≈ 0.9976, STRADDLES the super boundary: flat assignment
+    // puts both in C2 and finds the dup, single-probe hierarchical
+    // splits them (101→S0→C6, 103→S4→C2) and misses it — the boundary
+    // loss the x37 Scaladoc documents. No other pair clears minCos
+    // (the closest, C2–103 at cos 8° ≈ 0.9903, is below 0.995).
+    val emb = embDf(Seq(
+      0L -> ang(0), 4L -> ang(90), 2L -> ang(55), 6L -> ang(20),
+      101L -> ang(43), 103L -> ang(47)))
+    def dups(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("is_dup")).collect().map(_.getLong(0)).toSet
+    val flat = Similarity.semDedup(emb, minCos = 0.995, centroidModulus = 2)
+    assert(dups(flat) === Set(103L), "flat finds the 101/103 near-pair")
+    val oneProbe = Similarity.semDedupHierarchical(emb, minCos = 0.995,
+      centroidModulus = 2, superFactor = 2)
+    assert(dups(oneProbe) === Set.empty,
+      "single-probe splits the pair across cells and misses the dup")
+    // two probes cover every cell of this fixture, so the assignment —
+    // and therefore every verdict, witness count, and max_sim — must
+    // reproduce the flat quantizer exactly: 100% recovery
+    val twoProbe = Similarity.semDedupHierarchical(emb, minCos = 0.995,
+      centroidModulus = 2, superFactor = 2, nprobe = 2)
+    assert(twoProbe.collect().toSet === flat.collect().toSet)
+  }
+
   test("semDedup hierarchical: near-identical supers cannot strand a cell") {
     val dim = 64
     def v(c0: Float, c1: Float): Seq[Float] =
@@ -268,6 +302,49 @@ class CurationOpsSpec extends SparkSpec {
     val r = out(("s1", "s2"))
     assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((3L, 3L, 1L)))
     assert(r.getDouble(5) === 0.2) // 1 / (3 + 3 - 1)
+  }
+
+  test("sourceOverlapSketch: exact when unions fit in k; disjoint pairs at zero") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "s1", "a b c d e"),      // shingles: abc bcd cde
+      (2L, "s2", "a b c x y"),      // abc bcx cxy -> shares abc with s1
+      (3L, "s3", "p q r s t")).toDF("doc_id", "source", "text")
+    // every union is <= 6 shingles << k: the sketch IS the set, so the
+    // estimate must equal the exact audit's jaccard — and unlike the
+    // exact audit, disjoint pairs appear explicitly at 0
+    val out = Dedup.sourceOverlapSketch(docs, k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet === Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")),
+      "every pair audited, shared vocabulary or not")
+    val r12 = out(("s1", "s2"))
+    assert(r12.getLong(3) === 5L, "merged sketch = |union| = 3 + 3 - 1")
+    assert(r12.getLong(4) === 1L, "one shared shingle in both sketches")
+    assert(r12.getDouble(5) === 0.2, "degenerate case reproduces exact jaccard")
+    Seq(("s1", "s3"), ("s2", "s3")).foreach { p =>
+      assert(out(p).getLong(4) === 0L && out(p).getDouble(5) === 0.0)
+    }
+  }
+
+  test("sourceOverlapSketch: estimates track the exact audit on the corpus") {
+    import graft.ext.Dedup
+    val docs = Tables.load(spark, sf, "documents")
+    val exact = Dedup.sourceOverlap(docs)
+      .select(col("source_a"), col("source_b"), col("jaccard"))
+    val est = Dedup.sourceOverlapSketch(docs)
+      .select(col("source_a"), col("source_b"), col("jaccard_est"))
+    val joined = est.join(exact, Seq("source_a", "source_b"), "left")
+      .select(coalesce(col("jaccard"), lit(0.0)).as("jaccard"), col("jaccard_est"))
+      .collect()
+    assert(joined.nonEmpty)
+    // k=256 gives σ ≈ sqrt(J(1-J)/k) <= 0.031; 0.1 is > 3σ across the
+    // whole matrix — deterministic hashes make this a fixed, not flaky,
+    // assertion
+    val worst = joined.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).max
+    assert(worst <= 0.1, s"sketch estimate drifted $worst from exact")
+    // the estimate is a function of the shingle SET: partitioning-free
+    val repart = Dedup.sourceOverlapSketch(docs.repartition(17)).collect().toSet
+    assert(repart === Dedup.sourceOverlapSketch(docs).collect().toSet)
   }
 
   // ---- sessionAttribution -------------------------------------------

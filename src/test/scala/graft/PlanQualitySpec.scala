@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.sources.Tables
 
 /** Plan-shape regression gate: the scale story lives in the physical
   * plans (pushdown, pruning, broadcast choice, sort-freedom, shuffle
@@ -141,6 +142,16 @@ class PlanQualitySpec extends SparkSpec {
       "missing the centroid-keyed pairwise join:\n" + p)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       "hierarchical assignment lost its broadcast joins:\n" + p)
+    // multi-probe widens the candidate set (nprobe rows per vector into
+    // the cell join) but must not change the plan SHAPE: same broadcast
+    // joins + heap top-1, still no cartesian, no new shuffle
+    val p2 = finalPlan(graft.ext.Similarity.semDedupHierarchical(
+      Tables.load(spark, sf, "embeddings"), minCos = 0.45, nprobe = 2))
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert("BroadcastHashJoin".r.findAllIn(p2).size >= 3,
+      "multi-probe assignment lost its broadcast joins:\n" + p2)
+    assert(!p2.contains("Window"),
+      "multi-probe regressed the heap top-k to a window:\n" + p2)
   }
 
   test("scrub and weighted-sample scans are column-pruned") {
