@@ -18,6 +18,13 @@ run / fork := true
 // ([error] lines and the non-zero exit code still happen).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// The forked run's stdout must pass through VERBATIM: sbt's default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", which turned Bench's final contract line into
+// `[info] {...}` — not JSON, so the driver recorded "parsed": null
+// even after showSuccess removed the trailing banner. StdoutOutput
+// inherits this JVM's stdout/stderr directly, no logger in between.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -34,6 +34,11 @@ object Sketches {
 
   /** KMV distinct-count estimate of `itemCol` per `groupCol`.
     * Output: (groupCol, n_exact, kmv_k, kmv_estimate, rel_err).
+    *
+    * Contract: NULL items are ignored, and a group whose items are ALL
+    * NULL is absent from the output entirely (not emitted with
+    * n_seen=0) — a downstream join on `groupCol` must outer-join if
+    * such groups matter.
     */
   def kmvDistinct(df: DataFrame, groupCol: String, itemCol: String,
       k: Int = 64): DataFrame = {

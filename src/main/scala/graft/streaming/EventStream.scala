@@ -111,8 +111,9 @@ object EventStream {
     val rows = events.selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
         "event_type", "value").collect()
     require(rows.forall(r =>
-        !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3)),
-      "replay harness requires non-null event_id/ts/user_id/event_type " +
+        !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3) &&
+          !r.isNullAt(4)),
+      "replay harness requires non-null event_id/ts/user_id/event_type/value " +
         "(the batch operators handle NULL keys; the typed MemoryStream replay does not)")
     val ev = rows.map(r =>
       Event(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
