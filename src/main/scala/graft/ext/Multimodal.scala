@@ -7,8 +7,7 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in partition-sized
   * batches.
   *
-  * The Spark-side design is the real thing — schema, partitioning, and
-  * batch shape are what a 100 TB image/audio pipeline needs:
+  * The Spark-side design is what a 100 TB image/audio pipeline needs:
   *
   *   - payloads travel as a BinaryType column next to their metadata
   *     (never driver-collected; `spark.sql.files.maxPartitionBytes`
@@ -16,47 +15,239 @@ import org.apache.spark.sql.functions._
   *   - decode/feature-extract runs per partition via a typed
   *     `mapPartitions` over a case-class Dataset — the Scala analog of
   *     Python's `mapInPandas` batch UDF: one iterator in, one iterator
-  *     out, so a codec can amortize model/library init per partition;
-  *   - the actual codec is STUBBED with a deterministic fake
-  *     ([[fakeDecode]]) because no image/audio libraries ship in this
-  *     container — the seam to replace is exactly that function.
+  *     out, so a codec can amortize library init per partition;
+  *   - the codec ([[decode]]) is a REAL byte-level parser for three
+  *     genuine container formats — Netpbm P5 (PGM, 8-bit gray) and P6
+  *     (PPM, 8-bit RGB) for images, back-to-back P5/P6 frames for
+  *     video, and RIFF/WAVE PCM16 mono for audio. It reads magic
+  *     numbers, ASCII/little-endian headers, and every pixel/sample
+  *     byte (emitting a content checksum), and rejects truncated or
+  *     malformed payloads.
+  *
+  * What remains synthetic is the FIXTURE: the corpus carries no binary
+  * column, so [[withPayload]] manufactures each document's payload —
+  * real P5/P6/WAV bytes whose dimensions and contents are deterministic
+  * functions of `doc_id`. That determinism is what lets the DuckDB
+  * oracle predict the decoder's output and catch a decoder that
+  * misparses, skips bytes, or reads metadata from anywhere but the
+  * payload. The decode path itself takes nothing from `doc_id` except
+  * the row identity.
   */
 object Multimodal {
 
-  /** A decoded-media record: metadata extracted from a binary payload. */
+  /** A decoded-media record: metadata extracted from a binary payload.
+    * `content_sum` is the checksum over decoded content — pixel bytes
+    * for image/video, signed 16-bit samples for audio — proving the
+    * decoder consumed the payload body, not just the header. Audio has
+    * no raster, so `width`/`height` are 0 and a "frame" is one 160-
+    * sample window (20 ms at the fixture's 8 kHz).
+    */
   final case class MediaMeta(
       doc_id: Long,
       media_type: String,
       payload_bytes: Long,
       width: Long,
       height: Long,
-      n_frames: Long)
+      n_frames: Long,
+      content_sum: Long)
 
-  /** Attach a synthetic binary payload to each document (UTF-8 bytes of
-    * its text — a stand-in for real image/audio bytes; the fixture set
-    * carries no binary column).
+  // ---------------------------------------------------------------------
+  // Fixture generator: real-format bytes, deterministic in doc_id.
+  // Mirrored by the x15/x24/x32 oracle SQL — change both together.
+  // ---------------------------------------------------------------------
+
+  def mediaTypeOf(docId: Long): String =
+    (docId % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+
+  /** Raster dims/channels for image & video payloads (small on purpose:
+    * ≤ 76×44×3 per frame keeps the synthetic corpus in tens of MB).
     */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"), col("n_chars"),
-      encode(col("text"), "UTF-8").as("payload"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+  def rasterW(docId: Long): Int = ((docId % 16) * 4 + 16).toInt
+  def rasterH(docId: Long): Int = ((docId % 9) * 4 + 12).toInt
+  def rasterCh(docId: Long): Int = if (docId % 2 == 0) 3 else 1
+  def videoFrames(docId: Long): Int = (docId % 5 + 2).toInt
+  def audioSamples(docId: Long): Int = ((docId % 25 + 1) * 160).toInt
 
-  /** The stubbed codec: deterministic fake dimensions derived from the
-    * payload size and id. Replace with a real decoder (JavaCV, TwelveMonkeys,
-    * etc.) — the signature (bytes in, metadata out) is the contract.
+  /** `nFrames` concatenated Netpbm frames (P6 when 3-channel, P5 when
+    * gray): each frame is `"P6\n{w} {h}\n255\n"` + w·h·ch raw bytes.
+    * Pixel byte i (indexed across the WHOLE pixel stream, frames
+    * included) is (docId + i) mod 251 — prime modulus so every byte
+    * value varies and an off-by-one read shifts the checksum.
     */
-  def fakeDecode(docId: Long, mediaType: String, payload: Array[Byte]): MediaMeta =
-    MediaMeta(
-      doc_id = docId,
-      media_type = mediaType,
-      payload_bytes = payload.length.toLong,
-      width = (docId % 16) * 120 + 160,
-      height = (docId % 9) * 120 + 90,
-      n_frames = if (mediaType == "image") 1L else payload.length % 30 + 1L)
+  def makeNetpbmPayload(docId: Long, nFrames: Int): Array[Byte] = {
+    val w = rasterW(docId); val h = rasterH(docId); val ch = rasterCh(docId)
+    val magic = if (ch == 3) "P6" else "P5"
+    val header = s"$magic\n$w $h\n255\n".getBytes("US-ASCII")
+    val frameLen = header.length + w * h * ch
+    val out = new Array[Byte](frameLen * nFrames)
+    var pix = 0L
+    var f = 0
+    while (f < nFrames) {
+      val base = f * frameLen
+      System.arraycopy(header, 0, out, base, header.length)
+      var j = base + header.length
+      while (j < base + frameLen) {
+        out(j) = ((docId + pix) % 251).toByte
+        pix += 1; j += 1
+      }
+      f += 1
+    }
+    out
+  }
 
-  /** Batch "decode": partition-at-a-time over the payload column. */
+  /** A minimal-but-genuine RIFF/WAVE: 44-byte canonical header (PCM,
+    * mono, 8 kHz, 16-bit) + little-endian samples. Sample i is
+    * ((docId·7 + i·13) mod 2003) − 1001 ∈ [−1001, 1001].
+    */
+  def makeWavPayload(docId: Long): Array[Byte] = {
+    val n = audioSamples(docId)
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)          // PCM, mono
+      .putInt(8000).putInt(8000 * 2)    // sample rate, byte rate
+      .putShort(2).putShort(16)         // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((docId * 7 + i * 13L) % 2003) - 1001).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  def makePayload(docId: Long): Array[Byte] = mediaTypeOf(docId) match {
+    case "image" => makeNetpbmPayload(docId, 1)
+    case "video" => makeNetpbmPayload(docId, videoFrames(docId))
+    case _       => makeWavPayload(docId)
+  }
+
+  /** Attach the synthetic binary payload to each document (the fixture
+    * set carries no binary column). Typed mapPartitions, not a driver
+    * loop: payloads are built executor-side next to their rows.
+    */
+  def withPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(it => it.map(id => (id, mediaTypeOf(id), makePayload(id))))
+      .toDF("doc_id", "media_type", "payload")
+  }
+
+  // ---------------------------------------------------------------------
+  // The real codec: bytes in, metadata out. Nothing here reads doc_id.
+  // ---------------------------------------------------------------------
+
+  private def fail(docId: Long, msg: String): Nothing =
+    throw new IllegalArgumentException(s"doc $docId: malformed payload — $msg")
+
+  /** Parse one ASCII unsigned int at `pos`, skipping leading Netpbm
+    * whitespace. Returns (value, posAfter).
+    */
+  private def asciiInt(b: Array[Byte], pos0: Int, docId: Long): (Int, Int) = {
+    var pos = pos0
+    while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' ||
+        b(pos) == '\r')) pos += 1
+    val start = pos
+    var v = 0
+    while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+      v = v * 10 + (b(pos) - '0'); pos += 1
+    }
+    if (pos == start) fail(docId, s"expected ASCII integer at byte $pos")
+    (v, pos)
+  }
+
+  /** Decode one P5/P6 frame starting at `pos`; returns
+    * (w, h, ch, pixelByteSum, posAfter).
+    */
+  private def netpbmFrame(b: Array[Byte], pos0: Int, docId: Long): (Int, Int, Int, Long, Int) = {
+    if (pos0 + 2 > b.length || b(pos0) != 'P') fail(docId, s"no Netpbm magic at byte $pos0")
+    val ch = b(pos0 + 1) match {
+      case '5' => 1
+      case '6' => 3
+      case c   => fail(docId, s"unsupported Netpbm type P${c.toChar}")
+    }
+    val (w, p1) = asciiInt(b, pos0 + 2, docId)
+    val (h, p2) = asciiInt(b, p1, docId)
+    val (maxval, p3) = asciiInt(b, p2, docId)
+    if (maxval != 255) fail(docId, s"unsupported maxval $maxval")
+    // exactly ONE whitespace byte separates the header from raster data
+    if (p3 >= b.length || !(b(p3) == '\n' || b(p3) == ' ' || b(p3) == '\t' ||
+        b(p3) == '\r')) fail(docId, "missing raster separator")
+    val dataStart = p3 + 1
+    val dataLen = w * h * ch
+    if (dataStart + dataLen > b.length)
+      fail(docId, s"truncated raster: need $dataLen bytes at $dataStart, have ${b.length}")
+    var sum = 0L
+    var i = dataStart
+    while (i < dataStart + dataLen) { sum += b(i) & 0xff; i += 1 }
+    (w, h, ch, sum, dataStart + dataLen)
+  }
+
+  /** Decode a payload of back-to-back P5/P6 frames (1 frame = still
+    * image). All frames must share dimensions; the payload must be
+    * fully consumed.
+    */
+  private def decodeNetpbm(docId: Long, mediaType: String, b: Array[Byte]): MediaMeta = {
+    var pos = 0
+    var frames = 0L
+    var sum = 0L
+    var w = -1; var h = -1
+    while (pos < b.length) {
+      val (fw, fh, _, fsum, next) = netpbmFrame(b, pos, docId)
+      if (w == -1) { w = fw; h = fh }
+      else if (fw != w || fh != h)
+        fail(docId, s"frame $frames dims ${fw}x$fh != first frame ${w}x$h")
+      frames += 1; sum += fsum; pos = next
+    }
+    if (frames == 0) fail(docId, "empty payload")
+    MediaMeta(docId, mediaType, b.length.toLong, w.toLong, h.toLong, frames, sum)
+  }
+
+  /** Decode a canonical RIFF/WAVE PCM16 payload. One "frame" = one
+    * 160-sample window (ceil; the generator always emits whole
+    * windows). content_sum = Σ signed samples.
+    */
+  private def decodeWav(docId: Long, b: Array[Byte]): MediaMeta = {
+    if (b.length < 44) fail(docId, s"WAV shorter than canonical header (${b.length} bytes)")
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") fail(docId, "no RIFF magic")
+    val riffLen = buf.getInt()
+    if (riffLen != b.length - 8) fail(docId, s"RIFF length $riffLen != ${b.length - 8}")
+    if (fourcc() != "WAVE") fail(docId, "no WAVE form type")
+    if (fourcc() != "fmt ") fail(docId, "missing fmt chunk")
+    if (buf.getInt() != 16) fail(docId, "non-PCM fmt chunk size")
+    val (fmt, channels) = (buf.getShort(), buf.getShort())
+    if (fmt != 1 || channels != 1) fail(docId, s"unsupported fmt=$fmt channels=$channels")
+    buf.getInt(); buf.getInt(); buf.getShort() // rate, byte rate, block align
+    if (buf.getShort() != 16) fail(docId, "unsupported bits/sample")
+    if (fourcc() != "data") fail(docId, "missing data chunk")
+    val dataLen = buf.getInt()
+    if (dataLen != b.length - 44) fail(docId, s"data length $dataLen != ${b.length - 44}")
+    if (dataLen % 2 != 0) fail(docId, "odd PCM16 data length")
+    val n = dataLen / 2
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += buf.getShort(); i += 1 }
+    MediaMeta(docId, "audio", b.length.toLong, 0L, 0L, (n + 159L) / 160L, sum)
+  }
+
+  /** The codec seam: sniff the container by magic bytes and parse.
+    * `mediaType` distinguishes image (one frame expected) from video
+    * (many); the byte format decides everything else.
+    */
+  def decode(docId: Long, mediaType: String, payload: Array[Byte]): MediaMeta =
+    if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F') decodeWav(docId, payload)
+    else decodeNetpbm(docId, mediaType, payload)
+
+  /** Batch decode: partition-at-a-time over the payload column. */
   def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     withPayload(docs)
@@ -64,7 +255,7 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init would go here (codec handles, model load)
-        it.map { case (id, mt, bytes) => fakeDecode(id, mt, bytes) }
+        it.map { case (id, mt, bytes) => decode(id, mt, bytes) }
       }
   }
 
@@ -80,11 +271,12 @@ object Multimodal {
     * vision training pipeline: pick ≤ `maxFrames` evenly-strided frames
     * per payload and compute the aspect-preserving fit into
     * `target`×`target` (all integer math, so the plan is reproducible
-    * and oracle-checkable; the actual pixel work would live in the same
-    * typed batch seam as [[fakeDecode]]). A flatMap on the decoded
-    * Dataset: one media row fans out to its sampled frames — rows
-    * multiply by ≤ maxFrames BEFORE any shuffle, and downstream
-    * per-frame work (embedding, hashing) parallelizes per frame.
+    * and oracle-checkable; the pixel resample would live in the same
+    * typed batch seam as [[decode]]). A flatMap on the decoded Dataset:
+    * one media row fans out to its sampled frames — rows multiply by
+    * ≤ maxFrames BEFORE any shuffle, and downstream per-frame work
+    * (embedding, hashing) parallelizes per frame. Rasterless media
+    * (audio: width = height = 0) gets out_w = out_h = 0.
     * Output: (doc_id, media_type, frame_idx, out_w, out_h).
     */
   def sampleFrames(
@@ -98,8 +290,8 @@ object Multimodal {
       // 2·maxFrames−1 frames whenever n is not a multiple of maxFrames
       val step = math.max(1L, (m.n_frames + maxFrames - 1) / maxFrames)
       val longSide = math.max(m.width, m.height)
-      val outW = m.width * target / longSide
-      val outH = m.height * target / longSide
+      val outW = if (longSide == 0) 0L else m.width * target / longSide
+      val outH = if (longSide == 0) 0L else m.height * target / longSide
       (0L until m.n_frames by step)
         .map(i => FrameMeta(m.doc_id, m.media_type, i, outW, outH))
     }
@@ -107,10 +299,9 @@ object Multimodal {
 
   /** Deterministic per-frame feature vector: dim `d` =
     * ((hash32("doc:frame:d") mod 2001) − 1000) / 1000 ∈ [−1, 1] — the
-    * featurization STAND-IN in the same honest sense as [[fakeDecode]]
-    * (a real pipeline embeds pixels in the typed batch seam; the
-    * md5-derived fake is oracle-reproducible). Built as a flat `array()`
-    * of codegen'd expressions — no per-element lambda.
+    * featurization STAND-IN (a real pipeline embeds pixels in the typed
+    * batch seam; the md5-derived fake is oracle-reproducible). Built as
+    * a flat `array()` of codegen'd expressions — no per-element lambda.
     */
   def frameEmbedding(frames: DataFrame, dims: Int = 8): DataFrame = {
     import graft.functions.Portable.hash32

@@ -390,19 +390,43 @@ object ExtQueries {
              |  max(ts_us) - min(ts_us) AS duration_us
              |FROM s GROUP BY user_id, session_id""".stripMargin)),
 
-    // ---- multimodal: binary payload + stubbed batch decode -----------
+    // ---- multimodal: binary payload + REAL batch decode ---------------
+    // The oracle re-derives what the generator encoded (dims, frame
+    // counts, payload sizes, content checksums) straight from doc_id —
+    // so a decoder that misparses a header, skips pixel bytes, or reads
+    // metadata from anywhere but the payload hash-mismatches here.
     ("x15_multimodal_meta",
       (s: SparkSession, dir: String) =>
         Multimodal.decodeMeta(s, t(s, dir, "documents")).toDF(),
-      Some("""SELECT doc_id,
-             |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
-             |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-             |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
-             |  (doc_id % 16) * 120 + 160 AS width,
-             |  (doc_id % 9) * 120 + 90 AS height,
-             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-             |       ELSE octet_length(encode(text)) % 30 + 1 END AS BIGINT) AS n_frames
-             |FROM documents""".stripMargin)),
+      Some("""WITH base AS (SELECT doc_id,
+             |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+             |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |    (doc_id % 16) * 4 + 16 AS w,
+             |    (doc_id % 9) * 4 + 12 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+             |    CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
+             |         WHEN 1 THEN doc_id % 25 + 1 ELSE doc_id % 5 + 2 END AS BIGINT) AS n_frames
+             |  FROM documents),
+             |sized AS (SELECT *,
+             |    CASE WHEN media_type = 'audio' THEN n_frames * 160
+             |         ELSE n_frames * w * h * ch END AS n_units,
+             |    CASE WHEN media_type = 'audio' THEN 44 + n_frames * 160 * 2
+             |         ELSE n_frames * (9 + len(CAST(w AS VARCHAR))
+             |           + len(CAST(h AS VARCHAR)) + w * h * ch) END AS payload_bytes
+             |  FROM base),
+             |sums AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS content_sum FROM (
+             |    SELECT doc_id, CASE WHEN media_type = 'audio'
+             |        THEN (doc_id * 7 + 13 * i) % 2003 - 1001
+             |        ELSE (doc_id + i) % 251 END AS v
+             |    FROM (SELECT doc_id, media_type,
+             |          CAST(unnest(range(n_units)) AS BIGINT) AS i FROM sized))
+             |  GROUP BY doc_id)
+             |SELECT s.doc_id, s.media_type,
+             |  CAST(s.payload_bytes AS BIGINT) AS payload_bytes,
+             |  CAST(CASE WHEN s.media_type = 'audio' THEN 0 ELSE s.w END AS BIGINT) AS width,
+             |  CAST(CASE WHEN s.media_type = 'audio' THEN 0 ELSE s.h END AS BIGINT) AS height,
+             |  s.n_frames, m.content_sum
+             |FROM sized s JOIN sums m USING (doc_id)""".stripMargin)),
 
     // ---- multimodal: frame sampling + resize planning -----------------
     ("x24_frame_sample",
@@ -411,15 +435,17 @@ object ExtQueries {
       Some("""WITH m AS (SELECT doc_id,
              |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
              |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-             |    (doc_id % 16) * 120 + 160 AS width,
-             |    (doc_id % 9) * 120 + 90 AS height,
-             |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-             |         ELSE octet_length(encode(text)) % 30 + 1 END AS BIGINT) AS n_frames
+             |    CASE WHEN doc_id % 3 = 1 THEN 0 ELSE (doc_id % 16) * 4 + 16 END AS width,
+             |    CASE WHEN doc_id % 3 = 1 THEN 0 ELSE (doc_id % 9) * 4 + 12 END AS height,
+             |    CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
+             |         WHEN 1 THEN doc_id % 25 + 1 ELSE doc_id % 5 + 2 END AS BIGINT) AS n_frames
              |  FROM documents)
              |SELECT doc_id, media_type,
              |  CAST(unnest(range(0, n_frames, greatest(1, (n_frames + 3) // 4))) AS BIGINT) AS frame_idx,
-             |  width * 224 // greatest(width, height) AS out_w,
-             |  height * 224 // greatest(width, height) AS out_h
+             |  CASE WHEN greatest(width, height) = 0 THEN 0
+             |       ELSE width * 224 // greatest(width, height) END AS out_w,
+             |  CASE WHEN greatest(width, height) = 0 THEN 0
+             |       ELSE height * 224 // greatest(width, height) END AS out_h
              |FROM m""".stripMargin)),
 
     // ---- events: backward as-of join (custom binary operator) ---------
@@ -649,9 +675,10 @@ object ExtQueries {
              |FROM per, tot""".stripMargin)),
 
     // ---- multimodal capstone: decode → frame-sample → featurize → ANN
-    // The vision-preprocessing path composed in one plan; the
-    // featurization is the oracle-reproducible stand-in (fakeDecode's
-    // honest-stub policy), everything around it is the real dataflow.
+    // The vision-preprocessing path composed in one plan; the decode is
+    // the real P5/P6/WAV parser, the featurization is the
+    // oracle-reproducible stand-in (a real pipeline embeds pixels in
+    // the same typed batch seam).
     ("x32_multimodal_frame_ann",
       (s: SparkSession, dir: String) =>
         Multimodal.frameAnn(s, t(s, dir, "documents")),
@@ -660,8 +687,8 @@ object ExtQueries {
           s"""[CAST((${h32(s"CAST($side.doc_id AS VARCHAR) || ':' || CAST($side.frame_idx AS VARCHAR) || ':' || CAST(d AS VARCHAR)")}) % 2001 - 1000 AS DOUBLE) / 1000.0
              |      for d in range(0, 8)]""".stripMargin
         s"""WITH m AS (SELECT doc_id,
-           |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1
-           |         ELSE octet_length(encode(text)) % 30 + 1 END AS BIGINT) AS n_frames
+           |    CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 1
+           |         WHEN 1 THEN doc_id % 25 + 1 ELSE doc_id % 5 + 2 END AS BIGINT) AS n_frames
            |  FROM documents),
            |f AS (SELECT doc_id,
            |    CAST(unnest(range(0, n_frames, greatest(1, (n_frames + 3) // 4))) AS BIGINT) AS frame_idx

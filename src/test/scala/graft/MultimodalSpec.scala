@@ -4,22 +4,102 @@ import graft.ext.Multimodal
 import graft.sources.Tables
 
 class MultimodalSpec extends SparkSpec {
-  import spark.implicits._
 
-  test("payload column carries the real bytes; metadata batch-decodes per partition") {
+  test("decode parses a hand-crafted PGM (P5) — not the generator's output") {
+    // "P5\n3 2\n255\n" + 6 gray bytes 10,20,30,40,50,60
+    val bytes = "P5\n3 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val m = Multimodal.decode(99L, "image", bytes)
+    assert(m.width === 3L && m.height === 2L && m.n_frames === 1L)
+    assert(m.payload_bytes === bytes.length.toLong)
+    assert(m.content_sum === 210L)
+  }
+
+  test("decode parses a hand-crafted two-frame P6 video and high-bit pixels") {
+    // two 1x1 RGB frames; pixel bytes > 127 must read unsigned
+    val frame = "P6\n1 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](-1, 0, -128) // 255, 0, 128 unsigned
+    val m = Multimodal.decode(7L, "video", frame ++ frame)
+    assert(m.n_frames === 2L && m.width === 1L && m.height === 1L)
+    assert(m.content_sum === 2L * (255 + 0 + 128))
+  }
+
+  test("decode parses a hand-crafted WAV with negative samples") {
+    // canonical 44-byte header + 3 samples: -5, 7, -2
+    val buf = java.nio.ByteBuffer.allocate(50)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(42).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes).putInt(6)
+      .putShort(-5).putShort(7).putShort(-2)
+    val m = Multimodal.decode(42L, "audio", buf.array())
+    assert(m.media_type === "audio" && m.width === 0L && m.height === 0L)
+    assert(m.n_frames === 1L) // 3 samples → one (partial) 160-sample window
+    assert(m.content_sum === 0L)
+  }
+
+  test("malformed payloads are rejected, not silently misdecoded") {
+    val pgm = "P5\n3 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    // truncated raster
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(1L, "image", pgm.dropRight(1))
+    }
+    // trailing garbage after the last frame (parsed as a bad next frame)
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(1L, "image", pgm :+ 'X'.toByte)
+    }
+    // unsupported Netpbm flavor
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(1L, "image", "P4\n3 2\n255\n".getBytes("US-ASCII"))
+    }
+    // WAV whose declared data chunk disagrees with the actual bytes
+    val wav = Multimodal.makeWavPayload(1L)
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(1L, "audio", wav.dropRight(2))
+    }
+  }
+
+  test("generator round-trip: decoded metadata matches the encoding parameters") {
+    for (id <- 0L to 20L) {
+      val m = Multimodal.decode(id, Multimodal.mediaTypeOf(id), Multimodal.makePayload(id))
+      Multimodal.mediaTypeOf(id) match {
+        case "audio" =>
+          assert(m.width === 0L && m.height === 0L)
+          assert(m.n_frames === (id % 25 + 1))
+          assert(m.payload_bytes === 44L + Multimodal.audioSamples(id) * 2L)
+        case mt =>
+          assert(m.width === Multimodal.rasterW(id).toLong)
+          assert(m.height === Multimodal.rasterH(id).toLong)
+          assert(m.n_frames === (if (mt == "image") 1L else Multimodal.videoFrames(id).toLong))
+      }
+      // independent checksum: recompute from the generator's formulas
+      val expectSum =
+        if (Multimodal.mediaTypeOf(id) == "audio")
+          (0 until Multimodal.audioSamples(id)).map(i => (id * 7 + i * 13L) % 2003 - 1001).sum
+        else {
+          val n = m.n_frames * m.width * m.height * Multimodal.rasterCh(id)
+          (0L until n).map(i => (id + i) % 251).sum
+        }
+      assert(m.content_sum === expectSum, s"content_sum for doc $id")
+    }
+  }
+
+  test("payload column carries real container bytes; metadata batch-decodes per partition") {
     val docs = Tables.load(spark, sf, "documents").limit(50)
     val withP = Multimodal.withPayload(docs)
     val row = withP.orderBy("doc_id").first()
     val payload = row.getAs[Array[Byte]]("payload")
-    val text = docs.orderBy("doc_id").first().getAs[String]("text")
-    assert(new String(payload, "UTF-8") === text, "binary payload round-trips")
+    // doc 0 is an even image doc → P6 magic on the wire
+    assert(payload(0) === 'P'.toByte && payload(1) === '6'.toByte)
 
     val meta = Multimodal.decodeMeta(spark, docs).collect()
     assert(meta.length === 50)
     val m0 = meta.find(_.doc_id == 0L).get
     assert(m0.media_type === "image" && m0.n_frames === 1L)
-    assert(m0.payload_bytes === text.getBytes("UTF-8").length.toLong)
+    assert(m0.width === 16L && m0.height === 12L)
+    assert(m0.payload_bytes === payload.length.toLong)
     val m1 = meta.find(_.doc_id == 1L).get
-    assert(m1.media_type === "audio" && m1.n_frames >= 1L && m1.n_frames <= 30L)
+    assert(m1.media_type === "audio" && m1.n_frames === 2L)
   }
 }
