@@ -549,6 +549,34 @@ object Dedup {
         round(col("n_both").cast("double") / col("n_merged"), 6).as("jaccard_est"))
   }
 
+  /** Pre-mix overlap gate over [[sourceOverlapSketch]]: sources whose
+    * estimated pair Jaccard with a retained source reaches `maxJaccard`
+    * are dropped before mixing — the audit consumed as an operator, not
+    * a report. The rule is deterministic and order-free: for every
+    * flagged pair the lexicographically GREATER source is excluded, so
+    * the smaller name acts as the pair's canonical representative
+    * (mirroring the min-id convention of [[resolveClusters]]); a source
+    * flagged in any pair as the greater member is dropped exactly once
+    * regardless of how many pairs flag it.
+    *
+    * Scale shape: the sketch audit touches the corpus once; the flagged
+    * list is ≤ #sources rows, so the gate itself is a broadcast
+    * anti-join — no second corpus pass, no shuffle.
+    * Output: the input documents minus excluded sources.
+    */
+  def overlapGatedSources(docs: DataFrame, n: Int = 3, k: Int = 256,
+      maxJaccard: Double = 0.06): DataFrame = {
+    // persist the flagged list (≤ #sources rows): the gated frame feeds
+    // several consumers downstream (language ID, quality, the sample),
+    // and without it each consumer would re-run the whole sketch audit
+    // behind the anti-join
+    val flagged = graft.tools.InternalCaches.persist(
+      sourceOverlapSketch(docs, n, k)
+        .filter(col("jaccard_est") >= maxJaccard)
+        .select(col("source_b").as("source")).distinct())
+    docs.join(broadcast(flagged), Seq("source"), "left_anti")
+  }
+
   /** Full-corpus cluster resolution: every document gets its component's
     * min doc_id as `cluster_id` (its own id when it has no near-dup),
     * the component size, and `keep` = is-the-representative. Downstream

@@ -302,6 +302,23 @@ object Similarity {
       centroidModulus: Int = 100,
       superFactor: Int = 16,
       nprobe: Int = 1): DataFrame = {
+    val assigned = topKByCos(
+      hierCandidates(emb, centroidModulus, superFactor, nprobe),
+      Seq("vec_id"), "v", "centroid_id", "cv")
+    witnessDedup(assigned, minCos)
+  }
+
+  /** The (vector, centroid) candidate frame the hierarchical assignment
+    * scores — the top-1 over it is the assignment. Factored out so the
+    * nprobe diagnostics ([[graft.tools.NprobeRecall]]) can count the
+    * candidate rows (the assignment's cost driver) without duplicating
+    * the quantizer logic.
+    */
+  private[graft] def hierCandidates(
+      emb: DataFrame,
+      centroidModulus: Int = 100,
+      superFactor: Int = 16,
+      nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val all = vecs(emb)
     val superMod = centroidModulus.toLong * superFactor
@@ -326,10 +343,7 @@ object Similarity {
     // exact within the probed cells.
     val vecToSuper = nearestRef(all, Seq("vec_id"), "v", supers, "super_id", "sv",
       k = nprobe)
-    val assigned = topKByCos(
-      vecToSuper.join(broadcast(centToSuper), Seq("super_id")),
-      Seq("vec_id"), "v", "centroid_id", "cv")
-    witnessDedup(assigned, minCos)
+    vecToSuper.join(broadcast(centToSuper), Seq("super_id"))
   }
 
   /** IVF-style ANN: coarse centroids are the vectors with

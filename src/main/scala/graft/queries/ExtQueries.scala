@@ -115,6 +115,38 @@ object ExtQueries {
       |          round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS j
       |        FROM ipairs JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db)""".stripMargin
 
+  /** KMV source-overlap CTEs ending in ov(source_a, source_b, kmv_k,
+    * n_merged, n_both, jaccard_est) — mirrors Dedup.sourceOverlapSketch
+    * bit-for-bit (shared by x46 and the x47 gate).
+    */
+  private def kmvOverlapCtes =
+    s"""ktk AS (SELECT source, string_split(trim(text), ' ') AS t FROM documents),
+       |ksg AS (SELECT source,
+       |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+       |       FROM ktk),
+       |ksh AS (SELECT DISTINCT source, ${h60("s")} AS h FROM ksg),
+       |ksk AS (SELECT source, h FROM
+       |        (SELECT source, h, row_number() OVER
+       |           (PARTITION BY source ORDER BY h) AS rn FROM ksh)
+       |       WHERE rn <= 256),
+       |ksrcs AS (SELECT DISTINCT source AS other FROM ksk),
+       |kmg AS (SELECT least(s.source, o.other) AS source_a,
+       |         greatest(s.source, o.other) AS source_b, s.h,
+       |         max(CASE WHEN s.source = least(s.source, o.other) THEN 1 ELSE 0 END) AS in_a,
+       |         max(CASE WHEN s.source = greatest(s.source, o.other) THEN 1 ELSE 0 END) AS in_b
+       |       FROM ksk s JOIN ksrcs o ON s.source <> o.other
+       |       GROUP BY 1, 2, 3),
+       |kmk AS (SELECT * FROM
+       |        (SELECT *, row_number() OVER
+       |           (PARTITION BY source_a, source_b ORDER BY h) AS rn FROM kmg)
+       |       WHERE rn <= 256),
+       |ov AS (SELECT source_a, source_b, CAST(256 AS BIGINT) AS kmv_k,
+       |  count(*) AS n_merged,
+       |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |  round(CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 6) AS jaccard_est
+       |FROM kmk GROUP BY source_a, source_b)""".stripMargin
+
   val defs: Seq[(String, Q, Option[String])] = Seq(
 
     // ---- dedup: exact -------------------------------------------------
@@ -1071,32 +1103,57 @@ object ExtQueries {
     ("x46_source_overlap_kmv",
       (s: SparkSession, dir: String) =>
         Dedup.sourceOverlapSketch(t(s, dir, "documents")),
-      Some(s"""WITH tk AS (SELECT source, string_split(trim(text), ' ') AS t FROM documents),
-              |sg AS (SELECT source,
-              |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
-              |       FROM tk),
-              |sh AS (SELECT DISTINCT source, ${h60("s")} AS h FROM sg),
-              |sk AS (SELECT source, h FROM
-              |        (SELECT source, h, row_number() OVER
-              |           (PARTITION BY source ORDER BY h) AS rn FROM sh)
-              |       WHERE rn <= 256),
-              |srcs AS (SELECT DISTINCT source AS other FROM sk),
-              |mg AS (SELECT least(s.source, o.other) AS source_a,
-              |         greatest(s.source, o.other) AS source_b, s.h,
-              |         max(CASE WHEN s.source = least(s.source, o.other) THEN 1 ELSE 0 END) AS in_a,
-              |         max(CASE WHEN s.source = greatest(s.source, o.other) THEN 1 ELSE 0 END) AS in_b
-              |       FROM sk s JOIN srcs o ON s.source <> o.other
-              |       GROUP BY 1, 2, 3),
-              |mk AS (SELECT * FROM
-              |        (SELECT *, row_number() OVER
-              |           (PARTITION BY source_a, source_b ORDER BY h) AS rn FROM mg)
-              |       WHERE rn <= 256)
-              |SELECT source_a, source_b, CAST(256 AS BIGINT) AS kmv_k,
-              |  count(*) AS n_merged,
-              |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
-              |  round(CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-              |        / count(*), 6) AS jaccard_est
-              |FROM mk GROUP BY source_a, source_b""".stripMargin)),
+      Some(s"""WITH $kmvOverlapCtes
+              |SELECT source_a, source_b, kmv_k, n_merged, n_both, jaccard_est
+              |FROM ov""".stripMargin)),
+
+    // ---- capstone: sketch-overlap gate feeding the curation mix ------
+    // The x46 audit consumed as an OPERATOR: sources whose estimated
+    // pair Jaccard reaches 0.06 lose their lexicographically greater
+    // member (Dedup.overlapGatedSources), and the survivors flow through
+    // the language-ID → quality-gate → stratified-sample composition —
+    // the pre-mix contamination screen a training-data pipeline runs
+    // before weighting sources. Gate fires on the fixture at every SF
+    // (max jaccard_est ≈ 0.08–0.09 vs the 0.06 threshold).
+    ("x47_curation_overlap_gate",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val kept = Dedup.overlapGatedSources(docs, maxJaccard = 0.06)
+        val lang = TextAnalysis.languageId(kept).select(col("doc_id"), col("lang_pred"))
+        val qual = TextAnalysis.quality(kept)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("quality_score"))
+        val gated = kept.select(col("doc_id"), col("source"))
+          .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+          .filter(col("quality_score") >= 0.5)
+        graft.ext.Sampling.stratifiedByHash(gated, "lang_pred", "doc_id",
+            ratesPct = Seq("en" -> 50, "es" -> 30, "de" -> 20, "fr" -> 10),
+            defaultPct = 5)
+          .select(col("doc_id"), col("source"), col("lang_pred"),
+            col("n_tokens"), col("quality_score"))
+      },
+      // lang/quality are row-wise, so the oracle computes them over ALL
+      // documents and applies the source gate in the final WHERE —
+      // equivalent to the engine's filter-first plan.
+      Some(s"""WITH $kmvOverlapCtes,
+              |ex AS (SELECT DISTINCT source_b AS source FROM ov WHERE jaccard_est >= 0.06),
+              |$langPredCtes,
+              |qb AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t,
+              |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct FROM documents),
+              |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+              |        round(least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+              |          * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / length(text)), 6)
+              |          AS quality_score
+              |      FROM qb)
+              |SELECT d.doc_id, d.source, lang.lang_pred, q.n_tokens, q.quality_score
+              |FROM documents d
+              |JOIN lang ON lang.doc_id = d.doc_id
+              |JOIN q ON q.doc_id = d.doc_id
+              |WHERE d.source NOT IN (SELECT source FROM ex)
+              |  AND q.quality_score >= 0.5
+              |  AND (${h32("lang.lang_pred || ':' || CAST(d.doc_id AS VARCHAR)")}) % 100 <
+              |    CASE lang.lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
+              |         WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin)),
 
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",

@@ -74,6 +74,55 @@ object ScaleHeadroom {
       .drop("__r"), "embeddings")
   }
 
+  /** Inflated-shared-vocabulary variant (documents only): each replica
+    * keeps the ORIGINAL text but is assigned a ROTATED source from the
+    * EXISTING source list — source count stays fixed while every
+    * source's vocabulary becomes the union of ~`replicas` sources'
+    * originals, so shingles become shared across (nearly) all source
+    * pairs. This isolates the dimension x46's Scaladoc claims
+    * independence from: the exact audit's shingle self-join output
+    * (Σ_sh C(sources(sh), 2)) inflates toward
+    * #distinct-shingles · C(s, 2) while the sketch form's post-scan
+    * cost stays at s·k rows. The standard scale-up deliberately CANNOT
+    * test this (its replica-tagged tokens share zero cross-replica
+    * shingles), and a replica-tagged SOURCE would instead multiply s —
+    * a different axis, on which the sketch's own s²·k pair matrix
+    * dominates (measured: see HEADROOM.md round 7).
+    */
+  def generateOverlap(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    // dense index over the distinct sources (tiny, metadata-sized) so a
+    // replica can rotate source membership without parsing source names
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("__si", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("source"))) - 1)
+    val nSrc = srcIdx.count()
+    val target = srcIdx.select(col("__si").as("__ti"), col("source").as("__tsource"))
+    docs.join(broadcast(srcIdx), Seq("source"))
+      .withColumn("__r", explode(sequence(lit(0L), lit(replicas - 1L))))
+      .withColumn("doc_id", col("doc_id") + col("__r") * Stride)
+      .withColumn("__ti", (col("__si") + col("__r")) % nSrc)
+      .join(broadcast(target), Seq("__ti"))
+      .withColumn("source", col("__tsource"))
+      .select(docs.columns.map(col): _*) // original column order
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** Hot-user variant (events only): replicas keep the SAME user_id —
+    * every user now has 10× events in the same time range, so per-user
+    * candidate sets (the funnel's click×purchase join, the session
+    * containment join) grow ~100× per user where the standard scale-up
+    * (fresh users per replica) grows them 0×. Event ids are strided so
+    * dedup/identity semantics hold.
+    */
+  def generateHot(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.withColumn("__r", explode(sequence(lit(0L), lit(replicas - 1L))))
+      .withColumn("event_id", col("event_id") + col("__r") * Stride)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
   /** The queries whose sf0.1 cost dominates the bench — the interesting
     * ones at 10×.
     */
@@ -103,8 +152,20 @@ object ScaleHeadroom {
     "x40_incremental_screen", // batch-vs-index probe: |batch| grows 10×
                               // but existing-side index build dominates
                               // here — expect ~linear in corpus
-    "x41_collocation_lift")   // two explode→agg passes + vocab joins —
+    "x41_collocation_lift",   // two explode→agg passes + vocab joins —
                               // expect ~linear
+    "x42_heavy_hitters",      // one counted shuffle + heap top-k —
+                              // expect ~linear
+    "x43_funnel",             // type-pruned scans + user-keyed candidate
+                              // join (also probed under the hot-user
+                              // variant below)
+    "x44_retention",          // distinct (user, day) + cohort join —
+                              // expect ~linear
+    "x45_source_overlap",     // exact audit: shingle self-join grows
+                              // with shared vocabulary (also probed
+                              // under the inflated-overlap variant)
+    "x46_source_overlap_kmv") // sketch form: corpus scanned once,
+                              // downstream on #sources·k rows
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -121,12 +182,22 @@ object ScaleHeadroom {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val outOverlap = s"${out}_overlap"
+    val outHot = s"${out}_hot"
     if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
       System.err.println(s"[headroom] generating ${replicas}x scale-up in $out")
       generate(spark, src, out, replicas)
     }
-    def time(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
+    if (!new java.io.File(s"$outOverlap/documents.parquet").exists()) {
+      System.err.println(s"[headroom] generating inflated-overlap variant in $outOverlap")
+      generateOverlap(spark, src, outOverlap, replicas)
+    }
+    if (!new java.io.File(s"$outHot/events.parquet").exists()) {
+      System.err.println(s"[headroom] generating hot-user variant in $outHot")
+      generateHot(spark, src, outHot, replicas)
+    }
+    def timeFn(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
@@ -134,17 +205,33 @@ object ScaleHeadroom {
       }.sorted
       times(1) // median of 3
     }
+    def time(name: String, dir: String): Double = timeFn(SparkEntry.queries(name), dir)
+    def report(name: String, base: Double, scaled: Double): Unit =
+      println(f"""{"query":"$name","base_sec":$base%.3f,"scaled_sec":$scaled%.3f,"ratio":${scaled / base}%.2f,"replicas":$replicas}""")
     // one throwaway pass for session warmup
     SparkEntry.queries("q02_table_counts")(spark, src).count()
     val rows = Targets.map { name =>
       val base = time(name, src)
       val scaled = time(name, out)
-      val ratio = scaled / base
-      println(f"""{"query":"$name","base_sec":$base%.3f,"scaled_sec":$scaled%.3f,"ratio":$ratio%.2f,"replicas":$replicas}""")
-      (name, base, scaled, ratio)
+      report(name, base, scaled)
+      (name, base, scaled)
     }
     val tb = rows.map(_._2).sum; val ts = rows.map(_._3).sum
     println(f"""{"query":"TOTAL","base_sec":$tb%.3f,"scaled_sec":$ts%.3f,"ratio":${ts / tb}%.2f,"replicas":$replicas}""")
+    // ---- variant probes: same JSON shape, suffixed names ----------------
+    // x37 with nprobe=2: the widened candidate join (each vector scores
+    // the centroids of its 2 nearest super-cells) is the new cost.
+    val nprobe2 = (s: SparkSession, d: String) =>
+      graft.ext.Similarity.semDedupHierarchical(
+        graft.sources.Tables.load(s, d, "embeddings"), minCos = 0.45, nprobe = 2)
+    report("x37_semdedup_hier@nprobe2", timeFn(nprobe2, src), timeFn(nprobe2, out))
+    // funnel under the hot-user shape: same users, 10× events each.
+    report("x43_funnel@hot_users", time("x43_funnel", src), time("x43_funnel", outHot))
+    // exact vs sketch overlap when shared vocabulary ACTUALLY grows.
+    report("x45_source_overlap@inflated",
+      time("x45_source_overlap", src), time("x45_source_overlap", outOverlap))
+    report("x46_source_overlap_kmv@inflated",
+      time("x46_source_overlap_kmv", src), time("x46_source_overlap_kmv", outOverlap))
     spark.stop()
   }
 }

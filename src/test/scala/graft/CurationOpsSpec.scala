@@ -347,6 +347,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(repart === Dedup.sourceOverlapSketch(docs).collect().toSet)
   }
 
+  test("overlapGatedSources: greater member of each flagged pair dropped, rest intact") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "s1", "a b c d e"),      // shingles: abc bcd cde
+      (2L, "s2", "a b c d y"),      // abc bcd cdy -> J(s1,s2) = 2/4 = 0.5
+      (3L, "s3", "p q r s t")).toDF("doc_id", "source", "text")
+    // unions fit in k, so the sketch estimate IS the exact jaccard and
+    // the gate decision is deterministic: (s1,s2) flagged at 0.5 -> the
+    // greater member s2 is dropped; s3's rows pass through untouched
+    val kept = Dedup.overlapGatedSources(docs, k = 16, maxJaccard = 0.5)
+    assert(kept.select("source").as[String].collect().toSet === Set("s1", "s3"))
+    assert(kept.count() === 2)
+    // a threshold above every pair estimate gates nothing
+    assert(Dedup.overlapGatedSources(docs, k = 16, maxJaccard = 0.9).count() === 3)
+  }
+
   // ---- sessionAttribution -------------------------------------------
 
   test("session attribution: NULL-user events keep their sessions (null-safe join)") {
