@@ -290,18 +290,26 @@ object Similarity {
     * centroids of its `nprobe` nearest super-cells instead of only the
     * best one, at cost O(n·(k₁ + nprobe·k/k₁)) — still a broadcast
     * join + heap top-1, no new shuffle. nprobe=1 is the pure
-    * hierarchical assignment (the x37 contract); nprobe=k₁ degenerates
-    * to the exact flat assignment, so on a boundary fixture nprobe=2
-    * provably recovers dup verdicts the single-probe pass misses (see
-    * CurationOpsSpec). The witness pass and output contract are
-    * identical to [[semDedup]].
+    * hierarchical assignment; nprobe=k₁ degenerates to the exact flat
+    * assignment, so on a boundary fixture nprobe=2 provably recovers
+    * dup verdicts the single-probe pass misses (see CurationOpsSpec).
+    *
+    * The default is nprobe=2, set by measurement, not convention
+    * ([[graft.tools.NprobeRecall]] on the sf0.1 corpus, x33/x37
+    * parameters): nprobe=1 recovers only 18/28 of the flat quantizer's
+    * dup verdicts (recall 0.64); nprobe=2 recovers 28/28 with 100%
+    * verdict agreement at 2× the candidate rows (20k → 40k), and the
+    * 10× probe times the two within noise of each other (HEADROOM
+    * round 7: 2.59× vs 3.09× scale ratio). The witness pass and output
+    * contract are identical to [[semDedup]]; the x37 oracle mirrors the
+    * 2-probe assignment.
     */
   def semDedupHierarchical(
       emb: DataFrame,
       minCos: Double = 0.7,
       centroidModulus: Int = 100,
       superFactor: Int = 16,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 2): DataFrame = {
     val assigned = topKByCos(
       hierCandidates(emb, centroidModulus, superFactor, nprobe),
       Seq("vec_id"), "v", "centroid_id", "cv")
@@ -318,7 +326,7 @@ object Similarity {
       emb: DataFrame,
       centroidModulus: Int = 100,
       superFactor: Int = 16,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 2): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val all = vecs(emb)
     val superMod = centroidModulus.toLong * superFactor

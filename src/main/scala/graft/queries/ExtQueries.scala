@@ -899,8 +899,11 @@ object ExtQueries {
 
     // ---- dedup: SemDeDup with the two-level quantizer (scale path) ---
     // Same witness contract as x33; assignment goes vector → super-cell
-    // → cell so cost is O(n·(k₁+k/k₁)) instead of the flat O(n·k)
-    // (HEADROOM.md measured the flat form 13–16× at 10× data).
+    // → cell so cost is O(n·(k₁+nprobe·k/k₁)) instead of the flat
+    // O(n·k) (HEADROOM.md measured the flat form 13–16× at 10× data).
+    // Default nprobe=2 (measured: recall 1.0 vs flat, where nprobe=1
+    // is 0.64 — NprobeRecall); the oracle's vs2 stage mirrors the
+    // 2-probe super-cell fan-out.
     ("x37_semdedup_hier",
       (s: SparkSession, dir: String) =>
         Similarity.semDedupHierarchical(t(s, dir, "embeddings"), minCos = 0.45),
@@ -919,7 +922,7 @@ object ExtQueries {
               |          ${cosSql("e.v", "s.sv")} AS s_sim FROM e, sups s),
               |vs2 AS (SELECT *, row_number() OVER
               |          (PARTITION BY vec_id ORDER BY s_sim DESC, super_id) AS rn FROM vs1),
-              |v2s AS (SELECT vec_id, v, super_id FROM vs2 WHERE rn = 1),
+              |v2s AS (SELECT vec_id, v, super_id FROM vs2 WHERE rn <= 2),
               |a1 AS (SELECT t.vec_id, t.v, m.centroid_id, ${cosSql("t.v", "m.cv")} AS c_sim
               |       FROM v2s t JOIN c2s m ON t.super_id = m.super_id),
               |a2 AS (SELECT *, row_number() OVER

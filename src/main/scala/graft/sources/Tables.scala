@@ -34,7 +34,22 @@ object Tables {
     frames.keys.filter(_._1.sparkContext.isStopped).foreach(frames.remove)
     frames.getOrElseUpdate((spark, sfDir, name), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // Event-time contract: downstream operators do integer ns/µs math
+      // on `ts` as an ns-epoch LongType. The driver fixture carries
+      // TIMESTAMP(NANOS), which nanosAsLong already surfaces as that
+      // long; corpora written by Spark itself (the 10× scale probe's
+      // derived tables) or by ordinary µs-grain producers carry a µs
+      // TIMESTAMP instead — normalize it to the same ns-long here so
+      // every event operator sees one type regardless of producer.
+      df.schema.find(_.name == "ts") match {
+        case Some(f) if f.dataType ==
+            org.apache.spark.sql.types.TimestampType =>
+          df.withColumn("ts",
+            org.apache.spark.sql.functions.unix_micros(
+              org.apache.spark.sql.functions.col("ts")) * 1000L)
+        case _ => df
+      }
     })
   }
 

@@ -120,7 +120,7 @@ class CurationOpsSpec extends SparkSpec {
     val flat = Similarity.semDedup(emb, minCos = 0.995, centroidModulus = 2)
     assert(dups(flat) === Set(103L), "flat finds the 101/103 near-pair")
     val oneProbe = Similarity.semDedupHierarchical(emb, minCos = 0.995,
-      centroidModulus = 2, superFactor = 2)
+      centroidModulus = 2, superFactor = 2, nprobe = 1)
     assert(dups(oneProbe) === Set.empty,
       "single-probe splits the pair across cells and misses the dup")
     // two probes cover every cell of this fixture, so the assignment —

@@ -38,6 +38,28 @@ class FileSourceSpec extends SparkSpec {
     assert(back.count() === nested.count())
   }
 
+  test("Tables.load normalizes a µs-TIMESTAMP events table to the ns-long contract") {
+    // the driver fixture carries TIMESTAMP(NANOS) → ns-long under
+    // nanosAsLong; an ordinary µs-grain producer carries a µs TIMESTAMP
+    // instead — it must surface as the same ns-long `ts` (at µs grain:
+    // the fixture's sub-µs digits are unrepresentable by a µs producer)
+    val fixture = Tables.load(spark, sf, "events")
+    assert(fixture.schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsus").toString
+    fixture.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rewritten = Tables.load(spark, tmp, "events")
+    assert(rewritten.schema("ts").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val a = fixture.select(col("event_id"), expr("ts div 1000").as("us"))
+      .orderBy("event_id").collect().toSeq
+    val b = rewritten.select(col("event_id"), expr("ts div 1000").as("us"))
+      .orderBy("event_id").collect().toSeq
+    assert(a === b)
+    assert(rewritten.select(max(expr("ts % 1000"))).head().getLong(0) === 0L)
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]

@@ -37,7 +37,20 @@ def main():
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, '*.parquet')):
         name = os.path.basename(p)[:-len('.parquet')]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # driver fixtures are single files; Spark-written corpora (the
+        # 10x scale probe's) are directories of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+        # Spark cannot write TIMESTAMP(NANOS): probe corpora carry the
+        # fixture's ns-epoch ts as raw int64. Rebuild the us-truncated
+        # TIMESTAMP — exactly what DuckDB sees reading the ns fixture —
+        # so timestamp-typed oracle SQL binds identically on both.
+        ts_type = dict((c[0], c[1]) for c in
+                       con.execute(f"DESCRIBE {name}").fetchall()).get('ts')
+        if ts_type == 'BIGINT':
+            con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * "
+                        f"REPLACE (make_timestamp(ts // 1000) AS ts) "
+                        f"FROM read_parquet('{src}')")
     oracle = json.load(open(os.path.join(out_dir, 'oracle_sql.json')))
     fails = 0
     for name in sorted(oracle):
