@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Corpus-assembly operators for training-data preparation: greedy
+  * sequence packing (documents → fixed-token-budget context windows)
+  * and overlapping token-window chunking (documents → fixed-size
+  * chunks). Both are deterministic and oracle-exact: packing is defined
+  * as a per-stratum greedy fold in id order (the industry-standard
+  * "concat until the context window is full" batching step), chunking
+  * as pure per-row window arithmetic.
+  */
+object Packing {
+
+  /** Greedy fixed-budget sequence packing: within each stratum,
+    * documents are visited in ascending id order and appended to the
+    * current bin while the bin's token fill stays ≤ `budget`; a
+    * document that would overflow opens a new bin (so a document
+    * larger than `budget` occupies a bin alone, overflowing it — it is
+    * assigned, never dropped). Bin ids are 1-based per (stratum,
+    * shard). Id-order packing is deliberate: adjacent ids pack
+    * together, so bins inherit whatever locality the id carries, and
+    * the assignment is reproducible across engines — the property the
+    * oracle needs and random-shuffle packing can never give.
+    *
+    * Scale shape: one hash shuffle on the group key, then a STREAMING
+    * fold per sorted group (`flatMapSortedGroups` sorts within the
+    * exchange's partitions — no collected buffers, O(1) state per
+    * group: current fill + bin counter). Greedy packing is
+    * prefix-dependent, so a stratum is inherently one sequential
+    * stream; parallelism = #strata · `subShards`. For strata too large
+    * for a single task, `subShards` splits each stratum by
+    * `pmod(id, subShards)` and packs each shard independently —
+    * bounded waste (≤ one partial bin per extra shard) for
+    * `subShards`× parallelism, the standard trade. `subShards` = 1
+    * reproduces the textbook single-stream greedy pack.
+    *
+    * Rows with NULL stratum/id or without a positive token count are
+    * excluded ([[graft.ext.Sampling.weightedPriority]]'s convention).
+    * Output: (stratumCol, shard, idCol, n_tokens, bin_id), one row per
+    * surviving input document.
+    */
+  def packGreedy(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      tokensCol: Column,
+      budget: Long,
+      subShards: Int = 1): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(subShards >= 1, "subShards must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(stratumCol).isNotNull && col(idCol).isNotNull &&
+        tokensCol.cast("long") > 0)
+      .select(col(stratumCol).cast("string").as("__stratum"),
+        pmod(col(idCol), lit(subShards.toLong)).cast("long").as("__shard"),
+        col(idCol).cast("long").as("__id"), tokensCol.cast("long").as("__n"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey { case (stratum, shard, _, _) => (stratum, shard) }
+      .flatMapSortedGroups($"__id") { case ((stratum, shard), rows) =>
+        var fill = 0L
+        var bin = 0L
+        rows.map { case (_, _, id, nTokens) =>
+          if (bin == 0L || fill + nTokens > budget) { bin += 1; fill = nTokens }
+          else fill += nTokens
+          (stratum, shard, id, nTokens, bin)
+        }
+      }
+      .toDF(stratumCol, "shard", idCol, "n_tokens", "bin_id")
+  }
+
+  /** Overlapping token-window chunking — the RAG / long-context
+    * preprocessing step: each document's token array is cut into
+    * windows of `chunkSize` tokens whose starts advance by
+    * `stride = chunkSize - overlap`, so consecutive chunks share
+    * `overlap` tokens and every token is covered. Window starts are
+    * 0, stride, 2·stride, … while start < n − overlap (plus the
+    * mandatory start 0), so a document of n ≤ chunkSize tokens yields
+    * exactly one chunk and the last chunk may be shorter than
+    * `chunkSize` but is never a pure suffix of the previous one.
+    * chunk_id is the 0-based window index.
+    *
+    * Scale shape: pure per-row arithmetic — tokenize once, explode the
+    * window-start sequence, slice. No shuffle, no state; the output is
+    * a flat map of the input and pipelines into whatever shuffle the
+    * consumer brings. Rows with NULL id/text are excluded.
+    * Output: (idCol, chunk_id, n_tokens, chunk_text).
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: Column,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(overlap >= 0 && overlap < chunkSize,
+      "overlap must be in [0, chunkSize)")
+    val stride = (chunkSize - overlap).toLong
+    val n = size(col("__t")).cast("long")
+    docs
+      .filter(col(idCol).isNotNull && textCol.isNotNull)
+      .select(col(idCol), Portable.tokens(textCol).as("__t"))
+      .select(col(idCol), col("__t"),
+        posexplode(sequence(lit(0L),
+          greatest(lit(0L), n - overlap - 1L), lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        least(lit(chunkSize.toLong), n - col("col")).as("n_tokens"),
+        array_join(
+          slice(col("__t"), (col("col") + 1L).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+}

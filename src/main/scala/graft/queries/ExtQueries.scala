@@ -1158,6 +1158,60 @@ object ExtQueries {
               |    CASE lang.lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
               |         WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin)),
 
+    // ---- corpus assembly: greedy sequence packing --------------------
+    // Documents packed into 256-token context windows, greedy in doc_id
+    // order per language (Packing.packGreedy) — the pretraining batch-
+    // assembly step. The oracle walks the same fold as a recursive CTE;
+    // single-shard here (the driver fixture's strata are small), the
+    // subShards scale knob is spec'd in PackingSpec.
+    ("x48_sequence_packing",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.ext.Packing.packGreedy(docs, "lang", "doc_id",
+          size(graft.functions.Portable.tokens(col("text"))), budget = 256)
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT lang, CAST(0 AS BIGINT) AS shard, doc_id,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             |  FROM documents
+             |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+             |    AND len(string_split(trim(text), ' ')) > 0),
+             |p AS (
+             |  SELECT lang, shard, doc_id, n_tokens, rn,
+             |    n_tokens AS fill, CAST(1 AS BIGINT) AS bin_id
+             |  FROM d WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
+             |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+             |         ELSE p.fill + d.n_tokens END,
+             |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin_id + 1
+             |         ELSE p.bin_id END
+             |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+             |SELECT lang, shard, doc_id, n_tokens, bin_id FROM p""".stripMargin)),
+
+    // ---- corpus assembly: overlapping token-window chunking ----------
+    // 32-token windows advancing by 24 (8-token overlap) per document
+    // (Packing.chunkTokens) — the RAG / long-context chunking step.
+    // Window starts are exact multiples of the stride, so chunk_id is
+    // start // stride in both engines; chunk text is rebuilt from the
+    // same single-space token slice the Spark side slices.
+    ("x49_token_chunking",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Packing.chunkTokens(t(s, dir, "documents"), "doc_id",
+          col("text"), chunkSize = 32, overlap = 8),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             |s AS (
+             |  SELECT doc_id, t,
+             |    unnest(generate_series(0, greatest(0, len(t) - 8 - 1), 24)) AS start
+             |  FROM d)
+             |SELECT doc_id, start // 24 AS chunk_id,
+             |  least(32, CAST(len(t) AS BIGINT) - start) AS n_tokens,
+             |  array_to_string(t[(start + 1):(start + 32)], ' ') AS chunk_text
+             |FROM s""".stripMargin)),
+
     // ---- L5: Bangkok date normalization (parity op) ------------------
     ("x16_date_norm",
       (s: SparkSession, dir: String) =>

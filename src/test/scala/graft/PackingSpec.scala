@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Packing
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    // (stratum, id, weight)
+    ("a", 1L, 4L), ("a", 2L, 5L), ("a", 3L, 2L), ("a", 4L, 10L),
+    ("a", 5L, 11L), ("b", 6L, 3L)
+  ).toDF("lang", "doc_id", "w")
+
+  test("packGreedy: the textbook fold — fill, overflow, oversize-alone") {
+    // budget 10, stratum a in id order: 4+5=9 fits; +2 overflows → bin 2
+    // (fill 2); +10 overflows → bin 3 (exactly at budget); 11 > budget
+    // → bin 4 alone, overflowing (assigned, never dropped)
+    val out = Packing.packGreedy(docs, "lang", "doc_id", col("w"), budget = 10)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSet
+    assert(out === Set(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 2L), ("a", 4L, 3L),
+      ("a", 5L, 4L), ("b", 6L, 1L)))
+  }
+
+  test("packGreedy: budget invariant — only oversize singletons overflow") {
+    val out = Packing.packGreedy(docs, "lang", "doc_id", col("w"), budget = 10)
+    val bins = out.groupBy("lang", "shard", "bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"))
+      .collect()
+    bins.foreach { r =>
+      assert(r.getLong(3) <= 10 || r.getLong(4) === 1L,
+        s"multi-doc bin over budget: $r")
+    }
+    assert(out.count() === 6, "every surviving doc assigned exactly once")
+  }
+
+  test("packGreedy: subShards splits by pmod(id), keeps the invariant") {
+    val out = Packing.packGreedy(docs, "lang", "doc_id", col("w"),
+      budget = 10, subShards = 2)
+    assert(out.count() === 6)
+    assert(out.filter(col("shard") =!= pmod(col("doc_id"), lit(2))).count() === 0)
+    val bins = out.groupBy("lang", "shard", "bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs")).collect()
+    bins.foreach(r => assert(r.getLong(3) <= 10 || r.getLong(4) === 1L))
+    // shard a/1 (ids 1,3,5): 4+2=6 fits, 11 oversize-alone; a/0 (2,4):
+    // 5+10 overflows → two bins — the per-shard fold is independent
+    val a1 = out.filter(col("lang") === "a" && col("shard") === 1)
+      .collect().map(r => (r.getLong(2), r.getLong(4))).toSet
+    assert(a1 === Set((1L, 1L), (3L, 1L), (5L, 2L)))
+  }
+
+  test("packGreedy: null stratum/id and non-positive weights are excluded") {
+    val messy = Seq(
+      (Some("a"), Some(1L), 5L), (None, Some(2L), 5L),
+      (Some("a"), None, 5L), (Some("a"), Some(4L), 0L)
+    ).toDF("lang", "doc_id", "w")
+    val out = Packing.packGreedy(messy, "lang", "doc_id", col("w"), budget = 10)
+    assert(out.collect().map(_.getLong(2)).toSeq === Seq(1L))
+  }
+
+  test("chunkTokens: window starts, overlap, and tail coverage") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkTokens(df, "doc_id", col("text"),
+        chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out === Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 2L, "x y")))
+    // stride-3 starts with a 1-token overlap cover every token: each
+    // chunk ends where computed (start + n_tokens), and the last chunk
+    // ends at the document length
+    assert(out.filter(_._1 == 1L).map(t => t._2 * 3 + t._3).max === 10L)
+  }
+
+  test("chunkTokens: short docs yield exactly one chunk; guards hold") {
+    val df = Seq((1L, "only four tokens here")).toDF("doc_id", "text")
+    val one = Packing.chunkTokens(df, "doc_id", col("text"), 32, 8).collect()
+    assert(one.length === 1 && one.head.getLong(2) === 4L &&
+      one.head.getString(3) === "only four tokens here")
+    intercept[IllegalArgumentException] {
+      Packing.chunkTokens(df, "doc_id", col("text"), 8, 8)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packGreedy(docs, "lang", "doc_id", col("w"), budget = 0)
+    }
+  }
+}

@@ -225,6 +225,21 @@ class PlanQualitySpec extends SparkSpec {
       "missing the null-safe user_id-keyed containment join:\n" + p)
   }
 
+  test("x49 chunking is a pure flat map — zero exchanges; x48 packing pays one") {
+    val chunk = finalPlan(q("x49_token_chunking"))
+    assert(!chunk.contains("Exchange"),
+      "chunking must not shuffle — it is per-row arithmetic:\n" + chunk)
+    // packing needs exactly the one hash exchange that clusters each
+    // (stratum, shard) group; the in-group fold is a streaming
+    // MapGroups over the exchange's sorted partitions, never a second
+    // shuffle or a global sort
+    val pack = finalPlan(q("x48_sequence_packing"))
+    assert("Exchange hashpartitioning".r.findAllIn(pack).length === 1,
+      "packing must cluster once:\n" + pack)
+    assert(!pack.contains("Exchange rangepartitioning"),
+      "packing must not global-sort:\n" + pack)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
