@@ -172,8 +172,13 @@ object ScaleHeadroom {
     "x45_source_overlap",     // exact audit: shingle self-join grows
                               // with shared vocabulary (also probed
                               // under the inflated-overlap variant)
-    "x46_source_overlap_kmv") // sketch form: corpus scanned once,
+    "x46_source_overlap_kmv", // sketch form: corpus scanned once,
                               // downstream on #sources·k rows
+    "x48_sequence_packing",   // one clustering shuffle + per-stratum
+                              // streaming fold — expect ~linear
+                              // (parallelism = #strata at subShards=1)
+    "x49_token_chunking")     // pure flat map, zero shuffles —
+                              // expect ~linear over the scan floor
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -91,4 +91,33 @@ class CurationPropertySpec extends SparkSpec {
       out == expected
     }, samples = 10)
   }
+
+  test("packGreedy equals the sequential reference fold, at any subShards") {
+    val rows: Gen[List[(String, Long, Long)]] = Gen.listOf(for {
+      g <- Gen.oneOf("a", "b")
+      id <- Gen.choose(0L, 10000L)
+      w <- Gen.choose(1L, 40L) // some weights exceed the budget below
+    } yield (g, id, w))
+    val budget = 25L
+    check(Prop.forAll(rows, Gen.choose(1, 3)) { (rs, shards) =>
+      val uniq = rs.groupBy(_._2).map(_._2.head).toList
+      val out = graft.ext.Packing.packGreedy(
+          uniq.toDF("g", "id", "w"), "g", "id", col("w"),
+          budget = budget, subShards = shards)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+      // sequential reference: greedy fold in id order per (g, shard)
+      val expected = uniq
+        .map { case (g, id, w) => (g, id % shards, id, w) }
+        .groupBy(t => (t._1, t._2)).iterator.flatMap { case (_, grp) =>
+          var fill = 0L; var bin = 0L
+          grp.sortBy(_._3).map { case (g, sh, id, w) =>
+            if (bin == 0L || fill + w > budget) { bin += 1; fill = w }
+            else fill += w
+            (g, sh, id, bin)
+          }
+        }.toSet
+      out == expected
+    }, samples = 10)
+  }
 }
