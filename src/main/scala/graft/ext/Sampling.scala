@@ -131,4 +131,50 @@ object Sampling {
         round((col("__tot").cast("double") / col("__k")) / col("n_tokens"), 6)
           .as("mix_weight"))
   }
+
+  /** Temperature-flattened corpus mixture — the standard multilingual /
+    * multi-source LM sampling rule (exponent-smoothed shares, as in
+    * XLM's p_i^α rescaling): per stratum, the raw token share
+    * p_s = tokens_s / Σ tokens and the flattened sampling share
+    * q_s ∝ p_s^α, with `boost` = q_s / p_s — the factor a sampler
+    * multiplies into per-document rates (> 1 upsamples tail strata,
+    * < 1 downsamples the head; α = 1 is proportional sampling, α = 0
+    * is [[mixWeights]]' equalizing rule).
+    *
+    * α is FIXED at 0.5: IEEE-754 `sqrt` is correctly rounded, so both
+    * engines compute bit-identical flattened weights from the same
+    * integer token counts — a generic `pow(p, α)` hinges on libm
+    * rounding and would break the oracle hash (the same reason x41
+    * ranks by exact ratios instead of `ln`). q_s ∝ √p_s ∝ √tokens_s,
+    * so the shares are computed directly from √tokens_s with the
+    * cross-stratum normalizer Σ √tokens summed as DECIMAL over
+    * 6-decimal-rounded terms — double summation order across strata is
+    * nondeterministic, decimal addition is exact (the repo-wide
+    * DECIMAL-sum pattern). α = 0.5 sits inside the α ∈ [0.3, 0.7] band
+    * the literature uses.
+    *
+    * Scale shape: identical to [[mixWeights]] — one stratum-keyed
+    * aggregation (map-side combined) plus a broadcast one-row total;
+    * the normalizer rides the same totals frame, no second corpus pass.
+    * Output: (stratum, n_docs, n_tokens, token_share, temp_share,
+    * boost).
+    */
+  def temperatureMixWeights(docs: DataFrame, stratumCol: String,
+      textCol: String = "text"): DataFrame = {
+    val per = docs.filter(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("stratum"),
+        size(tokens(col(textCol))).cast("long").as("__n_tok"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"), sum("__n_tok").as("n_tokens"))
+      .withColumn("__s",
+        round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(28,6)"))
+    val totals = per.agg(sum("n_tokens").as("__tot"), sum("__s").as("__ssum"))
+    per.crossJoin(broadcast(totals))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("__tot"), 6).as("token_share"),
+        round(col("__s").cast("double") / col("__ssum").cast("double"), 6)
+          .as("temp_share"),
+        round((col("__s").cast("double") / col("__ssum").cast("double")) /
+          (col("n_tokens").cast("double") / col("__tot")), 6).as("boost"))
+  }
 }

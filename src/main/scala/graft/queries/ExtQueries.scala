@@ -706,6 +706,30 @@ object ExtQueries {
              |  round((CAST(t AS DOUBLE) / k) / n_tokens, 6) AS mix_weight
              |FROM per, tot""".stripMargin)),
 
+    // ---- sampling: temperature-flattened mixture (α = 0.5) -----------
+    // Exponent-smoothed sampling shares per SOURCE (q ∝ p^0.5) — α fixed
+    // at 0.5 because IEEE sqrt is correctly rounded where pow is a libm
+    // lottery; the cross-stratum normalizer is a DECIMAL sum of
+    // 6-decimal-rounded √tokens so summation order cannot leak into the
+    // hash (Sampling.temperatureMixWeights).
+    ("x50_temperature_mix",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Sampling.temperatureMixWeights(
+          t(s, dir, "documents"), "source"),
+      Some("""WITH per AS (SELECT source AS stratum, count(*) AS n_docs,
+             |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+             |ps AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+             |         AS DECIMAL(28,6)) AS s FROM per),
+             |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+             |          sum(s) AS ssum FROM ps)
+             |SELECT stratum, n_docs, n_tokens,
+             |  round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share,
+             |  round(CAST(s AS DOUBLE) / CAST(ssum AS DOUBLE), 6) AS temp_share,
+             |  round((CAST(s AS DOUBLE) / CAST(ssum AS DOUBLE)) /
+             |    (CAST(n_tokens AS DOUBLE) / t), 6) AS boost
+             |FROM ps, tot""".stripMargin)),
+
     // ---- multimodal capstone: decode → frame-sample → featurize → ANN
     // The vision-preprocessing path composed in one plan; the decode is
     // the real P5/P6/WAV parser, the featurization is the

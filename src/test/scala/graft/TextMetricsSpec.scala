@@ -113,6 +113,35 @@ class TextMetricsSpec extends SparkSpec {
       ("fr", 1L, 2L, 0.2, 2.5)))    // 5/2
   }
 
+  test("temperature mix flattens toward the tail: hand-computed sqrt shares") {
+    // en 9 tokens, fr 1 token → p = (0.9, 0.1); √tokens = (3, 1) →
+    // q = (0.75, 0.25): the tail stratum is boosted 2.5×, the head
+    // damped to 5/6 — and q still orders the same way p does
+    val docs = Seq(
+      (1L, "en", "a b c d e f g h i"), // 9 tokens
+      (2L, "fr", "x"),                 // 1 token
+      (3L, null.asInstanceOf[String], "dropped row")
+    ).toDF("doc_id", "lang", "text")
+    val out = Sampling.temperatureMixWeights(docs, "lang").orderBy("stratum")
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("en", 1L, 9L, 0.9, 0.75, 0.833333),
+      ("fr", 1L, 1L, 0.1, 0.25, 2.5)))
+    // flattening invariants on the real fixture: shares sum to 1, the
+    // head stratum is damped (boost < 1) and the tail boosted (> 1),
+    // with q strictly between uniform and proportional for both
+    val fix = Sampling.temperatureMixWeights(
+      sources.Tables.load(spark, sf, "documents"), "lang").collect()
+    assert(math.abs(fix.map(_.getAs[Double]("temp_share")).sum - 1.0) < 1e-4)
+    val k = fix.length.toDouble
+    fix.foreach { r =>
+      val p = r.getAs[Double]("token_share")
+      val q = r.getAs[Double]("temp_share")
+      if (p > 1 / k) assert(q < p && q > 1 / k, s"head not flattened: $r")
+      else if (p < 1 / k) assert(q > p && q < 1 / k, s"tail not flattened: $r")
+    }
+  }
+
   test("heavy hitters: exact per-stratum top tokens, ties by token") {
     val docs = Seq(
       (1L, "en", "a a a b b c"),
