@@ -15,8 +15,10 @@ import graft.functions.Portable
   */
 object Packing {
 
-  /** Greedy fixed-budget sequence packing: within each stratum,
-    * documents are visited in ascending id order and appended to the
+  /** Greedy fixed-budget sequence packing (the pretraining
+    * batch-assembly step; see arXiv:2107.02027 for the packing-problem
+    * framing): within each stratum, documents are visited in ascending
+    * id order and appended to the
     * current bin while the bin's token fill stays ≤ `budget`; a
     * document that would overflow opens a new bin (so a document
     * larger than `budget` occupies a bin alone, overflowing it — it is

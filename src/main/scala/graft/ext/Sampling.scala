@@ -134,7 +134,8 @@ object Sampling {
 
   /** Temperature-flattened corpus mixture — the standard multilingual /
     * multi-source LM sampling rule (exponent-smoothed shares, as in
-    * XLM's p_i^α rescaling): per stratum, the raw token share
+    * XLM's p_i^α rescaling, arXiv:1901.07291 §3.1): per stratum, the
+    * raw token share
     * p_s = tokens_s / Σ tokens and the flattened sampling share
     * q_s ∝ p_s^α, with `boost` = q_s / p_s — the factor a sampler
     * multiplies into per-document rates (> 1 upsamples tail strata,

@@ -177,8 +177,10 @@ object ScaleHeadroom {
     "x48_sequence_packing",   // one clustering shuffle + per-stratum
                               // streaming fold — expect ~linear
                               // (parallelism = #strata at subShards=1)
-    "x49_token_chunking")     // pure flat map, zero shuffles —
+    "x49_token_chunking",     // pure flat map, zero shuffles —
                               // expect ~linear over the scan floor
+    "x50_temperature_mix")    // one stratum agg + broadcast totals —
+                              // expect ~flat over the scan
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
