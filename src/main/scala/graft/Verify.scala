@@ -16,6 +16,14 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    // a typo'd filter must fail loudly: silently matching nothing would
+    // write an empty dump + '{}' oracle json, which check.py reports as
+    // '0 failures' — a spot-check that verified nothing reading as a pass
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

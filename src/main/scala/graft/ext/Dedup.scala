@@ -549,15 +549,22 @@ object Dedup {
         round(col("n_both").cast("double") / col("n_merged"), 6).as("jaccard_est"))
   }
 
-  /** Pre-mix overlap gate over [[sourceOverlapSketch]]: sources whose
-    * estimated pair Jaccard with a retained source reaches `maxJaccard`
-    * are dropped before mixing — the audit consumed as an operator, not
-    * a report. The rule is deterministic and order-free: for every
-    * flagged pair the lexicographically GREATER source is excluded, so
-    * the smaller name acts as the pair's canonical representative
-    * (mirroring the min-id convention of [[resolveClusters]]); a source
-    * flagged in any pair as the greater member is dropped exactly once
-    * regardless of how many pairs flag it.
+  /** Pre-mix overlap gate over [[sourceOverlapSketch]]: for every
+    * source pair whose estimated Jaccard reaches `maxJaccard`, the
+    * lexicographically GREATER member is dropped before mixing — the
+    * audit consumed as an operator, not a report. The rule is
+    * deterministic and order-free (the smaller name acts as the pair's
+    * canonical representative, mirroring the min-id convention of
+    * [[resolveClusters]]); a source flagged in any pair as the greater
+    * member is dropped exactly once regardless of how many pairs flag
+    * it. On overlap CHAINS (a~b, b~c, a̸~c) the pair rule is
+    * deliberately conservative: c is dropped for overlapping b even
+    * though b itself is dropped — every flagged pair loses a member
+    * unconditionally, so no two retained sources can overlap, at the
+    * cost of sometimes dropping more than a sequential
+    * keep-the-smallest-per-component walk would (that walk is
+    * order-dependent and needs the component structure; the pair rule
+    * needs only the flagged list).
     *
     * Scale shape: the sketch audit touches the corpus once; the flagged
     * list is ≤ #sources rows, so the gate itself is a broadcast

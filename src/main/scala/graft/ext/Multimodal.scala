@@ -145,19 +145,26 @@ object Multimodal {
     throw new IllegalArgumentException(s"doc $docId: malformed payload — $msg")
 
   /** Parse one ASCII unsigned int at `pos`, skipping leading Netpbm
-    * whitespace. Returns (value, posAfter).
+    * whitespace. Returns (value, posAfter). Values are capped at 2^20:
+    * unchecked `v * 10 + digit` Int math would wrap on a crafted header
+    * (e.g. "P5\n4294967276 1\n255\n" parses w = −20, making dataLen
+    * negative, the truncation check pass, and the frame loop spin
+    * forever at posAfter = pos), so any dimension/maxval beyond the cap
+    * is rejected as malformed rather than wrapped.
     */
   private def asciiInt(b: Array[Byte], pos0: Int, docId: Long): (Int, Int) = {
     var pos = pos0
     while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n' || b(pos) == '\t' ||
         b(pos) == '\r')) pos += 1
     val start = pos
-    var v = 0
+    var v = 0L
     while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
-      v = v * 10 + (b(pos) - '0'); pos += 1
+      v = v * 10L + (b(pos) - '0')
+      if (v > (1L << 20)) fail(docId, s"ASCII integer at byte $start exceeds 2^20")
+      pos += 1
     }
     if (pos == start) fail(docId, s"expected ASCII integer at byte $pos")
-    (v, pos)
+    (v.toInt, pos)
   }
 
   /** Decode one P5/P6 frame starting at `pos`; returns
@@ -174,17 +181,21 @@ object Multimodal {
     val (h, p2) = asciiInt(b, p1, docId)
     val (maxval, p3) = asciiInt(b, p2, docId)
     if (maxval != 255) fail(docId, s"unsupported maxval $maxval")
+    if (w < 1 || h < 1) fail(docId, s"degenerate dimensions ${w}x$h")
     // exactly ONE whitespace byte separates the header from raster data
     if (p3 >= b.length || !(b(p3) == '\n' || b(p3) == ' ' || b(p3) == '\t' ||
         b(p3) == '\r')) fail(docId, "missing raster separator")
     val dataStart = p3 + 1
-    val dataLen = w * h * ch
+    // Long math: w·h·ch can reach 3·2^40 under the 2^20 dimension cap,
+    // and an Int product could wrap past the truncation check
+    val dataLen = w.toLong * h * ch
     if (dataStart + dataLen > b.length)
       fail(docId, s"truncated raster: need $dataLen bytes at $dataStart, have ${b.length}")
+    val dataEnd = (dataStart + dataLen).toInt
     var sum = 0L
     var i = dataStart
-    while (i < dataStart + dataLen) { sum += b(i) & 0xff; i += 1 }
-    (w, h, ch, sum, dataStart + dataLen)
+    while (i < dataEnd) { sum += b(i) & 0xff; i += 1 }
+    (w, h, ch, sum, dataEnd)
   }
 
   /** Decode a payload of back-to-back P5/P6 frames (1 frame = still

@@ -56,6 +56,13 @@ object Packing {
     require(subShards >= 1, "subShards must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    // tokensCol is evaluated in both the filter and the projection;
+    // pushdown would re-inline it even if filtered post-projection
+    // (PushPredicateThroughNonJoin substitutes alias definitions — the
+    // x21 lesson). Unlike x21's interpreted higher-order stratum
+    // expression this is one native codegen'd split per row, so the
+    // double evaluation is a measured non-issue (x48 at 10×: 4.7× over
+    // a 0.2 s base) and not worth a NoInline barrier.
     docs
       .filter(col(stratumCol).isNotNull && col(idCol).isNotNull &&
         tokensCol.cast("long") > 0)

@@ -304,12 +304,20 @@ object Similarity {
     * contract are identical to [[semDedup]]; the x37 oracle mirrors the
     * 2-probe assignment.
     */
+  // Shared quantizer defaults: semDedupHierarchical (the production
+  // path) and hierCandidates (the NprobeRecall diagnostic that
+  // calibrates it) MUST agree, or the published recall numbers would
+  // describe a different quantizer than the one that ships.
+  private[graft] val DefaultCentroidModulus = 100
+  private[graft] val DefaultSuperFactor = 16
+  private[graft] val DefaultNprobe = 2
+
   def semDedupHierarchical(
       emb: DataFrame,
       minCos: Double = 0.7,
-      centroidModulus: Int = 100,
-      superFactor: Int = 16,
-      nprobe: Int = 2): DataFrame = {
+      centroidModulus: Int = DefaultCentroidModulus,
+      superFactor: Int = DefaultSuperFactor,
+      nprobe: Int = DefaultNprobe): DataFrame = {
     val assigned = topKByCos(
       hierCandidates(emb, centroidModulus, superFactor, nprobe),
       Seq("vec_id"), "v", "centroid_id", "cv")
@@ -324,9 +332,9 @@ object Similarity {
     */
   private[graft] def hierCandidates(
       emb: DataFrame,
-      centroidModulus: Int = 100,
-      superFactor: Int = 16,
-      nprobe: Int = 2): DataFrame = {
+      centroidModulus: Int = DefaultCentroidModulus,
+      superFactor: Int = DefaultSuperFactor,
+      nprobe: Int = DefaultNprobe): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val all = vecs(emb)
     val superMod = centroidModulus.toLong * superFactor

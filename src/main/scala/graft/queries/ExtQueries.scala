@@ -1161,7 +1161,10 @@ object ExtQueries {
       },
       // lang/quality are row-wise, so the oracle computes them over ALL
       // documents and applies the source gate in the final WHERE —
-      // equivalent to the engine's filter-first plan.
+      // equivalent to the engine's filter-first plan. NOT EXISTS, not
+      // NOT IN: a NULL-source document must survive the gate like it
+      // survives the engine's left_anti join (NULL never equals a
+      // flagged source), where NULL NOT IN (non-empty set) is NULL.
       Some(s"""WITH $kmvOverlapCtes,
               |ex AS (SELECT DISTINCT source_b AS source FROM ov WHERE jaccard_est >= 0.06),
               |$langPredCtes,
@@ -1176,7 +1179,7 @@ object ExtQueries {
               |FROM documents d
               |JOIN lang ON lang.doc_id = d.doc_id
               |JOIN q ON q.doc_id = d.doc_id
-              |WHERE d.source NOT IN (SELECT source FROM ex)
+              |WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.source = d.source)
               |  AND q.quality_score >= 0.5
               |  AND (${h32("lang.lang_pred || ':' || CAST(d.doc_id AS VARCHAR)")}) % 100 <
               |    CASE lang.lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30

@@ -40,14 +40,18 @@ object Tables {
       // TIMESTAMP(NANOS), which nanosAsLong already surfaces as that
       // long; corpora written by Spark itself (the 10× scale probe's
       // derived tables) or by ordinary µs-grain producers carry a µs
-      // TIMESTAMP instead — normalize it to the same ns-long here so
-      // every event operator sees one type regardless of producer.
+      // TIMESTAMP — LTZ or NTZ — instead. Normalize both to the same
+      // ns-long here so every event operator sees one type regardless
+      // of producer (NTZ wall time is interpreted in the session zone,
+      // UTC everywhere in this engine, so the cast is identity).
       df.schema.find(_.name == "ts") match {
         case Some(f) if f.dataType ==
-            org.apache.spark.sql.types.TimestampType =>
+              org.apache.spark.sql.types.TimestampType ||
+            f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
           df.withColumn("ts",
             org.apache.spark.sql.functions.unix_micros(
-              org.apache.spark.sql.functions.col("ts")) * 1000L)
+              org.apache.spark.sql.functions.col("ts")
+                .cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
         case _ => df
       }
     })

@@ -363,6 +363,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(Dedup.overlapGatedSources(docs, k = 16, maxJaccard = 0.9).count() === 3)
   }
 
+  test("overlapGatedSources: NULL-source docs survive the gate; chains drop conservatively") {
+    import graft.ext.Dedup
+    // NULL source never equals a flagged source — the left_anti gate
+    // must keep the row even when the gate fires (and the x47 oracle's
+    // NOT EXISTS mirrors that, where NOT IN would drop it)
+    val withNull = Seq(
+      (1L, "s1", "a b c d e"), (2L, "s2", "a b c d y"),
+      (3L, null.asInstanceOf[String], "p q r s t")
+    ).toDF("doc_id", "source", "text")
+    val kept = Dedup.overlapGatedSources(withNull, k = 16, maxJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L), "gate fired on s2, NULL-source row kept")
+    // chain a~b, b~c with a and c disjoint: the pair rule drops BOTH b
+    // and c (every flagged pair loses its greater member) — the
+    // documented conservative over-drop, pinned here so a change to a
+    // component walk shows up as a failing expectation
+    val chain = Seq(
+      (1L, "sa", "a b c d e"),        // abc bcd cde
+      (2L, "sb", "a b c d w x y z"),  // shares abc bcd with sa → J=2/7≈0.29;
+                                      // wxy xyz with sc → J=2/9≈0.22
+      (3L, "sc", "u v w x y z t")     // nothing shared with sa → J=0
+    ).toDF("doc_id", "source", "text")
+    val chainKept = Dedup.overlapGatedSources(chain, k = 16, maxJaccard = 0.2)
+      .select("source").as[String].collect().toSet
+    assert(chainKept === Set("sa"), s"pair rule drops sb AND sc: got $chainKept")
+  }
+
   // ---- sessionAttribution -------------------------------------------
 
   test("session attribution: NULL-user events keep their sessions (null-safe join)") {

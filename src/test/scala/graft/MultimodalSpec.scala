@@ -58,6 +58,20 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decode(1L, "audio", wav.dropRight(2))
     }
+    // Int-wrap headers: a width that wraps to a negative dataLen once
+    // spun the frame loop forever (posAfter = 0); a 65536x65536 header
+    // whose w*h*ch wraps to 0 was accepted with zero raster bytes —
+    // both must reject via the 2^20 dimension cap / Long raster math
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(1L, "image", "P5\n4294967276 1\n255\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(1L, "image", "P5\n65536 65536\n255\n".getBytes("US-ASCII"))
+    }
+    // degenerate zero-size dimensions are malformed, not empty frames
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(1L, "image", "P5\n0 3\n255\n".getBytes("US-ASCII"))
+    }
   }
 
   test("generator round-trip: decoded metadata matches the encoding parameters") {
