@@ -103,6 +103,40 @@ object Catalog {
       .agg(array_join(array_sort(collect_set(col("table_name"))), ", ")
         .as("referencing_tables"))
 
+  /** Per-column table profile — the data-shape assessment a migration
+    * runs BEFORE deciding how to denormalize (nullable FK columns embed
+    * differently, near-unique columns are key candidates, constant
+    * columns fold into the parent): one row per column with the row
+    * count, NULL count, and EXACT distinct count, computed in a single
+    * pass over the table.
+    *
+    * Scale shape: one aggregation; the multiple exact DISTINCT
+    * aggregates make Catalyst plan an Expand (input rows × #columns
+    * through the partial aggregate) — the standard exact-multi-distinct
+    * cost, kept here because the profile is the conversion oracle's
+    * input and must be exact. At corpus scale the drop-in seam is one
+    * [[graft.ext.Sketches.kmvDistinct]] pass per column (bounded
+    * exchange, verifiable estimate) — the same trade the overlap audit
+    * makes (x45 exact vs x46 sketch).
+    * Output: (table_name, col_name, n_rows, n_nulls, n_distinct).
+    */
+  def profile(df: DataFrame, tableName: String): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs =
+      count(lit(1)).as("__rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")))
+    val stackArgs = cols.map(c =>
+      s"'$c', __rows, `__nulls_$c`, `__nd_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(lit(tableName).as("table_name"),
+        expr(s"stack(${cols.size}, $stackArgs) " +
+          "AS (col_name, n_rows, n_nulls, n_distinct)"))
+      .select(col("table_name"), col("col_name"), col("n_rows"),
+        col("n_nulls"), col("n_distinct"))
+  }
+
   /** Full introspection: builds the driver-side [[DatabaseMeta]] the
     * conversion algorithm consumes (analog of
     * server/DBMigration.js:30-91). Row counts and column lists come from

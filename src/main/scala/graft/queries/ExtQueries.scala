@@ -730,6 +730,22 @@ object ExtQueries {
              |    (CAST(n_tokens AS DOUBLE) / t), 6) AS boost
              |FROM ps, tot""".stripMargin)),
 
+    // ---- catalog: per-column table profile ---------------------------
+    // Rows / NULLs / exact distinct per column of `orders` in ONE pass
+    // (Catalog.profile) — the data-shape assessment that feeds
+    // embed-vs-reference decisions; the oracle unions one aggregate per
+    // column, the engine pays a single Expand-style multi-distinct scan.
+    ("x51_table_profile",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Catalog.profile(t(s, dir, "orders"), "orders"),
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .map(c => s"""SELECT 'orders' AS table_name, '$c' AS col_name,
+                     |  count(*) AS n_rows,
+                     |  count(*) - count($c) AS n_nulls,
+                     |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+        .mkString("\nUNION ALL\n"))),
+
     // ---- multimodal capstone: decode → frame-sample → featurize → ANN
     // The vision-preprocessing path composed in one plan; the decode is
     // the real P5/P6/WAV parser, the featurization is the

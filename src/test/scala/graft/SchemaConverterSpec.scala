@@ -147,4 +147,23 @@ class SchemaConverterSpec extends SparkSpec {
     assert(emp.kind === ConversionKind.Referencing)
     assert(emp.embedded.map(_.name) === Seq("dep"))
   }
+
+  test("table profile: rows / nulls / exact distinct per column, one pass") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10)),
+      (2L, Some("a"), None),
+      (3L, None, Some(10)),
+      (4L, Some("b"), Some(20))
+    ).toDF("id", "grp", "v")
+    val prof = graft.operators.Catalog.profile(df, "t")
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(prof === Map(
+      "id" -> ((4L, 0L, 4L)),   // unique key candidate
+      "grp" -> ((4L, 1L, 2L)),  // nullable low-cardinality
+      "v" -> ((4L, 1L, 2L))))   // COUNT(DISTINCT) ignores the NULL
+  }
 }
