@@ -122,6 +122,11 @@ object Catalog {
     */
   def profile(df: DataFrame, tableName: String): DataFrame = {
     val cols = df.columns.toSeq
+    // the unpivot is assembled as a SQL string (stack has no typed
+    // builder); names that could escape their quoting are rejected
+    // rather than interpolated
+    require(cols.forall(c => !c.contains("'") && !c.contains("`")),
+      "profile: column names must not contain quote characters")
     val aggs =
       count(lit(1)).as("__rows") +:
       cols.flatMap(c => Seq(

@@ -179,8 +179,13 @@ object ScaleHeadroom {
                               // (parallelism = #strata at subShards=1)
     "x49_token_chunking",     // pure flat map, zero shuffles —
                               // expect ~linear over the scan floor
-    "x50_temperature_mix")    // one stratum agg + broadcast totals —
+    "x50_temperature_mix",    // one stratum agg + broadcast totals —
                               // expect ~flat over the scan
+    "x51_table_profile")      // exact multi-distinct over orders:
+                              // Expand multiplies scan rows by
+                              // #columns — expect ~linear with a
+                              // constant-factor penalty, the cost the
+                              // kmvDistinct seam exists to remove
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
