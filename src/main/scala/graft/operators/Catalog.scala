@@ -125,13 +125,19 @@ object Catalog {
     // the unpivot is assembled as a SQL string (stack has no typed
     // builder); names that could escape their quoting are rejected
     // rather than interpolated
+    require(cols.nonEmpty, "profile: the table has no columns")
     require(cols.forall(c => !c.contains("'") && !c.contains("`")),
       "profile: column names must not contain quote characters")
+    // backtick-quoted references: a bare col("a.b") would parse as a
+    // struct path; backticks in names are rejected above, so quoting is
+    // always safe. count(when(...)), not sum(...): SUM over zero rows
+    // is NULL and an empty table must profile as n_nulls = 0, like the
+    // oracle's count(*) - count(c).
     val aggs =
       count(lit(1)).as("__rows") +:
       cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__nd_$c")))
+        count(when(col(s"`$c`").isNull, lit(1))).as(s"__nulls_$c"),
+        countDistinct(col(s"`$c`")).as(s"__nd_$c")))
     val stackArgs = cols.map(c =>
       s"'$c', __rows, `__nulls_$c`, `__nd_$c`").mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)

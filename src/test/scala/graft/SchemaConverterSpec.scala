@@ -165,5 +165,13 @@ class SchemaConverterSpec extends SparkSpec {
       "id" -> ((4L, 0L, 4L)),   // unique key candidate
       "grp" -> ((4L, 1L, 2L)),  // nullable low-cardinality
       "v" -> ((4L, 1L, 2L))))   // COUNT(DISTINCT) ignores the NULL
+    // empty table: all-zero counts, never NULL (SUM-over-zero-rows
+    // would be NULL; the operator counts instead) — and a dotted flat
+    // column name must be profiled as itself, not parsed as a path
+    val empty = graft.operators.Catalog.profile(
+        df.filter(col("id") < 0).withColumnRenamed("v", "v.sub"), "e")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(empty.toSet === Set(
+      ("id", 0L, 0L, 0L), ("grp", 0L, 0L, 0L), ("v.sub", 0L, 0L, 0L)))
   }
 }
