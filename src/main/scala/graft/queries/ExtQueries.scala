@@ -45,6 +45,28 @@ object ExtQueries {
     simhashCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.tools.InternalCaches.persist(Dedup.simhash(t(s, dir, "documents"))))
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  /** The x27 curation pass (language-ID → quality gate → cluster-dedup
+    * keep → stratified sample) as ONE lazy plan — shared by x27 (its
+    * verification surface) and x52 (which packs the selection into
+    * context windows).
+    */
+  private def curationSelection(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val lang = TextAnalysis.languageId(docs).select(col("doc_id"), col("lang_pred"))
+    val qual = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality_score"))
+    val keep = resolvedClusters(s, dir)
+      .filter(col("keep")).select(col("doc_id"), col("cluster_id"))
+    val gated = lang.join(qual, Seq("doc_id")).join(keep, Seq("doc_id"))
+      .filter(col("quality_score") >= 0.5)
+    graft.ext.Sampling.stratifiedByHash(gated, "lang_pred", "doc_id",
+        ratesPct = Seq("en" -> 50, "es" -> 30, "de" -> 20, "fr" -> 10),
+        defaultPct = 5)
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("quality_score"), col("cluster_id"))
+  }
+
   private def resolvedClusters(s: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.tools.InternalCaches.persist(graft.ext.Dedup.resolveClusters(
@@ -624,22 +646,7 @@ object ExtQueries {
     // just the parts. Every stage is an operator proven green on its
     // own query (x09/x10/x19/x21).
     ("x27_curation_pipeline",
-      (s: SparkSession, dir: String) => {
-        val docs = t(s, dir, "documents")
-        val lang = TextAnalysis.languageId(docs).select(col("doc_id"), col("lang_pred"))
-        val qual = TextAnalysis.quality(docs)
-          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-            col("quality_score"))
-        val keep = resolvedClusters(s, dir)
-          .filter(col("keep")).select(col("doc_id"), col("cluster_id"))
-        val gated = lang.join(qual, Seq("doc_id")).join(keep, Seq("doc_id"))
-          .filter(col("quality_score") >= 0.5)
-        graft.ext.Sampling.stratifiedByHash(gated, "lang_pred", "doc_id",
-            ratesPct = Seq("en" -> 50, "es" -> 30, "de" -> 20, "fr" -> 10),
-            defaultPct = 5)
-          .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
-            col("quality_score"), col("cluster_id"))
-      },
+      (s: SparkSession, dir: String) => curationSelection(s, dir),
       Some(s"""WITH RECURSIVE $hashedShingleCtes,
               |$jaccardCtes,
               |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
@@ -729,6 +736,60 @@ object ExtQueries {
              |  round((CAST(s AS DOUBLE) / CAST(ssum AS DOUBLE)) /
              |    (CAST(n_tokens AS DOUBLE) / t), 6) AS boost
              |FROM ps, tot""".stripMargin)),
+
+    // ---- capstone: curate → pack (raw corpus to training batches) ----
+    // The x27 selection flows straight into greedy sequence packing:
+    // language-ID → quality gate → dedup-keep → stratified sample →
+    // 256-token context windows per predicted language, all one lazy
+    // plan. The oracle replays x27's CTE chain and walks the same
+    // greedy fold recursively (two recursive CTEs — reach for the
+    // dedup components, pk for the packing — in one WITH RECURSIVE).
+    ("x52_curate_and_pack",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Packing.packGreedy(curationSelection(s, dir),
+          "lang_pred", "doc_id", col("n_tokens"), budget = 256),
+      Some(s"""WITH RECURSIVE $hashedShingleCtes,
+              |$jaccardCtes,
+              |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+              |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
+              |reach(n, m) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
+              |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+              |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+              |             FROM documents d LEFT JOIN cc USING (doc_id)),
+              |$langPredCtes,
+              |qb AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t,
+              |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct FROM documents),
+              |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+              |        round(least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+              |          * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / length(text)), 6)
+              |          AS quality_score
+              |      FROM qb),
+              |sel AS (SELECT r.doc_id, lang.lang_pred, q.n_tokens
+              |        FROM resolved r
+              |        JOIN lang USING (doc_id) JOIN q USING (doc_id)
+              |        WHERE r.doc_id = r.cluster_id
+              |          AND q.quality_score >= 0.5
+              |          AND (${h32("lang.lang_pred || ':' || CAST(r.doc_id AS VARCHAR)")}) % 100 <
+              |            CASE lang.lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
+              |                 WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END),
+              |pd AS (SELECT lang_pred, CAST(0 AS BIGINT) AS shard, doc_id, n_tokens,
+              |         row_number() OVER (PARTITION BY lang_pred ORDER BY doc_id) AS rn
+              |       FROM sel WHERE n_tokens > 0),
+              |pk AS (
+              |  SELECT lang_pred, shard, doc_id, n_tokens, rn,
+              |    n_tokens AS fill, CAST(1 AS BIGINT) AS bin_id
+              |  FROM pd WHERE rn = 1
+              |  UNION ALL
+              |  SELECT d.lang_pred, d.shard, d.doc_id, d.n_tokens, d.rn,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+              |         ELSE p.fill + d.n_tokens END,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin_id + 1
+              |         ELSE p.bin_id END
+              |  FROM pk p JOIN pd d ON d.lang_pred = p.lang_pred AND d.rn = p.rn + 1)
+              |SELECT lang_pred, shard, doc_id, n_tokens, bin_id FROM pk""".stripMargin)),
 
     // ---- catalog: per-column table profile ---------------------------
     // Rows / NULLs / exact distinct per column of `orders` in ONE pass
