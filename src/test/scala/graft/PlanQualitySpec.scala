@@ -240,6 +240,22 @@ class PlanQualitySpec extends SparkSpec {
       "packing must not global-sort:\n" + pack)
   }
 
+  test("x51 profile reads the table exactly once (multi-distinct rides one Expand)") {
+    // count scans in the FINAL physical tree only — the adaptive
+    // wrapper's toString (and FormattedMode) also print the initial
+    // plan, double-counting every leaf
+    val df = q("x51_table_profile")
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    assert("FileScan parquet".r.findAllIn(exec).length === 1,
+      "profile must be a single pass — one scan, not one per column:\n" + exec)
+    assert(exec.contains("Expand"),
+      "expected the multi-distinct Expand rewrite:\n" + exec)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
