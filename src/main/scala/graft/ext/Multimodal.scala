@@ -206,15 +206,22 @@ object Multimodal {
     var pos = 0
     var frames = 0L
     var sum = 0L
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var ch = -1
     while (pos < b.length) {
-      val (fw, fh, _, fsum, next) = netpbmFrame(b, pos, docId)
-      if (w == -1) { w = fw; h = fh }
+      val (fw, fh, fch, fsum, next) = netpbmFrame(b, pos, docId)
+      if (w == -1) { w = fw; h = fh; ch = fch }
       else if (fw != w || fh != h)
         fail(docId, s"frame $frames dims ${fw}x$fh != first frame ${w}x$h")
+      // channel flips (a P6 frame whose magic corrupted to P5) would
+      // otherwise parse: same dims, w·h bytes consumed instead of 3·w·h,
+      // and the checksum silently mixes gray and RGB accounting
+      else if (fch != ch)
+        fail(docId, s"frame $frames is P${if (fch == 1) 5 else 6} but first frame is P${if (ch == 1) 5 else 6}")
       frames += 1; sum += fsum; pos = next
     }
     if (frames == 0) fail(docId, "empty payload")
+    if (mediaType == "image" && frames != 1)
+      fail(docId, s"image payload carries $frames frames")
     MediaMeta(docId, mediaType, b.length.toLong, w.toLong, h.toLong, frames, sum)
   }
 

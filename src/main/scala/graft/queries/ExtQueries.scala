@@ -127,6 +127,51 @@ object ExtQueries {
        |FROM ls)""".stripMargin
   }
 
+  /** quality-score CTEs ending in q(doc_id, n_tokens, quality_score) —
+    * mirrors TextAnalysis.quality (shared by the x27/x47/x52 oracles;
+    * one copy, so the quality rule cannot drift between them).
+    */
+  private val qualityCtes =
+    """qb AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t,
+      |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct FROM documents),
+      |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |        round(least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+      |          * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / length(text)), 6)
+      |          AS quality_score
+      |      FROM qb)""".stripMargin
+
+  /** The x27 curation chain: dedup connected components (recursive
+    * reach), language-ID, and quality CTEs — everything the selection
+    * joins over. Shared verbatim by the x27 and x52 oracles, mirroring
+    * the engine-side `curationSelection` helper they both call.
+    * Requires WITH RECURSIVE.
+    */
+  private def curationCtes: String =
+    s"""$hashedShingleCtes,
+       |$jaccardCtes,
+       |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+       |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
+       |reach(n, m) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
+       |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+       |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+       |             FROM documents d LEFT JOIN cc USING (doc_id)),
+       |$langPredCtes,
+       |$qualityCtes""".stripMargin
+
+  /** The x27 selection predicate (dedup keep + quality gate + stratified
+    * sample), applied over `resolved r JOIN lang JOIN q`. One copy for
+    * the same reason as [[curationCtes]].
+    */
+  private def curationGateWhere: String =
+    s"""r.doc_id = r.cluster_id
+       |  AND q.quality_score >= 0.5
+       |  AND (${h32("lang.lang_pred || ':' || CAST(r.doc_id AS VARCHAR)")}) % 100 <
+       |    CASE lang.lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
+       |         WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin
+
   /** exact-Jaccard pair CTEs (after hashedShingleCtes). */
   private val jaccardCtes =
     """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -647,33 +692,11 @@ object ExtQueries {
     // own query (x09/x10/x19/x21).
     ("x27_curation_pipeline",
       (s: SparkSession, dir: String) => curationSelection(s, dir),
-      Some(s"""WITH RECURSIVE $hashedShingleCtes,
-              |$jaccardCtes,
-              |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
-              |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
-              |reach(n, m) AS (
-              |  SELECT s, s FROM edges
-              |  UNION
-              |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
-              |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
-              |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
-              |             FROM documents d LEFT JOIN cc USING (doc_id)),
-              |$langPredCtes,
-              |qb AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t,
-              |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct FROM documents),
-              |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-              |        round(least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
-              |          * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / length(text)), 6)
-              |          AS quality_score
-              |      FROM qb)
+      Some(s"""WITH RECURSIVE $curationCtes
               |SELECT r.doc_id, lang.lang_pred, q.n_tokens, q.quality_score, r.cluster_id
               |FROM resolved r
               |JOIN lang USING (doc_id) JOIN q USING (doc_id)
-              |WHERE r.doc_id = r.cluster_id
-              |  AND q.quality_score >= 0.5
-              |  AND (${h32("lang.lang_pred || ':' || CAST(r.doc_id AS VARCHAR)")}) % 100 <
-              |    CASE lang.lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
-              |         WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END""".stripMargin)),
+              |WHERE $curationGateWhere""".stripMargin)),
 
     // ---- text: repetition-based quality metrics -----------------------
     // Gopher/C4-style repetition filters: distinct-token fraction, top
@@ -748,33 +771,11 @@ object ExtQueries {
       (s: SparkSession, dir: String) =>
         graft.ext.Packing.packGreedy(curationSelection(s, dir),
           "lang_pred", "doc_id", col("n_tokens"), budget = 256),
-      Some(s"""WITH RECURSIVE $hashedShingleCtes,
-              |$jaccardCtes,
-              |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
-              |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
-              |reach(n, m) AS (
-              |  SELECT s, s FROM edges
-              |  UNION
-              |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
-              |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
-              |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
-              |             FROM documents d LEFT JOIN cc USING (doc_id)),
-              |$langPredCtes,
-              |qb AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t,
-              |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct FROM documents),
-              |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-              |        round(least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
-              |          * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / length(text)), 6)
-              |          AS quality_score
-              |      FROM qb),
+      Some(s"""WITH RECURSIVE $curationCtes,
               |sel AS (SELECT r.doc_id, lang.lang_pred, q.n_tokens
               |        FROM resolved r
               |        JOIN lang USING (doc_id) JOIN q USING (doc_id)
-              |        WHERE r.doc_id = r.cluster_id
-              |          AND q.quality_score >= 0.5
-              |          AND (${h32("lang.lang_pred || ':' || CAST(r.doc_id AS VARCHAR)")}) % 100 <
-              |            CASE lang.lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
-              |                 WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END),
+              |        WHERE $curationGateWhere),
               |pd AS (SELECT lang_pred, CAST(0 AS BIGINT) AS shard, doc_id, n_tokens,
               |         row_number() OVER (PARTITION BY lang_pred ORDER BY doc_id) AS rn
               |       FROM sel WHERE n_tokens > 0),
@@ -1245,13 +1246,7 @@ object ExtQueries {
       Some(s"""WITH $kmvOverlapCtes,
               |ex AS (SELECT DISTINCT source_b AS source FROM ov WHERE jaccard_est >= 0.06),
               |$langPredCtes,
-              |qb AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t,
-              |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct FROM documents),
-              |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-              |        round(least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
-              |          * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / length(text)), 6)
-              |          AS quality_score
-              |      FROM qb)
+              |$qualityCtes
               |SELECT d.doc_id, d.source, lang.lang_pred, q.n_tokens, q.quality_score
               |FROM documents d
               |JOIN lang ON lang.doc_id = d.doc_id

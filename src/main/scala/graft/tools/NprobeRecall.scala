@@ -40,12 +40,15 @@ object NprobeRecall {
       val hier = Similarity.semDedupHierarchical(emb, minCos = 0.45, nprobe = np)
         .select(col("vec_id"), col("is_dup").as("hier_dup"))
       val joined = flat.select(col("vec_id"), col("is_dup")).join(hier, Seq("vec_id"))
+      // coalesce: SUM over an empty join (empty table, disjoint vec_id
+      // sets) is SQL NULL and getLong would NPE without a diagnostic
       val agg = joined.agg(
-        sum(when(col("is_dup") && col("hier_dup"), 1L).otherwise(0L)),
-        sum(when(col("is_dup") === col("hier_dup"), 1L).otherwise(0L))).head()
+        coalesce(sum(when(col("is_dup") && col("hier_dup"), 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("is_dup") === col("hier_dup"), 1L).otherwise(0L)), lit(0L))).head()
       val (recovered, agree) = (agg.getLong(0), agg.getLong(1))
       val cand = Similarity.hierCandidates(emb, nprobe = np).count()
-      println(f"""{"nprobe":$np,"n_vectors":$n,"flat_dups":$flatDups,"recovered_dups":$recovered,"recall":${if (flatDups == 0) 1.0 else recovered.toDouble / flatDups}%.4f,"verdict_agreement":${agree.toDouble / n}%.4f,"candidate_pairs":$cand}""")
+      val agreement = if (n == 0) 1.0 else agree.toDouble / n
+      println(f"""{"nprobe":$np,"n_vectors":$n,"flat_dups":$flatDups,"recovered_dups":$recovered,"recall":${if (flatDups == 0) 1.0 else recovered.toDouble / flatDups}%.4f,"verdict_agreement":$agreement%.4f,"candidate_pairs":$cand}""")
     }
     spark.stop()
   }

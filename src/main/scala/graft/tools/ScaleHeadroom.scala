@@ -98,20 +98,30 @@ object ScaleHeadroom {
     */
   def generateOverlap(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    // dense index over the distinct sources (tiny, metadata-sized) so a
-    // replica can rotate source membership without parsing source names
-    val srcIdx = docs.select(col("source")).distinct()
+    // dense index over the distinct NON-NULL sources (tiny,
+    // metadata-sized) so a replica can rotate source membership without
+    // parsing source names; NULL-source docs can't join an equi-keyed
+    // index (and must not occupy a rotation slot), so they replicate
+    // below with their source untouched instead of silently vanishing
+    val srcIdx = docs.select(col("source")).filter(col("source").isNotNull)
+      .distinct()
       .withColumn("__si", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("source"))) - 1)
     val nSrc = srcIdx.count()
     val target = srcIdx.select(col("__si").as("__ti"), col("source").as("__tsource"))
-    docs.join(broadcast(srcIdx), Seq("source"))
+    val rotated = docs.join(broadcast(srcIdx), Seq("source"))
       .withColumn("__r", explode(sequence(lit(0L), lit(replicas - 1L))))
       .withColumn("doc_id", col("doc_id") + col("__r") * Stride)
       .withColumn("__ti", (col("__si") + col("__r")) % nSrc)
       .join(broadcast(target), Seq("__ti"))
       .withColumn("source", col("__tsource"))
       .select(docs.columns.map(col): _*) // original column order
+    val nullSrc = docs.filter(col("source").isNull)
+      .withColumn("__r", explode(sequence(lit(0L), lit(replicas - 1L))))
+      .withColumn("doc_id", col("doc_id") + col("__r") * Stride)
+      .drop("__r")
+      .select(docs.columns.map(col): _*)
+    rotated.unionByName(nullSrc)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
@@ -246,13 +256,17 @@ object ScaleHeadroom {
       graft.ext.Similarity.semDedupHierarchical(
         graft.sources.Tables.load(s, d, "embeddings"), minCos = 0.45, nprobe = 1)
     report("x37_semdedup_hier@nprobe1", timeFn(nprobe1, src), timeFn(nprobe1, out))
+    // variant probes reuse the base medians the Targets loop already
+    // measured — re-timing x43/x45/x46 at src would re-run some of the
+    // bench's most expensive queries for numbers already in hand
+    val baseOf = rows.map(r => r._1 -> r._2).toMap
     // funnel under the hot-user shape: same users, 10× events each.
-    report("x43_funnel@hot_users", time("x43_funnel", src), time("x43_funnel", outHot))
+    report("x43_funnel@hot_users", baseOf("x43_funnel"), time("x43_funnel", outHot))
     // exact vs sketch overlap when shared vocabulary ACTUALLY grows.
     report("x45_source_overlap@inflated",
-      time("x45_source_overlap", src), time("x45_source_overlap", outOverlap))
+      baseOf("x45_source_overlap"), time("x45_source_overlap", outOverlap))
     report("x46_source_overlap_kmv@inflated",
-      time("x46_source_overlap_kmv", src), time("x46_source_overlap_kmv", outOverlap))
+      baseOf("x46_source_overlap_kmv"), time("x46_source_overlap_kmv", outOverlap))
     // ---- growth-dimension evidence ----------------------------------
     // At these scales BOTH overlap forms are wall-clock-dominated by
     // the one-pass corpus scan+distinct, so seconds alone can't show

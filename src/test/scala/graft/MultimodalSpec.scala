@@ -72,6 +72,18 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decode(1L, "image", "P5\n0 3\n255\n".getBytes("US-ASCII"))
     }
+    // a video mixing channel counts (a P6 frame whose magic corrupted
+    // to P5 keeps the dims but consumes w·h instead of 3·w·h bytes)
+    val p6 = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val p5 = "P5\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2)
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(1L, "video", p6 ++ p5)
+    }
+    // an image payload carrying more than one frame violates its type
+    intercept[IllegalArgumentException] {
+      Multimodal.decode(1L, "image", p6 ++ p6)
+    }
+    assert(Multimodal.decode(1L, "video", p6 ++ p6).n_frames === 2L)
   }
 
   test("generator round-trip: decoded metadata matches the encoding parameters") {
