@@ -114,20 +114,15 @@ object Catalog {
     * aggregates make Catalyst plan an Expand (input rows × #columns
     * through the partial aggregate) — the standard exact-multi-distinct
     * cost, kept here because the profile is the conversion oracle's
-    * input and must be exact. At corpus scale the drop-in seam is one
-    * [[graft.ext.Sketches.kmvDistinct]] pass per column (bounded
-    * exchange, verifiable estimate) — the same trade the overlap audit
-    * makes (x45 exact vs x46 sketch).
+    * input and must be exact. At corpus scale the drop-in replacement is
+    * [[profileApprox]]: the same output shape with distincts via the
+    * KMV sketch (bounded exchange, verifiable estimate) — the same
+    * trade the overlap audit makes (x45 exact vs x46 sketch).
     * Output: (table_name, col_name, n_rows, n_nulls, n_distinct).
     */
   def profile(df: DataFrame, tableName: String): DataFrame = {
     val cols = df.columns.toSeq
-    // the unpivot is assembled as a SQL string (stack has no typed
-    // builder); names that could escape their quoting are rejected
-    // rather than interpolated
-    require(cols.nonEmpty, "profile: the table has no columns")
-    require(cols.forall(c => !c.contains("'") && !c.contains("`")),
-      "profile: column names must not contain quote characters")
+    requireSafeNames(cols, "profile")
     // backtick-quoted references: a bare col("a.b") would parse as a
     // struct path; backticks in names are rejected above, so quoting is
     // always safe. count(when(...)), not sum(...): SUM over zero rows
@@ -146,6 +141,110 @@ object Catalog {
           "AS (col_name, n_rows, n_nulls, n_distinct)"))
       .select(col("table_name"), col("col_name"), col("n_rows"),
         col("n_nulls"), col("n_distinct"))
+  }
+
+  // The unpivot in profile/profileApprox is assembled as a SQL string
+  // (stack has no typed builder); names that could escape their quoting
+  // are rejected rather than interpolated. Backslashes are rejected too:
+  // Spark SQL string literals treat \ as an escape, so a name like a\nb
+  // would silently alter the emitted col_name and a trailing backslash
+  // breaks parsing.
+  private def requireSafeNames(cols: Seq[String], who: String): Unit = {
+    require(cols.nonEmpty, s"$who: the table has no columns")
+    require(cols.forall(c =>
+        !c.contains("'") && !c.contains("`") && !c.contains("\\")),
+      s"$who: column names must not contain quote or backslash characters")
+  }
+
+  /** x53: the corpus-scale twin of [[profile]] — per-column row and NULL
+    * counts exact, distinct counts via the KMV bottom-k sketch
+    * ([[graft.ext.Sketches]]; same estimator as the x46 overlap audit),
+    * all in ONE scan of the table.
+    *
+    * Why it exists: [[profile]]'s exact multi-distinct makes Catalyst
+    * plan an Expand (input rows × #columns through the partial
+    * aggregate) and shuffles every distinct value of every column — the
+    * known profiling killer at 100 TB. Here the table is unpivoted once
+    * (a generator, not the multi-distinct Expand), values are hashed,
+    * and ONE (col_name, hash) exchange with map-side combine feeds both
+    * outputs: the count branch (rows/NULLs from the collapsed counts)
+    * and the sketch branch (bottom-k per column via
+    * [[graft.plans.TopKPerGroup]], ≤ k rows per column per partition on
+    * the second exchange). Catalyst reuses the shared exchange, so the
+    * parquet scan happens exactly once (gated in PlanQualitySpec).
+    *
+    * Values are canonicalized to engine-portable strings before hashing
+    * (see `canonicalSql`): doubles through DECIMAL(38,6) — binary
+    * doubles can never tie at the rounding digit, so HALF_UP vs
+    * half-even engines agree — and timestamps through epoch
+    * microseconds. Distinctness is therefore "distinct canonical
+    * rendering": two doubles closer than 1e-6 collapse, the documented
+    * profiling-grade trade. A column whose values are all NULL reports
+    * n_distinct_est = 0. Empty tables yield no rows (the unpivot has
+    * nothing to generate), unlike [[profile]] which emits one zero row
+    * per column.
+    *
+    * Output: (table_name, col_name, n_rows, n_nulls, kmv_k,
+    * n_distinct_est); estimate is exact whenever a column has fewer
+    * than k distinct values.
+    */
+  def profileApprox(df: DataFrame, tableName: String, k: Int = 256): DataFrame = {
+    import graft.functions.Portable
+    require(k >= 2, "profileApprox: KMV needs k >= 2")
+    val fields = df.schema.fields.toSeq
+    requireSafeNames(fields.map(_.name), "profileApprox")
+    val twoPow60 = 1152921504606846976.0 // 2^60, exact as a double
+    def canonicalSql(f: org.apache.spark.sql.types.StructField): String = {
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case StringType => s"`${f.name}`"
+        case DoubleType | FloatType =>
+          s"CAST(CAST(`${f.name}` AS DECIMAL(38,6)) AS STRING)"
+        case TimestampType | TimestampNTZType =>
+          s"CAST(unix_micros(CAST(`${f.name}` AS TIMESTAMP)) AS STRING)"
+        case _ => s"CAST(`${f.name}` AS STRING)"
+      }
+    }
+    val stackArgs = fields.map(f => s"'${f.name}', ${canonicalSql(f)}").mkString(", ")
+    val unpivoted = df.select(
+      expr(s"stack(${fields.size}, $stackArgs) AS (col_name, v)"))
+    // NULL values ride as a Long.MaxValue sentinel group (hash60 yields
+    // < 2^60, so the sentinel sorts past every real hash and can never
+    // enter a full bottom-k). Why a sentinel and not a filter: both
+    // output branches must consume the IDENTICAL `grouped` subtree for
+    // Catalyst's ReuseExchange to fire — a `h IS NOT NULL` filter on
+    // the sketch branch gets pushed below the aggregate, the exchange
+    // subtrees stop matching, and the table is scanned twice.
+    val nullSentinel = Long.MaxValue
+    val grouped = unpivoted
+      .select(col("col_name"),
+        coalesce(Portable.hash60(col("v")), lit(nullSentinel)).as("h"))
+      .groupBy("col_name", "h").agg(count(lit(1)).as("cnt"))
+    val counts = grouped.groupBy("col_name").agg(
+      sum(col("cnt")).as("n_rows"),
+      coalesce(sum(when(col("h") === nullSentinel, col("cnt"))), lit(0L))
+        .as("n_nulls"))
+    // cnt rides through the top-k as a sort tiebreaker it can never
+    // exercise ((col_name, h) rows are unique per group). The point is
+    // plan identity, not ordering: referencing cnt in the operator
+    // stops ColumnPruning from rewriting the sketch branch's aggregate
+    // to a count-free distinct, which would re-diverge the branches
+    // and cost the exchange reuse (= a second full scan).
+    val bottomK = graft.plans.TopKPerGroup.topK(
+      grouped, Seq("col_name"),
+      Seq("h" -> graft.plans.TopKPerGroup.Asc,
+        "cnt" -> graft.plans.TopKPerGroup.Asc), k)
+    val sketch = bottomK.groupBy("col_name")
+      .agg(count(when(col("h") =!= nullSentinel, lit(1))).as("n_seen"),
+        max(when(col("h") =!= nullSentinel, col("h"))).as("kth"))
+    counts.join(broadcast(sketch), Seq("col_name"), "left")
+      .select(lit(tableName).as("table_name"), col("col_name"),
+        col("n_rows"), col("n_nulls"), lit(k.toLong).as("kmv_k"),
+        coalesce(
+          when(col("n_seen") < k, col("n_seen"))
+            .otherwise(round(lit((k - 1).toDouble * twoPow60) /
+              col("kth").cast("double")).cast("long")),
+          lit(0L)).as("n_distinct_est"))
   }
 
   /** Full introspection: builds the driver-side [[DatabaseMeta]] the

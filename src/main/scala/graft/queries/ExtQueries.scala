@@ -808,6 +808,39 @@ object ExtQueries {
                      |  count(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
         .mkString("\nUNION ALL\n"))),
 
+    // ---- catalog: sketch profile (x51's corpus-scale twin) -----------
+    // Same shape, distincts via the KMV bottom-k sketch instead of the
+    // exact multi-distinct Expand: ONE scan, one (col,hash) exchange
+    // with map-side combine, bottom-k per column heap-capped at k rows
+    // per partition. The oracle computes the SAME sketch bit-for-bit
+    // from the same canonical renderings (doubles → DECIMAL(38,6),
+    // timestamps → epoch µs) — like x36/x46, the whole point of the
+    // md5-derived hash.
+    ("x53_table_profile_kmv",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Catalog.profileApprox(t(s, dir, "orders"), "orders"),
+      Some(Seq(
+          "o_orderkey" -> "CAST(o_orderkey AS VARCHAR)",
+          "o_custkey" -> "CAST(o_custkey AS VARCHAR)",
+          "o_orderstatus" -> "o_orderstatus",
+          "o_totalprice" -> "CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR)",
+          "o_orderdate" -> "CAST(epoch_us(o_orderdate) AS VARCHAR)",
+          "o_orderpriority" -> "o_orderpriority")
+        .map { case (c, r) =>
+          s"""SELECT 'orders' AS table_name, '$c' AS col_name,
+             |  count(*) AS n_rows,
+             |  count(*) - count($r) AS n_nulls,
+             |  CAST(256 AS BIGINT) AS kmv_k,
+             |  (SELECT CASE WHEN count(*) < 256 THEN count(*)
+             |     ELSE CAST(round(255.0 * 1152921504606846976.0 /
+             |            CAST(max(h) AS DOUBLE)) AS BIGINT) END
+             |   FROM (SELECT h FROM
+             |           (SELECT DISTINCT ${h60(r)} AS h FROM orders
+             |            WHERE $r IS NOT NULL)
+             |         ORDER BY h LIMIT 256)) AS n_distinct_est
+             |FROM orders""".stripMargin }
+        .mkString("\nUNION ALL\n"))),
+
     // ---- multimodal capstone: decode → frame-sample → featurize → ANN
     // The vision-preprocessing path composed in one plan; the decode is
     // the real P5/P6/WAV parser, the featurization is the

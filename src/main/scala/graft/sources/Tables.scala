@@ -48,6 +48,17 @@ object Tables {
         case Some(f) if f.dataType ==
               org.apache.spark.sql.types.TimestampType ||
             f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+          // the NTZ leg converts through an LTZ cast that interprets
+          // wall time in the session zone — identity only under UTC.
+          // Every entrypoint in this engine pins UTC; a consumer
+          // embedding the library with another zone must not get
+          // silently shifted ts values, so fail loudly instead.
+          if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+            require(
+              spark.conf.get("spark.sql.session.timeZone") == "UTC",
+              "Tables.load: TIMESTAMP_NTZ event-time normalization " +
+                "requires spark.sql.session.timeZone=UTC (got " +
+                s"${spark.conf.get("spark.sql.session.timeZone")})")
           df.withColumn("ts",
             org.apache.spark.sql.functions.unix_micros(
               org.apache.spark.sql.functions.col("ts")

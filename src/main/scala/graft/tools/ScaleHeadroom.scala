@@ -55,9 +55,11 @@ object ScaleHeadroom {
     // long (nanosAsLong) and is written back as raw int64 — Spark
     // cannot write nanos timestamps, and truncating to a µs TIMESTAMP
     // would lose the fixture's sub-µs precision. Spark-side reads are
-    // unaffected (same long either way); tools/check.py rebuilds the
-    // µs-truncated TIMESTAMP for its DuckDB views, which is exactly
-    // what DuckDB sees when it reads the ns fixture directly.
+    // unaffected (same long either way); tools/check.py rebuilds a
+    // µs-truncated TIMESTAMP for its DuckDB views, and every event
+    // oracle consumes only µs-truncated values (epoch_ns(ts)//1000),
+    // so the truncation is invisible to the compare regardless of
+    // whether the DuckDB version preserves TIMESTAMP_NS on read.
     save(fan(load("events"))
       .withColumn("event_id", col("event_id") + col("__r") * Stride)
       .withColumn("user_id", col("user_id") + col("__r") * Stride)

@@ -256,6 +256,27 @@ class PlanQualitySpec extends SparkSpec {
       "expected the multi-distinct Expand rewrite:\n" + exec)
   }
 
+  test("x53 sketch profile: one scan, no multi-distinct Expand, heap top-k") {
+    // the corpus-scale twin of x51: the count branch and the sketch
+    // branch must share the (col_name, hash) exchange — AQE reuses the
+    // shuffle stage only while both branches keep the identical
+    // subtree (the Long.MaxValue NULL-sentinel trick; a pushed-down
+    // IS NOT NULL filter would split them into two scans)
+    val df = q("x53_table_profile_kmv")
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    assert("FileScan parquet".r.findAllIn(exec).length === 1,
+      "sketch profile must be a single pass — the shared exchange " +
+        "must be reused, not re-scanned:\n" + exec)
+    assert(!exec.contains("Expand"),
+      "the sketch profile must NOT pay the multi-distinct Expand:\n" + exec)
+    assert(exec.contains("TopKPerGroup"),
+      "distincts must ride the bounded-heap bottom-k:\n" + exec)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))

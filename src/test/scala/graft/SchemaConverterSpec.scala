@@ -174,4 +174,43 @@ class SchemaConverterSpec extends SparkSpec {
     assert(empty.toSet === Set(
       ("id", 0L, 0L, 0L), ("grp", 0L, 0L, 0L), ("v.sub", 0L, 0L, 0L)))
   }
+
+  test("sketch profile: exact below k, NULL sentinel, canonical doubles") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(1.25), None: Option[String]),
+      (2L, Some("a"), Some(1.25 + 1e-9), None),
+      (3L, None, Some(10.0), None),
+      (4L, Some("b"), None, None)
+    ).toDF("id", "grp", "d", "dead")
+    val prof = graft.operators.Catalog.profileApprox(df, "t", k = 64)
+      .collect()
+      .map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // every column has < k distincts, so the KMV estimate is exact by
+    // construction; the two doubles 1e-9 apart collapse to one
+    // DECIMAL(38,6) rendering (documented profiling-grade trade); the
+    // all-NULL column reports est 0, not a missing row
+    assert(prof === Map(
+      "id" -> ((4L, 0L, 64L, 4L)),
+      "grp" -> ((4L, 1L, 64L, 2L)),
+      "d" -> ((4L, 1L, 64L, 2L)),
+      "dead" -> ((4L, 4L, 64L, 0L))))
+  }
+
+  test("profile name guard rejects quote, backtick, and backslash names") {
+    import spark.implicits._
+    val base = Seq((1L, "x")).toDF("id", "v")
+    for (bad <- Seq("a'b", "a`b", "a\\b"); op <- Seq(
+        (d: org.apache.spark.sql.DataFrame) =>
+          graft.operators.Catalog.profile(d, "t"),
+        (d: org.apache.spark.sql.DataFrame) =>
+          graft.operators.Catalog.profileApprox(d, "t"))) {
+      val ex = intercept[IllegalArgumentException] {
+        op(base.withColumnRenamed("v", bad))
+      }
+      assert(ex.getMessage.contains("column names"))
+    }
+  }
 }
