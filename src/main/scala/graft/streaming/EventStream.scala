@@ -66,12 +66,22 @@ object EventStream {
     * proof here ([[sessionizeReplay]], [[hourlyCountsReplay]],
     * [[dedupReplay]]): collect the bounded `events` (driver-side collect
     * is inherent to MemoryStream — it exists to feed a socket-like
-    * source from memory), run `build`'s streaming query over it in one
-    * data batch, then one far-future sentinel DATA batch per entry in
-    * `sentinelOffsetsHours` (user −1, type "sentinel" — callers filter
-    * them back out) to drive the event-time watermark forward: batch N's
-    * watermark comes from batch N−1's data, so a two-level stateful
-    * chain needs two advances.
+    * source from memory), run `build`'s streaming query over it, using
+    * far-future sentinel rows (user −1, type "sentinel" — callers
+    * filter them back out) to drive the event-time watermark forward.
+    *
+    * Batch layout — two micro-batches total, not one per advance: the
+    * FIRST sentinel rides INSIDE the data batch, so the watermark
+    * computed after batch 1 already clears every real window/timeout;
+    * each REMAINING sentinel is its own batch whose processing runs
+    * under that advanced watermark. One advance suffices even for a
+    * two-level stateful chain because the watermark is global per
+    * batch: level 1 emits its closed windows and level 2 re-aggregates
+    * AND emits them within the same trigger. (The previous layout kept
+    * the data batch sentinel-free and paid one batch per advance —
+    * measured ~1/3 of each replay's wall clock for bit-identical
+    * output, since every batch re-commits each stateful operator's
+    * store per partition.)
     *
     * Measured choices, shared by construction so a fix cannot miss a
     * copy:
@@ -138,21 +148,28 @@ object EventStream {
         }
       }
     try {
-      stream.addData(ev.toSeq)
+      def sentinel(i: Int, h: Long) =
+        Event(-(i + 1).toLong, maxUs + h * 3600 * 1000000, -1L, "sentinel", 0.0)
+      val merged = sentinelOffsetsHours.headOption match {
+        case Some(h) => ev.toSeq :+ sentinel(0, h)
+        case None => ev.toSeq
+      }
+      stream.addData(merged)
       q.processAllAvailable()
-      sentinelOffsetsHours.zipWithIndex.foreach { case (h, i) =>
-        stream.addData(Event(-(i + 1).toLong, maxUs + h * 3600 * 1000000, -1L,
-          "sentinel", 0.0))
+      sentinelOffsetsHours.drop(1).zipWithIndex.foreach { case (h, i) =>
+        stream.addData(sentinel(i + 1, h))
         q.processAllAvailable()
       }
     } finally q.stop()
     spark.table(qname)
   }
 
-  /** Batch-replay parity harness for [[hourlyCountsExact]]: two
-    * sentinel advances close both levels of the chained aggregation;
-    * the result must equal the batch tumbling aggregate row-for-row
-    * (x31 verifies against x13's DuckDB oracle).
+  /** Batch-replay parity harness for [[hourlyCountsExact]]: the first
+    * sentinel rides the data batch (advancing the watermark past every
+    * real window), and the second batch flushes the whole two-level
+    * chain under that watermark; the result must equal the batch
+    * tumbling aggregate row-for-row (x31 verifies against x13's DuckDB
+    * oracle).
     */
   def hourlyCountsReplay(spark: SparkSession, events: DataFrame): DataFrame =
     replayHarness(spark, events, Seq(4L, 8L)) { ds =>
@@ -256,9 +273,10 @@ object EventStream {
     * `events` table through the STREAMING sessionizer (MemoryStream →
     * [[sessionize]] → memory sink) and return every emitted session.
     *
-    * Two sentinel advances (excluded user −1) drive the event-time
-    * watermark past every real session's end + gap, so the event-time
-    * timeouts close and emit all remaining open state. The result is
+    * The data-batch sentinel (excluded user −1) drives the event-time
+    * watermark past every real session's end + gap, and the one
+    * follow-up batch runs under it, so the event-time timeouts close
+    * and emit all remaining open state. The result is
     * the complete session set — identical to the batch operator's
     * ([[graft.ext.Events.sessionize]]), which the x18 query surface
     * verifies against the same DuckDB oracle as x14. The production

@@ -36,10 +36,13 @@ object ScaleHeadroom {
   /** Key-space stride per replica — far above any sf0.1 key. */
   private val Stride = 100000000L
 
-  def generate(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
+  def generate(spark: SparkSession, src: String, out: String, replicas: Int,
+      tables: Set[String] = Set(
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")): Unit = {
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def save(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      if (tables(t)) df.write.mode("overwrite").parquet(s"$out/$t.parquet")
     def fan(df: DataFrame) = df.withColumn("__r",
       explode(sequence(lit(0L), lit(replicas - 1L))))
 
@@ -193,11 +196,14 @@ object ScaleHeadroom {
                               // expect ~linear over the scan floor
     "x50_temperature_mix",    // one stratum agg + broadcast totals —
                               // expect ~flat over the scan
-    "x51_table_profile")      // exact multi-distinct over orders:
+    "x51_table_profile",      // exact multi-distinct over orders:
                               // Expand multiplies scan rows by
                               // #columns — expect ~linear with a
                               // constant-factor penalty, the cost the
-                              // kmvDistinct seam exists to remove
+                              // sketch twin below exists to remove
+    "x53_table_profile_kmv")  // sketch profile: one scan, bottom-k
+                              // capped exchanges — expect ~linear
+                              // WITHOUT x51's Expand constant factor
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
