@@ -196,6 +196,65 @@ object Embedding {
       .withColumn(childName, emptyToNull(col(childName)))
   }
 
+  /** Auto-salting J1: picks between [[oneWayEmbed]] and
+    * [[oneWayEmbedSalted]] from a SAMPLED per-key fan-out estimate, so
+    * the 100 TB caller does not need to know ahead of time whether the
+    * corpus hides a hot parent. The pre-pass samples `sampleFraction`
+    * of the child, counts per FK, and extrapolates the max
+    * (`max_sampled / fraction`); at or above `hotFanout` estimated
+    * children-per-parent the salted two-phase merge plan is chosen.
+    * Both plans produce byte-identical output (q15 ≡ q13 oracle), so
+    * the sampled decision affects execution strategy only — a borderline
+    * misestimate costs performance, never correctness.
+    *
+    * The estimate is one aggregation over the sample collapsing to a
+    * single driver-side scalar (control-plane, SURVEY §1.3) — at
+    * fraction 1e-3 the pre-pass reads 0.1% of the child and its
+    * shuffle carries one row per sampled-distinct key. A key must
+    * appear ≥ 2/fraction times in expectation to clear a
+    * `hotFanout` ≥ 2/fraction threshold, so genuinely hot keys
+    * (millions of children) are found with near-certainty; keys near
+    * the threshold flip by sampling luck, which the identical-output
+    * contract makes safe. With empty `childSortKeys` the salted merge
+    * has no deterministic order to restore, so the plain path is used
+    * regardless (same rule as [[oneWayEmbedSalted]]'s require).
+    */
+  def oneWayEmbedAuto(
+      parent: DataFrame,
+      parentKey: String,
+      child: DataFrame,
+      childFk: String,
+      childName: String,
+      childSortKeys: Seq[String],
+      hotFanout: Long = 1000000L,
+      sampleFraction: Double = 0.001,
+      salts: Int = 16): DataFrame = {
+    require(hotFanout >= 1, "hotFanout must be >= 1")
+    if (childSortKeys.nonEmpty &&
+        estimateMaxFanout(child, childFk, sampleFraction) >= hotFanout)
+      oneWayEmbedSalted(parent, parentKey, child, childFk, childName,
+        childSortKeys, salts)
+    else
+      oneWayEmbed(parent, parentKey, child, childFk, childName, childSortKeys)
+  }
+
+  /** Sampled children-per-parent maximum: `max over sampled keys of
+    * count / fraction`, 0 for an empty (or fully NULL-keyed) sample.
+    * Deterministic seed so repeated planning decisions agree on the
+    * same data layout.
+    */
+  private[graft] def estimateMaxFanout(
+      child: DataFrame, childFk: String, fraction: Double): Long = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    val sampled =
+      if (fraction >= 1.0) child
+      else child.sample(withReplacement = false, fraction, seed = 42L)
+    val m = sampled.filter(col(childFk).isNotNull)
+      .groupBy(col(childFk)).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c"))).head()
+    if (m.isNullAt(0)) 0L else math.round(m.getLong(0) / fraction)
+  }
+
   /** P3 — referencing collections rename every FK column `c` → `c_REF`,
     * values unchanged (server/DBMigration.js:319-333; golden
     * collection7.json `orderId_REF: 10248`).

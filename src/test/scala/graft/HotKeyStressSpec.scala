@@ -71,6 +71,31 @@ class HotKeyStressSpec extends SparkSpec {
     // the childless parent embeds nothing in BOTH paths (null array, so
     // the JSON sink will omit the key)
     assert(salted.filter(col("p_id") === 2 && col("kids").isNull).count() === 1)
+
+    // ---- auto-salting: the same hot shape must TRIGGER the salted
+    // plan from the sampled fan-out pre-pass (unsalted, the 10^6-child
+    // parent is one straggler reduce task — at cluster scale, the task
+    // that OOMs), and the output must stay byte-identical
+    val est = Embedding.estimateMaxFanout(children, "fk", 0.01)
+    assert(est > 500000L && est < 2000000L,
+      s"sampled fan-out estimate $est should land near the true 10^6")
+    val auto = Embedding.oneWayEmbedAuto(
+      parents, "p_id", children, "fk", "kids", Seq("c_id"),
+      hotFanout = 100000L, sampleFraction = 0.01)
+    assert(auto.queryExecution.analyzed.toString.toLowerCase
+        .contains("merge_sorted_arrays"),
+      "auto path must choose the salted merge plan for a hot key")
+    assert(sig(auto) === p)
+    // and a uniform shape must stay on the plain single-shuffle plan
+    val uniform = spark.range(10000L).select(
+      col("id").as("c_id"), (col("id") % 1000).as("fk"),
+      lit("v").as("payload"))
+    val autoUniform = Embedding.oneWayEmbedAuto(
+      parents, "p_id", uniform, "fk", "kids", Seq("c_id"),
+      hotFanout = 100000L, sampleFraction = 0.1)
+    assert(!autoUniform.queryExecution.analyzed.toString.toLowerCase
+        .contains("merge_sorted_arrays"),
+      "auto path must not pay the two-phase merge for uniform fan-out")
   }
 
   test("single user with 10^6 events through the as-of merge scan") {

@@ -128,4 +128,119 @@ class MultimodalSpec extends SparkSpec {
     val m1 = meta.find(_.doc_id == 1L).get
     assert(m1.media_type === "audio" && m1.n_frames === 2L)
   }
+
+  // ---- byte-mutation fuzzing ------------------------------------------
+  // The codec's contract under corruption: a mutated payload either
+  // raises the documented IllegalArgumentException or decodes to the
+  // SAME STRUCTURE (media_type, dims, frames, byte count) — a mutation
+  // may legitimately change content_sum (raster/sample bytes carry no
+  // redundancy), but it must never silently change what the payload
+  // structurally IS. The generator's pixel stream is consecutive mod
+  // 251, so a mid-raster position can never fake a frame magic ('P'
+  // would have to be followed by '5'/'6', but consecutive bytes are
+  // v, v+1) — which makes the reject-or-same-structure dichotomy exact
+  // for these corpora, not just overwhelmingly likely.
+
+  private def structure(m: graft.ext.Multimodal.MediaMeta) =
+    (m.media_type, m.width, m.height, m.n_frames, m.payload_bytes)
+
+  private val genDoc: org.scalacheck.Gen[Long] =
+    org.scalacheck.Gen.choose(0L, 5000L)
+
+  private def checkProp(prop: org.scalacheck.Prop): Unit = {
+    import org.scalacheck.{Test => SCTest}
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("fuzz: any single-byte substitution rejects or keeps the structure") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      id <- genDoc
+      payload = Multimodal.makePayload(id)
+      idx <- Gen.choose(0, payload.length - 1)
+      b <- Gen.choose(0, 255).map(_.toByte) if b != payload(idx)
+    } yield (id, payload, idx, b)
+    checkProp(Prop.forAll(gen) { case (id, payload, idx, b) =>
+      val mt = Multimodal.mediaTypeOf(id)
+      val orig = Multimodal.decode(id, mt, payload)
+      val mut = payload.clone(); mut(idx) = b
+      try structure(Multimodal.decode(id, mt, mut)) ==
+        (structure(orig)._1, orig.width, orig.height, orig.n_frames,
+          orig.payload_bytes)
+      catch { case _: IllegalArgumentException => true }
+    })
+  }
+
+  test("fuzz: truncation rejects everywhere except video frame boundaries") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      id <- genDoc
+      payload = Multimodal.makePayload(id)
+      cut <- Gen.choose(0, payload.length - 1)
+    } yield (id, payload, cut)
+    checkProp(Prop.forAll(gen) { case (id, payload, cut) =>
+      val mt = Multimodal.mediaTypeOf(id)
+      val headerLen = s"P${if (Multimodal.rasterCh(id) == 3) 6 else 5}\n${
+        Multimodal.rasterW(id)} ${Multimodal.rasterH(id)}\n255\n".length
+      val frameLen = headerLen +
+        Multimodal.rasterW(id) * Multimodal.rasterH(id) * Multimodal.rasterCh(id)
+      val truncated = payload.take(cut)
+      try {
+        val m = Multimodal.decode(id, mt, truncated)
+        // only a video cut at a whole-frame boundary may parse — and
+        // then it must parse as exactly the surviving frames
+        mt == "video" && cut > 0 && cut % frameLen == 0 &&
+          m.n_frames == cut / frameLen && m.payload_bytes == cut.toLong
+      } catch { case _: IllegalArgumentException => true }
+    })
+  }
+
+  test("fuzz: length-field lies in the WAV header always reject") {
+    import org.scalacheck.{Gen, Prop}
+    val gen = for {
+      id <- genDoc
+      field <- Gen.oneOf(4, 40) // riffLen, dataLen offsets
+      delta <- Gen.choose(-1000, 1000) if delta != 0
+    } yield (id, field, delta)
+    checkProp(Prop.forAll(gen) { case (id, field, delta) =>
+      val wav = Multimodal.makeWavPayload(id)
+      val buf = java.nio.ByteBuffer.wrap(wav)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(field, buf.getInt(field) + delta)
+      Prop.throws(classOf[IllegalArgumentException]) {
+        Multimodal.decode(id, "audio", wav)
+      }
+    })
+  }
+
+  test("fuzz: dimension lies in the Netpbm header always reject") {
+    import org.scalacheck.{Gen, Prop}
+    // rebuild the header with a lying height (inflated → truncated
+    // raster; deflated → leftover bytes that cannot start a frame;
+    // zero → degenerate), keeping the original raster bytes
+    val gen = for {
+      id <- genDoc.map(i => i - i % 3) // force an image doc (id % 3 == 0)
+      lie <- Gen.oneOf("x10", "minus1", "zero")
+    } yield (id, lie)
+    checkProp(Prop.forAll(gen) { case (id, lie) =>
+      val payload = Multimodal.makeNetpbmPayload(id, 1)
+      val w = Multimodal.rasterW(id); val h = Multimodal.rasterH(id)
+      val magic = if (Multimodal.rasterCh(id) == 3) "P6" else "P5"
+      val headerLen = s"$magic\n$w $h\n255\n".length
+      val badH = lie match {
+        case "x10" => h * 10L
+        case "minus1" => (h - 1).toLong
+        case _ => 0L
+      }
+      val lied = s"$magic\n$w $badH\n255\n".getBytes("US-ASCII") ++
+        payload.drop(headerLen)
+      // rasterH is always >= 12, so every lie (including minus1) must
+      // land in the reject path
+      Prop.throws(classOf[IllegalArgumentException]) {
+        Multimodal.decode(id, "image", lied)
+      }
+    })
+  }
 }
