@@ -100,6 +100,36 @@ final case class CollectionNode(
       */
     parentFkColumn: Option[String] = None) {
 
+  /** The empty-valued document template the reference UI renders per
+    * collection (client/src/components/NoSqlCollection.js:3-28 builds
+    * `{attr: "", embeddedName: [template]}` recursively and shows
+    * `JSON.stringify(item, null, 4)`). Same field order (attributes
+    * first, then embedded collections) and the same 4-space
+    * indentation, so the string matches the reference byte-for-byte
+    * for ASCII names. Driver-side: a template describes the SCHEMA,
+    * not data — O(tree) work, no Spark job.
+    */
+  def documentTemplate: String = {
+    def quote(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def render(n: CollectionNode, indent: Int): String = {
+      val pad = " " * (indent + 4)
+      val attrs = n.attributes.map(a => s"$pad${quote(a)}: \"\"")
+      val nested = n.embedded.map(e =>
+        s"$pad${quote(e.name)}: [\n${" " * (indent + 8)}${
+          render(e, indent + 8)}\n$pad]")
+      val entries = attrs ++ nested
+      if (entries.isEmpty) "{}" // JSON.stringify({}, null, 4)
+      else entries.mkString("{\n", ",\n", s"\n${" " * indent}}")
+    }
+    render(this, 0)
+  }
+
   /** BFS through the embedded tree, so an embedded collection is itself
     * addressable as a nesting target
     * (reference: server/models/NoSQLDatabase.js:14-27).

@@ -178,4 +178,31 @@ class NorthwindGoldenSpec extends SparkSpec {
     assert(et.head.schema.fieldNames.contains("lastname"),
       "employee attrs inlined (two-way; the archive's missing regionId is its known staleness)")
   }
+
+  test("document template renders the reference UI's empty-valued JSON") {
+    // the UI shape (NoSqlCollection.js:3-28): every attribute maps to
+    // "", every embedded collection to a one-element array of its own
+    // template, rendered as JSON.stringify(·, null, 4)
+    val region = cold.roots.find(_.name == "region").get
+    val t = region.documentTemplate
+    // structurally valid JSON with the exact nesting
+    val parsed = spark.range(1).select(
+      org.apache.spark.sql.functions.schema_of_json(t)).head().getString(0)
+    assert(parsed.contains("territory: ARRAY<STRUCT<"), parsed)
+    assert(parsed.contains("employeeterritory: ARRAY<STRUCT<"), parsed)
+    // byte-exact formatting on a small hand tree
+    val leaf = CollectionNode("kid", Seq("k1"), ConversionKind.OneWayEmbedded)
+    val root = CollectionNode("root", Seq("a", "b"), ConversionKind.Root,
+      embedded = Seq(leaf))
+    assert(root.documentTemplate ===
+      """{
+        |    "a": "",
+        |    "b": "",
+        |    "kid": [
+        |        {
+        |            "k1": ""
+        |        }
+        |    ]
+        |}""".stripMargin)
+  }
 }
