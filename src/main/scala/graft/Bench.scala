@@ -103,6 +103,15 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val totalMin = results.map(_._2._2).sum
+    // Replay-bound entries: their wall clock is dominated by the
+    // MemoryStream batch-parity harness (per-micro-batch state-store
+    // commits), not the streaming operator itself. Stamped into the
+    // artifact so a reader can separate "streaming op regressed" from
+    // "replay harness got chattier" without source-diving.
+    val replayHarness = Seq("x18_stream_session_parity",
+        "x31_stream_hourly_parity", "x39_stream_dedup_parity")
+      .filter(n => selected.exists(_._1 == n))
+    val harnessJson = replayHarness.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Locale.ROOT, not default-locale format: a comma-decimal JVM locale
     // would emit "40,10" and break the JSON contract line
     def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
@@ -111,6 +120,7 @@ object Bench {
     // for human diffing across rounds.
     println(s"""{"metric":"total_detail","value":${f6(total)},"unit":"sec","stat":"median","runs":$runs,""" +
       s""""total_min":${f6(totalMin)},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+      s""""replay_harness":$harnessJson,""" +
       s""""queries":${jsonMap(_._2._1, f6)},"queries_min":${jsonMap(_._2._2, f6)},"sf":"$sfDir"}""")
     // The contract line LAST, and deliberately compact: the harness that
     // consumes this output keeps only the final ~2KB of stdout (rounds
@@ -132,6 +142,7 @@ object Bench {
       val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"median","runs":$runs,""" +
         s""""total_min":${f2(totalMin)},"load":"$loadBefore;$loadAfter",""" +
+        s""""replay_harness":$harnessJson,""" +
         om + s""""queries":${qs.map { case (k, v) => "\"" + k + "\":" + f2(v._1) }
             .mkString("{", ",", "}")},"sf":"${new java.io.File(sfDir).getName}"}"""
     }

@@ -52,9 +52,10 @@ object ScaleDecade {
 
   /** Giant-single-stratum documents variant: same corpus, but 90% of
     * documents collapse into lang 'en' (pmod(doc_id, 10) < 9), the
-    * one-language-dominates-the-web-corpus shape. Derived from the 10×
-    * dir so the stress rides a realistically large stratum (~450k
-    * docs) without the 100× generation cost.
+    * one-language-dominates-the-web-corpus shape. Derived from the
+    * 100× dir, so the dominant stratum is ~450k documents — big enough
+    * that a single sequential pack stream visibly straggles without
+    * `subShards`.
     */
   def generateSkewedLang(spark: SparkSession, src: String, out: String): Unit = {
     spark.read.parquet(s"$src/documents.parquet")
@@ -68,7 +69,7 @@ object ScaleDecade {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out10 = args.lift(1).getOrElse("/tmp/graft_sf1")
     val out100 = args.lift(2).getOrElse("/tmp/graft_sf10")
-    val outSkew = s"${out10}_skewlang"
+    val outSkew = s"${out100}_skewlang"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -90,7 +91,7 @@ object ScaleDecade {
     }
     if (!new java.io.File(s"$outSkew/documents.parquet").exists()) {
       System.err.println(s"[decade] generating skewed-lang variant in $outSkew")
-      generateSkewedLang(spark, out10, outSkew)
+      generateSkewedLang(spark, out100, outSkew)
     }
     def timeFn(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {

@@ -59,6 +59,53 @@ class PackingSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(2)).toSeq === Seq(1L))
   }
 
+  test("packGreedy: giant-single-stratum stress — waste stays within one " +
+      "partial bin per extra shard") {
+    // the one-language-dominates-the-web-corpus shape (90% of docs in
+    // one stratum): subShards buys parallelism at the cost of at most
+    // one trailing partial bin per extra (stratum, shard) stream —
+    // assert that bound AND the greedy closing invariant that implies
+    // it (a bin closes only because its successor's first doc would
+    // have overflowed, so no mid-stream bin is gratuitously light)
+    val n = 20000L
+    val stress = spark.range(n).select(
+      when(col("id") % 10 < 9, lit("en")).otherwise(lit("de")).as("lang"),
+      col("id").as("doc_id"),
+      (col("id") % 91 + 10).as("w")) // 10..100 tokens, fixture-shaped
+    val budget = 256L
+    val shards = 16
+    def binCount(sub: Int): Long =
+      Packing.packGreedy(stress, "lang", "doc_id", col("w"), budget, sub)
+        .select(countDistinct(col("lang"), col("shard"), col("bin_id")))
+        .head().getLong(0)
+    val single = binCount(1)
+    val sharded = Packing.packGreedy(
+      stress, "lang", "doc_id", col("w"), budget, shards)
+    assert(sharded.count() === n, "every doc assigned exactly once")
+    val shardedBins = sharded
+      .select(countDistinct(col("lang"), col("shard"), col("bin_id")))
+      .head().getLong(0)
+    assert(shardedBins - single <= 2 * (shards - 1),
+      s"waste beyond one partial bin per extra shard per stratum: " +
+        s"$shardedBins sharded vs $single single-stream")
+    // closing invariant, every stream: fill(bin) + firstDoc(bin+1) > budget
+    val rows = sharded.collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1)
+    rows.values.foreach { stream =>
+      val byBin = stream.sortBy(_._2).groupBy(_._4).toSeq.sortBy(_._1)
+      byBin.sliding(2).foreach {
+        case Seq((_, cur), (_, next)) =>
+          val fill = cur.map(_._3).sum
+          val firstNext = next.minBy(_._2)._3
+          assert(fill + firstNext > budget,
+            s"bin closed early: fill $fill + next $firstNext <= $budget")
+        case _ =>
+      }
+    }
+  }
+
   test("chunkTokens: window starts, overlap, and tail coverage") {
     val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "x y"))
       .toDF("doc_id", "text")
