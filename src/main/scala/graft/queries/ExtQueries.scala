@@ -103,6 +103,26 @@ object ExtQueries {
   private def dotSql(a: String, b: String, dims: Int = 64) =
     s"list_reduce(list_prepend(0.0, [$a[i]*$b[i] for i in range(1,${dims + 1})]), (x,y) -> x+y)"
   private def normSql(a: String, dims: Int = 64) = s"sqrt(${dotSql(a, a, dims)})"
+  private def l2Sql(a: String, b: String, dims: Int) =
+    s"list_reduce(list_prepend(0.0, [($a[i]-$b[i])*($a[i]-$b[i]) for i in range(1,${dims + 1})]), (x,y) -> x+y)"
+  // PQ parameters — MUST mirror Similarity.pqEncode/pqTopK defaults.
+  private val PqM = 16
+  private val PqSubDim = 64 / PqM
+  private val PqCm = 5
+  private def pqSlice(v: String) =
+    s"$v[(subspace*$PqSubDim+1):(subspace*$PqSubDim+$PqSubDim)]"
+  /** Shared encode CTEs ending in psc(vec_id, subspace, code_id, l2_sq)
+    * — the scored (vector, codeword) table both PQ queries rank.
+    */
+  private def pqEncodeCtes =
+    s"""pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |psp AS (SELECT unnest(range(0, $PqM)) AS subspace),
+       |psub AS (SELECT vec_id, subspace, ${pqSlice("v")} AS sv FROM pe, psp),
+       |pcw AS (SELECT vec_id AS code_id, subspace, ${pqSlice("v")} AS cwv
+       |        FROM pe, psp WHERE vec_id % $PqCm = 0),
+       |psc AS (SELECT vec_id, psub.subspace, code_id,
+       |          round(${l2Sql("sv", "cwv", PqSubDim)}, 6) AS l2_sq
+       |        FROM psub JOIN pcw ON psub.subspace = pcw.subspace)""".stripMargin
   private def cosSql(a: String, b: String, dims: Int = 64) =
     s"round((${dotSql(a, b, dims)}) / ((${normSql(a, dims)}) * (${normSql(b, dims)})), 6)"
   /** language-ID CTEs ending in lang(doc_id, lang_pred) — mirrors
@@ -352,6 +372,55 @@ object ExtQueries {
               |         (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM s1)
               |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, cos_sim
               |FROM s2 WHERE rnk <= 5""".stripMargin)),
+
+    // ---- similarity: product quantization (encode + ADC search) -------
+    // The billion-scale memory story (Jégou et al. 2011): each vector
+    // compresses to m codeword ids; ADC scores the compressed corpus
+    // through a per-query lookup table, never touching the original
+    // vectors. Codebook = subvectors of every `PqCm`-th vector (the
+    // same training-free determinism as the IVF centroids), assignment
+    // = argmin rounded squared-L2, ties to lowest code id. m/PqCm
+    // mirror Similarity's measured defaults (tools.PqSweep).
+    ("x54_pq_encode",
+      (s: SparkSession, dir: String) =>
+        Similarity.pqEncode(t(s, dir, "embeddings")),
+      Some(s"""WITH $pqEncodeCtes
+              |SELECT vec_id, subspace, code_id, l2_sq FROM
+              | (SELECT *, row_number() OVER
+              |    (PARTITION BY vec_id, subspace ORDER BY l2_sq, code_id) AS rn
+              |  FROM psc) WHERE rn = 1""".stripMargin)),
+
+    ("x55_pq_adc_topk",
+      (s: SparkSession, dir: String) =>
+        Similarity.pqTopK(t(s, dir, "embeddings"), queryIds = Seq(7L, 177L, 357L)),
+      Some(s"""WITH $pqEncodeCtes,
+              |enc AS (SELECT vec_id, subspace, code_id FROM
+              |         (SELECT *, row_number() OVER
+              |            (PARTITION BY vec_id, subspace ORDER BY l2_sq, code_id) AS rn
+              |          FROM psc) WHERE rn = 1),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM pe WHERE vec_id IN (7, 177, 357)),
+              |qs AS (SELECT query_id, subspace, ${pqSlice("qv")} AS qsv
+              |       FROM q, psp),
+              |lut AS (SELECT query_id, qs.subspace, code_id,
+              |          round(${dotSql("qsv", "cwv", PqSubDim)}, 9) AS dp,
+              |          round(${dotSql("cwv", "cwv", PqSubDim)}, 9) AS cn2
+              |        FROM qs JOIN pcw ON qs.subspace = pcw.subspace),
+              |sums AS (SELECT query_id, vec_id,
+              |           sum(CAST(dp AS DECIMAL(28,12))) AS dsum,
+              |           sum(CAST(cn2 AS DECIMAL(28,12))) AS n2sum
+              |         FROM enc JOIN lut USING (subspace, code_id)
+              |         WHERE vec_id != query_id
+              |         GROUP BY query_id, vec_id),
+              |qn AS (SELECT query_id, sqrt(${dotSql("qv", "qv", 64)}) AS qnorm FROM q),
+              |scored AS (SELECT query_id, vec_id AS neighbor_id,
+              |             round(CAST(dsum AS DOUBLE) /
+              |               (qnorm * sqrt(CAST(n2sum AS DOUBLE))), 6) AS approx_cos
+              |           FROM sums JOIN qn USING (query_id)),
+              |rk AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |       FROM scored)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
+              |FROM rk WHERE rnk <= 5""".stripMargin)),
 
     // ---- similarity: k-means Lloyd step (IVF quantizer training) ------
     // Sort-free nearest-centroid assignment + deterministic elementwise

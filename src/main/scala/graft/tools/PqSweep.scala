@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** One-off recall sweep for the PQ defaults (kept for reproducibility;
+  * not part of the query surface).
+  */
+object PqSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+    val qs = Seq(0L, 100L, 200L, 300L, 400L)
+    val brute = Similarity.bruteForceTopK(emb, k = 5, queryModulus = 100)
+      .filter(col("query_id").isin(qs: _*))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    for (m <- Seq(4, 8, 16, 32); cm <- Seq(25, 10, 5)) {
+      val adc = Similarity.pqTopK(emb, queryIds = qs, k = 5, m = m, codeModulus = cm)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (brute intersect adc).size.toDouble / brute.size
+      println(f"m=$m%2d codeModulus=$cm%2d recall=$recall%.2f")
+    }
+    // optional second arg: a scaled dir — time x54/x55 at both scales
+    // (the same median-of-3 methodology as ScaleHeadroom)
+    args.lift(1).foreach { scaled =>
+      def timeQ(name: String, d: String): Double = {
+        val fn = graft.SparkEntry.queries(name)
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        times(1)
+      }
+      Seq("x54_pq_encode", "x55_pq_adc_topk").foreach { name =>
+        val b = timeQ(name, dir)
+        val s = timeQ(name, scaled)
+        println(f"""{"query":"$name","base_sec":$b%.3f,"scaled_sec":$s%.3f,"ratio":${s / b}%.2f}""")
+      }
+    }
+    spark.stop()
+  }
+}

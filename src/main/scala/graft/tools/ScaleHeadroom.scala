@@ -201,9 +201,17 @@ object ScaleHeadroom {
                               // #columns — expect ~linear with a
                               // constant-factor penalty, the cost the
                               // sketch twin below exists to remove
-    "x53_table_profile_kmv")  // sketch profile: one scan, bottom-k
+    "x53_table_profile_kmv",  // sketch profile: one scan, bottom-k
                               // capped exchanges — expect ~linear
                               // WITHOUT x51's Expand constant factor
+    "x54_pq_encode",          // PQ: n·m subvectors × broadcast codebook
+                              // (codebook grows with corpus at fixed
+                              // modulus — n·k like x33's flat assign,
+                              // labeled; production trains fixed k)
+    "x55_pq_adc_topk")        // ADC scan: codes × per-query LUT join —
+                              // corpus×queries like x07/x08 (queries
+                              // fixed here, so ~n·k growth dominated
+                              // by the encode it includes
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

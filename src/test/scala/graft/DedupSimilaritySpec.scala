@@ -69,4 +69,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(wide.exceptAll(narrow).isEmpty, "wide-band pairs must be a subset")
     assert(wide.count() <= narrow.count())
   }
+
+  test("PQ encoding: one code per (vector, subspace), codewords encode " +
+      "to themselves at zero error") {
+    val enc = Similarity.pqEncode(emb).cache()
+    try {
+      val n = emb.count()
+      assert(enc.count() === n * 16, "m codes per vector")
+      assert(enc.groupBy("vec_id", "subspace").count()
+        .filter(col("count") =!= 1).count() === 0, "exactly one code per subspace")
+      // every assigned code is a legal codebook member
+      assert(enc.filter(col("code_id") % 5 =!= 0).count() === 0)
+      // a codeword vector's own subvector is at distance 0, so its
+      // assignment must have l2_sq == 0 (possibly to a tied twin — the
+      // reconstruction is identical either way)
+      assert(enc.filter(col("vec_id") % 5 === 0 && col("l2_sq") =!= 0.0)
+        .count() === 0, "codewords must self-encode at zero error")
+    } finally enc.unpersist()
+  }
+
+  test("PQ ADC degenerates to exact brute-force when every vector is a codeword") {
+    // codeModulus=1: each subvector reconstructs exactly (its own
+    // codeword), so Σ dp = dot(q, v) and Σ cn2 = |v|² — approx_cos IS
+    // the cosine up to the 9-decimal LUT rounding, and the top-k set
+    // must match brute force exactly
+    val qs = Seq(0L, 100L, 200L)
+    val brute = Similarity.bruteForceTopK(emb, k = 5, queryModulus = 100)
+      .filter(col("query_id").isin(qs: _*))
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val adc = Similarity.pqTopK(emb, queryIds = qs, k = 5, codeModulus = 1)
+      .select("query_id", "neighbor_id", "approx_cos")
+      .as[(Long, Long, Double)].collect()
+    assert(adc.map(r => (r._1, r._2)).toSet === brute.map(r => (r._1, r._2)).toSet,
+      "degenerate ADC must return the exact top-k set")
+    val bruteScore = brute.map(r => (r._1, r._2) -> r._3).toMap
+    adc.foreach { case (q, nb, s) =>
+      assert(math.abs(s - bruteScore((q, nb))) <= 2e-6,
+        s"degenerate ADC score for ($q, $nb): $s vs ${bruteScore((q, nb))}")
+    }
+  }
+
+  test("PQ ADC recall vs brute force at the default codebook") {
+    // lossy by design — assert the structure is a useful pruner on the
+    // fixture, and that scores stay in the cosine range
+    val qs = Seq(0L, 100L, 200L)
+    val brute = Similarity.bruteForceTopK(emb, k = 5, queryModulus = 100)
+      .filter(col("query_id").isin(qs: _*))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adc = Similarity.pqTopK(emb, queryIds = qs, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect adc).size.toDouble / brute.size
+    assert(recall >= 0.4, s"ADC recall $recall vs brute force")
+    val range = Similarity.pqTopK(emb, queryIds = qs, k = 5)
+      .filter(col("approx_cos") < -1.01 || col("approx_cos") > 1.01).count()
+    assert(range === 0, "approx cosine must stay in [-1, 1]")
+  }
 }

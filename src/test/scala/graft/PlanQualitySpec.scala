@@ -277,6 +277,21 @@ class PlanQualitySpec extends SparkSpec {
       "distincts must ride the bounded-heap bottom-k:\n" + exec)
   }
 
+  test("x54/x55 PQ: codebook and LUT joins broadcast, ranking on the heap, no sorts") {
+    // the compressed-domain scan must never shuffle-join: the codebook
+    // (m·#codes subvector rows) and the per-query LUT are broadcast
+    // sides by construction, and both the argmin and the top-k ride
+    // TopKPerGroup's map-side partials instead of window sorts
+    for (name <- Seq("x54_pq_encode", "x55_pq_adc_topk")) {
+      val p = finalPlan(q(name))
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must broadcast its small sides:\n" + p)
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$name must not global-sort:\n" + p)
+      assert(p.contains("TopKPerGroup"), s"$name must rank on the heap:\n" + p)
+    }
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
