@@ -419,10 +419,28 @@ object Similarity {
       .drop("__sp", vCol)
   }
 
+  /** Codebook of a PQ index: the s-th subvectors of the FIRST
+    * `maxCodes` vectors with `vec_id % codeModulus == 0` (vec_ids are
+    * dense from 0, so `vec_id < codeModulus·maxCodes` selects exactly
+    * them). The cap is what makes PQ linear: real PQ trains a FIXED
+    * codebook (k ≤ 256 per subspace — one byte per code — in Jégou et
+    * al. and every production ANN index); without it the
+    * modulus-convention codebook grows with the corpus and the encode
+    * join degenerates to the n·k shape x33 exists to warn about.
+    */
+  private def codewords(
+      all: DataFrame, m: Int, codeModulus: Int, maxCodes: Int): DataFrame =
+    subvectors(
+        all.filter(col("vec_id") % codeModulus === 0 &&
+          col("vec_id") < codeModulus.toLong * maxCodes), "v", m)
+      .select(col("vec_id").as("code_id"), col("subspace"), col("__sv").as("cw"))
+
   /** x54 — PQ encoding: each vector becomes m codeword ids, one per
     * subspace. The codebook is training-free and deterministic (the
-    * same convention as the IVF centroids): codewords of subspace s are
-    * the s-th subvectors of the vectors with `vec_id % codeModulus == 0`.
+    * same convention as the IVF centroids, capped at `maxCodes` per
+    * subspace — see [[codewords]]): codewords of subspace s are the
+    * s-th subvectors of the first `maxCodes` vectors with
+    * `vec_id % codeModulus == 0`.
     * Assignment is argmin squared-L2 ([[graft.functions.L2Sq]] — the
     * reconstruction-error objective of PQ; rounded to 6 decimals before
     * ranking so the argmin reproduces on the oracle), ties to the
@@ -438,20 +456,25 @@ object Similarity {
     * step is the trainer) and appends a verified re-rank of the ADC
     * short-list against the original vectors (the x07 shape).
     *
-    * Scale shape: the codebook (m · #codes subvectors) broadcasts; the
-    * corpus explodes to n·m subvector rows, scores against its
-    * subspace's codewords inside whole-stage codegen, and the argmin
-    * rides the heap operator's map-side partial (1 row per (vec,
-    * subspace) per partition crosses the one clustering exchange — no
-    * sort, no window). Output: (vec_id, subspace, code_id, l2_sq).
+    * Scale shape: the codebook (m · maxCodes subvectors — FIXED size,
+    * 4096 rows at the defaults) broadcasts; the corpus explodes to n·m
+    * subvector rows, scores against its subspace's ≤ maxCodes codewords
+    * inside whole-stage codegen (n·m·maxCodes pair rows — linear in n),
+    * and the argmin rides the heap operator's map-side partial (1 row
+    * per (vec, subspace) per partition crosses the one clustering
+    * exchange — no sort, no window).
+    * Output: (vec_id, subspace, code_id, l2_sq).
     */
-  def pqEncode(emb: DataFrame, m: Int = 16, codeModulus: Int = 5): DataFrame = {
+  def pqEncode(
+      emb: DataFrame,
+      m: Int = 16,
+      codeModulus: Int = 5,
+      maxCodes: Int = 256): DataFrame = {
     require(Dims % m == 0, s"m ($m) must divide $Dims")
     val all = vecs(emb)
     val subs = subvectors(all, "v", m)
       .select(col("vec_id"), col("subspace"), col("__sv").as("sv"))
-    val cws = subvectors(all.filter(col("vec_id") % codeModulus === 0), "v", m)
-      .select(col("vec_id").as("code_id"), col("subspace"), col("__sv").as("cw"))
+    val cws = codewords(all, m, codeModulus, maxCodes)
     val scored = subs.join(broadcast(cws), Seq("subspace"))
       .select(col("vec_id"), col("subspace"), col("code_id"),
         round(graft.functions.L2Sq.l2_sq(col("sv"), col("cw")), 6).as("l2_sq"))
@@ -489,17 +512,17 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int = 5,
       m: Int = 16,
-      codeModulus: Int = 5): DataFrame = {
+      codeModulus: Int = 5,
+      maxCodes: Int = 256): DataFrame = {
     import graft.functions.DotProduct.dot_product
     val all = vecs(emb)
-    val encoded = pqEncode(emb, m, codeModulus)
+    val encoded = pqEncode(emb, m, codeModulus, maxCodes)
       .select(col("vec_id"), col("subspace"), col("code_id"))
     val queries = all.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val qsubs = subvectors(queries, "qv", m)
       .select(col("query_id"), col("subspace"), col("__sv").as("qsv"))
-    val cws = subvectors(all.filter(col("vec_id") % codeModulus === 0), "v", m)
-      .select(col("vec_id").as("code_id"), col("subspace"), col("__sv").as("cw"))
+    val cws = codewords(all, m, codeModulus, maxCodes)
     val lut = qsubs.join(broadcast(cws), Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code_id"),
         round(dot_product(col("qsv"), col("cw")), 9).as("dp"),

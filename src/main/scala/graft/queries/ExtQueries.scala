@@ -109,6 +109,7 @@ object ExtQueries {
   private val PqM = 16
   private val PqSubDim = 64 / PqM
   private val PqCm = 5
+  private val PqMaxCodes = 256 // fixed codebook size (what keeps PQ linear)
   private def pqSlice(v: String) =
     s"$v[(subspace*$PqSubDim+1):(subspace*$PqSubDim+$PqSubDim)]"
   /** Shared encode CTEs ending in psc(vec_id, subspace, code_id, l2_sq)
@@ -119,7 +120,8 @@ object ExtQueries {
        |psp AS (SELECT unnest(range(0, $PqM)) AS subspace),
        |psub AS (SELECT vec_id, subspace, ${pqSlice("v")} AS sv FROM pe, psp),
        |pcw AS (SELECT vec_id AS code_id, subspace, ${pqSlice("v")} AS cwv
-       |        FROM pe, psp WHERE vec_id % $PqCm = 0),
+       |        FROM pe, psp
+       |        WHERE vec_id % $PqCm = 0 AND vec_id < ${PqCm.toLong * PqMaxCodes}),
        |psc AS (SELECT vec_id, psub.subspace, code_id,
        |          round(${l2Sql("sv", "cwv", PqSubDim)}, 6) AS l2_sq
        |        FROM psub JOIN pcw ON psub.subspace = pcw.subspace)""".stripMargin
@@ -377,10 +379,13 @@ object ExtQueries {
     // The billion-scale memory story (Jégou et al. 2011): each vector
     // compresses to m codeword ids; ADC scores the compressed corpus
     // through a per-query lookup table, never touching the original
-    // vectors. Codebook = subvectors of every `PqCm`-th vector (the
-    // same training-free determinism as the IVF centroids), assignment
-    // = argmin rounded squared-L2, ties to lowest code id. m/PqCm
-    // mirror Similarity's measured defaults (tools.PqSweep).
+    // vectors. Codebook = subvectors of the first `PqMaxCodes` vectors
+    // with vec_id % PqCm = 0 (the IVF centroids' training-free
+    // determinism, capped at the fixed codebook size that keeps the
+    // encode linear), assignment = argmin rounded squared-L2, ties to
+    // lowest code id. m/PqCm mirror Similarity's measured defaults
+    // (tools.PqSweep); the cap binds only above PqCm·PqMaxCodes = 1,280
+    // vectors (not at sf0.01 — the 10× probe is where it matters).
     ("x54_pq_encode",
       (s: SparkSession, dir: String) =>
         Similarity.pqEncode(t(s, dir, "embeddings")),

@@ -204,14 +204,14 @@ object ScaleHeadroom {
     "x53_table_profile_kmv",  // sketch profile: one scan, bottom-k
                               // capped exchanges — expect ~linear
                               // WITHOUT x51's Expand constant factor
-    "x54_pq_encode",          // PQ: n·m subvectors × broadcast codebook
-                              // (codebook grows with corpus at fixed
-                              // modulus — n·k like x33's flat assign,
-                              // labeled; production trains fixed k)
-    "x55_pq_adc_topk")        // ADC scan: codes × per-query LUT join —
-                              // corpus×queries like x07/x08 (queries
-                              // fixed here, so ~n·k growth dominated
-                              // by the encode it includes
+    "x54_pq_encode",          // PQ: n·m subvectors × broadcast FIXED
+                              // codebook (maxCodes=256/subspace; the
+                              // cap binds above 1,280 vectors, so the
+                              // probe exercises it) — expect ~linear
+    "x55_pq_adc_topk")        // ADC: fixed-size compressed-domain LUT
+                              // join over the codes + the encode it
+                              // includes — expect ~linear (query set
+                              // is a fixed id list)
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")

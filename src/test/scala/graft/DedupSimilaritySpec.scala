@@ -88,17 +88,32 @@ class DedupSimilaritySpec extends SparkSpec {
     } finally enc.unpersist()
   }
 
+  test("PQ codebook cap: maxCodes bounds the codebook however large the corpus") {
+    // the linearity contract: code ids can only come from the first
+    // maxCodes modulus survivors (vec_id < codeModulus·maxCodes), and
+    // every (vector, subspace) still gets exactly one code
+    val enc = Similarity.pqEncode(emb, maxCodes = 10).cache()
+    try {
+      assert(enc.filter(col("code_id") >= 5L * 10).count() === 0,
+        "codes past the cap must never be assigned")
+      assert(enc.count() === emb.count() * 16)
+      assert(enc.groupBy("vec_id", "subspace").count()
+        .filter(col("count") =!= 1).count() === 0)
+    } finally enc.unpersist()
+  }
+
   test("PQ ADC degenerates to exact brute-force when every vector is a codeword") {
-    // codeModulus=1: each subvector reconstructs exactly (its own
-    // codeword), so Σ dp = dot(q, v) and Σ cn2 = |v|² — approx_cos IS
-    // the cosine up to the 9-decimal LUT rounding, and the top-k set
-    // must match brute force exactly
+    // codeModulus=1 + uncapped codebook: each subvector reconstructs
+    // exactly (its own codeword), so Σ dp = dot(q, v) and Σ cn2 = |v|²
+    // — approx_cos IS the cosine up to the 9-decimal LUT rounding, and
+    // the top-k set must match brute force exactly
     val qs = Seq(0L, 100L, 200L)
     val brute = Similarity.bruteForceTopK(emb, k = 5, queryModulus = 100)
       .filter(col("query_id").isin(qs: _*))
       .select("query_id", "neighbor_id", "cos_sim")
       .as[(Long, Long, Double)].collect()
-    val adc = Similarity.pqTopK(emb, queryIds = qs, k = 5, codeModulus = 1)
+    val adc = Similarity.pqTopK(emb, queryIds = qs, k = 5, codeModulus = 1,
+        maxCodes = Int.MaxValue)
       .select("query_id", "neighbor_id", "approx_cos")
       .as[(Long, Long, Double)].collect()
     assert(adc.map(r => (r._1, r._2)).toSet === brute.map(r => (r._1, r._2)).toSet,
