@@ -456,13 +456,21 @@ object Similarity {
     * step is the trainer) and appends a verified re-rank of the ADC
     * short-list against the original vectors (the x07 shape).
     *
-    * Scale shape: the codebook (m · maxCodes subvectors — FIXED size,
-    * 4096 rows at the defaults) broadcasts; the corpus explodes to n·m
-    * subvector rows, scores against its subspace's ≤ maxCodes codewords
-    * inside whole-stage codegen (n·m·maxCodes pair rows — linear in n),
-    * and the argmin rides the heap operator's map-side partial (1 row
-    * per (vec, subspace) per partition crosses the one clustering
-    * exchange — no sort, no window).
+    * Scale shape: MAP-ONLY. The codebook collapses to ONE broadcast
+    * row per subspace holding its codeword array (m rows of ≤ maxCodes
+    * structs — 16 rows at the defaults), the corpus explodes to n·m
+    * subvector rows joined 1:1 against it, and the argmin runs INSIDE
+    * each row via the native [[graft.functions.PqArgMin]] expression
+    * (codegen'd; see its Scaladoc for why the higher-order
+    * `array_min(transform(...))` form was 25× slower). No n·maxCodes
+    * pair rows ever materialize and NOTHING crosses a non-broadcast
+    * exchange — the only shuffle in the plan is the 4096-row codebook
+    * build on the broadcast side. (First cut ranked m·n exploded pair
+    * rows on [[graft.plans.TopKPerGroup]]: with n·m tiny groups of
+    * ≤ maxCodes rows the heap's per-row non-codegen path measured
+    * 6.7 s at sf0.1 vs 0.4 s for an agg — the heap wins when groups
+    * are few and huge, x07's shape, not here; the in-row fold beats
+    * both and drops the exchange.)
     * Output: (vec_id, subspace, code_id, l2_sq).
     */
   def pqEncode(
@@ -474,14 +482,31 @@ object Similarity {
     val all = vecs(emb)
     val subs = subvectors(all, "v", m)
       .select(col("vec_id"), col("subspace"), col("__sv").as("sv"))
-    val cws = codewords(all, m, codeModulus, maxCodes)
-    val scored = subs.join(broadcast(cws), Seq("subspace"))
-      .select(col("vec_id"), col("subspace"), col("code_id"),
-        round(graft.functions.L2Sq.l2_sq(col("sv"), col("cw")), 6).as("l2_sq"))
-    import graft.plans.TopKPerGroup
-    TopKPerGroup.topK(scored, Seq("vec_id", "subspace"),
-        Seq("l2_sq" -> TopKPerGroup.Asc, "code_id" -> TopKPerGroup.Asc), 1)
-      .select(col("vec_id"), col("subspace"), col("code_id"), col("l2_sq"))
+    // argmin is order-free (min over a set), so the unordered
+    // collect_list is deterministic here; ids and flattened values are
+    // derived from the SAME collected array, so they stay aligned. The
+    // flat primitive layout is what makes each PqArgMin call
+    // allocation-free — see its Scaladoc.
+    val codebook = codewords(all, m, codeModulus, maxCodes)
+      .groupBy(col("subspace"))
+      .agg(collect_list(struct(col("code_id"), col("cw"))).as("__cbs"))
+      .select(col("subspace"),
+        transform(col("__cbs"), c => c("code_id")).as("__cb_ids"),
+        flatten(transform(col("__cbs"), c => c("cw"))).as("__cb_flat"))
+    // explode(array(...)) is a deliberate Generate barrier: as a plain
+    // projection the argmin gets re-inlined by projection collapse and
+    // constraint-inference pushdown — x55's LUT join inferred its
+    // build-side codeword filters onto this derived key and evaluated
+    // FOUR copies of the fold per row inside a join condition. A
+    // generator's output is a bound attribute, so every downstream
+    // reference (join keys, inferred filters, field extracts) reads the
+    // materialized struct instead of re-running the fold.
+    subs.join(broadcast(codebook), Seq("subspace"))
+      .select(col("vec_id"), col("subspace"),
+        explode(array(graft.functions.PqArgMin.pq_argmin(
+          col("sv"), col("__cb_ids"), col("__cb_flat")))).as("__best"))
+      .select(col("vec_id"), col("subspace"),
+        col("__best.code_id").as("code_id"), col("__best.l2_sq").as("l2_sq"))
   }
 
   /** x55 — asymmetric-distance (ADC) top-k over the PQ-compressed

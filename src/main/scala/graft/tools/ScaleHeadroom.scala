@@ -75,6 +75,12 @@ object ScaleHeadroom {
             t => concat(lit("r"), col("__r"), lit("·"), t)), " ")))
       .withColumn("n_chars", length(col("text")))
       .drop("__r"), "documents")
+    // repartition(32): the scaled vector corpus is only a few MB on
+    // disk, so a single output file would read back as ONE split and
+    // serialize every compute-bound vector operator (the PQ encode at
+    // 10× ran 320k argmin folds on one of 32 threads). Bytes
+    // underestimate compute for embedding tables; a real corpus is
+    // many files, so the probe's should be too.
     save(fan(load("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("__r") * Stride)
       .withColumn("embedding", {
@@ -83,7 +89,7 @@ object ScaleHeadroom {
           slice(col("embedding"), r + 1, size(col("embedding")) - r),
           slice(col("embedding"), lit(1), r)))
       })
-      .drop("__r"), "embeddings")
+      .drop("__r").repartition(32), "embeddings")
   }
 
   /** Inflated-shared-vocabulary variant (documents only): each replica
@@ -217,6 +223,16 @@ object ScaleHeadroom {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated target names — probe only those
+    // (variant probes run only when their base target is selected).
+    // Unknown names fail loudly, same rationale as Verify's filter.
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- Targets.toSet
+      require(unknown.isEmpty,
+        s"unknown target(s) in filter: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -234,11 +250,15 @@ object ScaleHeadroom {
       System.err.println(s"[headroom] generating ${replicas}x scale-up in $out")
       generate(spark, src, out, replicas)
     }
-    if (!new java.io.File(s"$outOverlap/documents.parquet").exists()) {
+    val wantOverlap =
+      selected("x45_source_overlap") || selected("x46_source_overlap_kmv")
+    if (wantOverlap &&
+        !new java.io.File(s"$outOverlap/documents.parquet").exists()) {
       System.err.println(s"[headroom] generating inflated-overlap variant in $outOverlap")
       generateOverlap(spark, src, outOverlap, replicas)
     }
-    if (!new java.io.File(s"$outHot/events.parquet").exists()) {
+    if (selected("x43_funnel") &&
+        !new java.io.File(s"$outHot/events.parquet").exists()) {
       System.err.println(s"[headroom] generating hot-user variant in $outHot")
       generateHot(spark, src, outHot, replicas)
     }
@@ -256,7 +276,7 @@ object ScaleHeadroom {
       println(f"""{"query":"$name","base_sec":$base%.3f,"scaled_sec":$scaled%.3f,"ratio":${scaled / base}%.2f,"replicas":$replicas}""")
     // one throwaway pass for session warmup
     SparkEntry.queries("q02_table_counts")(spark, src).count()
-    val rows = Targets.map { name =>
+    val rows = Targets.filter(selected).map { name =>
       val base = time(name, src)
       val scaled = time(name, out)
       report(name, base, scaled)
@@ -268,21 +288,26 @@ object ScaleHeadroom {
     // x37 at nprobe=1: the default is 2 (recall-justified — NprobeRecall),
     // so probe the single-probe assignment to price the widened
     // candidate join the default pays for its recall.
-    val nprobe1 = (s: SparkSession, d: String) =>
-      graft.ext.Similarity.semDedupHierarchical(
-        graft.sources.Tables.load(s, d, "embeddings"), minCos = 0.45, nprobe = 1)
-    report("x37_semdedup_hier@nprobe1", timeFn(nprobe1, src), timeFn(nprobe1, out))
+    if (selected("x37_semdedup_hier")) {
+      val nprobe1 = (s: SparkSession, d: String) =>
+        graft.ext.Similarity.semDedupHierarchical(
+          graft.sources.Tables.load(s, d, "embeddings"), minCos = 0.45, nprobe = 1)
+      report("x37_semdedup_hier@nprobe1", timeFn(nprobe1, src), timeFn(nprobe1, out))
+    }
     // variant probes reuse the base medians the Targets loop already
     // measured — re-timing x43/x45/x46 at src would re-run some of the
     // bench's most expensive queries for numbers already in hand
     val baseOf = rows.map(r => r._1 -> r._2).toMap
     // funnel under the hot-user shape: same users, 10× events each.
-    report("x43_funnel@hot_users", baseOf("x43_funnel"), time("x43_funnel", outHot))
+    if (selected("x43_funnel"))
+      report("x43_funnel@hot_users", baseOf("x43_funnel"), time("x43_funnel", outHot))
     // exact vs sketch overlap when shared vocabulary ACTUALLY grows.
-    report("x45_source_overlap@inflated",
-      baseOf("x45_source_overlap"), time("x45_source_overlap", outOverlap))
-    report("x46_source_overlap_kmv@inflated",
-      baseOf("x46_source_overlap_kmv"), time("x46_source_overlap_kmv", outOverlap))
+    if (selected("x45_source_overlap"))
+      report("x45_source_overlap@inflated",
+        baseOf("x45_source_overlap"), time("x45_source_overlap", outOverlap))
+    if (selected("x46_source_overlap_kmv"))
+      report("x46_source_overlap_kmv@inflated",
+        baseOf("x46_source_overlap_kmv"), time("x46_source_overlap_kmv", outOverlap))
     // ---- growth-dimension evidence ----------------------------------
     // At these scales BOTH overlap forms are wall-clock-dominated by
     // the one-pass corpus scan+distinct, so seconds alone can't show
@@ -290,6 +315,7 @@ object ScaleHeadroom {
     // its post-scan stage: the exact audit's shingle self-join output
     // (Σ_pair n_shared — grows with shared vocabulary) vs the sketch's
     // merged-pair rows (≤ C(#sources,2)·k by construction — flat).
+    if (wantOverlap)
     Seq("sf_base" -> src, "scaled" -> out, "inflated" -> outOverlap)
       .foreach { case (tag, dir) =>
         val docs = graft.sources.Tables.load(spark, dir, "documents")

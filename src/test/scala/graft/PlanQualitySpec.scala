@@ -277,19 +277,30 @@ class PlanQualitySpec extends SparkSpec {
       "distincts must ride the bounded-heap bottom-k:\n" + exec)
   }
 
-  test("x54/x55 PQ: codebook and LUT joins broadcast, ranking on the heap, no sorts") {
+  test("x54/x55 PQ: map-only encode, broadcast joins, in-row argmin") {
     // the compressed-domain scan must never shuffle-join: the codebook
-    // (m·#codes subvector rows) and the per-query LUT are broadcast
-    // sides by construction, and both the argmin and the top-k ride
-    // TopKPerGroup's map-side partials instead of window sorts
+    // (one array row per subspace) and the per-query LUT are broadcast
+    // sides by construction. The encode's argmin runs INSIDE each row
+    // (array_min over transform) — no pair rows, no heap, and no
+    // corpus-keyed exchange: the only shuffle x54 is allowed is the
+    // 4096-row codebook build on the broadcast side (keyed subspace).
+    // The ADC top-k (few queries, huge groups) stays on the heap
+    // operator — its home turf.
     for (name <- Seq("x54_pq_encode", "x55_pq_adc_topk")) {
       val p = finalPlan(q(name))
       assert(!p.contains("SortMergeJoin"),
         s"$name must broadcast its small sides:\n" + p)
       assert(!p.contains("Exchange rangepartitioning"),
         s"$name must not global-sort:\n" + p)
-      assert(p.contains("TopKPerGroup"), s"$name must rank on the heap:\n" + p)
+      assert(!p.contains("Exchange hashpartitioning(vec_id"),
+        s"$name must never shuffle corpus-keyed rows for the encode:\n" + p)
     }
+    val pe = finalPlan(q("x54_pq_encode"))
+    assert(!pe.contains("TopKPerGroup"),
+      "x54's argmin must be the in-row fold, not the heap:\n" + pe)
+    val pa = finalPlan(q("x55_pq_adc_topk"))
+    assert(pa.contains("TopKPerGroup"),
+      "x55's per-query top-k must ride the heap:\n" + pa)
   }
 
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
