@@ -40,15 +40,18 @@ object ScaleDecade {
     "x46_source_overlap_kmv",
     "x48_sequence_packing",
     "x51_table_profile",
-    "x53_table_profile_kmv")
+    "x53_table_profile_kmv",
+    "x54_pq_encode",    // round 8: fixed-codebook PQ — 200k vectors at
+    "x55_pq_adc_topk")  // 100× exercise the map-only encode + ADC scan
+                        // two decades past the cap binding
 
   /** Tables the Targets actually read — the 100× generation writes
-    * nothing else (events/embeddings at 100× would cost generation and
-    * disk for queries this probe does not run).
+    * nothing else (events at 100× would cost generation and disk for
+    * queries this probe does not run).
     */
   private val NeededTables = Set(
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "documents")
+    "orders", "lineitem", "documents", "embeddings")
 
   /** Giant-single-stratum documents variant: same corpus, but 90% of
     * documents collapse into lang 'en' (pmod(doc_id, 10) < 9), the
@@ -70,6 +73,16 @@ object ScaleDecade {
     val out10 = args.lift(1).getOrElse("/tmp/graft_sf1")
     val out100 = args.lift(2).getOrElse("/tmp/graft_sf10")
     val outSkew = s"${out100}_skewlang"
+    // optional 4th arg: comma-separated target names (the packing
+    // stress rides the x48 selection). Unknown names fail loudly —
+    // same rationale as Verify's filter.
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- Targets.toSet
+      require(unknown.isEmpty,
+        s"unknown target(s) in filter: ${unknown.toSeq.sorted.mkString(",")}")
+    }
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,7 +102,14 @@ object ScaleDecade {
       System.err.println(s"[decade] generating 100x scale-up in $out100")
       ScaleHeadroom.generate(spark, src, out100, 100, NeededTables)
     }
-    if (!new java.io.File(s"$outSkew/documents.parquet").exists()) {
+    // embeddings joined NeededTables in round 8 — top up an existing
+    // 100x dir without regenerating the big tables
+    if (!new java.io.File(s"$out100/embeddings.parquet").exists()) {
+      System.err.println(s"[decade] adding 100x embeddings to $out100")
+      ScaleHeadroom.generate(spark, src, out100, 100, Set("embeddings"))
+    }
+    if (selected("x48_sequence_packing") &&
+        !new java.io.File(s"$outSkew/documents.parquet").exists()) {
       System.err.println(s"[decade] generating skewed-lang variant in $outSkew")
       generateSkewedLang(spark, out100, outSkew)
     }
@@ -104,13 +124,14 @@ object ScaleDecade {
     }
     // session warmup
     SparkEntry.queries("q02_table_counts")(spark, src).count()
-    Targets.foreach { name =>
+    Targets.filter(selected).foreach { name =>
       val fn = SparkEntry.queries(name)
       val b = timeFn(fn, src)
       val s10 = timeFn(fn, out10)
       val s100 = timeFn(fn, out100)
       println(f"""{"query":"$name","base_sec":$b%.3f,"x10_sec":$s10%.3f,"x100_sec":$s100%.3f,"decade1":${s10 / b}%.2f,"decade2":${s100 / s10}%.2f}""")
     }
+    if (!selected("x48_sequence_packing")) { spark.stop(); return }
     // ---- giant-single-stratum packing stress (10x corpus, 90% one lang)
     val bins = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
     Seq(1, 32).foreach { shards =>
