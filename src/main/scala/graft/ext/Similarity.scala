@@ -435,6 +435,24 @@ object Similarity {
           col("vec_id") < codeModulus.toLong * maxCodes), "v", m)
       .select(col("vec_id").as("code_id"), col("subspace"), col("__sv").as("cw"))
 
+  /** The per-subspace codebook in the flat primitive layout
+    * [[graft.functions.PqArgMin]] consumes: one row per subspace with
+    * an id array and the concatenated codeword values. argmin is
+    * order-free (min over a set), so the unordered collect_list is
+    * deterministic here; ids and flattened values are derived from the
+    * SAME collected array, so they stay aligned. The flat primitive
+    * layout is what makes each PqArgMin call allocation-free — see its
+    * Scaladoc.
+    */
+  private def pqCodebookFlat(
+      all: DataFrame, m: Int, codeModulus: Int, maxCodes: Int): DataFrame =
+    codewords(all, m, codeModulus, maxCodes)
+      .groupBy(col("subspace"))
+      .agg(collect_list(struct(col("code_id"), col("cw"))).as("__cbs"))
+      .select(col("subspace"),
+        transform(col("__cbs"), c => c("code_id")).as("__cb_ids"),
+        flatten(transform(col("__cbs"), c => c("cw"))).as("__cb_flat"))
+
   /** x54 — PQ encoding: each vector becomes m codeword ids, one per
     * subspace. The codebook is training-free and deterministic (the
     * same convention as the IVF centroids, capped at `maxCodes` per
@@ -482,17 +500,7 @@ object Similarity {
     val all = vecs(emb)
     val subs = subvectors(all, "v", m)
       .select(col("vec_id"), col("subspace"), col("__sv").as("sv"))
-    // argmin is order-free (min over a set), so the unordered
-    // collect_list is deterministic here; ids and flattened values are
-    // derived from the SAME collected array, so they stay aligned. The
-    // flat primitive layout is what makes each PqArgMin call
-    // allocation-free — see its Scaladoc.
-    val codebook = codewords(all, m, codeModulus, maxCodes)
-      .groupBy(col("subspace"))
-      .agg(collect_list(struct(col("code_id"), col("cw"))).as("__cbs"))
-      .select(col("subspace"),
-        transform(col("__cbs"), c => c("code_id")).as("__cb_ids"),
-        flatten(transform(col("__cbs"), c => c("cw"))).as("__cb_flat"))
+    val codebook = pqCodebookFlat(all, m, codeModulus, maxCodes)
     // explode(array(...)) is a deliberate Generate barrier: as a plain
     // projection the argmin gets re-inlined by projection collapse and
     // constraint-inference pushdown — x55's LUT join inferred its
@@ -564,6 +572,132 @@ object Similarity {
         round(col("dsum").cast("double") /
           (col("qn") * sqrt(col("n2sum").cast("double"))), 6).as("approx_cos"))
     import graft.plans.TopKPerGroup
+    TopKPerGroup.topK(scored, Seq("query_id"),
+        Seq("approx_cos" -> TopKPerGroup.Desc, "neighbor_id" -> TopKPerGroup.Asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_cos"))
+  }
+
+  /** Coarse IVF centroids for the IVF-PQ index, CAPPED like the PQ
+    * codebook ([[codewords]]) and for the same reason: a production
+    * coarse quantizer is a FIXED list (trained once, a few thousand
+    * entries in FAISS's IVF at any corpus size), and without the cap
+    * the modulus convention grows the broadcast codebook — and the
+    * per-row assignment cost — linearly with the corpus.
+    */
+  private def ivfCentroids(
+      all: DataFrame, centroidModulus: Int, maxCentroids: Int): DataFrame =
+    all.filter(col("vec_id") % centroidModulus === 0 &&
+        col("vec_id") < centroidModulus.toLong * maxCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+
+  /** x56 — IVF-PQ top-k (Jégou et al. 2011 §V; the FAISS IVFPQ
+    * architecture): [[ivfTopK]]'s coarse pruning composed with
+    * [[pqTopK]]'s compressed-domain ADC scoring. The index holds, per
+    * vector, ONE coarse bucket id and m codeword ids; a query probes
+    * its `nprobe` nearest coarse centroids and ADC-scores ONLY the
+    * probed buckets' codes. This is the production shape at 100 TB:
+    * x55's ADC already never touches the original vectors, but it
+    * still scans every code row — IVF-PQ cuts the scanned fraction to
+    * ~nprobe/#centroids on top of the ~(d·8)/(m·1) byte compression.
+    *
+    * The coarse quantizer assigns by the SAME metric as the code
+    * assignment — argmin rounded squared-L2, ties to the lowest
+    * centroid id, via [[graft.functions.PqArgMin]] over the full-dim
+    * vector against the flat centroid codebook (FAISS's IVF is also
+    * L2-coarse by default; x08 keeps the cosine convention as the
+    * IVF-flat variant). That makes the INDEX BUILD one map-only pass:
+    * both the bucket id and the m codes are in-row folds against
+    * broadcast codebooks — no corpus-keyed exchange anywhere in the
+    * build, so the index scales with the scan exactly like x54
+    * (plan-gated). The search side shuffles only the probed buckets'
+    * contribution rows into the (query, vector) sum — the one exchange
+    * IVF-PQ exists to shrink.
+    *
+    * Determinism: centroid probe list ranks the same rounded-6 L2 the
+    * assignment minimizes; LUT entries round to 9 and sum as
+    * DECIMAL(28,12) (the x55 contract), so the oracle reproduces
+    * bit-for-bit. Output: (query_id, rank, neighbor_id, approx_cos).
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      nprobe: Int = 2,
+      centroidModulus: Int = 100,
+      maxCentroids: Int = 1024,
+      m: Int = 16,
+      codeModulus: Int = 5,
+      maxCodes: Int = 256): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    import graft.functions.L2Sq.l2_sq
+    import graft.functions.PqArgMin.pq_argmin
+    import graft.plans.TopKPerGroup
+    require(Dims % m == 0, s"m ($m) must divide $Dims")
+    val all = vecs(emb)
+    val cents = ivfCentroids(all, centroidModulus, maxCentroids)
+    // one-row coarse codebook (id array + flat values) — the same
+    // alignment argument as [[pqCodebookFlat]]; the join is a broadcast
+    // of a single row, the pattern every totals-frame crossJoin in this
+    // repo uses
+    val coarseBook = cents
+      .agg(collect_list(struct(col("centroid_id"), col("cv"))).as("__cs"))
+      .select(
+        transform(col("__cs"), c => c("centroid_id")).as("__cent_ids"),
+        flatten(transform(col("__cs"), c => c("cv"))).as("__cent_flat"))
+    // index build, pass 1 of the same map-only pipeline: in-row coarse
+    // assignment (explode(array(..)) is the Generate barrier — see
+    // pqEncode's rationale)
+    val assigned = all.join(broadcast(coarseBook))
+      .select(col("vec_id"), col("v"),
+        explode(array(pq_argmin(
+          col("v"), col("__cent_ids"), col("__cent_flat")))).as("__cc"))
+      .select(col("vec_id"), col("v"), col("__cc.code_id").as("centroid_id"))
+    // pass 2: the m per-subspace codes, bucket id carried through —
+    // still the same single scan, no self-join against x54's output
+    val subs = subvectors(assigned, "v", m)
+      .select(col("vec_id"), col("centroid_id"), col("subspace"),
+        col("__sv").as("sv"))
+    val codebook = pqCodebookFlat(all, m, codeModulus, maxCodes)
+    val codes = subs.join(broadcast(codebook), Seq("subspace"))
+      .select(col("vec_id"), col("centroid_id"), col("subspace"),
+        explode(array(pq_argmin(
+          col("sv"), col("__cb_ids"), col("__cb_flat")))).as("__best"))
+      .select(col("vec_id"), col("centroid_id"), col("subspace"),
+        col("__best.code_id").as("code_id"))
+    // probe list: nprobe nearest centroids per query by the assignment
+    // metric (tiny frame; the heap keeps it sort-free)
+    val queries = all.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probeScored = queries.join(broadcast(cents))
+      .select(col("query_id"), col("centroid_id"),
+        round(l2_sq(col("qv"), col("cv")), 6).as("q_d2"))
+    val probes = TopKPerGroup.topK(probeScored, Seq("query_id"),
+        Seq("q_d2" -> TopKPerGroup.Asc, "centroid_id" -> TopKPerGroup.Asc),
+        nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    // per-query ADC lookup table — identical to x55's
+    val qsubs = subvectors(queries, "qv", m)
+      .select(col("query_id"), col("subspace"), col("__sv").as("qsv"))
+    val cws = codewords(all, m, codeModulus, maxCodes)
+    val lut = qsubs.join(broadcast(cws), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code_id"),
+        round(dot_product(col("qsv"), col("cw")), 9).as("dp"),
+        round(dot_product(col("cw"), col("cw")), 9).as("cn2"))
+    // search: the probe join attaches query_id to ONLY the probed
+    // buckets' code rows, so the LUT join is 1:1 (x55's fans out
+    // Q-ways — here the fan-out already happened on the pruned set)
+    val contrib = codes.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code_id"))
+    val sums = contrib.groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dp").cast("decimal(28,12)")).as("dsum"),
+        sum(col("cn2").cast("decimal(28,12)")).as("n2sum"))
+    val qnorm = queries.select(col("query_id"),
+      sqrt(dot_product(col("qv"), col("qv"))).as("qn"))
+    val scored = sums.join(broadcast(qnorm), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("dsum").cast("double") /
+          (col("qn") * sqrt(col("n2sum").cast("double"))), 6).as("approx_cos"))
     TopKPerGroup.topK(scored, Seq("query_id"),
         Seq("approx_cos" -> TopKPerGroup.Desc, "neighbor_id" -> TopKPerGroup.Asc), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_cos"))

@@ -151,7 +151,12 @@ object TopKPerGroup {
       val key = groupProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, reverse)
+        // initial capacity only — the heap grows as needed, so cap it:
+        // kLocal + 1 overflows to negative (an IllegalArgumentException)
+        // for k near Int.MaxValue, the "effectively unbounded" setting
+        // callers use to mean keep-everything
+        heap = new java.util.PriorityQueue[InternalRow](
+          math.min(kLocal, 1024) + 1, reverse)
         heaps.put(key.copy(), heap)
       }
       if (heap.size < kLocal) heap.add(row.copy())

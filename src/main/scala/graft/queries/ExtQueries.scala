@@ -110,6 +110,9 @@ object ExtQueries {
   private val PqSubDim = 64 / PqM
   private val PqCm = 5
   private val PqMaxCodes = 256 // fixed codebook size (what keeps PQ linear)
+  private val PqIvfCm = 100    // x56 coarse-centroid convention (as x08)
+  private val PqMaxCents = 1024 // fixed coarse-quantizer size (same cap logic)
+  private val PqNprobe = 2
   private def pqSlice(v: String) =
     s"$v[(subspace*$PqSubDim+1):(subspace*$PqSubDim+$PqSubDim)]"
   /** Shared encode CTEs ending in psc(vec_id, subspace, code_id, l2_sq)
@@ -415,6 +418,64 @@ object ExtQueries {
               |           sum(CAST(cn2 AS DECIMAL(28,12))) AS n2sum
               |         FROM enc JOIN lut USING (subspace, code_id)
               |         WHERE vec_id != query_id
+              |         GROUP BY query_id, vec_id),
+              |qn AS (SELECT query_id, sqrt(${dotSql("qv", "qv", 64)}) AS qnorm FROM q),
+              |scored AS (SELECT query_id, vec_id AS neighbor_id,
+              |             round(CAST(dsum AS DOUBLE) /
+              |               (qnorm * sqrt(CAST(n2sum AS DOUBLE))), 6) AS approx_cos
+              |           FROM sums JOIN qn USING (query_id)),
+              |rk AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |       FROM scored)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
+              |FROM rk WHERE rnk <= 5""".stripMargin)),
+
+    // ---- similarity: IVF-PQ (coarse pruning × compressed-domain ADC) --
+    // The FAISS-IVFPQ composition: a capped coarse quantizer buckets the
+    // corpus (argmin rounded-L2, the same metric and tie-break as the
+    // code assignment), queries probe nprobe buckets, and only the
+    // probed buckets' CODES are ADC-scored. x08 prunes but scans raw
+    // vectors; x55 compresses but scans everything; x56 does both.
+    ("x56_ivfpq_topk",
+      (s: SparkSession, dir: String) =>
+        Similarity.ivfPqTopK(t(s, dir, "embeddings"), queryIds = Seq(7L, 177L, 357L)),
+      Some(s"""WITH $pqEncodeCtes,
+              |enc AS (SELECT vec_id, subspace, code_id FROM
+              |         (SELECT *, row_number() OVER
+              |            (PARTITION BY vec_id, subspace ORDER BY l2_sq, code_id) AS rn
+              |          FROM psc) WHERE rn = 1),
+              |ivfc AS (SELECT vec_id AS centroid_id, v AS cv FROM pe
+              |         WHERE vec_id % $PqIvfCm = 0
+              |           AND vec_id < ${PqIvfCm.toLong * PqMaxCents}),
+              |a1 AS (SELECT pe.vec_id, centroid_id,
+              |         round(${l2Sql("pe.v", "cv", 64)}, 6) AS d2
+              |       FROM pe, ivfc),
+              |assigned AS (SELECT vec_id, centroid_id FROM
+              |              (SELECT *, row_number() OVER
+              |                 (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+              |               FROM a1) WHERE rn = 1),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM pe WHERE vec_id IN (7, 177, 357)),
+              |p1 AS (SELECT query_id, centroid_id,
+              |         round(${l2Sql("qv", "cv", 64)}, 6) AS d2
+              |       FROM q, ivfc),
+              |probes AS (SELECT query_id, centroid_id FROM
+              |            (SELECT *, row_number() OVER
+              |               (PARTITION BY query_id ORDER BY d2, centroid_id) AS rn
+              |             FROM p1) WHERE rn <= $PqNprobe),
+              |qs AS (SELECT query_id, subspace, ${pqSlice("qv")} AS qsv
+              |       FROM q, psp),
+              |lut AS (SELECT query_id, qs.subspace, code_id,
+              |          round(${dotSql("qsv", "cwv", PqSubDim)}, 9) AS dp,
+              |          round(${dotSql("cwv", "cwv", PqSubDim)}, 9) AS cn2
+              |        FROM qs JOIN pcw ON qs.subspace = pcw.subspace),
+              |cand AS (SELECT query_id, vec_id, subspace, code_id
+              |         FROM enc JOIN assigned USING (vec_id)
+              |                  JOIN probes USING (centroid_id)
+              |         WHERE vec_id != query_id),
+              |sums AS (SELECT query_id, vec_id,
+              |           sum(CAST(dp AS DECIMAL(28,12))) AS dsum,
+              |           sum(CAST(cn2 AS DECIMAL(28,12))) AS n2sum
+              |         FROM cand JOIN lut USING (query_id, subspace, code_id)
               |         GROUP BY query_id, vec_id),
               |qn AS (SELECT query_id, sqrt(${dotSql("qv", "qv", 64)}) AS qnorm FROM q),
               |scored AS (SELECT query_id, vec_id AS neighbor_id,

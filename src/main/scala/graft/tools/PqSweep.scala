@@ -28,6 +28,17 @@ object PqSweep {
       val recall = (brute intersect adc).size.toDouble / brute.size
       println(f"m=$m%2d codeModulus=$cm%2d recall=$recall%.2f")
     }
+    // x56: recall vs nprobe at the x54 defaults — separates the IVF
+    // pruning loss (vanishes as nprobe grows) from the PQ distortion
+    // floor (the pqTopK row above at m=16/cm=5)
+    val nCents = emb.filter(col("vec_id") % 100 === 0 &&
+      col("vec_id") < 102400L).count()
+    for (np <- Seq(1, 2, 4, nCents.toInt)) {
+      val ivfpq = Similarity.ivfPqTopK(emb, queryIds = qs, k = 5, nprobe = np)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (brute intersect ivfpq).size.toDouble / brute.size
+      println(f"ivfpq nprobe=$np%3d/$nCents recall=$recall%.2f")
+    }
     // optional second arg: a scaled dir — time x54/x55 at both scales
     // (the same median-of-3 methodology as ScaleHeadroom)
     args.lift(1).foreach { scaled =>

@@ -42,8 +42,11 @@ object ScaleDecade {
     "x51_table_profile",
     "x53_table_profile_kmv",
     "x54_pq_encode",    // round 8: fixed-codebook PQ — 200k vectors at
-    "x55_pq_adc_topk")  // 100× exercise the map-only encode + ADC scan
+    "x55_pq_adc_topk",  // 100× exercise the map-only encode + ADC scan
                         // two decades past the cap binding
+    "x56_ivfpq_topk")   // round 8: IVF-PQ — at 100× the centroid cap
+                        // (1024) binds too, and pruning should beat
+                        // x55's full ADC scan
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for

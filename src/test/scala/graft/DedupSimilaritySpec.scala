@@ -140,4 +140,46 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter(col("approx_cos") < -1.01 || col("approx_cos") > 1.01).count()
     assert(range === 0, "approx cosine must stay in [-1, 1]")
   }
+
+  test("IVF-PQ with every bucket probed equals the full ADC scan bit-for-bit") {
+    // nprobe ≥ #centroids ⇒ the probe join keeps every bucket, so the
+    // scored candidate set is the whole corpus and x56 must reproduce
+    // x55 exactly (same LUT rounding, same DECIMAL sums, same ranking)
+    val qs = Seq(0L, 100L, 200L)
+    val full = Similarity.pqTopK(emb, queryIds = qs, k = 5)
+      .select("query_id", "rank", "neighbor_id", "approx_cos")
+    val ivfpq = Similarity.ivfPqTopK(emb, queryIds = qs, k = 5,
+        nprobe = Int.MaxValue)
+      .select("query_id", "rank", "neighbor_id", "approx_cos")
+    assert(ivfpq.exceptAll(full).isEmpty && full.exceptAll(ivfpq).isEmpty,
+      "full-probe IVF-PQ must equal the unpruned ADC scan")
+  }
+
+  test("IVF-PQ nprobe=1: every neighbor lives in the query's nearest bucket") {
+    // recompute the coarse assignment independently (window form) and
+    // assert the pruning actually constrains candidates to the probed
+    // bucket — the property that makes the scanned fraction
+    // nprobe/#centroids instead of 1
+    import org.apache.spark.sql.expressions.Window
+    val vecs = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = vecs.filter(col("vec_id") % 100 === 0 && col("vec_id") < 102400)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
+    val d2 = round(graft.functions.L2Sq.l2_sq(col("v"), col("cv")), 6)
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("centroid_id"))
+    val assigned = vecs.join(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    val qs = Seq(0L, 100L, 200L)
+    val out = Similarity.ivfPqTopK(emb, queryIds = qs, k = 5, nprobe = 1)
+    val wrongBucket = out
+      .join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(assigned.withColumnRenamed("vec_id", "query_id")
+          .withColumnRenamed("centroid_id", "q_centroid"), Seq("query_id"))
+      .filter(col("centroid_id") =!= col("q_centroid"))
+    assert(wrongBucket.count() === 0,
+      "nprobe=1 neighbors must all come from the query's own bucket")
+    assert(out.groupBy("query_id").count().filter(col("count") > 5).count() === 0)
+  }
 }

@@ -303,6 +303,25 @@ class PlanQualitySpec extends SparkSpec {
       "x55's per-query top-k must ride the heap:\n" + pa)
   }
 
+  test("x56 IVF-PQ: map-only index build, broadcast-pruned ADC search") {
+    // the index build (coarse bucket id + m codes per vector) must be
+    // in-row folds against broadcast codebooks — the same contract as
+    // x54's encode, now with the bucket id carried through the same
+    // single scan. The ONLY corpus-keyed exchange allowed anywhere is
+    // the probed-bucket (query, vector) contribution sum — the one
+    // shuffle IVF pruning exists to shrink. Probe list and final
+    // ranking ride the bounded heap.
+    val p = finalPlan(q("x56_ivfpq_topk"))
+    assert(!p.contains("SortMergeJoin"),
+      "x56 must broadcast its small sides:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "x56 must not global-sort:\n" + p)
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      "x56's index build must never shuffle corpus-keyed rows:\n" + p)
+    assert(p.contains("TopKPerGroup"),
+      "x56's probe list and final top-k must ride the heap:\n" + p)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
