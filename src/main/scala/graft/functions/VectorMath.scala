@@ -145,13 +145,22 @@ case class PqArgMin(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = PqArgMin.outType
   override def prettyName: String = "pq_argmin"
 
+  // Nullable even when all children are non-null: an empty codebook
+  // (zero candidate ids) has no argmin, and `compute` returns null for
+  // it. Forcing nullable=true makes codegen declare a real isNull slot
+  // so the empty case can't surface as isNull=false with a null struct.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(sv: Any, ids: Any, flat: Any): Any =
     PqArgMin.compute(sv.asInstanceOf[ArrayData], ids.asInstanceOf[ArrayData],
       flat.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (sv, ids, flat) =>
-      s"${ev.value} = graft.functions.PqArgMin.compute($sv, $ids, $flat);")
+      s"""
+         |${ev.value} = graft.functions.PqArgMin.compute($sv, $ids, $flat);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

@@ -110,10 +110,18 @@ final case class CollectionNode(
     * not data — O(tree) work, no Spark job.
     */
   def documentTemplate: String = {
+    // JSON.stringify emits the two-char short escapes for \b \t \n \f
+    // \r and \u00XX only for the remaining control chars — match that,
+    // or the byte-for-byte claim fails for names containing them.
     def quote(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
+        case '\b' => "\\b"
+        case '\t' => "\\t"
+        case '\n' => "\\n"
+        case '\f' => "\\f"
+        case '\r' => "\\r"
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""

@@ -176,8 +176,10 @@ object Catalog {
     * Values are canonicalized to engine-portable strings before hashing
     * (see `canonicalSql`): doubles through DECIMAL(38,6) — binary
     * doubles can never tie at the rounding digit, so HALF_UP vs
-    * half-even engines agree — and timestamps through epoch
-    * microseconds. Distinctness is therefore "distinct canonical
+    * half-even engines agree — with NaN/±Infinity and |x| >= 1e32
+    * (outside the decimal's range) routed to literal tokens / %.6e
+    * scientific form so neither engine silently NULLs or errors on
+    * them — and timestamps through epoch microseconds. Distinctness is therefore "distinct canonical
     * rendering": two doubles closer than 1e-6 collapse, the documented
     * profiling-grade trade. A column whose values are all NULL reports
     * n_distinct_est = 0. Empty tables yield no rows (the unpivot has
@@ -199,7 +201,20 @@ object Catalog {
       f.dataType match {
         case StringType => s"`${f.name}`"
         case DoubleType | FloatType =>
-          s"CAST(CAST(`${f.name}` AS DECIMAL(38,6)) AS STRING)"
+          // DECIMAL(38,6) can't hold NaN/Infinity/|x|>=1e32 — under
+          // non-ANSI Spark those CASTs silently go NULL (inflating
+          // n_nulls) while DuckDB errors. Route them to renderings
+          // both engines produce identically: literal NaN/Infinity
+          // tokens, and %.6e for the huge-magnitude range (Java
+          // format_string and C printf agree digit-for-digit there,
+          // and no double ≥ 1e32 can tie at the 7th significant
+          // digit, so HALF_UP-vs-half-even rounding never diverges —
+          // same argument as the DECIMAL(38,6) branch).
+          s"""CASE WHEN isnan(`${f.name}`) THEN 'NaN'
+             |  WHEN `${f.name}` = CAST('Infinity' AS DOUBLE) THEN 'Infinity'
+             |  WHEN `${f.name}` = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'
+             |  WHEN abs(`${f.name}`) >= 1e32 THEN format_string('%.6e', CAST(`${f.name}` AS DOUBLE))
+             |  ELSE CAST(CAST(`${f.name}` AS DECIMAL(38,6)) AS STRING) END""".stripMargin
         case TimestampType | TimestampNTZType =>
           s"CAST(unix_micros(CAST(`${f.name}` AS TIMESTAMP)) AS STRING)"
         case _ => s"CAST(`${f.name}` AS STRING)"

@@ -958,7 +958,12 @@ object ExtQueries {
           "o_orderkey" -> "CAST(o_orderkey AS VARCHAR)",
           "o_custkey" -> "CAST(o_custkey AS VARCHAR)",
           "o_orderstatus" -> "o_orderstatus",
-          "o_totalprice" -> "CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR)",
+          "o_totalprice" ->
+            """CASE WHEN isnan(o_totalprice) THEN 'NaN'
+              |    WHEN o_totalprice = 'infinity'::DOUBLE THEN 'Infinity'
+              |    WHEN o_totalprice = '-infinity'::DOUBLE THEN '-Infinity'
+              |    WHEN abs(o_totalprice) >= 1e32 THEN printf('%.6e', o_totalprice)
+              |    ELSE CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS VARCHAR) END""".stripMargin,
           "o_orderdate" -> "CAST(epoch_us(o_orderdate) AS VARCHAR)",
           "o_orderpriority" -> "o_orderpriority")
         .map { case (c, r) =>

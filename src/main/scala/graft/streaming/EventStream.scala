@@ -128,6 +128,16 @@ object EventStream {
     val ev = rows.map(r =>
       Event(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
     require(ev.nonEmpty, "empty events input")
+    // With noDataMicroBatches disabled, a watermark computed in batch N
+    // only gates batch N+1 — a LONE sentinel riding the data batch
+    // advances the watermark after the final batch, so no batch ever
+    // runs under it and windowed state silently never flushes. Callers
+    // must pass either no sentinels (stateless builds) or >= 2 (the
+    // last one flushes state advanced by the ones before it).
+    require(sentinelOffsetsHours.size != 1,
+      "replay harness: exactly one sentinel offset never flushes " +
+        "windowed state (its watermark takes effect only after the " +
+        "final batch); pass 0 or >= 2 offsets")
     val maxUs = ev.iterator.map(_.ts_us).max
     val stream = MemoryStream[Event]
     val qname = s"graft_replay_${replaySeq.incrementAndGet()}"

@@ -135,7 +135,8 @@ object ScaleDecade {
       println(f"""{"query":"$name","base_sec":$b%.3f,"x10_sec":$s10%.3f,"x100_sec":$s100%.3f,"decade1":${s10 / b}%.2f,"decade2":${s100 / s10}%.2f}""")
     }
     if (!selected("x48_sequence_packing")) { spark.stop(); return }
-    // ---- giant-single-stratum packing stress (10x corpus, 90% one lang)
+    // ---- giant-single-stratum packing stress (derived from the 100x
+    // corpus dir, 90% one lang)
     val bins = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
     Seq(1, 32).foreach { shards =>
       val fn = (s: SparkSession, d: String) => {

@@ -182,4 +182,28 @@ class DedupSimilaritySpec extends SparkSpec {
       "nprobe=1 neighbors must all come from the query's own bucket")
     assert(out.groupBy("query_id").count().filter(col("count") > 5).count() === 0)
   }
+
+  test("pq_argmin on an empty codebook is NULL, not an NPE, in codegen") {
+    // the empty-candidate case has no argmin: the expression must be
+    // nullable and a downstream struct-field access must see NULL —
+    // codegen path included (nullSafeCodeGen alone would report
+    // isNull=false with a null struct and NPE the GetStructField)
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array.empty[Long], Array.empty[Double]))
+      .toDF("sv", "ids", "flat")
+    val out = df.select(
+      graft.functions.PqArgMin.pq_argmin(col("sv"), col("ids"), col("flat"))
+        .as("am"))
+      .select(col("am"), col("am.code_id").as("cid"))
+      .collect()
+    assert(out.length === 1 && out.head.isNullAt(0) && out.head.isNullAt(1))
+    // and a non-empty codebook still computes through the same path
+    val ok = Seq((Array(1.0, 2.0), Array(7L, 3L), Array(1.0, 2.0, 1.0, 2.0)))
+      .toDF("sv", "ids", "flat")
+      .select(graft.functions.PqArgMin.pq_argmin(
+        col("sv"), col("ids"), col("flat")).as("am"))
+      .select(col("am.l2_sq"), col("am.code_id")).head()
+    assert(ok.getDouble(0) === 0.0 && ok.getLong(1) === 3L,
+      "exact-match codewords tie at 0.0; lowest code id wins")
+  }
 }

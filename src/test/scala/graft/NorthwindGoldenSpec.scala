@@ -205,4 +205,15 @@ class NorthwindGoldenSpec extends SparkSpec {
         |    ]
         |}""".stripMargin)
   }
+
+  test("document template quotes names exactly like JSON.stringify") {
+    // JSON.stringify emits two-char short escapes for \b \t \n \f \r
+    // and \u00XX only for the remaining control chars; quotes and
+    // backslashes escape as themselves
+    val weird = CollectionNode("n", Seq("a\nb", "t\tq\"z\\w", "cd\re"),
+      ConversionKind.Root)
+    assert(weird.documentTemplate ===
+      "{\n    \"a\\nb\": \"\",\n    \"t\\tq\\\"z\\\\w\": \"\",\n" +
+        "    \"c\\u0001d\\re\": \"\"\n}")
+  }
 }

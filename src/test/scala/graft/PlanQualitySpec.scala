@@ -281,7 +281,8 @@ class PlanQualitySpec extends SparkSpec {
     // the compressed-domain scan must never shuffle-join: the codebook
     // (one array row per subspace) and the per-query LUT are broadcast
     // sides by construction. The encode's argmin runs INSIDE each row
-    // (array_min over transform) — no pair rows, no heap, and no
+    // (the native PqArgMin expression — codegen'd, zero per-candidate
+    // allocations) — no pair rows, no heap, and no
     // corpus-keyed exchange: the only shuffle x54 is allowed is the
     // 4096-row codebook build on the broadcast side (keyed subspace).
     // The ADC top-k (few queries, huge groups) stays on the heap

@@ -199,6 +199,33 @@ class SchemaConverterSpec extends SparkSpec {
       "dead" -> ((4L, 4L, 64L, 0L))))
   }
 
+  test("sketch profile: non-finite and huge doubles are values, not NULLs") {
+    import spark.implicits._
+    // NaN / ±Infinity / |x| >= 1e32 don't fit DECIMAL(38,6) — without
+    // the guard, non-ANSI CAST silently NULLs them (inflating n_nulls
+    // and shrinking the sketch) while the DuckDB oracle errors. The
+    // guard routes them to renderings both engines agree on.
+    val df = Seq(
+      (1L, Double.NaN), (2L, Double.PositiveInfinity),
+      (3L, Double.NegativeInfinity), (4L, 1e32), (5L, 2.5e100),
+      (6L, 1.25), (7L, 1e32) // duplicate huge value must collapse
+    ).toDF("id", "d")
+    val prof = graft.operators.Catalog.profileApprox(df, "t", k = 64)
+      .filter(org.apache.spark.sql.functions.col("col_name") === "d").head()
+    assert((prof.getLong(2), prof.getLong(3), prof.getLong(5)) ===
+      ((7L, 0L, 6L)),
+      "7 rows, ZERO nulls, 6 distinct canonical renderings")
+    // pin the huge-magnitude rendering to the C-printf form the DuckDB
+    // oracle produces (printf('%.6e', …)): Java's %.6e must agree
+    // digit-for-digit, including the two-digit-minimum exponent
+    val rendered = spark.sql(
+      "SELECT format_string('%.6e', CAST(1e32 AS DOUBLE)), " +
+        "format_string('%.6e', CAST(-3.5e45 AS DOUBLE)), " +
+        "format_string('%.6e', CAST(2.5e100 AS DOUBLE))").head()
+    assert((rendered.getString(0), rendered.getString(1), rendered.getString(2)) ===
+      (("1.000000e+32", "-3.500000e+45", "2.500000e+100")))
+  }
+
   test("profile name guard rejects quote, backtick, and backslash names") {
     import spark.implicits._
     val base = Seq((1L, "x")).toDF("id", "v")
