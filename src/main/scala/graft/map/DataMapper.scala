@@ -16,14 +16,28 @@ import graft.sources.Tables
   * (`groupBy(fk).agg(collect_list(struct(...)))`) plus one join, with no
   * per-row boundary crossings. Tables referenced by multiple tree nodes
   * are read once per node from Parquet (cheap — columnar scan with
-  * pruning); at cluster scale each level's shuffle partitions by the FK,
-  * and AQE handles skewed parents.
+  * pruning); at cluster scale each level's shuffle partitions by the FK.
+  * Skewed parents are handled by the level itself: every embedding level
+  * goes through [[Embedding.oneWayEmbedAuto]], whose sampled fan-out
+  * pre-pass switches a hot level to the salted two-phase merge plan
+  * (AQE can't split a single NestCollect group — a million-child parent
+  * is ONE row of the aggregation, so the fix has to be plan-level).
   */
 class DataMapper(
     spark: SparkSession,
     sfDir: String,
     db: DatabaseMeta,
-    loader: (SparkSession, String, String) => DataFrame = Tables.load) {
+    loader: (SparkSession, String, String) => DataFrame = Tables.load,
+    /** Estimated children-per-parent at which an embedding level
+      * switches to the salted two-phase merge plan
+      * ([[Embedding.oneWayEmbedAuto]]). The default trips only on
+      * genuinely pathological parents — a 100 TB corpus with a
+      * million-child key would otherwise straggle the level's whole
+      * NestCollect on one task. Identical output either way; the
+      * sampled decision is strategy-only.
+      */
+    hotFanout: Long = 1000000L,
+    sampleFraction: Double = 0.001) {
 
   private def load(table: String): DataFrame = loader(spark, sfDir, table)
 
@@ -69,9 +83,23 @@ class DataMapper(
         case Seq() => childDf.columns.toSeq.intersect(childMeta.columns).take(1)
         case pks => pks
       }
-      Embedding.oneWayEmbed(
-        parentDf, fkToParent.referencedColumn, childDf,
-        groupCol, child.name, sortKeys)
+      // The auto path: a sampled fan-out pre-pass decides plain vs
+      // salted per level. Control-plane short-circuit first: the
+      // introspected row count upper-bounds any key's fan-out (the
+      // two-way enrichment joins other-parent KEYS, so it never
+      // multiplies rows), so a child table smaller than the hot
+      // threshold can't need salting and skips the sampling job
+      // entirely — at sf-scale testing no pre-pass runs at all; at
+      // 100 TB it runs only on the levels where it could matter.
+      if (childMeta.numOfRows < hotFanout)
+        Embedding.oneWayEmbed(
+          parentDf, fkToParent.referencedColumn, childDf,
+          groupCol, child.name, sortKeys)
+      else
+        Embedding.oneWayEmbedAuto(
+          parentDf, fkToParent.referencedColumn, childDf,
+          groupCol, child.name, sortKeys,
+          hotFanout = hotFanout, sampleFraction = sampleFraction)
     }
 
   /** Build a child's (pre-nesting) DataFrame: source rows, two-way

@@ -98,6 +98,48 @@ class HotKeyStressSpec extends SparkSpec {
       "auto path must not pay the two-phase merge for uniform fan-out")
   }
 
+  test("hot parent through the FULL migration data plane: mapRoot picks " +
+      "the salted plan and stays byte-identical") {
+    // the production path (DataMapper.mapRoot → oneWayEmbedAuto), not
+    // just the operator: a declared schema whose child table hides a
+    // 10^6-child parent must come out of the flagship pipeline on the
+    // salted merge plan, byte-identical to the plain-plan build
+    import graft.model._
+    import spark.implicits._
+    val parents = Seq((1L, "hot"), (2L, "childless")).toDF("p_id", "p_name")
+    val children = spark.range(1000000L).select(
+      col("id").as("c_id"),
+      when(col("id") < 999999L, lit(1L)).otherwise(lit(2L)).as("fk"),
+      concat(lit("v"), col("id") % 997).as("payload"))
+    val db = DatabaseMeta("stress", Seq(
+      TableMeta("p", 2L, Seq("p_id", "p_name"), Seq("p_id"), Seq.empty,
+        isReferenced = true, referencingTables = Seq("c")),
+      TableMeta("c", 1000000L, Seq("c_id", "fk", "payload"), Seq("c_id"),
+        Seq(ForeignKeyMeta("fk", "p", "p_id")),
+        isReferenced = false, referencingTables = Seq.empty)))
+    val root = CollectionNode("p", Seq("p_id", "p_name"), ConversionKind.Root,
+      embedded = Seq(
+        CollectionNode("c", Seq("c_id", "payload"), ConversionKind.OneWayEmbedded)))
+    val loader = (_: org.apache.spark.sql.SparkSession, _: String, t: String) =>
+      if (t == "p") parents else children
+    def sig(df: DataFrame): Seq[(Long, String)] =
+      df.select(col("p_id"),
+          md5(coalesce(to_json(col("c")), lit("<absent>"))).as("h"))
+        .orderBy("p_id").as[(Long, String)].collect().toSeq
+    val auto = new graft.map.DataMapper(spark, "unused", db, loader,
+      hotFanout = 100000L, sampleFraction = 0.01).mapRoot(root)
+    assert(auto.queryExecution.analyzed.toString.toLowerCase
+        .contains("merge_sorted_arrays"),
+      "mapRoot must route the hot level through the salted merge plan")
+    // reference output: the same mapper forced onto the plain plan
+    val plain = new graft.map.DataMapper(spark, "unused", db, loader,
+      hotFanout = Long.MaxValue).mapRoot(root)
+    assert(!plain.queryExecution.analyzed.toString.toLowerCase
+        .contains("merge_sorted_arrays"))
+    assert(sig(auto) === sig(plain),
+      "auto-salted mapRoot must be byte-identical to the plain build")
+  }
+
   test("single user with 10^6 events through the as-of merge scan") {
     val purchases = spark.range(1000000L).select(
       lit(1L).as("p_user_id"),
