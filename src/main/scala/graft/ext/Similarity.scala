@@ -472,7 +472,8 @@ object Similarity {
     * (m=4/cm=25: 0.16 → m=16/cm=5: 0.52 → m=32/cm=5: 0.72). A
     * production corpus uses k-means-trained codebooks (the x22 Lloyd
     * step is the trainer) and appends a verified re-rank of the ADC
-    * short-list against the original vectors (the x07 shape).
+    * short-list against the original vectors — [[ivfPqRerankTopK]]
+    * (x57), measured 0.52 → 1.00 recall@5 at shortlist 50.
     *
     * Scale shape: MAP-ONLY. The codebook collapses to ONE broadcast
     * row per subspace holding its codeword array (m rows of ≤ maxCodes
@@ -527,8 +528,9 @@ object Similarity {
     * touches only (vec_id, subspace, code_id) rows; at 100 TB that is
     * the whole point — m small ints per vector instead of d floats
     * (256× smaller at d=64, m=4, doubles), with the original vectors
-    * needed only for the final verified re-rank a production pipeline
-    * appends (and x07 models). Compose with [[ivfTopK]]'s coarse
+    * needed only for the final verified re-rank
+    * ([[ivfPqRerankTopK]], x57 — the x07 metric over the shortlist
+    * alone). Compose with [[ivfTopK]]'s coarse
     * pruning for IVF-PQ; the novel piece here is the compressed-domain
     * scoring.
     *
@@ -701,5 +703,64 @@ object Similarity {
     TopKPerGroup.topK(scored, Seq("query_id"),
         Seq("approx_cos" -> TopKPerGroup.Desc, "neighbor_id" -> TopKPerGroup.Asc), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_cos"))
+  }
+
+  /** x57 — verified re-rank: the end-to-end FAISS search contract that
+    * every PQ Scaladoc in this family promises. [[ivfPqTopK]] produces
+    * a compressed-domain SHORTLIST of `shortlist` candidates per query
+    * (cheap — ADC over probed buckets only); the shortlist alone is
+    * joined back to the ORIGINAL vectors and re-scored with exact
+    * cosine ([[graft.functions.CosineSim]], the x07 metric), emitting
+    * the final top-k ranked by the exact score. `approx_cos` rides
+    * along so the verified output exposes what the compressed domain
+    * thought — the audit column a production recall monitor reads.
+    *
+    * Why this recovers recall: PQ quantization error reorders
+    * NEAR-TIED candidates but rarely ejects a true neighbor from a
+    * k' ≫ k shortlist; the exact pass then fixes the order. Measured
+    * on the fixture (tools.PqSweep): recall@5 0.52 (raw ADC ranking,
+    * m=16) → ~1.0 with a 50-deep shortlist re-ranked, at the cost of
+    * fetching k'=50 original vectors per query instead of scanning
+    * all of them (at 100 TB: Q·k'·d·8 bytes of vector reads instead
+    * of n·d·8 — the re-rank reads ~0.005% of the corpus at n=3.2M).
+    *
+    * Scale shape: the shortlist (≤ Q·k' rows — the heap bounds it
+    * before any exchange) is BROADCAST into one corpus scan to fetch
+    * the original vectors, so the fetch adds zero corpus-keyed
+    * shuffles; the re-score joins the broadcast query vectors and the
+    * final top-k is the heap operator again. Everything after the
+    * shortlist is O(Q·k') rows.
+    * Output: (query_id, rank, neighbor_id, cos_sim, approx_cos).
+    */
+  def ivfPqRerankTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      shortlist: Int = 50,
+      nprobe: Int = 2,
+      centroidModulus: Int = 100,
+      maxCentroids: Int = 1024,
+      m: Int = 16,
+      codeModulus: Int = 5,
+      maxCodes: Int = 256): DataFrame = {
+    import graft.plans.TopKPerGroup
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = ivfPqTopK(emb, queryIds, shortlist, nprobe, centroidModulus,
+        maxCentroids, m, codeModulus, maxCodes)
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"))
+    val all = vecs(emb)
+    val withVecs = all
+      .join(broadcast(short), all("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("approx_cos"),
+        col("v").as("nv"))
+    val queries = all.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val rescored = withVecs.join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cos(col("qv"), col("nv")), 6).as("cos_sim"), col("approx_cos"))
+    TopKPerGroup.topK(rescored, Seq("query_id"),
+        Seq("cos_sim" -> TopKPerGroup.Desc, "neighbor_id" -> TopKPerGroup.Asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"), col("approx_cos"))
   }
 }

@@ -128,6 +128,55 @@ object ExtQueries {
        |psc AS (SELECT vec_id, psub.subspace, code_id,
        |          round(${l2Sql("sv", "cwv", PqSubDim)}, 6) AS l2_sq
        |        FROM psub JOIN pcw ON psub.subspace = pcw.subspace)""".stripMargin
+  private val PqShortlist = 50 // x57 re-rank depth (mirrors Similarity default)
+  /** x56's full IVF-PQ scoring chain (assumes `pqEncodeCtes` precedes
+    * it), ending in scored(query_id, neighbor_id, approx_cos) — shared
+    * by x56 (rank directly) and x57 (shortlist → exact re-rank).
+    */
+  private def ivfPqScoredCtes =
+    s"""enc AS (SELECT vec_id, subspace, code_id FROM
+       |         (SELECT *, row_number() OVER
+       |            (PARTITION BY vec_id, subspace ORDER BY l2_sq, code_id) AS rn
+       |          FROM psc) WHERE rn = 1),
+       |ivfc AS (SELECT vec_id AS centroid_id, v AS cv FROM pe
+       |         WHERE vec_id % $PqIvfCm = 0
+       |           AND vec_id < ${PqIvfCm.toLong * PqMaxCents}),
+       |a1 AS (SELECT pe.vec_id, centroid_id,
+       |         round(${l2Sql("pe.v", "cv", 64)}, 6) AS d2
+       |       FROM pe, ivfc),
+       |assigned AS (SELECT vec_id, centroid_id FROM
+       |              (SELECT *, row_number() OVER
+       |                 (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+       |               FROM a1) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM pe WHERE vec_id IN (7, 177, 357)),
+       |p1 AS (SELECT query_id, centroid_id,
+       |         round(${l2Sql("qv", "cv", 64)}, 6) AS d2
+       |       FROM q, ivfc),
+       |probes AS (SELECT query_id, centroid_id FROM
+       |            (SELECT *, row_number() OVER
+       |               (PARTITION BY query_id ORDER BY d2, centroid_id) AS rn
+       |             FROM p1) WHERE rn <= $PqNprobe),
+       |qs AS (SELECT query_id, subspace, ${pqSlice("qv")} AS qsv
+       |       FROM q, psp),
+       |lut AS (SELECT query_id, qs.subspace, code_id,
+       |          round(${dotSql("qsv", "cwv", PqSubDim)}, 9) AS dp,
+       |          round(${dotSql("cwv", "cwv", PqSubDim)}, 9) AS cn2
+       |        FROM qs JOIN pcw ON qs.subspace = pcw.subspace),
+       |cand AS (SELECT query_id, vec_id, subspace, code_id
+       |         FROM enc JOIN assigned USING (vec_id)
+       |                  JOIN probes USING (centroid_id)
+       |         WHERE vec_id != query_id),
+       |sums AS (SELECT query_id, vec_id,
+       |           sum(CAST(dp AS DECIMAL(28,12))) AS dsum,
+       |           sum(CAST(cn2 AS DECIMAL(28,12))) AS n2sum
+       |         FROM cand JOIN lut USING (query_id, subspace, code_id)
+       |         GROUP BY query_id, vec_id),
+       |qn AS (SELECT query_id, sqrt(${dotSql("qv", "qv", 64)}) AS qnorm FROM q),
+       |scored AS (SELECT query_id, vec_id AS neighbor_id,
+       |             round(CAST(dsum AS DOUBLE) /
+       |               (qnorm * sqrt(CAST(n2sum AS DOUBLE))), 6) AS approx_cos
+       |           FROM sums JOIN qn USING (query_id))""".stripMargin
+
   private def cosSql(a: String, b: String, dims: Int = 64) =
     s"round((${dotSql(a, b, dims)}) / ((${normSql(a, dims)}) * (${normSql(b, dims)})), 6)"
   /** language-ID CTEs ending in lang(doc_id, lang_pred) — mirrors
@@ -440,53 +489,42 @@ object ExtQueries {
       (s: SparkSession, dir: String) =>
         Similarity.ivfPqTopK(t(s, dir, "embeddings"), queryIds = Seq(7L, 177L, 357L)),
       Some(s"""WITH $pqEncodeCtes,
-              |enc AS (SELECT vec_id, subspace, code_id FROM
-              |         (SELECT *, row_number() OVER
-              |            (PARTITION BY vec_id, subspace ORDER BY l2_sq, code_id) AS rn
-              |          FROM psc) WHERE rn = 1),
-              |ivfc AS (SELECT vec_id AS centroid_id, v AS cv FROM pe
-              |         WHERE vec_id % $PqIvfCm = 0
-              |           AND vec_id < ${PqIvfCm.toLong * PqMaxCents}),
-              |a1 AS (SELECT pe.vec_id, centroid_id,
-              |         round(${l2Sql("pe.v", "cv", 64)}, 6) AS d2
-              |       FROM pe, ivfc),
-              |assigned AS (SELECT vec_id, centroid_id FROM
-              |              (SELECT *, row_number() OVER
-              |                 (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
-              |               FROM a1) WHERE rn = 1),
-              |q AS (SELECT vec_id AS query_id, v AS qv FROM pe WHERE vec_id IN (7, 177, 357)),
-              |p1 AS (SELECT query_id, centroid_id,
-              |         round(${l2Sql("qv", "cv", 64)}, 6) AS d2
-              |       FROM q, ivfc),
-              |probes AS (SELECT query_id, centroid_id FROM
-              |            (SELECT *, row_number() OVER
-              |               (PARTITION BY query_id ORDER BY d2, centroid_id) AS rn
-              |             FROM p1) WHERE rn <= $PqNprobe),
-              |qs AS (SELECT query_id, subspace, ${pqSlice("qv")} AS qsv
-              |       FROM q, psp),
-              |lut AS (SELECT query_id, qs.subspace, code_id,
-              |          round(${dotSql("qsv", "cwv", PqSubDim)}, 9) AS dp,
-              |          round(${dotSql("cwv", "cwv", PqSubDim)}, 9) AS cn2
-              |        FROM qs JOIN pcw ON qs.subspace = pcw.subspace),
-              |cand AS (SELECT query_id, vec_id, subspace, code_id
-              |         FROM enc JOIN assigned USING (vec_id)
-              |                  JOIN probes USING (centroid_id)
-              |         WHERE vec_id != query_id),
-              |sums AS (SELECT query_id, vec_id,
-              |           sum(CAST(dp AS DECIMAL(28,12))) AS dsum,
-              |           sum(CAST(cn2 AS DECIMAL(28,12))) AS n2sum
-              |         FROM cand JOIN lut USING (query_id, subspace, code_id)
-              |         GROUP BY query_id, vec_id),
-              |qn AS (SELECT query_id, sqrt(${dotSql("qv", "qv", 64)}) AS qnorm FROM q),
-              |scored AS (SELECT query_id, vec_id AS neighbor_id,
-              |             round(CAST(dsum AS DOUBLE) /
-              |               (qnorm * sqrt(CAST(n2sum AS DOUBLE))), 6) AS approx_cos
-              |           FROM sums JOIN qn USING (query_id)),
+              |$ivfPqScoredCtes,
               |rk AS (SELECT *, row_number() OVER
               |         (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
               |       FROM scored)
               |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
               |FROM rk WHERE rnk <= 5""".stripMargin)),
+
+    // ---- similarity: verified re-rank (the FAISS end-to-end contract) -
+    // x56's compressed-domain shortlist (k'=50 per query), re-scored
+    // with EXACT cosine against the original vectors and re-ranked —
+    // the final top-5 recovers brute-force recall while reading only
+    // Q·k' original vectors. approx_cos rides along as the audit
+    // column. The oracle is x56's CTE chain with the rank cut at the
+    // shortlist depth, joined back to pe for the exact score.
+    ("x57_ivfpq_rerank_topk",
+      (s: SparkSession, dir: String) =>
+        Similarity.ivfPqRerankTopK(t(s, dir, "embeddings"),
+          queryIds = Seq(7L, 177L, 357L)),
+      Some(s"""WITH $pqEncodeCtes,
+              |$ivfPqScoredCtes,
+              |srk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |        FROM scored),
+              |shortl AS (SELECT query_id, neighbor_id, approx_cos
+              |           FROM srk WHERE rnk <= $PqShortlist),
+              |re AS (SELECT sl.query_id, sl.neighbor_id,
+              |         ${cosSql("q.qv", "pe.v")} AS cos_sim, sl.approx_cos
+              |       FROM shortl sl
+              |       JOIN pe ON pe.vec_id = sl.neighbor_id
+              |       JOIN q ON q.query_id = sl.query_id),
+              |rrk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              |        FROM re)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id,
+              |  cos_sim, approx_cos
+              |FROM rrk WHERE rnk <= 5""".stripMargin)),
 
     // ---- similarity: k-means Lloyd step (IVF quantizer training) ------
     // Sort-free nearest-centroid assignment + deterministic elementwise

@@ -39,6 +39,19 @@ object PqSweep {
       val recall = (brute intersect ivfpq).size.toDouble / brute.size
       println(f"ivfpq nprobe=$np%3d/$nCents recall=$recall%.2f")
     }
+    // x57: the verified re-rank — how much of the PQ distortion loss a
+    // k'-deep exact re-rank recovers, by shortlist depth and nprobe.
+    // What remains below 1.0 at full probe is pure shortlist miss
+    // (a true neighbor ejected past rank k'); at small nprobe the IVF
+    // pruning loss persists by design (re-rank can't resurrect an
+    // unprobed bucket).
+    for (np <- Seq(2, nCents.toInt); sl <- Seq(10, 50)) {
+      val rr = Similarity.ivfPqRerankTopK(emb, queryIds = qs, k = 5,
+          shortlist = sl, nprobe = np)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (brute intersect rr).size.toDouble / brute.size
+      println(f"rerank nprobe=$np%3d shortlist=$sl%3d recall=$recall%.2f")
+    }
     // optional second arg: a scaled dir — time x54/x55 at both scales
     // (the same median-of-3 methodology as ScaleHeadroom)
     args.lift(1).foreach { scaled =>

@@ -183,6 +183,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.groupBy("query_id").count().filter(col("count") > 5).count() === 0)
   }
 
+  test("re-rank with full probe and corpus-wide shortlist IS brute force") {
+    // shortlist >= corpus and nprobe >= #centroids ⇒ nothing is pruned
+    // anywhere, so the exact re-rank must reproduce the brute-force
+    // top-k including the exact cos_sim values — the property that
+    // makes x57 "verified": its scores ARE x07's, only the candidate
+    // set is approximate
+    import spark.implicits._
+    val qs = Seq(0L, 100L, 200L)
+    val n = emb.count().toInt
+    val brute = Similarity.bruteForceTopK(emb, k = 5, queryModulus = 100)
+      .filter(col("query_id").isin(qs: _*))
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+    val rr = Similarity.ivfPqRerankTopK(emb, queryIds = qs, k = 5,
+        shortlist = n, nprobe = Int.MaxValue)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+    assert(rr.exceptAll(brute).isEmpty && brute.exceptAll(rr).isEmpty,
+      "unpruned re-rank must equal brute force bit-for-bit")
+  }
+
   test("pq_argmin on an empty codebook is NULL, not an NPE, in codegen") {
     // the empty-candidate case has no argmin: the expression must be
     // nullable and a downstream struct-field access must see NULL —

@@ -323,6 +323,25 @@ class PlanQualitySpec extends SparkSpec {
       "x56's probe list and final top-k must ride the heap:\n" + p)
   }
 
+  test("x57 re-rank: x56's contract plus a broadcast-only exact pass") {
+    // everything x56 guarantees must survive, and the re-rank must add
+    // ZERO corpus-keyed exchanges: the shortlist (heap-bounded to
+    // Q·k' rows before any exchange) is the BROADCAST side of the
+    // original-vector fetch, the query vectors are broadcast into the
+    // re-score, and the final top-k rides the heap again. A
+    // SortMergeJoin or vec_id exchange here would mean the "fetch 50
+    // vectors" step re-shuffled the corpus.
+    val p = finalPlan(q("x57_ivfpq_rerank_topk"))
+    assert(!p.contains("SortMergeJoin"),
+      "x57 must broadcast its small sides (shortlist included):\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "x57 must not global-sort:\n" + p)
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      "x57 must never shuffle corpus-keyed rows:\n" + p)
+    assert(p.contains("TopKPerGroup"),
+      "x57's shortlist and final top-k must ride the heap:\n" + p)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
