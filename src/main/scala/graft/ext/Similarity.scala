@@ -444,14 +444,78 @@ object Similarity {
     * layout is what makes each PqArgMin call allocation-free — see its
     * Scaladoc.
     */
-  private def pqCodebookFlat(
-      all: DataFrame, m: Int, codeModulus: Int, maxCodes: Int): DataFrame =
-    codewords(all, m, codeModulus, maxCodes)
+  private def pqCodebookFlat(cws: DataFrame): DataFrame =
+    cws
       .groupBy(col("subspace"))
       .agg(collect_list(struct(col("code_id"), col("cw"))).as("__cbs"))
       .select(col("subspace"),
         transform(col("__cbs"), c => c("code_id")).as("__cb_ids"),
         flatten(transform(col("__cbs"), c => c("cw"))).as("__cb_flat"))
+
+  /** Codeword table for the family: the training-free convention
+    * codebook, refined by `trainIters` Lloyd iterations when > 0
+    * ([[trainedCodewords]]). Every PQ entry point resolves its
+    * codebook here so encode and LUT always agree.
+    */
+  private def pqCodewords(
+      all: DataFrame, m: Int, codeModulus: Int, maxCodes: Int,
+      trainIters: Int): DataFrame =
+    if (trainIters <= 0) codewords(all, m, codeModulus, maxCodes)
+    else trainedCodewords(all, m, codeModulus, maxCodes, trainIters)
+
+  /** k-means-TRAINED codewords: `iters` Lloyd iterations per subspace,
+    * initialized from the convention codebook ([[codewords]] — the
+    * deterministic seed that keeps the whole training oracle-
+    * reproducible). Each iteration is the x22 step in subvector space:
+    * assign every subvector to its nearest codeword (argmin rounded
+    * squared-L2, ties to the lowest code id — the SAME
+    * [[graft.functions.PqArgMin]] in-row fold the encode uses, so
+    * assignment costs one map-only pass), then recompute each codeword
+    * as the elementwise mean of its members (exact DECIMAL(28,10)
+    * sums — double summation order is nondeterministic under
+    * parallelism — divided by the member count and rounded to 6, the
+    * x22 contract). A codeword whose cluster goes EMPTY keeps its
+    * previous value (deterministic, and standard practice short of
+    * re-seeding).
+    *
+    * Scale shape per iteration: one broadcast-codebook scan of the
+    * n·m subvector rows (map-only, the x54 plan) plus ONE
+    * (subspace, code_id, dim) exchange of m·maxCodes·subDim = Dims ·
+    * maxCodes mean cells — the shuffle carries codebook-sized data,
+    * not corpus-sized, after map-side partial aggregation. Training
+    * cost is `iters` corpus scans; a 100 TB pipeline trains on a
+    * sampled slice instead (pass a sampled `emb` — nothing here
+    * assumes the full corpus) and amortizes the codebook across runs.
+    */
+  private def trainedCodewords(
+      all: DataFrame, m: Int, codeModulus: Int, maxCodes: Int,
+      iters: Int): DataFrame = {
+    import graft.functions.PqArgMin.pq_argmin
+    val subs = subvectors(all, "v", m)
+      .select(col("subspace"), col("__sv").as("sv"))
+    var cws = codewords(all, m, codeModulus, maxCodes)
+    for (_ <- 1 to iters) {
+      val book = pqCodebookFlat(cws)
+      val assigned = subs.join(broadcast(book), Seq("subspace"))
+        .select(col("subspace"), col("sv"),
+          explode(array(pq_argmin(
+            col("sv"), col("__cb_ids"), col("__cb_flat")))).as("__best"))
+        .select(col("subspace"), col("__best.code_id").as("code_id"), col("sv"))
+      val means = assigned
+        .select(col("subspace"), col("code_id"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("subspace"), col("code_id"), col("dim"))
+        .agg(round(sum(col("x").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("mv"))
+        .groupBy(col("subspace"), col("code_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
+          s => s("mv")).as("ncw"))
+      cws = cws.join(means, Seq("subspace", "code_id"), "left")
+        .select(col("code_id"), col("subspace"),
+          coalesce(col("ncw"), col("cw")).as("cw"))
+    }
+    cws
+  }
 
   /** x54 — PQ encoding: each vector becomes m codeword ids, one per
     * subspace. The codebook is training-free and deterministic (the
@@ -469,11 +533,13 @@ object Similarity {
     * (`tools.PqSweep`): the synthetic embeddings are near-uniform —
     * the worst case for PQ, which exploits structure — and recall@5
     * climbs monotonically with finer subspaces and denser codebooks
-    * (m=4/cm=25: 0.16 → m=16/cm=5: 0.52 → m=32/cm=5: 0.72). A
-    * production corpus uses k-means-trained codebooks (the x22 Lloyd
-    * step is the trainer) and appends a verified re-rank of the ADC
-    * short-list against the original vectors — [[ivfPqRerankTopK]]
-    * (x57), measured 0.52 → 1.00 recall@5 at shortlist 50.
+    * (m=4/cm=25: 0.16 → m=16/cm=5: 0.52 → m=32/cm=5: 0.72). Both
+    * production refinements ship in-family: `trainIters > 0` trains
+    * the codebook with Lloyd iterations ([[trainedCodewords]], x58 —
+    * 0.52 → 0.56 at m=16 on this worst-case fixture), and
+    * [[ivfPqRerankTopK]] (x57) appends the verified re-rank of the
+    * ADC short-list against the original vectors — measured
+    * 0.52 → 1.00 recall@5 at shortlist 50.
     *
     * Scale shape: MAP-ONLY. The codebook collapses to ONE broadcast
     * row per subspace holding its codeword array (m rows of ≤ maxCodes
@@ -496,12 +562,14 @@ object Similarity {
       emb: DataFrame,
       m: Int = 16,
       codeModulus: Int = 5,
-      maxCodes: Int = 256): DataFrame = {
+      maxCodes: Int = 256,
+      trainIters: Int = 0): DataFrame = {
     require(Dims % m == 0, s"m ($m) must divide $Dims")
     val all = vecs(emb)
     val subs = subvectors(all, "v", m)
       .select(col("vec_id"), col("subspace"), col("__sv").as("sv"))
-    val codebook = pqCodebookFlat(all, m, codeModulus, maxCodes)
+    val codebook = pqCodebookFlat(
+      pqCodewords(all, m, codeModulus, maxCodes, trainIters))
     // explode(array(...)) is a deliberate Generate barrier: as a plain
     // projection the argmin gets re-inlined by projection collapse and
     // constraint-inference pushdown — x55's LUT join inferred its
@@ -548,16 +616,17 @@ object Similarity {
       k: Int = 5,
       m: Int = 16,
       codeModulus: Int = 5,
-      maxCodes: Int = 256): DataFrame = {
+      maxCodes: Int = 256,
+      trainIters: Int = 0): DataFrame = {
     import graft.functions.DotProduct.dot_product
     val all = vecs(emb)
-    val encoded = pqEncode(emb, m, codeModulus, maxCodes)
+    val encoded = pqEncode(emb, m, codeModulus, maxCodes, trainIters)
       .select(col("vec_id"), col("subspace"), col("code_id"))
     val queries = all.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val qsubs = subvectors(queries, "qv", m)
       .select(col("query_id"), col("subspace"), col("__sv").as("qsv"))
-    val cws = codewords(all, m, codeModulus, maxCodes)
+    val cws = pqCodewords(all, m, codeModulus, maxCodes, trainIters)
     val lut = qsubs.join(broadcast(cws), Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code_id"),
         round(dot_product(col("qsv"), col("cw")), 9).as("dp"),
@@ -659,7 +728,7 @@ object Similarity {
     val subs = subvectors(assigned, "v", m)
       .select(col("vec_id"), col("centroid_id"), col("subspace"),
         col("__sv").as("sv"))
-    val codebook = pqCodebookFlat(all, m, codeModulus, maxCodes)
+    val codebook = pqCodebookFlat(codewords(all, m, codeModulus, maxCodes))
     val codes = subs.join(broadcast(codebook), Seq("subspace"))
       .select(col("vec_id"), col("centroid_id"), col("subspace"),
         explode(array(pq_argmin(

@@ -129,6 +129,32 @@ object ExtQueries {
        |          round(${l2Sql("sv", "cwv", PqSubDim)}, 6) AS l2_sq
        |        FROM psub JOIN pcw ON psub.subspace = pcw.subspace)""".stripMargin
   private val PqShortlist = 50 // x57 re-rank depth (mirrors Similarity default)
+  private val PqTrainIters = 2 // x58 Lloyd iterations (mirrors the query)
+  /** One Lloyd refinement of codebook CTE `prev`(code_id, subspace,
+    * cwv) into CTE `next` — the x22 step in subvector space, mirroring
+    * Similarity.trainedCodewords: assign every corpus subvector by
+    * rounded-L2 argmin (ties to lowest code_id), recompute codewords
+    * as elementwise DECIMAL(28,10)-exact means rounded to 6, and keep
+    * the previous codeword where a cluster went empty.
+    */
+  private def lloydCte(prev: String, next: String, i: Int) =
+    s"""lsc$i AS (SELECT psub.vec_id, psub.subspace, code_id,
+       |           round(${l2Sql("sv", "cwv", PqSubDim)}, 6) AS l2
+       |         FROM psub JOIN $prev ON psub.subspace = $prev.subspace),
+       |las$i AS (SELECT vec_id, subspace, code_id FROM
+       |           (SELECT *, row_number() OVER
+       |              (PARTITION BY vec_id, subspace ORDER BY l2, code_id) AS rn
+       |            FROM lsc$i) WHERE rn = 1),
+       |lmn$i AS (SELECT a.subspace, a.code_id, dim,
+       |            round(CAST(sum(CAST(sv[dim] AS DECIMAL(28,10))) AS DOUBLE)
+       |              / count(*), 6) AS mv
+       |          FROM las$i a JOIN psub USING (vec_id, subspace),
+       |               range(1, ${PqSubDim + 1}) r(dim)
+       |          GROUP BY a.subspace, a.code_id, dim),
+       |lmv$i AS (SELECT subspace, code_id, list(mv ORDER BY dim) AS ncw
+       |          FROM lmn$i GROUP BY subspace, code_id),
+       |$next AS (SELECT p.code_id, p.subspace, COALESCE(ncw, p.cwv) AS cwv
+       |          FROM $prev p LEFT JOIN lmv$i USING (subspace, code_id))""".stripMargin
   /** x56's full IVF-PQ scoring chain (assumes `pqEncodeCtes` precedes
     * it), ending in scored(query_id, neighbor_id, approx_cos) — shared
     * by x56 (rank directly) and x57 (shortlist → exact re-rank).
@@ -478,6 +504,27 @@ object ExtQueries {
               |       FROM scored)
               |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
               |FROM rk WHERE rnk <= 5""".stripMargin)),
+
+    // ---- similarity: k-means-TRAINED PQ encode ------------------------
+    // x54's convention codebook is the recall floor; here the codebook
+    // is refined by 2 Lloyd iterations per subspace (the x22 step,
+    // seeded by the convention init that keeps everything
+    // deterministic) before encoding. Codewords move toward their
+    // cluster means, so reconstruction error drops (spec-gated) and
+    // measured recall@5 rises at equal m/bytes (tools.PqSweep).
+    ("x58_pq_encode_trained",
+      (s: SparkSession, dir: String) =>
+        Similarity.pqEncode(t(s, dir, "embeddings"), trainIters = PqTrainIters),
+      Some(s"""WITH $pqEncodeCtes,
+              |${lloydCte("pcw", "tcw1", 1)},
+              |${lloydCte("tcw1", "tcw2", 2)},
+              |tsc AS (SELECT vec_id, psub.subspace, code_id,
+              |          round(${l2Sql("sv", "cwv", PqSubDim)}, 6) AS l2_sq
+              |        FROM psub JOIN tcw2 ON psub.subspace = tcw2.subspace)
+              |SELECT vec_id, subspace, code_id, l2_sq FROM
+              | (SELECT *, row_number() OVER
+              |    (PARTITION BY vec_id, subspace ORDER BY l2_sq, code_id) AS rn
+              |  FROM tsc) WHERE rn = 1""".stripMargin)),
 
     // ---- similarity: IVF-PQ (coarse pruning × compressed-domain ADC) --
     // The FAISS-IVFPQ composition: a capped coarse quantizer buckets the

@@ -39,6 +39,16 @@ object PqSweep {
       val recall = (brute intersect ivfpq).size.toDouble / brute.size
       println(f"ivfpq nprobe=$np%3d/$nCents recall=$recall%.2f")
     }
+    // x58: trained codebooks — the recall delta Lloyd iterations buy at
+    // EQUAL m (same bytes per vector); compare against the convention
+    // rows above at the same m/codeModulus
+    for (m <- Seq(8, 16); it <- Seq(1, 2, 3)) {
+      val tr = Similarity.pqTopK(emb, queryIds = qs, k = 5, m = m,
+          trainIters = it)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (brute intersect tr).size.toDouble / brute.size
+      println(f"trained m=$m%2d iters=$it recall=$recall%.2f")
+    }
     // x57: the verified re-rank — how much of the PQ distortion loss a
     // k'-deep exact re-rank recovers, by shortlist depth and nprobe.
     // What remains below 1.0 at full probe is pure shortlist miss

@@ -183,6 +183,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.groupBy("query_id").count().filter(col("count") > 5).count() === 0)
   }
 
+  test("trained PQ codebook: Lloyd iterations cut reconstruction error") {
+    // the k-means objective (sum of squared distances to assigned
+    // codewords) is non-increasing per exact Lloyd iteration; with the
+    // per-cell round-to-6 the movement dwarfs the rounding, so total
+    // error must strictly drop on this fixture — the property that
+    // makes training worth its scans. Same m ⇒ same bytes per vector.
+    import spark.implicits._
+    def totalErr(it: Int): Double =
+      Similarity.pqEncode(emb, trainIters = it)
+        .agg(sum(col("l2_sq"))).head().getDouble(0)
+    val e0 = totalErr(0); val e1 = totalErr(1); val e2 = totalErr(2)
+    assert(e1 < e0, f"1 Lloyd iter must cut error: $e1%.3f !< $e0%.3f")
+    assert(e2 <= e1 * 1.000001, f"2nd iter must not regress: $e2%.3f vs $e1%.3f")
+    // training must not change the output contract: one code per
+    // (vector, subspace), code ids still from the convention id space
+    val enc = Similarity.pqEncode(emb, trainIters = 2)
+    assert(enc.groupBy("vec_id", "subspace").count()
+      .filter(col("count") =!= 1).count() === 0)
+  }
+
   test("re-rank with full probe and corpus-wide shortlist IS brute force") {
     // shortlist >= corpus and nprobe >= #centroids ⇒ nothing is pruned
     // anywhere, so the exact re-rank must reproduce the brute-force
