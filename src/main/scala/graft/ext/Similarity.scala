@@ -699,12 +699,30 @@ object Similarity {
       m: Int = 16,
       codeModulus: Int = 5,
       maxCodes: Int = 256): DataFrame = {
-    import graft.functions.DotProduct.dot_product
-    import graft.functions.L2Sq.l2_sq
-    import graft.functions.PqArgMin.pq_argmin
-    import graft.plans.TopKPerGroup
-    require(Dims % m == 0, s"m ($m) must divide $Dims")
     val all = vecs(emb)
+    val (codes, cents, cws) =
+      ivfPqIndexFrames(all, centroidModulus, maxCentroids, m, codeModulus, maxCodes)
+    val queries = all.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    ivfPqSearchFrames(codes, cents, cws, queries, k, nprobe, m)
+  }
+
+  /** The IVF-PQ index as three frames: codes (vec_id, centroid_id,
+    * subspace, code_id — the compressed corpus), cents (centroid_id,
+    * cv — the coarse quantizer), cws (code_id, subspace, cw — the PQ
+    * codebook). The build is the map-only pipeline [[ivfPqTopK]]
+    * documents: in-row coarse assignment + per-subspace codes in one
+    * scan against broadcast codebooks, no corpus-keyed exchange.
+    */
+  private def ivfPqIndexFrames(
+      all: DataFrame,
+      centroidModulus: Int,
+      maxCentroids: Int,
+      m: Int,
+      codeModulus: Int,
+      maxCodes: Int): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.PqArgMin.pq_argmin
+    require(Dims % m == 0, s"m ($m) must divide $Dims")
     val cents = ivfCentroids(all, centroidModulus, maxCentroids)
     // one-row coarse codebook (id array + flat values) — the same
     // alignment argument as [[pqCodebookFlat]]; the join is a broadcast
@@ -728,17 +746,36 @@ object Similarity {
     val subs = subvectors(assigned, "v", m)
       .select(col("vec_id"), col("centroid_id"), col("subspace"),
         col("__sv").as("sv"))
-    val codebook = pqCodebookFlat(codewords(all, m, codeModulus, maxCodes))
+    val cws = codewords(all, m, codeModulus, maxCodes)
+    val codebook = pqCodebookFlat(cws)
     val codes = subs.join(broadcast(codebook), Seq("subspace"))
       .select(col("vec_id"), col("centroid_id"), col("subspace"),
         explode(array(pq_argmin(
           col("sv"), col("__cb_ids"), col("__cb_flat")))).as("__best"))
       .select(col("vec_id"), col("centroid_id"), col("subspace"),
         col("__best.code_id").as("code_id"))
+    (codes, cents, cws)
+  }
+
+  /** The IVF-PQ search half over index frames (see
+    * [[ivfPqIndexFrames]] for their shapes): probe list and final
+    * ranking on the heap, per-query LUT identical to x55's, and the
+    * probed-bucket contribution sum as the single corpus-derived
+    * exchange.
+    */
+  private def ivfPqSearchFrames(
+      codes: DataFrame,
+      cents: DataFrame,
+      cws: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      m: Int): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    import graft.functions.L2Sq.l2_sq
+    import graft.plans.TopKPerGroup
     // probe list: nprobe nearest centroids per query by the assignment
     // metric (tiny frame; the heap keeps it sort-free)
-    val queries = all.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probeScored = queries.join(broadcast(cents))
       .select(col("query_id"), col("centroid_id"),
         round(l2_sq(col("qv"), col("cv")), 6).as("q_d2"))
@@ -749,7 +786,6 @@ object Similarity {
     // per-query ADC lookup table — identical to x55's
     val qsubs = subvectors(queries, "qv", m)
       .select(col("query_id"), col("subspace"), col("__sv").as("qsv"))
-    val cws = codewords(all, m, codeModulus, maxCodes)
     val lut = qsubs.join(broadcast(cws), Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code_id"),
         round(dot_product(col("qsv"), col("cw")), 9).as("dp"),
@@ -772,6 +808,62 @@ object Similarity {
     TopKPerGroup.topK(scored, Seq("query_id"),
         Seq("approx_cos" -> TopKPerGroup.Desc, "neighbor_id" -> TopKPerGroup.Asc), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_cos"))
+  }
+
+  /** x59 build half — PERSIST the IVF-PQ index (the x40 stored-index
+    * pattern made literal): the three index frames are written to
+    * `indexDir` as parquet tables `codes` (bucketed by centroid_id so
+    * a search reads only probed buckets' files at scale), `centroids`,
+    * and `codebook`. This is what amortizes x56's one residual — the
+    * per-run index rebuild: production builds once at ingest (cost =
+    * the map-only build + one write) and every query pays only
+    * [[ivfPqSearchIndex]]. Long/double parquet round-trips are exact,
+    * so a search over the persisted index is bit-identical to the
+    * in-plan composition (spec-gated).
+    */
+  def ivfPqWriteIndex(
+      emb: DataFrame,
+      indexDir: String,
+      centroidModulus: Int = 100,
+      maxCentroids: Int = 1024,
+      m: Int = 16,
+      codeModulus: Int = 5,
+      maxCodes: Int = 256): Unit = {
+    val (codes, cents, cws) = ivfPqIndexFrames(
+      vecs(emb), centroidModulus, maxCentroids, m, codeModulus, maxCodes)
+    // repartition by bucket: each coarse bucket's codes land together,
+    // so the search-side probe filter maps to file pruning, and the
+    // write itself is the index's ONLY corpus-keyed exchange (paid
+    // once at build time, by design)
+    codes.repartition(col("centroid_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/codes")
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cws.write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  /** x59 search half — query a PERSISTED IVF-PQ index: reads the three
+    * tables [[ivfPqWriteIndex]] wrote and runs the search pipeline
+    * only. `m` comes from the stored codebook (one control-plane
+    * lookup), so a caller cannot mismatch the subvector split the
+    * index was built with. Query vectors still come from `emb` —
+    * queries are external input, not index content.
+    * Output: (query_id, rank, neighbor_id, approx_cos) — identical to
+    * [[ivfPqTopK]] built with the same parameters.
+    */
+  def ivfPqSearchIndex(
+      emb: DataFrame,
+      indexDir: String,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cws = spark.read.parquet(s"$indexDir/codebook")
+    val m = (cws.agg(max(col("subspace"))).head().getLong(0) + 1).toInt
+    val queries = vecs(emb).filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    ivfPqSearchFrames(codes, cents, cws, queries, k, nprobe, m)
   }
 
   /** x57 — verified re-rank: the end-to-end FAISS search contract that

@@ -543,6 +543,31 @@ object ExtQueries {
               |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
               |FROM rk WHERE rnk <= 5""".stripMargin)),
 
+    // ---- similarity: PERSISTED IVF-PQ index (build once, search) ------
+    // x56's residual is the per-run index rebuild; production builds at
+    // ingest and amortizes. Here the index (codes bucketed by coarse
+    // centroid + centroids + codebook) round-trips through parquet and
+    // the search half runs over the STORED tables — output must equal
+    // x56 exactly (long/double parquet round-trips are bit-exact), so
+    // the oracle is x56's. The query deliberately pays build+write+
+    // search every run (the honest cost); the amortization evidence is
+    // the split build/search timing in tools.ScaleDecade.
+    ("x59_ivfpq_persisted",
+      (s: SparkSession, dir: String) => {
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_ivfpq_idx_" + Integer.toHexString(dir.hashCode)
+        Similarity.ivfPqWriteIndex(t(s, dir, "embeddings"), idx)
+        Similarity.ivfPqSearchIndex(t(s, dir, "embeddings"), idx,
+          queryIds = Seq(7L, 177L, 357L))
+      },
+      Some(s"""WITH $pqEncodeCtes,
+              |$ivfPqScoredCtes,
+              |rk AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |       FROM scored)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
+              |FROM rk WHERE rnk <= 5""".stripMargin)),
+
     // ---- similarity: verified re-rank (the FAISS end-to-end contract) -
     // x56's compressed-domain shortlist (k'=50 per query), re-scored
     // with EXACT cosine against the original vectors and re-ranked —

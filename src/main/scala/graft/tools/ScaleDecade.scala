@@ -44,9 +44,12 @@ object ScaleDecade {
     "x54_pq_encode",    // round 8: fixed-codebook PQ — 200k vectors at
     "x55_pq_adc_topk",  // 100× exercise the map-only encode + ADC scan
                         // two decades past the cap binding
-    "x56_ivfpq_topk")   // round 8: IVF-PQ — at 100× the centroid cap
+    "x56_ivfpq_topk",   // round 8: IVF-PQ — at 100× the centroid cap
                         // (1024) binds too, and pruning should beat
                         // x55's full ADC scan
+    "x59_ivfpq_persisted") // round 9: build+search through the stored
+                        // index; the split build/search block below
+                        // separates the amortized cost
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -133,6 +136,29 @@ object ScaleDecade {
       val s10 = timeFn(fn, out10)
       val s100 = timeFn(fn, out100)
       println(f"""{"query":"$name","base_sec":$b%.3f,"x10_sec":$s10%.3f,"x100_sec":$s100%.3f,"decade1":${s10 / b}%.2f,"decade2":${s100 / s10}%.2f}""")
+    }
+    // ---- x59: persisted IVF-PQ — build vs search-only, separately.
+    // x56's decade numbers bundle the per-run index rebuild; the
+    // amortized production cost is the search half alone, which prunes
+    // to ~nprobe/#centroids of the bucketed code files. Build is timed
+    // once per scale (it writes ~n·m code rows — one run is the
+    // number); search is median-of-3 over the stored index.
+    if (selected("x59_ivfpq_persisted")) {
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val emb = graft.sources.Tables.load(spark, d, "embeddings")
+          val idx = s"/tmp/graft_ivfpq_decade_$label"
+          val t0 = System.nanoTime()
+          graft.ext.Similarity.ivfPqWriteIndex(emb, idx)
+          val build = (System.nanoTime() - t0) / 1e9
+          val times = (1 to 3).map { _ =>
+            val t1 = System.nanoTime()
+            graft.ext.Similarity
+              .ivfPqSearchIndex(emb, idx, Seq(7L, 177L, 357L)).count()
+            (System.nanoTime() - t1) / 1e9
+          }.sorted
+          println(f"""{"query":"x59_split_$label","build_sec":$build%.3f,"search_sec":${times(1)}%.3f}""")
+      }
     }
     if (!selected("x48_sequence_packing")) { spark.stop(); return }
     // ---- giant-single-stratum packing stress (derived from the 100x

@@ -203,6 +203,24 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter(col("count") =!= 1).count() === 0)
   }
 
+  test("persisted IVF-PQ index searches bit-identically to the in-plan build") {
+    // the x59 contract: parquet round-trip of the index (codes +
+    // centroids + codebook) must not change a single result — searches
+    // over the stored tables equal ivfPqTopK at the same parameters
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_spec").toString
+    Similarity.ivfPqWriteIndex(emb, idx)
+    val qs = Seq(0L, 100L, 200L)
+    val stored = Similarity.ivfPqSearchIndex(emb, idx, qs, k = 5, nprobe = 2)
+    val inplan = Similarity.ivfPqTopK(emb, queryIds = qs, k = 5, nprobe = 2)
+    assert(stored.exceptAll(inplan).isEmpty && inplan.exceptAll(stored).isEmpty,
+      "stored-index search must equal the in-plan composition")
+    // the stored codes side must arrive pre-bucketed: one parquet dir
+    // per index table, codes partitioned so probe filters prune files
+    for (t <- Seq("codes", "centroids", "codebook"))
+      assert(new java.io.File(s"$idx/$t").exists(), s"missing $t table")
+  }
+
   test("re-rank with full probe and corpus-wide shortlist IS brute force") {
     // shortlist >= corpus and nprobe >= #centroids ⇒ nothing is pruned
     // anywhere, so the exact re-rank must reproduce the brute-force
