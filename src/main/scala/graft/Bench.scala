@@ -30,7 +30,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val loadBefore = loadavg()
+    // Load-aware deferral: twice (rounds 6 and 8) the committed round
+    // artifact was contention noise that needed a judge re-run to
+    // interpret. If the 1-minute loadavg exceeds cpus/4 at startup,
+    // wait once (SPARK_GRAFT_BENCH_LOAD_WAIT seconds, default 60, 0
+    // disables) and re-sample; BOTH samples are stamped so the
+    // artifact shows the deferral instead of hiding the hot start.
+    // One wait only — the bench must terminate on a busy box, and the
+    // before/after stamps still self-indict if the wait didn't help.
+    val loadInitial = loadavg()
+    def load1m(s: String): Double =
+      try s.split(",")(0).toDouble catch { case _: Exception => 0.0 }
+    val waitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "60").toInt
+    val deferred = waitSec > 0 && load1m(loadInitial) > cpus.toInt / 4.0
+    if (deferred) {
+      System.err.println(
+        s"[bench] loadavg $loadInitial > ${cpus.toInt / 4.0}; waiting ${waitSec}s")
+      Thread.sleep(waitSec * 1000L)
+    }
+    val loadBefore = if (deferred) loadavg() else loadInitial
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // production registration path: strategies injected at build time,
@@ -118,8 +136,12 @@ object Bench {
     def f6(d: Double): String = "%.6f".formatLocal(java.util.Locale.ROOT, d)
     // Full-precision detail line first (medians, mins, loadavg stamps) —
     // for human diffing across rounds.
+    val deferredDetail =
+      if (deferred) s""""loadavg_deferred_from":"$loadInitial","load_wait_sec":$waitSec,"""
+      else ""
     println(s"""{"metric":"total_detail","value":${f6(total)},"unit":"sec","stat":"median","runs":$runs,""" +
       s""""total_min":${f6(totalMin)},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+      deferredDetail +
       s""""replay_harness":$harnessJson,""" +
       s""""queries":${jsonMap(_._2._1, f6)},"queries_min":${jsonMap(_._2._2, f6)},"sf":"$sfDir"}""")
     // The contract line LAST, and deliberately compact: the harness that
@@ -140,8 +162,9 @@ object Bench {
     val budget = 1880
     def compactLine(qs: Seq[(String, (Double, Double))], omitted: Int): String = {
       val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
+      val defer = if (deferred) s""""load_deferred_from":"$loadInitial",""" else ""
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"median","runs":$runs,""" +
-        s""""total_min":${f2(totalMin)},"load":"$loadBefore;$loadAfter",""" +
+        s""""total_min":${f2(totalMin)},"load":"$loadBefore;$loadAfter",""" + defer +
         s""""replay_harness":$harnessJson,""" +
         om + s""""queries":${qs.map { case (k, v) => "\"" + k + "\":" + f2(v._1) }
             .mkString("{", ",", "}")},"sf":"${new java.io.File(sfDir).getName}"}"""
