@@ -47,9 +47,14 @@ object ScaleDecade {
     "x56_ivfpq_topk",   // round 8: IVF-PQ — at 100× the centroid cap
                         // (1024) binds too, and pruning should beat
                         // x55's full ADC scan
-    "x59_ivfpq_persisted") // round 9: build+search through the stored
+    "x59_ivfpq_persisted", // round 9: build+search through the stored
                         // index; the split build/search block below
                         // separates the amortized cost
+    "x14_events_sessions", // round 9: the events family had only one
+    "x35_session_attribution", // measured decade — 10M events at 100×
+    "x43_funnel",       // cover sessionize (flatMapGroups-shaped
+    "x44_retention")    // batch form), attribution join, funnel
+                        // windows, and retention cohort join
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -57,7 +62,7 @@ object ScaleDecade {
     */
   private val NeededTables = Set(
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "documents", "embeddings")
+    "orders", "lineitem", "documents", "embeddings", "events")
 
   /** Giant-single-stratum documents variant: same corpus, but 90% of
     * documents collapse into lang 'en' (pmod(doc_id, 10) < 9), the
@@ -108,11 +113,12 @@ object ScaleDecade {
       System.err.println(s"[decade] generating 100x scale-up in $out100")
       ScaleHeadroom.generate(spark, src, out100, 100, NeededTables)
     }
-    // embeddings joined NeededTables in round 8 — top up an existing
-    // 100x dir without regenerating the big tables
-    if (!new java.io.File(s"$out100/embeddings.parquet").exists()) {
-      System.err.println(s"[decade] adding 100x embeddings to $out100")
-      ScaleHeadroom.generate(spark, src, out100, 100, Set("embeddings"))
+    // embeddings joined NeededTables in round 8, events in round 9 —
+    // top up an existing 100x dir without regenerating the big tables
+    for (t <- Seq("embeddings", "events")
+        if !new java.io.File(s"$out100/$t.parquet").exists()) {
+      System.err.println(s"[decade] adding 100x $t to $out100")
+      ScaleHeadroom.generate(spark, src, out100, 100, Set(t))
     }
     if (selected("x48_sequence_packing") &&
         !new java.io.File(s"$outSkew/documents.parquet").exists()) {
