@@ -50,6 +50,9 @@ object ScaleDecade {
     "x59_ivfpq_persisted", // round 9: build+search through the stored
                         // index; the split build/search block below
                         // separates the amortized cost
+    "x57_ivfpq_rerank_topk", // round 9: the verified re-rank — the
+                        // Q·k' original-vector fetch must stay flat
+                        // while the corpus decades
     "x14_events_sessions", // round 9: the events family had only one
     "x35_session_attribution", // measured decade — 10M events at 100×
     "x43_funnel",       // cover sessionize (flatMapGroups-shaped

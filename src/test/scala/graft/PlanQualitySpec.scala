@@ -342,6 +342,21 @@ class PlanQualitySpec extends SparkSpec {
       "x57's shortlist and final top-k must ride the heap:\n" + p)
   }
 
+  test("x58 trained encode: training shuffles codebook cells, never the corpus") {
+    // Lloyd iterations may exchange (subspace, code_id, dim) mean
+    // cells — codebook-sized by definition — but the corpus-side
+    // contract of x54 must survive training: assignments stay in-row
+    // folds against broadcast codebooks, so no corpus-keyed exchange
+    // and no sort-merge join may appear anywhere in the chain.
+    val p = finalPlan(q("x58_pq_encode_trained"))
+    assert(!p.contains("SortMergeJoin"),
+      "x58 must broadcast its codebooks:\n" + p)
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      "x58 must never shuffle corpus-keyed rows:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "x58 must not global-sort:\n" + p)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
