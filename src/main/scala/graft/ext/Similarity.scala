@@ -696,6 +696,11 @@ object Similarity {
     * assignment minimizes; LUT entries round to 9 and sum as
     * DECIMAL(28,12) (the x55 contract), so the oracle reproduces
     * bit-for-bit. Output: (query_id, rank, neighbor_id, approx_cos).
+    *
+    * This entry rebuilds the index in-plan every run; production
+    * builds ONCE via [[ivfPqWriteIndex]] and searches the stored
+    * tables with [[ivfPqSearchIndex]] (x59 — measured: the search
+    * half alone is ~1/3 of build+search at 100×).
     */
   def ivfPqTopK(
       emb: DataFrame,
