@@ -203,6 +203,29 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter(col("count") =!= 1).count() === 0)
   }
 
+  test("training preserves the codebook key set — the cap is invariant") {
+    // the fixed codebook size is what keeps the whole PQ family linear
+    // in the corpus; Lloyd iterations move codeword VALUES but must
+    // never add, drop, or renumber entries (empty clusters keep their
+    // codeword rather than vanishing). Compare the (subspace, code_id)
+    // key set of the trained encode's assignments' codomain indirectly:
+    // every assigned code id at iters=2 must be a convention code id,
+    // and both encodes must emit the same m subspaces per vector.
+    val trained = Similarity.pqEncode(emb, trainIters = 2)
+    // the convention id SPACE at the defaults (cm=5, maxCodes=256):
+    // ids ≡ 0 (mod 5) below 1280 — a trained codeword may win
+    // assignments its convention ancestor never did, but its ID must
+    // come from this capped set
+    val validIds = spark.range(0, 1280, 5)
+      .select(col("id").as("code_id"))
+    val invalid = trained.join(validIds, Seq("code_id"), "left_anti")
+    assert(invalid.count() === 0,
+      "trained assignments must stay inside the capped convention id space")
+    assert(trained.groupBy("vec_id").count()
+      .filter(col("count") =!= 16).count() === 0,
+      "every vector still gets exactly m codes after training")
+  }
+
   test("persisted IVF-PQ index searches bit-identically to the in-plan build") {
     // the x59 contract: parquet round-trip of the index (codes +
     // centroids + codebook) must not change a single result — searches
