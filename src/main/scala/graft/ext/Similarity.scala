@@ -711,10 +711,12 @@ object Similarity {
       maxCentroids: Int = 1024,
       m: Int = 16,
       codeModulus: Int = 5,
-      maxCodes: Int = 256): DataFrame = {
+      maxCodes: Int = 256,
+      trainIters: Int = 0): DataFrame = {
     val all = vecs(emb)
     val (codes, cents, cws) =
-      ivfPqIndexFrames(all, centroidModulus, maxCentroids, m, codeModulus, maxCodes)
+      ivfPqIndexFrames(all, centroidModulus, maxCentroids, m, codeModulus,
+        maxCodes, trainIters)
     val queries = all.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     ivfPqSearchFrames(codes, cents, cws, queries, k, nprobe, m)
@@ -733,7 +735,8 @@ object Similarity {
       maxCentroids: Int,
       m: Int,
       codeModulus: Int,
-      maxCodes: Int): (DataFrame, DataFrame, DataFrame) = {
+      maxCodes: Int,
+      trainIters: Int = 0): (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.PqArgMin.pq_argmin
     require(Dims % m == 0, s"m ($m) must divide $Dims")
     val cents = ivfCentroids(all, centroidModulus, maxCentroids)
@@ -759,7 +762,7 @@ object Similarity {
     val subs = subvectors(assigned, "v", m)
       .select(col("vec_id"), col("centroid_id"), col("subspace"),
         col("__sv").as("sv"))
-    val cws = codewords(all, m, codeModulus, maxCodes)
+    val cws = pqCodewords(all, m, codeModulus, maxCodes, trainIters)
     val codebook = pqCodebookFlat(cws)
     val codes = subs.join(broadcast(codebook), Seq("subspace"))
       .select(col("vec_id"), col("centroid_id"), col("subspace"),
@@ -841,9 +844,11 @@ object Similarity {
       maxCentroids: Int = 1024,
       m: Int = 16,
       codeModulus: Int = 5,
-      maxCodes: Int = 256): Unit = {
+      maxCodes: Int = 256,
+      trainIters: Int = 0): Unit = {
     val (codes, cents, cws) = ivfPqIndexFrames(
-      vecs(emb), centroidModulus, maxCentroids, m, codeModulus, maxCodes)
+      vecs(emb), centroidModulus, maxCentroids, m, codeModulus, maxCodes,
+      trainIters)
     // repartition by bucket: each coarse bucket's codes land together,
     // so the search-side probe filter maps to file pruning, and the
     // write itself is the index's ONLY corpus-keyed exchange (paid
@@ -916,13 +921,50 @@ object Similarity {
       maxCentroids: Int = 1024,
       m: Int = 16,
       codeModulus: Int = 5,
-      maxCodes: Int = 256): DataFrame = {
-    import graft.plans.TopKPerGroup
+      maxCodes: Int = 256,
+      trainIters: Int = 0): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val short = ivfPqTopK(emb, queryIds, shortlist, nprobe, centroidModulus,
-        maxCentroids, m, codeModulus, maxCodes)
+        maxCentroids, m, codeModulus, maxCodes, trainIters)
+    exactRerank(short, vecs(emb), queryIds, k)
+  }
+
+  /** x60 — the production ANN lifecycle, end to end: a TRAINED
+    * codebook ([[trainedCodewords]], x58) built into a PERSISTED
+    * index ([[ivfPqWriteIndex]], x59), searched in the compressed
+    * domain with coarse pruning (x56), and finished with the VERIFIED
+    * exact re-rank (x57). This is the query a production corpus
+    * actually runs: every per-query cost term is
+    * corpus-size-independent except the pruned bucket scan, and the
+    * one corpus-sized cost (train + build + write) is paid once at
+    * ingest. Output: (query_id, rank, neighbor_id, cos_sim,
+    * approx_cos) — identical to [[ivfPqRerankTopK]] at the same
+    * parameters (spec-gated through the parquet round-trip).
+    */
+  def ivfPqSearchIndexReranked(
+      emb: DataFrame,
+      indexDir: String,
+      queryIds: Seq[Long],
+      k: Int = 5,
+      shortlist: Int = 50,
+      nprobe: Int = 2): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = ivfPqSearchIndex(emb, indexDir, queryIds, shortlist, nprobe)
+    exactRerank(short, vecs(emb), queryIds, k)
+  }
+
+  /** The exact re-rank tail shared by x57 and the persisted x60 path:
+    * broadcast the heap-bounded shortlist into one corpus scan to
+    * fetch original vectors, re-score with exact cosine, re-rank.
+    */
+  private def exactRerank(
+      shortlisted: DataFrame,
+      all: DataFrame,
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    import graft.plans.TopKPerGroup
+    val short = shortlisted
       .select(col("query_id"), col("neighbor_id"), col("approx_cos"))
-    val all = vecs(emb)
     val withVecs = all
       .join(broadcast(short), all("vec_id") === col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("approx_cos"),

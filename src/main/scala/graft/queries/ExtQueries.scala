@@ -157,13 +157,16 @@ object ExtQueries {
        |          FROM $prev p LEFT JOIN lmv$i USING (subspace, code_id))""".stripMargin
   /** x56's full IVF-PQ scoring chain (assumes `pqEncodeCtes` precedes
     * it), ending in scored(query_id, neighbor_id, approx_cos) — shared
-    * by x56 (rank directly) and x57 (shortlist → exact re-rank).
+    * by x56/x59 (rank directly), x57 (shortlist → exact re-rank), and
+    * x60 (trained codebook: pass the trained scoring CTE and codebook
+    * CTE instead of the convention psc/pcw).
     */
-  private def ivfPqScoredCtes =
+  private def ivfPqScoredCtes: String = ivfPqScoredCtes("psc", "pcw")
+  private def ivfPqScoredCtes(scoreCte: String, cbCte: String) =
     s"""enc AS (SELECT vec_id, subspace, code_id FROM
        |         (SELECT *, row_number() OVER
        |            (PARTITION BY vec_id, subspace ORDER BY l2_sq, code_id) AS rn
-       |          FROM psc) WHERE rn = 1),
+       |          FROM $scoreCte) WHERE rn = 1),
        |ivfc AS (SELECT vec_id AS centroid_id, v AS cv FROM pe
        |         WHERE vec_id % $PqIvfCm = 0
        |           AND vec_id < ${PqIvfCm.toLong * PqMaxCents}),
@@ -187,7 +190,7 @@ object ExtQueries {
        |lut AS (SELECT query_id, qs.subspace, code_id,
        |          round(${dotSql("qsv", "cwv", PqSubDim)}, 9) AS dp,
        |          round(${dotSql("cwv", "cwv", PqSubDim)}, 9) AS cn2
-       |        FROM qs JOIN pcw ON qs.subspace = pcw.subspace),
+       |        FROM qs JOIN $cbCte ON qs.subspace = $cbCte.subspace),
        |cand AS (SELECT query_id, vec_id, subspace, code_id
        |         FROM enc JOIN assigned USING (vec_id)
        |                  JOIN probes USING (centroid_id)
@@ -581,6 +584,46 @@ object ExtQueries {
           queryIds = Seq(7L, 177L, 357L)),
       Some(s"""WITH $pqEncodeCtes,
               |$ivfPqScoredCtes,
+              |srk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |        FROM scored),
+              |shortl AS (SELECT query_id, neighbor_id, approx_cos
+              |           FROM srk WHERE rnk <= $PqShortlist),
+              |re AS (SELECT sl.query_id, sl.neighbor_id,
+              |         ${cosSql("q.qv", "pe.v")} AS cos_sim, sl.approx_cos
+              |       FROM shortl sl
+              |       JOIN pe ON pe.vec_id = sl.neighbor_id
+              |       JOIN q ON q.query_id = sl.query_id),
+              |rrk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              |        FROM re)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id,
+              |  cos_sim, approx_cos
+              |FROM rrk WHERE rnk <= 5""".stripMargin)),
+
+    // ---- similarity: the production ANN lifecycle, end to end ---------
+    // x58's trained codebook built into x59's persisted index, searched
+    // with x56's coarse-pruned compressed-domain scan, finished with
+    // x57's verified exact re-rank — the query a production corpus
+    // actually runs, every piece already individually verified, now
+    // verified COMPOSED. The oracle chains the trained-codebook CTEs
+    // into the IVF-PQ scoring chain and the re-rank tail.
+    ("x60_ann_production",
+      (s: SparkSession, dir: String) => {
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_ivfpq_trained_idx_" + Integer.toHexString(dir.hashCode)
+        Similarity.ivfPqWriteIndex(t(s, dir, "embeddings"), idx,
+          trainIters = PqTrainIters)
+        Similarity.ivfPqSearchIndexReranked(t(s, dir, "embeddings"), idx,
+          queryIds = Seq(7L, 177L, 357L))
+      },
+      Some(s"""WITH $pqEncodeCtes,
+              |${lloydCte("pcw", "tcw1", 1)},
+              |${lloydCte("tcw1", "tcw2", 2)},
+              |tsc AS (SELECT vec_id, psub.subspace, code_id,
+              |          round(${l2Sql("sv", "cwv", PqSubDim)}, 6) AS l2_sq
+              |        FROM psub JOIN tcw2 ON psub.subspace = tcw2.subspace),
+              |${ivfPqScoredCtes("tsc", "tcw2")},
               |srk AS (SELECT *, row_number() OVER
               |          (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
               |        FROM scored),

@@ -62,6 +62,15 @@ object PqSweep {
       val recall = (brute intersect rr).size.toDouble / brute.size
       println(f"rerank nprobe=$np%3d shortlist=$sl%3d recall=$recall%.2f")
     }
+    // x60: the full production composition — trained codebook feeding
+    // the shortlist the exact pass re-ranks
+    locally {
+      val pr = Similarity.ivfPqRerankTopK(emb, queryIds = qs, k = 5,
+          trainIters = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (brute intersect pr).size.toDouble / brute.size
+      println(f"production trained=2 shortlist=50 nprobe=2 recall=$recall%.2f")
+    }
     // optional second arg: a scaled dir — time x54/x55 at both scales
     // (the same median-of-3 methodology as ScaleHeadroom)
     args.lift(1).foreach { scaled =>

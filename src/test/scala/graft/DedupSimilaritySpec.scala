@@ -244,6 +244,22 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(new java.io.File(s"$idx/$t").exists(), s"missing $t table")
   }
 
+  test("production path: trained + persisted + reranked equals the in-plan chain") {
+    // x60's composition (trained codebook -> stored index -> pruned
+    // compressed search -> exact re-rank) must equal the same chain
+    // composed lazily in one plan — the parquet round-trip and the
+    // split build/search seam add nothing and lose nothing
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_prod_spec").toString
+    Similarity.ivfPqWriteIndex(emb, idx, trainIters = 2)
+    val qs = Seq(0L, 100L, 200L)
+    val stored = Similarity.ivfPqSearchIndexReranked(emb, idx, qs, k = 5)
+    val inplan = Similarity.ivfPqRerankTopK(emb, queryIds = qs, k = 5,
+      trainIters = 2)
+    assert(stored.exceptAll(inplan).isEmpty && inplan.exceptAll(stored).isEmpty,
+      "the persisted production path must equal the in-plan composition")
+  }
+
   test("re-rank with full probe and corpus-wide shortlist IS brute force") {
     // shortlist >= corpus and nprobe >= #centroids ⇒ nothing is pruned
     // anywhere, so the exact re-rank must reproduce the brute-force
