@@ -53,6 +53,9 @@ object ScaleDecade {
     "x57_ivfpq_rerank_topk", // round 9: the verified re-rank — the
                         // Q·k' original-vector fetch must stay flat
                         // while the corpus decades
+    "x60_ann_production", // round 9: the composed lifecycle (train +
+                        // build + write + pruned search + re-rank,
+                        // the bundled honest cost per run)
     "x14_events_sessions", // round 9: the events family had only one
     "x35_session_attribution", // measured decade — 10M events at 100×
     "x43_funnel",       // cover sessionize (flatMapGroups-shaped
