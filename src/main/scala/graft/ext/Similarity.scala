@@ -786,19 +786,15 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       nprobe: Int,
-      m: Int): DataFrame = {
+      m: Int,
+      precomputedProbes: Option[DataFrame] = None): DataFrame = {
     import graft.functions.DotProduct.dot_product
-    import graft.functions.L2Sq.l2_sq
     import graft.plans.TopKPerGroup
     // probe list: nprobe nearest centroids per query by the assignment
-    // metric (tiny frame; the heap keeps it sort-free)
-    val probeScored = queries.join(broadcast(cents))
-      .select(col("query_id"), col("centroid_id"),
-        round(l2_sq(col("qv"), col("cv")), 6).as("q_d2"))
-    val probes = TopKPerGroup.topK(probeScored, Seq("query_id"),
-        Seq("q_d2" -> TopKPerGroup.Asc, "centroid_id" -> TopKPerGroup.Asc),
-        nprobe)
-      .select(col("query_id"), col("centroid_id"))
+    // metric (tiny frame; the heap keeps it sort-free) — or the
+    // caller's, when it already resolved the list for file pruning
+    val probes = precomputedProbes.getOrElse(
+      ivfPqProbes(cents, queries, nprobe))
     // per-query ADC lookup table — identical to x55's
     val qsubs = subvectors(queries, "qv", m)
       .select(col("query_id"), col("subspace"), col("__sv").as("qsv"))
@@ -849,12 +845,16 @@ object Similarity {
     val (codes, cents, cws) = ivfPqIndexFrames(
       vecs(emb), centroidModulus, maxCentroids, m, codeModulus, maxCodes,
       trainIters)
-    // repartition by bucket: each coarse bucket's codes land together,
-    // so the search-side probe filter maps to file pruning, and the
-    // write itself is the index's ONLY corpus-keyed exchange (paid
-    // once at build time, by design)
+    // PARTITION by bucket (directory per centroid, pre-clustered so
+    // each bucket is one file): the search side pushes its probed
+    // centroid ids as a literal partition filter, so an nprobe=2
+    // search over a 1024-bucket index READS ~2/1024 of the code files
+    // — genuine partition pruning, not just row clustering. The write
+    // exchange is the index's ONLY corpus-keyed shuffle (paid once at
+    // build time, by design).
     codes.repartition(col("centroid_id"))
-      .write.mode("overwrite").parquet(s"$indexDir/codes")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/codes")
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     cws.write.mode("overwrite").parquet(s"$indexDir/codebook")
   }
@@ -875,13 +875,40 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2): DataFrame = {
     val spark = emb.sparkSession
-    val codes = spark.read.parquet(s"$indexDir/codes")
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cws = spark.read.parquet(s"$indexDir/codebook")
     val m = (cws.agg(max(col("subspace"))).head().getLong(0) + 1).toInt
     val queries = vecs(emb).filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    ivfPqSearchFrames(codes, cents, cws, queries, k, nprobe, m)
+    // Resolve the probe list FIRST and collect its centroid ids —
+    // control-plane metadata (≤ Q·nprobe longs from a
+    // queries×centroids job that never touches the corpus) — so the
+    // probed ids reach the codes scan as a LITERAL partition filter.
+    // As a join the probe can only drop rows after reading every
+    // bucket's files; as a literal isin it prunes the directories
+    // partitionBy laid out, and the scan reads ~nprobe/#centroids of
+    // the index bytes (plan-gated: PartitionFilters non-empty).
+    val probes = graft.tools.InternalCaches.persist(
+      ivfPqProbes(cents, queries, nprobe))
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("centroid_id").isin(probedIds: _*))
+    ivfPqSearchFrames(codes, cents, cws, queries, k, nprobe, m, Some(probes))
+  }
+
+  /** nprobe nearest centroids per query by the assignment metric. */
+  private def ivfPqProbes(
+      cents: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
+    import graft.functions.L2Sq.l2_sq
+    import graft.plans.TopKPerGroup
+    val probeScored = queries.join(broadcast(cents))
+      .select(col("query_id"), col("centroid_id"),
+        round(l2_sq(col("qv"), col("cv")), 6).as("q_d2"))
+    TopKPerGroup.topK(probeScored, Seq("query_id"),
+        Seq("q_d2" -> TopKPerGroup.Asc, "centroid_id" -> TopKPerGroup.Asc),
+        nprobe)
+      .select(col("query_id"), col("centroid_id"))
   }
 
   /** x57 — verified re-rank: the end-to-end FAISS search contract that

@@ -357,6 +357,17 @@ class PlanQualitySpec extends SparkSpec {
       "x58 must not global-sort:\n" + p)
   }
 
+  test("x59 stored search: probed buckets arrive as a PARTITION filter") {
+    // the index is laid out partitionBy(centroid_id) and the search
+    // collects its probe ids (control-plane, Q·nprobe longs) into a
+    // literal isin — so the codes scan must show a non-empty
+    // PartitionFilters on centroid_id, reading ~nprobe/#centroids of
+    // the index files instead of filtering after a full read
+    val p = finalPlan(q("x59_ivfpq_persisted"))
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "x59's codes scan must prune partitions by probed centroid ids:\n" + p)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
