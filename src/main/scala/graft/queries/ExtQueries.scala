@@ -548,7 +548,7 @@ object ExtQueries {
 
     // ---- similarity: PERSISTED IVF-PQ index (build once, search) ------
     // x56's residual is the per-run index rebuild; production builds at
-    // ingest and amortizes. Here the index (codes bucketed by coarse
+    // ingest and amortizes. Here the index (codes partitioned by coarse
     // centroid + centroids + codebook) round-trips through parquet and
     // the search half runs over the STORED tables — output must equal
     // x56 exactly (long/double parquet round-trips are bit-exact), so
