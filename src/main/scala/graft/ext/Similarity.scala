@@ -737,9 +737,23 @@ object Similarity {
       codeModulus: Int,
       maxCodes: Int,
       trainIters: Int = 0): (DataFrame, DataFrame, DataFrame) = {
-    import graft.functions.PqArgMin.pq_argmin
     require(Dims % m == 0, s"m ($m) must divide $Dims")
     val cents = ivfCentroids(all, centroidModulus, maxCentroids)
+    val cws = pqCodewords(all, m, codeModulus, maxCodes, trainIters)
+    (encodeAgainst(all, cents, cws, m), cents, cws)
+  }
+
+  /** The encode half of the index build against GIVEN quantizers
+    * (coarse centroids + PQ codebook): vectors → (vec_id, centroid_id,
+    * subspace, code_id). Shared by the initial build ([[ivfPqIndexFrames]],
+    * which derives the quantizers first) and the incremental append
+    * ([[ivfPqAppendIndex]], which reads them from the stored index) —
+    * one implementation, so a batch appended later is encoded
+    * bit-identically to one present at build time.
+    */
+  private def encodeAgainst(
+      all: DataFrame, cents: DataFrame, cws: DataFrame, m: Int): DataFrame = {
+    import graft.functions.PqArgMin.pq_argmin
     // one-row coarse codebook (id array + flat values) — the same
     // alignment argument as [[pqCodebookFlat]]; the join is a broadcast
     // of a single row, the pattern every totals-frame crossJoin in this
@@ -762,15 +776,13 @@ object Similarity {
     val subs = subvectors(assigned, "v", m)
       .select(col("vec_id"), col("centroid_id"), col("subspace"),
         col("__sv").as("sv"))
-    val cws = pqCodewords(all, m, codeModulus, maxCodes, trainIters)
     val codebook = pqCodebookFlat(cws)
-    val codes = subs.join(broadcast(codebook), Seq("subspace"))
+    subs.join(broadcast(codebook), Seq("subspace"))
       .select(col("vec_id"), col("centroid_id"), col("subspace"),
         explode(array(pq_argmin(
           col("sv"), col("__cb_ids"), col("__cb_flat")))).as("__best"))
       .select(col("vec_id"), col("centroid_id"), col("subspace"),
         col("__best.code_id").as("code_id"))
-    (codes, cents, cws)
   }
 
   /** The IVF-PQ search half over index frames (see
@@ -859,6 +871,48 @@ object Similarity {
     cws.write.mode("overwrite").parquet(s"$indexDir/codebook")
   }
 
+  /** x61 — INCREMENTAL append to a persisted IVF-PQ index: the ingest
+    * path a production corpus runs between rebuilds (FAISS's
+    * `IndexIVFPQ.add`). The stored quantizers are FIXED — the batch's
+    * vectors are coarse-assigned against the stored centroids and
+    * PQ-encoded against the stored codebook by the SAME
+    * [[encodeAgainst]] pipeline the initial build ran, then the new
+    * code rows land as additional files inside the existing
+    * `centroid_id=` partition directories (`mode("append")` under the
+    * same `partitionBy`), so the search side's partition pruning sees
+    * old and new rows alike. No existing file is rewritten and no
+    * quantizer changes: append cost is one map-only scan of the BATCH
+    * (broadcast quantizers, in-row argmin) plus the batch-sized write
+    * exchange — independent of how large the index already is.
+    *
+    * Equivalence contract (spec-gated, and the x61 oracle proves it at
+    * sf0.01): because encode depends only on (vector, quantizers),
+    * build(A) + append(B) yields byte-for-byte the index that
+    * build(A ∪ B) would, PROVIDED the quantizers derived from A equal
+    * those derived from A ∪ B. With the convention (training-free)
+    * quantizers that holds whenever B contains no convention id;
+    * with TRAINED codebooks (x58) it is deliberately NOT the
+    * contract — production accepts codebook staleness between
+    * retrains (so does FAISS: `add` never retrains), and the recall
+    * monitor x57's audit column feeds decides when a rebuild is due.
+    */
+  def ivfPqAppendIndex(newEmb: DataFrame, indexDir: String): Unit = {
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cws = spark.read.parquet(s"$indexDir/codebook")
+    encodeAgainst(vecs(newEmb), cents, cws, storedM(cws))
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$indexDir/codes")
+  }
+
+  /** Subspace count of a stored codebook — one control-plane lookup,
+    * so callers cannot mismatch the subvector split the index was
+    * built with.
+    */
+  private def storedM(cws: DataFrame): Int =
+    (cws.agg(max(col("subspace"))).head().getLong(0) + 1).toInt
+
   /** x59 search half — query a PERSISTED IVF-PQ index: reads the three
     * tables [[ivfPqWriteIndex]] wrote and runs the search pipeline
     * only. `m` comes from the stored codebook (one control-plane
@@ -877,7 +931,7 @@ object Similarity {
     val spark = emb.sparkSession
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cws = spark.read.parquet(s"$indexDir/codebook")
-    val m = (cws.agg(max(col("subspace"))).head().getLong(0) + 1).toInt
+    val m = storedM(cws)
     val queries = vecs(emb).filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     // Resolve the probe list FIRST and collect its centroid ids —

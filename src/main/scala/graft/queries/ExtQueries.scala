@@ -571,6 +571,34 @@ object ExtQueries {
               |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
               |FROM rk WHERE rnk <= 5""".stripMargin)),
 
+    // ---- similarity: INCREMENTAL append to the persisted index -------
+    // The ingest path between rebuilds (FAISS add()): build the index
+    // on 90% of the corpus (vec_id % 10 != 9), append the remaining
+    // batch against the STORED quantizers, search the merged index.
+    // The append batch is disjoint from both quantizer conventions
+    // (centroids need % 100 == 0, codewords % 5 == 0 — neither ever
+    // ends in 9), so the quantizers derived from the initial 90% ARE
+    // the full-corpus ones, and append-equals-rebuild is exactly
+    // testable: the oracle is x56's one-shot full-corpus chain. Any
+    // drift in the append path — rounding, a lost row, a wrong
+    // bucket, a partition-dir mismatch — breaks the hash.
+    ("x61_ivfpq_append",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_ivfpq_append_idx_" + Integer.toHexString(dir.hashCode)
+        Similarity.ivfPqWriteIndex(emb.filter(col("vec_id") % 10 =!= 9), idx)
+        Similarity.ivfPqAppendIndex(emb.filter(col("vec_id") % 10 === 9), idx)
+        Similarity.ivfPqSearchIndex(emb, idx, queryIds = Seq(7L, 177L, 357L))
+      },
+      Some(s"""WITH $pqEncodeCtes,
+              |$ivfPqScoredCtes,
+              |rk AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |       FROM scored)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
+              |FROM rk WHERE rnk <= 5""".stripMargin)),
+
     // ---- similarity: verified re-rank (the FAISS end-to-end contract) -
     // x56's compressed-domain shortlist (k'=50 per query), re-scored
     // with EXACT cosine against the original vectors and re-ranked —

@@ -244,6 +244,38 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(new java.io.File(s"$idx/$t").exists(), s"missing $t table")
   }
 
+  test("appending a batch to a persisted index equals rebuilding from scratch") {
+    // the x61 contract: with the batch disjoint from the quantizer
+    // conventions, build(90%) + append(10%) must yield the SAME index
+    // tables a one-shot full-corpus build writes — compared at the
+    // index level (stronger than comparing search results, which only
+    // see probed buckets)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_append_spec").toString
+    val idxFull = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_full_spec").toString
+    val initial = emb.filter(col("vec_id") % 10 =!= 9)
+    val batch = emb.filter(col("vec_id") % 10 === 9)
+    Similarity.ivfPqWriteIndex(initial, idx)
+    val before = spark.read.parquet(s"$idx/codes").count()
+    Similarity.ivfPqAppendIndex(batch, idx)
+    Similarity.ivfPqWriteIndex(emb, idxFull)
+    val appended = spark.read.parquet(s"$idx/codes")
+    // the append landed (m = 16 code rows per batch vector) ...
+    assert(appended.count() - before === batch.count() * 16,
+      "append must add exactly m code rows per batch vector")
+    // ... and the merged index is byte-equal to the one-shot build
+    val full = spark.read.parquet(s"$idxFull/codes")
+    assert(appended.exceptAll(full).isEmpty && full.exceptAll(appended).isEmpty,
+      "append must reproduce the full-corpus index exactly")
+    // search over the appended index equals the in-plan composition
+    val qs = Seq(0L, 100L, 200L)
+    val stored = Similarity.ivfPqSearchIndex(emb, idx, qs, k = 5, nprobe = 2)
+    val inplan = Similarity.ivfPqTopK(emb, queryIds = qs, k = 5, nprobe = 2)
+    assert(stored.exceptAll(inplan).isEmpty && inplan.exceptAll(stored).isEmpty,
+      "search over an appended index must equal the in-plan composition")
+  }
+
   test("production path: trained + persisted + reranked equals the in-plan chain") {
     // x60's composition (trained codebook -> stored index -> pruned
     // compressed search -> exact re-rank) must equal the same chain

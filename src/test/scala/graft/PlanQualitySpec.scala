@@ -368,6 +368,16 @@ class PlanQualitySpec extends SparkSpec {
       "x59's codes scan must prune partitions by probed centroid ids:\n" + p)
   }
 
+  test("x61 appended-index search: partition pruning survives the append") {
+    // an appended batch lands as extra files inside the existing
+    // centroid_id= directories — the search plan must still prune by
+    // the probed ids (an append that broke the partition layout would
+    // silently degrade every future search to a full index read)
+    val p = finalPlan(q("x61_ivfpq_append"))
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "x61's codes scan must prune partitions by probed centroid ids:\n" + p)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
