@@ -262,6 +262,175 @@ object Catalog {
           lit(0L)).as("n_distinct_est"))
   }
 
+  /** x62 — per-column EXACT quantile profile (nearest-rank /
+    * `percentile_disc` semantics: the value at 1-based position
+    * max(1, ceil(p·n)) of the column sorted ascending, NULLs and NaNs
+    * excluded). Returned values are actual data values — no
+    * interpolation arithmetic — which is what makes the result
+    * engine-portable by construction: the continuous (`percentile_cont`)
+    * form interpolates `(1−d)·a + d·b` vs `a + d·(b−a)` depending on
+    * the engine, and those differ in the last ulp.
+    *
+    * Plan shape: the columns unpivot in ONE scan (the x53 generator
+    * pattern), then ONE (col_name, value) exchange with map-side
+    * combine — the shuffle carries each column's DISTINCT values, not
+    * its rows. The cumulative rank runs as a window over that
+    * already-aggregated frame, so the per-column sort touches
+    * #distinct rows. That distinct-bounded exchange is the exactness
+    * cost and the scale limit in one: measure-style columns with few
+    * repeated values degrade toward row-cardinality, and the window
+    * concentrates each column on one reducer — at corpus scale the
+    * drop-in twin is [[profileQuantilesHist]] (x63: the same output
+    * shape, values binned to a FIXED-width histogram first, every
+    * post-scan structure ≤ `bins` rows per column). The same
+    * exact-baseline-beside-scale-twin pairing as x51/x53 and x45/x46.
+    * Output: (table_name, col_name, quantile, value), one row per
+    * column × requested quantile.
+    */
+  def profileQuantiles(
+      df: DataFrame, tableName: String, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireSafeNames(cols, "profileQuantiles")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "profileQuantiles: quantiles must lie in [0, 1]")
+    val cnts = quantileValues(df, cols)
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = cnts.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy("col_name").orderBy("v")))
+    val th = quantileRanks(
+      cnts.groupBy("col_name").agg(sum(col("cnt")).as("n")), ps)
+    // broadcast hash join on col_name with the rank bound as residual
+    // condition; min(v) over the qualifying suffix IS the nearest-rank
+    // pick (cum is strictly increasing per column)
+    cum.join(broadcast(th),
+        col("col_name") === col("th_col") && col("cum") >= col("rk"))
+      .groupBy(col("th_col").as("col_name"), col("quantile"))
+      .agg(round(min(col("v")), 6).as("value"))
+      .select(lit(tableName).as("table_name"), col("col_name"),
+        col("quantile"), col("value"))
+  }
+
+  /** x63 — the corpus-scale twin of [[profileQuantiles]]: quantiles
+    * estimated from a FIXED-width histogram. Two map-only scans — one
+    * for per-column bounds (min/max/count, a tiny exchange), one to
+    * bin every value against the broadcast bounds — and every
+    * structure after the scans is ≤ `bins` rows per column: the
+    * (col_name, bin) exchange collapses under map-side combine, the
+    * cumulative window sorts ≤ `bins` rows, and the estimate is the
+    * lower edge of the first bin whose cumulative count reaches the
+    * nearest rank (error ≤ one bin width, (max−min)/bins). This is
+    * the production profiling shape — cardinality-independent state,
+    * mergeable across partitions — at the cost of binned resolution;
+    * [[profileQuantiles]] is the labeled exact baseline beside it.
+    *
+    * Engine portability: bin = floor(((v−mn)/(mx−mn))·bins) and
+    * edge = mn + bin·((mx−mn)/bins) are evaluated with the SAME
+    * parenthesization in the oracle SQL — IEEE doubles make identical
+    * expression trees bit-identical, so no cross-engine rounding seam
+    * exists to paper over. A constant column (mx = mn) takes bin 0 and
+    * estimates mn for every quantile.
+    * Output: (table_name, col_name, quantile, n_bins, est_value).
+    */
+  def profileQuantilesHist(
+      df: DataFrame, tableName: String, cols: Seq[String],
+      bins: Int = 256,
+      ps: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireSafeNames(cols, "profileQuantilesHist")
+    require(bins >= 2, "profileQuantilesHist: need at least 2 bins")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "profileQuantilesHist: quantiles must lie in [0, 1]")
+    val bounds = quantileValues(df, cols).groupBy("col_name").agg(
+      min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(lit(1)).as("n"))
+    val binned = quantileValues(df, cols)
+      .join(broadcast(bounds), Seq("col_name"))
+      .select(col("col_name"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(bins - 1L), floor(
+            ((col("v") - col("mn")) / (col("mx") - col("mn"))) * bins)))
+          .as("bin"))
+    val cum = binned.groupBy(col("col_name"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy("col_name").orderBy("bin")))
+    val th = quantileRanks(bounds, ps)
+    cum.join(broadcast(th),
+        col("col_name") === col("th_col") && col("cum") >= col("rk"))
+      .groupBy(col("th_col").as("col_name"), col("quantile"))
+      .agg(min(col("bin")).as("bin"))
+      .join(broadcast(bounds), Seq("col_name"))
+      .select(lit(tableName).as("table_name"), col("col_name"),
+        col("quantile"), lit(bins.toLong).as("n_bins"),
+        round(col("mn") + col("bin") * ((col("mx") - col("mn")) / bins), 6)
+          .as("est_value"))
+  }
+
+  /** One-scan unpivot of numeric columns to (col_name, v): the x53
+    * generator pattern, minus NULLs and NaNs (quantile aggregates
+    * exclude NULLs in every engine; NaN would poison min/max and sort
+    * ambiguously between engines). Shared by both quantile profiles so
+    * the exact baseline and the histogram twin see identical values.
+    */
+  private def quantileValues(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stackArgs =
+      cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    df.select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+  }
+
+  /** The nearest-rank threshold frame: (th_col, quantile, rk) with
+    * rk = max(1, ceil(p·n)). `ceil` on an IEEE double product is
+    * engine-portable (same literal, same multiply), and the max(1, ·)
+    * floor makes p = 0 mean the column minimum. The key is RENAMED to
+    * `th_col` because both join consumers derive the threshold frame
+    * from the same lineage they probe (a disambiguated self-join).
+    */
+  private def quantileRanks(n: DataFrame, ps: Seq[Double]): DataFrame =
+    n.select(col("col_name"), col("n"),
+        explode(array(ps.map(lit): _*)).as("quantile"))
+      .select(col("col_name").as("th_col"), col("quantile"),
+        greatest(lit(1L), ceil(col("quantile") * col("n"))).as("rk"))
+
+  /** x64 — per-column EXACT heavy hitters: the `k` most frequent
+    * values of each profiled column, ties broken by value ascending.
+    * The corpus-profiling staple (language mix, source mix, status
+    * skew) — and unlike quantiles, frequency counting is distributive,
+    * so the EXACT answer scales: one (col_name, value) exchange that
+    * map-side combine collapses to distinct values, then
+    * [[graft.plans.TopKPerGroup]] keeps ≤ partitions·k rows per column
+    * on the second exchange and no sort runs anywhere (the x07
+    * ranking argument). The distinct-bounded first exchange is the
+    * one scale caveat, shared with [[profileQuantiles]]: a
+    * near-unique column degrades toward row cardinality (and its
+    * "heavy hitters" are meaningless anyway) — the x53 sketch is the
+    * profiling answer there.
+    *
+    * Values are canonicalized to strings so mixed-type columns share
+    * one output schema — CAST AS STRING, not the x53 hash, because
+    * the VALUES are the output here, not their distinctness.
+    * Output: (table_name, col_name, rank, value, cnt), rank 1..k per
+    * column by (cnt desc, value asc).
+    */
+  def heavyHitters(
+      df: DataFrame, tableName: String, cols: Seq[String],
+      k: Int = 10): DataFrame = {
+    import graft.plans.TopKPerGroup
+    requireSafeNames(cols, "heavyHitters")
+    require(k >= 1, "heavyHitters: k must be >= 1")
+    val stackArgs =
+      cols.map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val cnts = df
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+    TopKPerGroup.topK(cnts, Seq("col_name"),
+        Seq("cnt" -> TopKPerGroup.Desc, "v" -> TopKPerGroup.Asc), k)
+      .select(lit(tableName).as("table_name"), col("col_name"),
+        col("rank"), col("v").as("value"), col("cnt"))
+  }
+
   /** Full introspection: builds the driver-side [[DatabaseMeta]] the
     * conversion algorithm consumes (analog of
     * server/DBMigration.js:30-91). Row counts and column lists come from

@@ -208,6 +208,28 @@ object ExtQueries {
 
   private def cosSql(a: String, b: String, dims: Int = 64) =
     s"round((${dotSql(a, b, dims)}) / ((${normSql(a, dims)}) * (${normSql(b, dims)})), 6)"
+  // numeric-profile conventions — MUST mirror the x62/x63 query entries.
+  private val QuantCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val QuantPs = "[0.0, 0.25, 0.5, 0.75, 1.0]"
+  private val HistBins = 256
+  /** Shared x62/x63 oracle prelude: vals(col_name, v) — the one-scan
+    * numeric unpivot minus NULLs/NaNs (mirrors Catalog.quantileValues)
+    * — plus the nearest-rank thresholds th(col_name, quantile, rk)
+    * over a counts CTE the caller names (`nSrc` must expose
+    * (col_name, n)).
+    */
+  private def quantValsCte: String =
+    QuantCols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem
+           |      WHERE $c IS NOT NULL AND NOT isnan($c)""".stripMargin)
+      .mkString("qvals AS (", "\nUNION ALL ", ")")
+  private def quantRankCtes(nSrc: String): String =
+    s"""qps AS (SELECT unnest(CAST($QuantPs AS DOUBLE[])) AS quantile),
+       |qth AS (SELECT col_name, quantile,
+       |          greatest(1, CAST(ceil(quantile * n) AS BIGINT)) AS rk
+       |        FROM $nSrc, qps)""".stripMargin
+
   /** language-ID CTEs ending in lang(doc_id, lang_pred) — mirrors
     * TextAnalysis.languageId (shared by x09's expanded form and x21).
     */
@@ -1161,6 +1183,94 @@ object ExtQueries {
              |         ORDER BY h LIMIT 256)) AS n_distinct_est
              |FROM orders""".stripMargin }
         .mkString("\nUNION ALL\n"))),
+
+    // ---- catalog: exact numeric quantile profile ---------------------
+    // Nearest-rank (percentile_disc) quantiles per lineitem measure
+    // column: value at position max(1, ceil(p·n)) of the sorted column.
+    // Discrete picks — actual data values, no interpolation — are what
+    // make the result engine-portable by construction; the shuffle
+    // carries DISTINCT values (map-side combine), the labeled scale
+    // limit beside the x63 histogram twin.
+    ("x62_profile_quantiles",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Catalog.profileQuantiles(
+          t(s, dir, "lineitem"), "lineitem", QuantCols),
+      Some(s"""WITH $quantValsCte,
+              |qc AS (SELECT col_name, v, count(*) AS cnt FROM qvals
+              |       GROUP BY col_name, v),
+              |qcum AS (SELECT col_name, v,
+              |           sum(cnt) OVER (PARTITION BY col_name ORDER BY v) AS cum
+              |         FROM qc),
+              |qn AS (SELECT col_name, sum(cnt) AS n FROM qc GROUP BY col_name),
+              |${quantRankCtes("qn")}
+              |SELECT 'lineitem' AS table_name, qth.col_name, quantile,
+              |  round(min(v), 6) AS value
+              |FROM qth JOIN qcum ON qcum.col_name = qth.col_name
+              |                  AND qcum.cum >= qth.rk
+              |GROUP BY qth.col_name, quantile""".stripMargin)),
+
+    // ---- catalog: histogram quantile profile (x62's scale twin) ------
+    // Same output shape, values binned to a FIXED 256-bin histogram
+    // first: two map-only scans, every post-scan structure ≤ 256 rows
+    // per column, estimate = lower edge of the bin where the nearest
+    // rank lands (error ≤ one bin width). Bin and edge arithmetic use
+    // the SAME parenthesization in both engines — IEEE doubles make
+    // identical expression trees bit-identical, so the oracle needs no
+    // cross-engine rounding seam.
+    ("x63_profile_quantiles_hist",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Catalog.profileQuantilesHist(
+          t(s, dir, "lineitem"), "lineitem", QuantCols),
+      Some(s"""WITH $quantValsCte,
+              |qb AS (SELECT col_name, min(v) AS mn, max(v) AS mx,
+              |         count(*) AS n
+              |       FROM qvals GROUP BY col_name),
+              |qbin AS (SELECT qvals.col_name,
+              |           CASE WHEN mx = mn THEN 0
+              |             ELSE least(${HistBins - 1}, CAST(floor(
+              |               ((v - mn) / (mx - mn)) * $HistBins) AS BIGINT))
+              |           END AS bin
+              |         FROM qvals JOIN qb ON qvals.col_name = qb.col_name),
+              |qcum AS (SELECT col_name, bin,
+              |           sum(cnt) OVER (PARTITION BY col_name ORDER BY bin) AS cum
+              |         FROM (SELECT col_name, bin, count(*) AS cnt FROM qbin
+              |               GROUP BY col_name, bin)),
+              |${quantRankCtes("qb")},
+              |qpick AS (SELECT qth.col_name, quantile, min(bin) AS bin
+              |          FROM qth JOIN qcum ON qcum.col_name = qth.col_name
+              |                            AND qcum.cum >= qth.rk
+              |          GROUP BY qth.col_name, quantile)
+              |SELECT 'lineitem' AS table_name, qpick.col_name, quantile,
+              |  CAST($HistBins AS BIGINT) AS n_bins,
+              |  round(mn + bin * ((mx - mn) / $HistBins), 6) AS est_value
+              |FROM qpick JOIN qb ON qpick.col_name = qb.col_name""".stripMargin)),
+
+    // ---- catalog: exact per-column heavy hitters ---------------------
+    // Top-10 most frequent values of the documents profile columns
+    // (language mix, source mix, length mode) — frequency counting is
+    // distributive, so the EXACT answer scales: map-side combine
+    // collapses the value exchange to distinct values and the heap
+    // ranks without sorting.
+    ("x64_profile_heavy_hitters",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Catalog.heavyHitters(
+          t(s, dir, "documents"), "documents",
+          Seq("lang", "source", "n_chars")),
+      Some(s"""WITH hvals AS (
+              |  SELECT 'lang' AS col_name, lang AS v FROM documents
+              |  WHERE lang IS NOT NULL
+              |  UNION ALL SELECT 'source', source FROM documents
+              |  WHERE source IS NOT NULL
+              |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+              |  WHERE n_chars IS NOT NULL),
+              |hc AS (SELECT col_name, v, count(*) AS cnt FROM hvals
+              |       GROUP BY col_name, v),
+              |hr AS (SELECT *, row_number() OVER
+              |         (PARTITION BY col_name ORDER BY cnt DESC, v) AS rnk
+              |       FROM hc)
+              |SELECT 'documents' AS table_name, col_name,
+              |  CAST(rnk AS INTEGER) AS "rank", v AS value, cnt
+              |FROM hr WHERE rnk <= 10""".stripMargin)),
 
     // ---- multimodal capstone: decode → frame-sample → featurize → ANN
     // The vision-preprocessing path composed in one plan; the decode is

@@ -226,6 +226,72 @@ class SchemaConverterSpec extends SparkSpec {
       (("1.000000e+32", "-3.500000e+45", "2.500000e+100")))
   }
 
+  test("quantile profile: nearest-rank picks, NULL/NaN excluded, p=0 is min") {
+    import spark.implicits._
+    // a: 1..10 → rk(p) = max(1, ceil(10p)): p0→1, p.25→3, p.5→5,
+    // p.75→8, p1→10 (percentile_disc semantics, hand-checked);
+    // b: constant; c: one real value among NULL/NaN noise
+    val df = (1 to 10).map(i => (
+        i.toDouble, 7.5,
+        if (i == 3) Some(5.0) else if (i == 4) Some(Double.NaN) else None))
+      .toDF("a", "b", "c")
+    val out = graft.operators.Catalog
+      .profileQuantiles(df, "t", Seq("a", "b", "c"))
+      .collect()
+      .map(r => (r.getString(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    assert(Seq(0.0, 0.25, 0.5, 0.75, 1.0).map(p => out(("a", p))) ===
+      Seq(1.0, 3.0, 5.0, 8.0, 10.0))
+    assert(Seq(0.0, 0.5, 1.0).forall(p => out(("b", p)) === 7.5),
+      "constant column: every quantile is the constant")
+    assert(Seq(0.0, 0.5, 1.0).forall(p => out(("c", p)) === 5.0),
+      "NULLs and NaNs must not count toward n or ranks")
+  }
+
+  test("histogram quantile profile: within a bin width of exact, constant exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // deterministic non-uniform values (quadratic spread) — the
+    // histogram estimate must stay within one bin width of the exact
+    // nearest-rank value, and a constant column collapses to bin 0
+    val df = (0 until 1000).map(i => (i * i / 1000.0, 42.0)).toDF("a", "b")
+    val bins = 64
+    val width = (999.0 * 999.0 / 1000.0) / bins
+    val exact = graft.operators.Catalog
+      .profileQuantiles(df, "t", Seq("a", "b")).collect()
+      .map(r => (r.getString(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    val est = graft.operators.Catalog
+      .profileQuantilesHist(df, "t", Seq("a", "b"), bins = bins).collect()
+      .map(r => (r.getString(1), r.getDouble(2)) -> r.getDouble(4)).toMap
+    assert(est.keySet === exact.keySet)
+    for (((c, p), e) <- exact) {
+      val h = est((c, p))
+      if (c == "b") assert(h === 42.0, "constant column estimates exactly")
+      else assert(h <= e + 1e-6 && e - h <= width + 1e-6,
+        s"col $c p=$p: est $h must be a lower edge within $width of exact $e")
+    }
+    // n_bins rides in the output for audit
+    val nb = graft.operators.Catalog
+      .profileQuantilesHist(df, "t", Seq("a"), bins = bins)
+      .select(col("n_bins")).distinct().head().getLong(0)
+    assert(nb === bins.toLong)
+  }
+
+  test("heavy hitters: frequency desc, value-asc ties, k caps per column") {
+    import spark.implicits._
+    val df = Seq("b", "b", "b", "a", "a", "a", "c")
+      .map(v => Tuple2(v, Option.empty[String])).toDF("v", "dead")
+    val top = graft.operators.Catalog.heavyHitters(df, "t", Seq("v", "dead"))
+      .collect().map(r =>
+        (r.getString(1), r.getInt(2), r.getString(3), r.getLong(4)))
+    // tie at cnt=3 breaks by value ascending: a before b
+    assert(top.toSeq === Seq(
+      ("v", 1, "a", 3L), ("v", 2, "b", 3L), ("v", 3, "c", 1L)),
+      "all-NULL column contributes no rows; ties order by value")
+    val capped = graft.operators.Catalog.heavyHitters(df, "t", Seq("v"), k = 2)
+      .collect()
+    assert(capped.length === 2 && capped.map(_.getString(3)).toSeq === Seq("a", "b"))
+  }
+
   test("profile name guard rejects quote, backtick, and backslash names") {
     import spark.implicits._
     val base = Seq((1L, "x")).toDF("id", "v")
@@ -233,7 +299,11 @@ class SchemaConverterSpec extends SparkSpec {
         (d: org.apache.spark.sql.DataFrame) =>
           graft.operators.Catalog.profile(d, "t"),
         (d: org.apache.spark.sql.DataFrame) =>
-          graft.operators.Catalog.profileApprox(d, "t"))) {
+          graft.operators.Catalog.profileApprox(d, "t"),
+        (d: org.apache.spark.sql.DataFrame) =>
+          graft.operators.Catalog.profileQuantiles(d, "t", Seq(bad)),
+        (d: org.apache.spark.sql.DataFrame) =>
+          graft.operators.Catalog.heavyHitters(d, "t", Seq(bad)))) {
       val ex = intercept[IllegalArgumentException] {
         op(base.withColumnRenamed("v", bad))
       }
