@@ -374,6 +374,74 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** [[contaminationScreen]] with a Bloom-filter pre-gate — the form
+    * that survives a benchmark/blocklist side too large to broadcast
+    * EXACTLY. x30 ships the whole distinct bench shingle set to every
+    * executor; at a 10⁹-shingle blocklist that broadcast (8+ GB of
+    * exact hashes) stops fitting, while the Bloom filter over the same
+    * set is `optimalNumOfBits(n, fpp)/8` bytes (~1.2 MB per million
+    * shingles at 1%) — small enough to ride to every task as a literal
+    * however large the blocklist grows.
+    *
+    * Plan shape, in order:
+    *   1. index build — one aggregate pass over the bench shingle set
+    *     through Spark's own `BloomFilterAggregate` (the expression
+    *     behind runtime row-level filtering; map-side partial merge,
+    *     one binary blob out). The single-row collect of the blob is
+    *     control-plane — in production this is a stored index artifact
+    *     built once at blocklist ingest, like x40's hash index.
+    *   2. map-only pre-gate — the corpus shingle scan filters through
+    *     `BloomFilterMightContain(blob, sh)` (codegen'd) BEFORE any
+    *     exchange; false-negative-free, so no true overlap is lost,
+    *     and ~(overlap + fpp·|corpus shingles|) rows survive.
+    *   3. exact confirm — the survivors join the bench set on `sh`.
+    *     Only survivors reach the exchange, so the join cost tracks the
+    *     true overlap, not the corpus; Bloom false positives die here,
+    *     making the OUTPUT bit-identical to x30's exact screen (the
+    *     oracle is literally x30's SQL).
+    *
+    * `expectedItems` sizes the filter (overestimating only wastes
+    * bits); `fpp` trades blob size against survivor count.
+    */
+  def contaminationScreenBloom(
+      docs: DataFrame,
+      bench: DataFrame,
+      n: Int = 5,
+      minShared: Long = 1L,
+      expectedItems: Long = 1L << 22,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
+    // bench side is read twice (bloom build + exact confirm) — persist
+    // the distinct set; in production both are precomputed index
+    // artifacts and neither pass reruns at query time.
+    val b = graft.tools.InternalCaches.persist(
+      hashedShingleSet(bench, n).select("sh").distinct())
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val bloomAgg = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(col("sh")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // one row, one binary blob: the index artifact (null when bench is
+    // empty — the probe then keeps nothing, which is the exact answer)
+    val blob = b.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = GraftSqlBridge.column(new BloomFilterMightContain(
+      Literal(blob, BinaryType), GraftSqlBridge.expression(col("sh"))))
+    val survivors = hashedShingleSet(docs, n).filter(mightContain)
+    val ov = survivors.join(b, Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.select(col("doc_id")).join(ov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** Incremental ingest screen — the daily-pipeline form of dedup:
     * screen an INCOMING batch against the EXISTING corpus without ever
     * comparing existing×existing (that work was done when those docs

@@ -1342,6 +1342,35 @@ object ExtQueries {
               |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
               |LEFT JOIN ov USING (doc_id)""".stripMargin)),
 
+    // ---- dedup: Bloom-pruned decontamination screen ------------------
+    // x30's scale twin for a blocklist too large to broadcast exactly:
+    // bench set → BloomFilterAggregate blob (a stored-index artifact in
+    // production), corpus shingles filter map-only through might_contain
+    // BEFORE any exchange, exact confirm join runs on survivors only.
+    // False positives die at the confirm, so the output — and the
+    // oracle — is bit-identical to the exact x30 screen.
+    ("x65_contamination_bloom",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        Dedup.contaminationScreenBloom(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), n = 5, minShared = 1L)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t
+              |            FROM documents),
+              |g5 AS (SELECT doc_id, source,
+              |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+              |                 t[i+3] || ' ' || t[i+4]
+              |                 for i in range(1, len(t) - 3)]) AS s
+              |       FROM tk),
+              |ds AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM g5 WHERE source <> 'src0'),
+              |bs AS (SELECT DISTINCT ${h32("s")} AS sh FROM g5 WHERE source = 'src0'),
+              |ov AS (SELECT doc_id, count(*) AS n_shared FROM ds JOIN bs USING (sh) GROUP BY 1)
+              |SELECT d.doc_id, COALESCE(ov.n_shared, 0) AS n_shared,
+              |  COALESCE(ov.n_shared, 0) >= 1 AS contaminated
+              |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+              |LEFT JOIN ov USING (doc_id)""".stripMargin)),
+
     // ---- streaming/batch parity: sessionize via the STREAMING path ----
     // The flatMapGroupsWithState sessionizer replayed over the bounded
     // events table (MemoryStream + sentinel-driven watermark close, see

@@ -378,6 +378,28 @@ class PlanQualitySpec extends SparkSpec {
       "x61's codes scan must prune partitions by probed centroid ids:\n" + p)
   }
 
+  test("x65 bloom screen: might_contain gates the corpus BELOW the confirm join") {
+    // the point of the Bloom pre-gate is that the corpus shingle stream
+    // is pruned map-side before any exchange — the filter must appear
+    // in the plan, and it must sit under the sh-join, not above it
+    val p = finalPlan(q("x65_contamination_bloom"))
+    assert(p.contains("might_contain"),
+      "x65 must pre-filter through BloomFilterMightContain:\n" + p)
+    // in formatted mode the Filter node id referencing might_contain
+    // must be deeper (larger id = earlier/lower in the printed tree)
+    // than the first sh-keyed join; cheap structural proxy: the filter
+    // condition string carries the bloom literal + sh, and no
+    // might_contain appears in any Project ABOVE a join output
+    val fmt = p.linesIterator.toSeq
+    val joinLine = fmt.indexWhere(l => l.contains("Join") && l.contains("sh"))
+    val bloomLine = fmt.indexWhere(_.contains("might_contain"))
+    assert(bloomLine >= 0, "bloom filter missing from formatted plan")
+    if (joinLine >= 0)
+      assert(bloomLine > joinLine,
+        s"might_contain (line $bloomLine) should print below the confirm join " +
+          s"(line $joinLine) in the operator tree:\n" + p)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))

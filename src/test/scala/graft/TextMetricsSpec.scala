@@ -82,6 +82,43 @@ class TextMetricsSpec extends SparkSpec {
     assert(out === Seq((1L, 3L, true), (2L, 0L, false), (3L, 0L, false)))
   }
 
+  test("bloom-pruned contamination screen equals the exact screen") {
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def sentence(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bench = (100L until 120L).map(i => (i, sentence(8 + rnd.nextInt(8))))
+      .toDF("doc_id", "text")
+    // half the docs embed a benchmark row verbatim (guaranteed overlap),
+    // half are fresh draws (overlap only by chance collisions of 5-grams)
+    val benchTexts = bench.collect().map(_.getString(1))
+    val docs = (0L until 60L).map { i =>
+      val txt =
+        if (i % 2 == 0) sentence(3) + " " + benchTexts((i / 2 % 20).toInt) + " " + sentence(3)
+        else sentence(12 + rnd.nextInt(10))
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.contaminationScreen(docs, bench, n = 5, minShared = 1L)
+    // small expectedItems + high fpp force real Bloom false positives
+    // through the pre-gate; the confirm join must still kill them all
+    val bloom = Dedup.contaminationScreenBloom(docs, bench, n = 5,
+      minShared = 1L, expectedItems = 64L, fpp = 0.4)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+      "bloom-pruned screen must be bit-identical to the exact screen")
+    assert(bloom.count() === 60L)
+  }
+
+  test("bloom contamination screen: empty benchmark keeps every doc clean") {
+    import graft.ext.Dedup
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Dedup.contaminationScreenBloom(docs, bench)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq((1L, 0L, false)))
+  }
+
   test("zipped-slice shingles equal the specification (lambda) form") {
     import graft.functions.Portable._
     val df = Seq("a b c d e", "x y", "solo", "p q r", "", "a a a a")
