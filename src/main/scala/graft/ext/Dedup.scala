@@ -380,59 +380,88 @@ object Dedup {
     * executor; at a 10⁹-shingle blocklist that broadcast (8+ GB of
     * exact hashes) stops fitting, while the Bloom filter over the same
     * set is `optimalNumOfBits(n, fpp)/8` bytes (~1.2 MB per million
-    * shingles at 1%) — small enough to ride to every task as a literal
-    * however large the blocklist grows.
+    * shingles at 1%). The blob is NOT literal-sized at every scale —
+    * 10⁹ items at 1% is ~1.2 GB — so the carrier switches on size:
+    * at or under `maxLiteralBytes` it rides the plan as a binary
+    * literal (`BloomFilterMightContain`); past that it rides a
+    * broadcast variable ([[graft.functions.BloomMightContainBc]]),
+    * fetched once per executor instead of shipping in every task
+    * binary.
     *
     * Plan shape, in order:
-    *   1. index build — one aggregate pass over the bench shingle set
-    *     through Spark's own `BloomFilterAggregate` (the expression
-    *     behind runtime row-level filtering; map-side partial merge,
-    *     one binary blob out). The single-row collect of the blob is
-    *     control-plane — in production this is a stored index artifact
-    *     built once at blocklist ingest, like x40's hash index.
+    *   1. index build — one `treeAggregate` pass over the bench
+    *     shingle set folding into an `o.a.s.util.sketch.BloomFilter`
+    *     (map-side partial filters, tree-merged). Deliberately NOT
+    *     Catalyst's `BloomFilterAggregate`: that aggregate silently
+    *     clamps its sizing to `spark.sql.optimizer.runtime.bloomFilter
+    *     .{maxNumItems (4M), maxNumBits (64M bits ≈ 8 MB)}` — past the
+    *     caps the filter is built smaller than requested, fpp drifts
+    *     toward 1, and the pre-gate stops pruning with no error raised
+    *     (output would stay exact; the performance claim dies
+    *     silently). The sketch library has no such ceiling, and its
+    *     serialized form is byte-compatible with
+    *     `BloomFilterMightContain`'s `readFrom`. The driver-side fold
+    *     result is control-plane — in production this is a stored
+    *     index artifact built once at blocklist ingest, like x40's
+    *     hash index.
     *   2. map-only pre-gate — the corpus shingle scan filters through
-    *     `BloomFilterMightContain(blob, sh)` (codegen'd) BEFORE any
-    *     exchange; false-negative-free, so no true overlap is lost,
-    *     and ~(overlap + fpp·|corpus shingles|) rows survive.
+    *     `might_contain` (codegen'd, literal- or broadcast-carried)
+    *     BEFORE any exchange; false-negative-free, so no true overlap
+    *     is lost, and ~(overlap + fpp·|corpus shingles|) rows survive.
     *   3. exact confirm — the survivors join the bench set on `sh`.
     *     Only survivors reach the exchange, so the join cost tracks the
     *     true overlap, not the corpus; Bloom false positives die here,
     *     making the OUTPUT bit-identical to x30's exact screen (the
     *     oracle is literally x30's SQL).
     *
-    * `expectedItems` sizes the filter (overestimating only wastes
-    * bits); `fpp` trades blob size against survivor count.
+    * `expectedItems` sizes the filter; `None` (the default) sizes it
+    * from the bench set's measured cardinality — the count is one
+    * cached-read aggregate over the set the build pass materializes
+    * anyway, and it keeps the blob proportionate to the blocklist at
+    * every scale instead of hard-coding one decade's guess.
+    * Overestimating only wastes bits; undersizing only raises fpp —
+    * the confirm join keeps the output exact either way. `fpp` trades
+    * blob size against survivor count.
     */
   def contaminationScreenBloom(
       docs: DataFrame,
       bench: DataFrame,
       n: Int = 5,
       minShared: Long = 1L,
-      expectedItems: Long = 1L << 22,
-      fpp: Double = 0.01): DataFrame = {
+      expectedItems: Option[Long] = None,
+      fpp: Double = 0.01,
+      maxLiteralBytes: Long = 4L << 20): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
     import org.apache.spark.util.sketch.BloomFilter
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+    require(expectedItems.forall(_ > 0) && fpp > 0 && fpp < 1,
       s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
     // bench side is read twice (bloom build + exact confirm) — persist
     // the distinct set; in production both are precomputed index
     // artifacts and neither pass reruns at query time.
     val b = graft.tools.InternalCaches.persist(
       hashedShingleSet(bench, n).select("sh").distinct())
-    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
-    val bloomAgg = GraftSqlBridge.column(
-      new BloomFilterAggregate(
-        GraftSqlBridge.expression(col("sh")),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    // one row, one binary blob: the index artifact (null when bench is
-    // empty — the probe then keeps nothing, which is the exact answer)
-    val blob = b.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-    val mightContain = GraftSqlBridge.column(new BloomFilterMightContain(
-      Literal(blob, BinaryType), GraftSqlBridge.expression(col("sh"))))
+    val items = expectedItems.getOrElse(math.max(b.count(), 64L))
+    val numBits = BloomFilter.optimalNumOfBits(items, fpp)
+    val spark = docs.sparkSession
+    val bf = b.select(col("sh")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .rdd.treeAggregate(BloomFilter.create(items, numBits))(
+        (f, v) => { f.putLong(v); f },
+        (a, c) => { a.mergeInPlace(c); a })
+    val mightContain =
+      if (numBits / 8 <= maxLiteralBytes) {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        GraftSqlBridge.column(new BloomFilterMightContain(
+          Literal(bos.toByteArray, BinaryType),
+          GraftSqlBridge.expression(col("sh"))))
+      } else {
+        GraftSqlBridge.column(graft.functions.BloomMightContainBc(
+          spark.sparkContext.broadcast(bf),
+          GraftSqlBridge.expression(col("sh"))))
+      }
     val survivors = hashedShingleSet(docs, n).filter(mightContain)
     val ov = survivors.join(b, Seq("sh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

@@ -1344,7 +1344,8 @@ object ExtQueries {
 
     // ---- dedup: Bloom-pruned decontamination screen ------------------
     // x30's scale twin for a blocklist too large to broadcast exactly:
-    // bench set → BloomFilterAggregate blob (a stored-index artifact in
+    // bench set → sketch BloomFilter blob (treeAggregate-built, sized
+    // from the measured bench cardinality — a stored-index artifact in
     // production), corpus shingles filter map-only through might_contain
     // BEFORE any exchange, exact confirm join runs on survivors only.
     // False positives die at the confirm, so the output — and the

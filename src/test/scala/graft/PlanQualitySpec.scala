@@ -391,7 +391,11 @@ class PlanQualitySpec extends SparkSpec {
     // condition string carries the bloom literal + sh, and no
     // might_contain appears in any Project ABOVE a join output
     val fmt = p.linesIterator.toSeq
-    val joinLine = fmt.indexWhere(l => l.contains("Join") && l.contains("sh"))
+    // match the confirm join by its KEY — a join condition on sh#<id> —
+    // not a bare "sh" substring ("sh" also hides inside
+    // BroadcastHashJoin and n_shared, which would match the wrong join)
+    val joinLine = fmt.indexWhere(l =>
+      l.contains("Join") && "\\bsh#\\d+".r.findFirstIn(l).isDefined)
     val bloomLine = fmt.indexWhere(_.contains("might_contain"))
     assert(bloomLine >= 0, "bloom filter missing from formatted plan")
     if (joinLine >= 0)

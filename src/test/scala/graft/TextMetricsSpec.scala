@@ -103,10 +103,43 @@ class TextMetricsSpec extends SparkSpec {
     // small expectedItems + high fpp force real Bloom false positives
     // through the pre-gate; the confirm join must still kill them all
     val bloom = Dedup.contaminationScreenBloom(docs, bench, n = 5,
-      minShared = 1L, expectedItems = 64L, fpp = 0.4)
+      minShared = 1L, expectedItems = Some(64L), fpp = 0.4)
     assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
       "bloom-pruned screen must be bit-identical to the exact screen")
     assert(bloom.count() === 60L)
+
+    // force the broadcast carrier (maxLiteralBytes = 0): same exact
+    // output, and the plan must gate through might_contain_bc instead
+    // of a plan-literal blob
+    val bcast = Dedup.contaminationScreenBloom(docs, bench, n = 5,
+      minShared = 1L, maxLiteralBytes = 0L)
+    assert(bcast.exceptAll(exact).isEmpty && exact.exceptAll(bcast).isEmpty,
+      "broadcast-carried gate must stay bit-identical to the exact screen")
+    assert(org.apache.spark.sql.GraftSqlBridge.analyzedPlan(bcast)
+      .toString.toLowerCase.contains("might_contain_bc"),
+      "past maxLiteralBytes the gate must ride the broadcast expression")
+  }
+
+  test("bloom contamination screen: auto-sizing keeps the blob KB-scale") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    val docs = (0L until 10L).map(i => (i, s"alpha beta gamma delta epsilon tok$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // default expectedItems = None sizes the filter from the measured
+    // bench cardinality (~2 shingles here), so the literal carried by
+    // might_contain must be bytes, not the ~5 MB a 4M-item guess built
+    val auto = Dedup.contaminationScreenBloom(docs, bench, n = 5)
+    val blobSizes = GraftSqlBridge.analyzedPlan(auto).collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case Literal(bytes: Array[Byte], BinaryType) => bytes.length })
+    }.flatten
+    assert(blobSizes.nonEmpty, "expected a binary bloom literal in the plan")
+    assert(blobSizes.max < 64 * 1024,
+      s"auto-sized bloom blob should be KB-scale on this fixture, got $blobSizes")
   }
 
   test("bloom contamination screen: empty benchmark keeps every doc clean") {
