@@ -30,25 +30,34 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // Load-aware deferral: twice (rounds 6 and 8) the committed round
+    // Load-aware deferral: three rounds running (6, 8, 9) the committed
     // artifact was contention noise that needed a judge re-run to
-    // interpret. If the 1-minute loadavg exceeds cpus/4 at startup,
-    // wait once (SPARK_GRAFT_BENCH_LOAD_WAIT seconds, default 60, 0
-    // disables) and re-sample; BOTH samples are stamped so the
-    // artifact shows the deferral instead of hiding the hot start.
-    // One wait only — the bench must terminate on a busy box, and the
-    // before/after stamps still self-indict if the wait didn't help.
-    val loadInitial = loadavg()
+    // interpret, and round 9 showed one fixed wait is too weak — the
+    // deferral fired at load 10.75, resumed at 4.0, and the median
+    // still ran 35% hot. The wait now LOOPS: while the 1-minute loadavg
+    // exceeds cpus/8, wait SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default
+    // 60, 0 disables) and re-sample, up to
+    // SPARK_GRAFT_BENCH_LOAD_RETRIES waits (default 5) — the bench must
+    // still terminate on a box that never goes idle. EVERY sample is
+    // stamped, so the artifact carries the whole deferral trail (or the
+    // proof the box stayed hot) instead of hiding the start condition.
     def load1m(s: String): Double =
       try s.split(",")(0).toDouble catch { case _: Exception => 0.0 }
     val waitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_WAIT", "60").toInt
-    val deferred = waitSec > 0 && load1m(loadInitial) > cpus.toInt / 4.0
-    if (deferred) {
-      System.err.println(
-        s"[bench] loadavg $loadInitial > ${cpus.toInt / 4.0}; waiting ${waitSec}s")
+    val maxWaits = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_RETRIES", "5").toInt
+    val loadTarget = cpus.toInt / 8.0
+    val loadSamples = scala.collection.mutable.ArrayBuffer(loadavg())
+    while (waitSec > 0 && loadSamples.size <= maxWaits &&
+        load1m(loadSamples.last) > loadTarget) {
+      System.err.println(s"[bench] loadavg ${loadSamples.last} > $loadTarget; " +
+        s"waiting ${waitSec}s (wait ${loadSamples.size}/$maxWaits)")
       Thread.sleep(waitSec * 1000L)
+      loadSamples += loadavg()
     }
-    val loadBefore = if (deferred) loadavg() else loadInitial
+    val deferred = loadSamples.size > 1
+    // pipe-joined: each sample is itself "1m,5m,15m"
+    val deferTrail = loadSamples.init.mkString("|")
+    val loadBefore = loadSamples.last
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // production registration path: strategies injected at build time,
@@ -137,7 +146,7 @@ object Bench {
     // Full-precision detail line first (medians, mins, loadavg stamps) —
     // for human diffing across rounds.
     val deferredDetail =
-      if (deferred) s""""loadavg_deferred_from":"$loadInitial","load_wait_sec":$waitSec,"""
+      if (deferred) s""""loadavg_deferred_from":"$deferTrail","load_wait_sec":$waitSec,"""
       else ""
     println(s"""{"metric":"total_detail","value":${f6(total)},"unit":"sec","stat":"median","runs":$runs,""" +
       s""""total_min":${f6(totalMin)},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
@@ -162,7 +171,7 @@ object Bench {
     val budget = 1880
     def compactLine(qs: Seq[(String, (Double, Double))], omitted: Int): String = {
       val om = if (omitted > 0) s""""queries_omitted":$omitted,""" else ""
-      val defer = if (deferred) s""""load_deferred_from":"$loadInitial",""" else ""
+      val defer = if (deferred) s""""load_deferred_from":"$deferTrail",""" else ""
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"median","runs":$runs,""" +
         s""""total_min":${f2(totalMin)},"load":"$loadBefore;$loadAfter",""" + defer +
         s""""replay_harness":$harnessJson,""" +
