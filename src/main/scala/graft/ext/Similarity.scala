@@ -49,9 +49,16 @@ object Similarity {
     * partition) before the exchange, so the shuffle carries O(P·Q·k)
     * rows however large the corpus, and no sort ever runs.
     */
-  def bruteForceTopK(emb: DataFrame, k: Int = 10, queryModulus: Int = 100): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, k: Int = 10, queryModulus: Int = 100,
+      queryIds: Seq[Long] = Nil): DataFrame = {
     val all = vecs(emb)
-    val queries = all.filter(col("vec_id") % queryModulus === 0)
+    // explicit queryIds override the modulus selection — the recall
+    // harness needs ground truth for a FIXED query set at corpus sizes
+    // where the modulus family itself grows with the data (every
+    // replica stride is ≡ 0 mod 100, so a 100× corpus has 100× the
+    // modulus queries and the exact pass would be quadratic in scale)
+    val queries = (if (queryIds.nonEmpty) all.filter(col("vec_id").isin(queryIds: _*))
+      else all.filter(col("vec_id") % queryModulus === 0))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -983,6 +990,20 @@ object Similarity {
     * fetching k'=50 original vectors per query instead of scanning
     * all of them (at 100 TB: Q·k'·d·8 bytes of vector reads instead
     * of n·d·8 — the re-rank reads ~0.005% of the corpus at n=3.2M).
+    *
+    * AT SCALE the 50-deep shortlist is not free of misses
+    * (tools.RecallAtScale, ground truth = brute force over the same
+    * corpus): with CONVENTION codebooks (trainIters=0) recall@5 at
+    * shortlist 50 is 0.92/0.88/0.88 at 1×/10×/100× (2k → 200k
+    * vectors) — more distractors eject more true neighbors past rank
+    * k'. Two levers restore it, both measured: deepen the shortlist
+    * (sl=200 → 1.00 at 100×; the re-rank stays O(Q·k')), or TRAIN the
+    * codebooks (trainIters=2 — x60's production default — holds
+    * 0.92/0.96/1.00 at sl=50: tighter cells shrink the quantization
+    * error that causes the ejections). The residual below 1.0 at
+    * small scale is IVF pruning loss (nprobe=2 of ~20 centroids at
+    * 1×), which no re-rank can resurrect — grow nprobe, not k', for
+    * that term.
     *
     * Scale shape: the shortlist (≤ Q·k' rows — the heap bounds it
     * before any exchange) is BROADCAST into one corpus scan to fetch

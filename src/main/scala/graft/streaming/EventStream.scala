@@ -321,4 +321,91 @@ object EventStream {
   def sessionizeReplay(spark: SparkSession, events: DataFrame): DataFrame =
     replayHarness(spark, events, Seq(2L, 4L))(ds => sessionize(spark, ds).toDF())
       .filter(col("user_id") >= 0)
+
+  /** FILE-transport streaming sessionization — the scale form of
+    * [[sessionizeReplay]], and the demonstrator for the x14 crossover:
+    * the exact batch sessionizer pays a per-user SORT over the whole
+    * corpus (measured linear-and-worsening at the second decade), while
+    * this runs the same bounded-state operator over `nBatches`
+    * time-ranged parquet micro-batches with NO driver-side collect
+    * (MemoryStream — the parity harness's transport — materializes its
+    * входной set on the driver by construction; a file stream reads
+    * executor-side like any scan).
+    *
+    * Replay layout: the events are staged once, range-partitioned on
+    * ts into `nBatches` files whose modification times are stamped in
+    * range order, so `maxFilesPerTrigger=1` feeds them oldest-first —
+    * a historical-log replay. Ranges are contiguous and disjoint, so
+    * no batch carries an event older than the previous batch's
+    * maximum and the 1-hour watermark never drops a late row (parity
+    * stays exact; the operator itself tolerates in-batch disorder).
+    * Each micro-batch sorts only its own slice per user and the open
+    * sessions ride O(users) state across batches — that bounded
+    * per-batch work is precisely what replaces the batch form's
+    * corpus-wide sort. Two far-future sentinel files (excluded user
+    * −1) drive the final watermark advance that closes remaining open
+    * state, mirroring the MemoryStream harness's ≥2-sentinel rule.
+    *
+    * Returns the complete emitted session set (same schema as
+    * [[sessionize]]); equality with the batch operator's sessions is
+    * spec'd on the fixture and count-checked at every ScaleDecade
+    * scale.
+    */
+  def sessionizeFileReplay(spark: SparkSession, eventsPath: String,
+      nBatches: Int = 8): DataFrame = {
+    import spark.implicits._
+    val qname = s"graft_filereplay_${replaySeq.incrementAndGet()}"
+    val stageDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_stage_$qname")
+    val ckptBase =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ckptDir = s"$ckptBase/graft_ckpt_$qname"
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr))
+      f.delete()
+    }
+    val batch = spark.read.parquet(eventsPath)
+      .selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
+        "event_type", "value")
+    val maxUs = batch.agg(max(col("ts_us"))).head().getLong(0)
+    batch.repartitionByRange(nBatches, col("ts_us"))
+      .write.mode("overwrite").parquet(stageDir.getPath)
+    // stamp modification times in part order (range partition 0 = the
+    // earliest ts range): the file source feeds oldest-modified first
+    val parts = Option(stageDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - parts.length * 2000L
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 1000L) }
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        // same measured state-partition choice as the MemoryStream
+        // harness: per-batch store-commit overhead dominates past ~8
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        val src = spark.readStream
+          .schema(spark.read.parquet(stageDir.getPath).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stageDir.getPath)
+          .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+          .as[Event]
+        sessionize(spark, src).toDF()
+          .writeStream.format("memory").queryName(qname).outputMode("append")
+          .option("checkpointLocation", ckptDir)
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      q.processAllAvailable()
+      for (h <- Seq(2L, 4L)) {
+        Seq(Event(-h, maxUs + h * 3600 * 1000000, -1L, "sentinel", 0.0)).toDS()
+          .write.mode("append").parquet(stageDir.getPath)
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      rmr(new java.io.File(ckptDir))
+      rmr(stageDir)
+    }
+    spark.table(qname).filter(col("user_id") >= 0)
+  }
 }

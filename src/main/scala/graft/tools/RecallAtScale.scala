@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+
+/** ANN recall measured AT SCALE — closes the evidence gap the round-9
+  * verdict named first: every recall number in the PQ story (raw 0.52
+  * → 1.00 re-ranked) came from the sf0.001 fixture, while the 10×/100×
+  * runs verified hash-exactness against the *approximate* oracle, not
+  * recall against ground truth.
+  *
+  * For each scale (sf0.1 base, 10×, 100× — the ScaleDecade corpora,
+  * generated here if absent) this tool computes brute-force exact
+  * top-k (x07's operator, restricted to the standard query set) as
+  * ground truth, then recall@k for:
+  *   - x56's compressed search (`ivfPqTopK`, registration defaults),
+  *   - x57's verified re-rank (`ivfPqRerankTopK`, shortlist=50),
+  *   - x60's production form (trained codebooks, trainIters=2), and
+  *   - a shortlist sweep (10/50/100/200) at each scale — the
+  *     shortlist-vs-scale curve the verdict asked for if 1.0 fails to
+  *     hold.
+  *
+  * Recall convention matches PqSweep: set intersection over
+  * (query_id, neighbor_id) pairs ÷ |ground truth|.
+  *
+  * Usage: runMain graft.tools.RecallAtScale [srcDir] [out10] [out100]
+  */
+object RecallAtScale {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out10 = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val out100 = args.lift(2).getOrElse("/tmp/graft_sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    for ((dir, reps) <- Seq(out10 -> 10, out100 -> 100)
+        if !new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      System.err.println(s"[recall] generating ${reps}x embeddings in $dir")
+      ScaleHeadroom.generate(spark, src, dir, reps, Set("embeddings"))
+    }
+
+    val qs = Seq(0L, 100L, 200L, 300L, 400L)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+
+    for ((dir, label) <- Seq(src -> "1x", out10 -> "10x", out100 -> "100x")) {
+      val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+      val n = emb.count()
+      val gt = pairs(Similarity.bruteForceTopK(emb, k = 5, queryIds = qs))
+      def recall(approx: Set[(Long, Long)]): Double =
+        (gt intersect approx).size.toDouble / gt.size
+      val r56 = recall(pairs(Similarity.ivfPqTopK(emb, queryIds = qs, k = 5)))
+      val r57 = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs, k = 5)))
+      val r60 = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs, k = 5,
+        trainIters = 2)))
+      println(f"""{"scale":"$label","vectors":$n,"recall5_x56_ivfpq":$r56%.2f,"recall5_x57_rerank":$r57%.2f,"recall5_x60_trained":$r60%.2f}""")
+      val curve = Seq(10, 50, 100, 200).map { sl =>
+        val r = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs,
+          k = 5, shortlist = sl)))
+        f""""sl$sl":$r%.2f"""
+      }
+      println(s"""{"scale":"$label","rerank_shortlist_curve":{${curve.mkString(",")}}}""")
+    }
+    spark.stop()
+  }
+}
