@@ -190,36 +190,43 @@ object Catalog {
     * n_distinct_est); estimate is exact whenever a column has fewer
     * than k distinct values.
     */
+  /** Engine-portable canonical string rendering of one column (shared
+    * by [[profileApprox]] and [[profileAll]]): doubles through
+    * DECIMAL(38,6) with NaN/±Infinity/huge-magnitude routed to literal
+    * tokens / %.6e scientific form, timestamps through epoch micros.
+    *
+    * Why the double detour: DECIMAL(38,6) can't hold
+    * NaN/Infinity/|x|>=1e32 — under non-ANSI Spark those CASTs
+    * silently go NULL (inflating n_nulls) while DuckDB errors. The
+    * token/%.6e renderings are produced identically by both engines
+    * (Java format_string and C printf agree digit-for-digit, and no
+    * double ≥ 1e32 can tie at the 7th significant digit, so
+    * HALF_UP-vs-half-even rounding never diverges — same argument as
+    * the DECIMAL(38,6) branch).
+    */
+  private def canonicalSql(f: org.apache.spark.sql.types.StructField): String = {
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case StringType => s"`${f.name}`"
+      case DoubleType | FloatType =>
+        s"""CASE WHEN isnan(`${f.name}`) THEN 'NaN'
+           |  WHEN `${f.name}` = CAST('Infinity' AS DOUBLE) THEN 'Infinity'
+           |  WHEN `${f.name}` = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'
+           |  WHEN abs(`${f.name}`) >= 1e32 THEN format_string('%.6e', CAST(`${f.name}` AS DOUBLE))
+           |  ELSE CAST(CAST(`${f.name}` AS DECIMAL(38,6)) AS STRING) END""".stripMargin
+      case TimestampType | TimestampNTZType =>
+        s"CAST(unix_micros(CAST(`${f.name}` AS TIMESTAMP)) AS STRING)"
+      case _ => s"CAST(`${f.name}` AS STRING)"
+    }
+  }
+
+  private val twoPow60 = 1152921504606846976.0 // 2^60, exact as a double
+
   def profileApprox(df: DataFrame, tableName: String, k: Int = 256): DataFrame = {
     import graft.functions.Portable
     require(k >= 2, "profileApprox: KMV needs k >= 2")
     val fields = df.schema.fields.toSeq
     requireSafeNames(fields.map(_.name), "profileApprox")
-    val twoPow60 = 1152921504606846976.0 // 2^60, exact as a double
-    def canonicalSql(f: org.apache.spark.sql.types.StructField): String = {
-      import org.apache.spark.sql.types._
-      f.dataType match {
-        case StringType => s"`${f.name}`"
-        case DoubleType | FloatType =>
-          // DECIMAL(38,6) can't hold NaN/Infinity/|x|>=1e32 — under
-          // non-ANSI Spark those CASTs silently go NULL (inflating
-          // n_nulls) while DuckDB errors. Route them to renderings
-          // both engines produce identically: literal NaN/Infinity
-          // tokens, and %.6e for the huge-magnitude range (Java
-          // format_string and C printf agree digit-for-digit there,
-          // and no double ≥ 1e32 can tie at the 7th significant
-          // digit, so HALF_UP-vs-half-even rounding never diverges —
-          // same argument as the DECIMAL(38,6) branch).
-          s"""CASE WHEN isnan(`${f.name}`) THEN 'NaN'
-             |  WHEN `${f.name}` = CAST('Infinity' AS DOUBLE) THEN 'Infinity'
-             |  WHEN `${f.name}` = CAST('-Infinity' AS DOUBLE) THEN '-Infinity'
-             |  WHEN abs(`${f.name}`) >= 1e32 THEN format_string('%.6e', CAST(`${f.name}` AS DOUBLE))
-             |  ELSE CAST(CAST(`${f.name}` AS DECIMAL(38,6)) AS STRING) END""".stripMargin
-        case TimestampType | TimestampNTZType =>
-          s"CAST(unix_micros(CAST(`${f.name}` AS TIMESTAMP)) AS STRING)"
-        case _ => s"CAST(`${f.name}` AS STRING)"
-      }
-    }
     val stackArgs = fields.map(f => s"'${f.name}', ${canonicalSql(f)}").mkString(", ")
     val unpivoted = df.select(
       expr(s"stack(${fields.size}, $stackArgs) AS (col_name, v)"))
@@ -429,6 +436,198 @@ object Catalog {
         Seq("cnt" -> TopKPerGroup.Desc, "v" -> TopKPerGroup.Asc), k)
       .select(lit(tableName).as("table_name"), col("col_name"),
         col("rank"), col("v").as("value"), col("cnt"))
+  }
+
+  /** x66 — the ONE-SCAN unified profile: what a production profiler
+    * actually runs. The family ships five single-purpose operators
+    * (x51/x53 counts+distinct, x62/x63 quantiles, x64 heavy hitters),
+    * each paying its own table scan; this composes the scale-path
+    * members — x53's KMV distinct, x63's fixed-width histogram
+    * quantiles, x64's exact heavy hitters, plus row/NULL counts and
+    * numeric min/max — into ONE pass: a single unpivot, a single
+    * (col_name, canonical value) exchange with map-side combine, and
+    * every branch consuming that IDENTICAL aggregated subtree so
+    * AQE's exchange reuse fires and the parquet scan runs exactly
+    * once (plan-gated).
+    *
+    * Plan discipline (the x53 lessons, applied 4-way): no branch may
+    * put a FILTER on the shared aggregate's grouping keys — Catalyst
+    * would push it below the aggregate, fork the subtree, and cost a
+    * second scan. So NULL values ride the exchange as a group
+    * (excluded branch-locally: the KMV branch via x53's
+    * Long.MaxValue hash sentinel, the heavy-hitter branch via a
+    * sort-last nullflag the heap orders first, the quantile branch
+    * via a NULL bin dropped only ABOVE the bounds join, where the
+    * mn/mx references pin the predicate), and the numeric projection
+    * is a `when(col_name IN numericCols, …)` expression, never a row
+    * filter.
+    *
+    * Scale shape: the one exchange is distinct-bounded — exactly the
+    * state any distinct estimate or frequency count requires; every
+    * structure AFTER it is ≤ max(k, bins, hh·partitions) rows per
+    * column (KMV bottom-k heaps, ≤ `bins` histogram rows, heavy-
+    * hitter partial heaps). Quantiles are estimated over the
+    * CANONICAL value domain (doubles collapsed at 1e-6 by the
+    * DECIMAL(38,6) rendering — the same profiling-grade trade x53's
+    * distinctness makes); ±Infinity and NaN are excluded from the
+    * numeric branch like x63 excludes NaN.
+    *
+    * Output, long format — one row per (column, metric):
+    * (table_name, col_name, metric, ord, value_str, value_num) with
+    * metric ∈ n_rows | n_nulls | n_distinct_est (ord 0) | min | max
+    * (numeric columns only, ord 0) | quantile_hist (ord = quantile)
+    * | heavy_hitter (ord = rank, value_str = the value, value_num =
+    * its count).
+    */
+  def profileAll(
+      df: DataFrame, tableName: String, cols: Seq[String],
+      numericCols: Seq[String],
+      k: Int = 256, hhK: Int = 10, bins: Int = 256,
+      ps: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0)): DataFrame = {
+    import graft.functions.Portable
+    import graft.plans.TopKPerGroup
+    import org.apache.spark.sql.expressions.Window
+    requireSafeNames(cols, "profileAll")
+    require(cols.nonEmpty && numericCols.forall(cols.contains),
+      "profileAll: numericCols must be a subset of cols")
+    require(k >= 2 && hhK >= 1 && bins >= 2, "profileAll: bad k/hhK/bins")
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      "profileAll: quantiles must lie in [0, 1]")
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    val stackArgs =
+      cols.map(c => s"'$c', ${canonicalSql(byName(c))}").mkString(", ")
+    // The vacuous isnotnull(col_name) is load-bearing: the quantile
+    // branch's inner joins make InferFiltersFromConstraints push an
+    // isnotnull(col_name) below the shared aggregate in THOSE branches
+    // only, forking the subtree into a second scan. Asserting it here,
+    // inside the shared subtree, makes the inferred filter redundant
+    // (already guaranteed by constraints) in every branch — the
+    // subtrees stay identical and AQE reuses one exchange. col_name is
+    // a stack() label literal, so the filter removes nothing.
+    val grouped = df
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)"))
+      .filter(col("col_name").isNotNull)
+      .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+
+    // ---- counts branch
+    val counts = grouped.groupBy("col_name").agg(
+      sum(col("cnt")).as("n_rows"),
+      coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_nulls"))
+
+    // ---- KMV distinct branch (x53's estimator over the same exchange).
+    // grouped's key is the VALUE, not its hash, so two values could in
+    // principle collide to one h — re-aggregate on (col_name, h) so the
+    // bottom-k ranks DISTINCT hashes exactly as the oracle's DISTINCT
+    // does (branch-local, already-aggregated input, map-side combined).
+    val nullSentinel = Long.MaxValue
+    val withH = grouped.select(col("col_name"),
+        coalesce(Portable.hash60(col("v")), lit(nullSentinel)).as("h"),
+        col("cnt"))
+      .groupBy("col_name", "h").agg(sum(col("cnt")).as("cnt"))
+    val bottomK = TopKPerGroup.topK(withH, Seq("col_name"),
+      Seq("h" -> TopKPerGroup.Asc, "cnt" -> TopKPerGroup.Asc), k)
+    val distinctEst = bottomK.groupBy("col_name")
+      .agg(count(when(col("h") =!= nullSentinel, lit(1))).as("n_seen"),
+        max(when(col("h") =!= nullSentinel, col("h"))).as("kth"))
+      .select(col("col_name"), coalesce(
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(round(lit((k - 1).toDouble * twoPow60) /
+            col("kth").cast("double")).cast("long")),
+        lit(0L)).as("n_distinct_est"))
+
+    // numeric value of a canonical rendering — an EXPRESSION, not a
+    // filter (guards ride as when(); see the plan-discipline note).
+    // try_cast, not cast: under ANSI the guard conjuncts don't promise
+    // to short-circuit before the cast sees a non-numeric column's value
+    val castV = expr("try_cast(v AS DOUBLE)")
+    def vNum = when(col("col_name").isin(numericCols: _*) &&
+      castV.isNotNull && !isnan(castV) &&
+      abs(castV) =!= lit(Double.PositiveInfinity), castV)
+
+    // ---- bounds (min/max/n per numeric column; n excludes NULLs)
+    val bounds = grouped
+      .select(col("col_name"), vNum.as("v_num"), col("cnt"))
+      .groupBy("col_name").agg(
+        min(col("v_num")).as("mn"), max(col("v_num")).as("mx"),
+        coalesce(sum(when(col("v_num").isNotNull, col("cnt"))), lit(0L)).as("n"))
+
+    // ---- histogram-quantile branch (x63's shape, weights = cnt)
+    val binned = grouped
+      .select(col("col_name"), vNum.as("v_num"), col("cnt"))
+      .join(broadcast(bounds), Seq("col_name"))
+      .select(col("col_name"),
+        // the n === 0 arm is unreachable (n = 0 ⇒ every v_num is NULL,
+        // caught by the first arm) — it exists to keep `n` referenced
+        // so this branch's bounds aggregate stays identical to the
+        // others' (pruning n would let the optimizer collapse it into
+        // a direct min/max over the unpivot: a second scan)
+        when(col("v_num").isNull, lit(null))
+          .when(col("n") === 0, lit(null))
+          .when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(bins - 1L), floor(
+            ((col("v_num") - col("mn")) / (col("mx") - col("mn"))) * bins)))
+          .as("bin"),
+        col("cnt"))
+    val cum = binned.groupBy(col("col_name"), col("bin"))
+      .agg(sum(col("cnt")).as("bcnt"))
+      .filter(col("bin").isNotNull)
+      .withColumn("cum",
+        sum(col("bcnt")).over(Window.partitionBy("col_name").orderBy("bin")))
+    val th = quantileRanks(bounds.select(col("col_name"), col("n")), ps)
+    val quant = cum.join(broadcast(th),
+        col("col_name") === col("th_col") && col("cum") >= col("rk"))
+      .groupBy(col("th_col").as("col_name"), col("quantile"))
+      .agg(min(col("bin")).as("bin"))
+      .join(broadcast(bounds), Seq("col_name"))
+      .select(col("col_name"), col("quantile"),
+        // rows reach here only via a cum ≥ rk match, which requires
+        // n ≥ 1 — the n > 0 gate is identity, kept so `n` stays
+        // referenced and this bounds copy doesn't prune-and-collapse
+        // into its own scan (see the binned-branch note)
+        when(col("n") > 0,
+          round(col("mn") + col("bin") * ((col("mx") - col("mn")) / bins), 6))
+          .as("est_value"))
+
+    // ---- heavy-hitter branch (x64's heap; NULL group sorts last)
+    val hits = TopKPerGroup.topK(
+        grouped.select(col("col_name"),
+          when(col("v").isNull, lit(1L)).otherwise(lit(0L)).as("nullflag"),
+          col("v"), col("cnt")),
+        Seq("col_name"),
+        Seq("nullflag" -> TopKPerGroup.Asc, "cnt" -> TopKPerGroup.Desc,
+          "v" -> TopKPerGroup.Asc), hhK)
+      .filter(col("nullflag") === 0L)
+
+    // ---- assemble the long-format union
+    val metricRows = counts
+      .join(broadcast(distinctEst), Seq("col_name"), "left")
+      .join(broadcast(bounds), Seq("col_name"), "left")
+      .select(col("col_name"), expr(
+        // min/max gate on n > 0 rather than mn IS NULL — equivalent
+        // (a column has numeric values iff n > 0), and the reference
+        // to n stops ColumnPruning from dropping it here, which would
+        // let the optimizer collapse this branch's bounds aggregate
+        // over the shared aggregate into a direct min/max over the
+        // unpivot — a cheaper branch plan that costs a SECOND scan
+        """stack(5,
+          |  'n_rows', CAST(n_rows AS DOUBLE),
+          |  'n_nulls', CAST(n_nulls AS DOUBLE),
+          |  'n_distinct_est', CAST(coalesce(n_distinct_est, 0) AS DOUBLE),
+          |  'min', CASE WHEN n > 0 THEN mn END,
+          |  'max', CASE WHEN n > 0 THEN mx END) AS (metric, value_num)""".stripMargin))
+      .filter(!(col("metric").isin("min", "max") && col("value_num").isNull))
+      .select(col("col_name"), col("metric"), lit(0.0).as("ord"),
+        lit(null).cast("string").as("value_str"), col("value_num"))
+    val quantRows = quant.select(col("col_name"),
+      lit("quantile_hist").as("metric"), col("quantile").as("ord"),
+      lit(null).cast("string").as("value_str"),
+      col("est_value").as("value_num"))
+    val hhRows = hits.select(col("col_name"),
+      lit("heavy_hitter").as("metric"), col("rank").cast("double").as("ord"),
+      col("v").as("value_str"), col("cnt").cast("double").as("value_num"))
+    metricRows.unionByName(quantRows).unionByName(hhRows)
+      .select(lit(tableName).as("table_name"), col("col_name"),
+        col("metric"), col("ord"), col("value_str"), col("value_num"))
   }
 
   /** Full introspection: builds the driver-side [[DatabaseMeta]] the

@@ -1272,6 +1272,82 @@ object ExtQueries {
               |  CAST(rnk AS INTEGER) AS "rank", v AS value, cnt
               |FROM hr WHERE rnk <= 10""".stripMargin)),
 
+    // ---- catalog: the ONE-SCAN unified profile (production form) -----
+    // x53's KMV distinct + x63's histogram quantiles + x64's heavy
+    // hitters + row/NULL counts + numeric min/max, composed so every
+    // branch consumes the IDENTICAL (col_name, value) aggregate — one
+    // parquet scan, one value exchange, AQE exchange reuse (plan-gated).
+    // The single-purpose family members stay as labeled baselines; this
+    // is the query a production profiler actually submits.
+    ("x66_profile_all",
+      (s: SparkSession, dir: String) =>
+        graft.operators.Catalog.profileAll(
+          t(s, dir, "documents"), "documents",
+          Seq("doc_id", "lang", "source", "n_chars"),
+          Seq("doc_id", "n_chars")),
+      Some(s"""WITH pvals AS (
+              |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+              |  UNION ALL SELECT 'lang', lang FROM documents
+              |  UNION ALL SELECT 'source', source FROM documents
+              |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+              |pg AS (SELECT col_name, v, count(*) AS cnt FROM pvals GROUP BY 1, 2),
+              |pcnt AS (SELECT col_name, sum(cnt) AS n_rows,
+              |           coalesce(sum(cnt) FILTER (WHERE v IS NULL), 0) AS n_nulls
+              |         FROM pg GROUP BY 1),
+              |pkr AS (SELECT col_name, h, row_number() OVER
+              |          (PARTITION BY col_name ORDER BY h) AS rn
+              |        FROM (SELECT DISTINCT col_name, ${h60("v")} AS h FROM pg
+              |              WHERE v IS NOT NULL)),
+              |pkmv AS (SELECT col_name,
+              |    CASE WHEN count(*) < 256 THEN count(*)
+              |      ELSE CAST(round(255.0 * 1152921504606846976.0 /
+              |             CAST(max(h) AS DOUBLE)) AS BIGINT) END AS n_distinct_est
+              |  FROM pkr WHERE rn <= 256 GROUP BY col_name),
+              |pnum AS (SELECT col_name, CAST(v AS DOUBLE) AS vn, cnt FROM pg
+              |         WHERE col_name IN ('doc_id', 'n_chars') AND v IS NOT NULL),
+              |pb AS (SELECT col_name, min(vn) AS mn, max(vn) AS mx, sum(cnt) AS n
+              |       FROM pnum GROUP BY 1),
+              |pbin AS (SELECT pnum.col_name,
+              |           CASE WHEN mx = mn THEN 0
+              |             ELSE least(255, CAST(floor(((vn - mn) / (mx - mn)) * 256) AS BIGINT))
+              |           END AS bin, cnt
+              |         FROM pnum JOIN pb ON pnum.col_name = pb.col_name),
+              |pcum AS (SELECT col_name, bin,
+              |           sum(bcnt) OVER (PARTITION BY col_name ORDER BY bin) AS cum
+              |         FROM (SELECT col_name, bin, sum(cnt) AS bcnt FROM pbin
+              |               GROUP BY 1, 2)),
+              |pps AS (SELECT unnest(CAST([0.0, 0.25, 0.5, 0.75, 1.0] AS DOUBLE[])) AS quantile),
+              |pth AS (SELECT col_name, quantile,
+              |          greatest(1, CAST(ceil(quantile * n) AS BIGINT)) AS rk
+              |        FROM pb, pps),
+              |ppick AS (SELECT pth.col_name, quantile, min(bin) AS bin
+              |          FROM pth JOIN pcum ON pcum.col_name = pth.col_name
+              |                            AND pcum.cum >= pth.rk
+              |          GROUP BY 1, 2),
+              |pq AS (SELECT ppick.col_name, quantile,
+              |         round(mn + bin * ((mx - mn) / 256), 6) AS est_value
+              |       FROM ppick JOIN pb ON ppick.col_name = pb.col_name),
+              |phh AS (SELECT col_name, v, cnt, row_number() OVER
+              |          (PARTITION BY col_name ORDER BY cnt DESC, v) AS rnk
+              |        FROM pg WHERE v IS NOT NULL)
+              |SELECT 'documents' AS table_name, col_name, 'n_rows' AS metric,
+              |  0.0 AS ord, CAST(NULL AS VARCHAR) AS value_str,
+              |  CAST(n_rows AS DOUBLE) AS value_num FROM pcnt
+              |UNION ALL SELECT 'documents', col_name, 'n_nulls', 0.0, NULL,
+              |  CAST(n_nulls AS DOUBLE) FROM pcnt
+              |UNION ALL SELECT 'documents', pcnt.col_name, 'n_distinct_est', 0.0,
+              |  NULL, CAST(coalesce(pkmv.n_distinct_est, 0) AS DOUBLE)
+              |FROM pcnt LEFT JOIN pkmv ON pcnt.col_name = pkmv.col_name
+              |UNION ALL SELECT 'documents', col_name, 'min', 0.0, NULL, mn
+              |FROM pb WHERE mn IS NOT NULL
+              |UNION ALL SELECT 'documents', col_name, 'max', 0.0, NULL, mx
+              |FROM pb WHERE mx IS NOT NULL
+              |UNION ALL SELECT 'documents', col_name, 'quantile_hist', quantile,
+              |  NULL, est_value FROM pq
+              |UNION ALL SELECT 'documents', col_name, 'heavy_hitter',
+              |  CAST(rnk AS DOUBLE), v, CAST(cnt AS DOUBLE) FROM phh
+              |WHERE rnk <= 10""".stripMargin)),
+
     // ---- multimodal capstone: decode → frame-sample → featurize → ANN
     // The vision-preprocessing path composed in one plan; the decode is
     // the real P5/P6/WAV parser, the featurization is the

@@ -329,7 +329,7 @@ object EventStream {
     * this runs the same bounded-state operator over `nBatches`
     * time-ranged parquet micro-batches with NO driver-side collect
     * (MemoryStream — the parity harness's transport — materializes its
-    * входной set on the driver by construction; a file stream reads
+    * input set on the driver by construction; a file stream reads
     * executor-side like any scan).
     *
     * Replay layout: the events are staged once, range-partitioned on
@@ -351,8 +351,48 @@ object EventStream {
     * spec'd on the fixture and count-checked at every ScaleDecade
     * scale.
     */
-  def sessionizeFileReplay(spark: SparkSession, eventsPath: String,
+  def sessionizeFileReplay(spark: SparkSession, events: DataFrame,
       nBatches: Int = 8): DataFrame = {
+    val qname = runFileReplay(spark, events, nBatches) { (sessions, ckpt, name) =>
+      sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    }
+    spark.table(qname).filter(col("user_id") >= 0)
+  }
+
+  /** [[sessionizeFileReplay]] with a DISTRIBUTED count sink — the form
+    * the scale probe times. The memory sink collects every emitted
+    * session to the driver (fine for the fixture parity spec; at 100×
+    * it collects ~9.5M rows single-threaded and the measurement stops
+    * being about the operator), while `foreachBatch` counts each
+    * micro-batch's emissions executor-side and ships one long back.
+    * Returns the total closed-session count (sentinel user excluded).
+    */
+  def sessionizeFileReplayCount(spark: SparkSession, events: DataFrame,
+      nBatches: Int = 8, stateParts: Int = 8): Long = {
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    runFileReplay(spark, events, nBatches, stateParts) { (sessions, ckpt, _) =>
+      sessions.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          total.addAndGet(b.filter(col("user_id") >= 0).count()); ()
+        }
+        .start()
+    }
+    total.get()
+  }
+
+  /** Shared file-replay scaffold: stage the events time-range-
+    * partitioned, stream them oldest-range-first through
+    * [[sessionize]], drain open state with two sentinel files, clean
+    * up. `startQuery` attaches the caller's sink to the session
+    * stream; returns the query name (memory-sink callers read the
+    * table it names).
+    */
+  private def runFileReplay(spark: SparkSession, events: DataFrame,
+      nBatches: Int, stateParts: Int = 8)(
+      startQuery: (DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): String = {
     import spark.implicits._
     val qname = s"graft_filereplay_${replaySeq.incrementAndGet()}"
     val stageDir = new java.io.File(
@@ -365,7 +405,8 @@ object EventStream {
       Option(f.listFiles()).foreach(_.foreach(rmr))
       f.delete()
     }
-    val batch = spark.read.parquet(eventsPath)
+    // callers pass the Tables.load-normalized frame (ts = ns-epoch long)
+    val batch = events
       .selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
         "event_type", "value")
     val maxUs = batch.agg(max(col("ts_us"))).head().getLong(0)
@@ -380,19 +421,18 @@ object EventStream {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {
-        // same measured state-partition choice as the MemoryStream
-        // harness: per-batch store-commit overhead dominates past ~8
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        // default = the MemoryStream harness's measured choice (8):
+        // per-batch store-commit overhead dominates parallelism for
+        // SHORT replays; at bigger per-batch slices the balance moves —
+        // tools.CrossoverProbe sweeps it
+        spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
         val src = spark.readStream
           .schema(spark.read.parquet(stageDir.getPath).schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(stageDir.getPath)
           .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
           .as[Event]
-        sessionize(spark, src).toDF()
-          .writeStream.format("memory").queryName(qname).outputMode("append")
-          .option("checkpointLocation", ckptDir)
-          .start()
+        startQuery(sessionize(spark, src).toDF(), ckptDir, qname)
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       q.processAllAvailable()
@@ -406,6 +446,6 @@ object EventStream {
       rmr(new java.io.File(ckptDir))
       rmr(stageDir)
     }
-    spark.table(qname).filter(col("user_id") >= 0)
+    qname
   }
 }

@@ -172,6 +172,29 @@ object ScaleDecade {
           println(f"""{"query":"x59_split_$label","build_sec":$build%.3f,"search_sec":${times(1)}%.3f}""")
       }
     }
+    // ---- x14 crossover: the bounded-state streaming sessionizer over
+    // the SAME corpora the sort-based exact form decades on. x14 is the
+    // labeled linear row (10.8× in decade 2 — a per-user sort floor);
+    // the streaming operator is its stated alternative, and this block
+    // measures the alternative actually running at the scale where the
+    // sort loses: file-transport micro-batches (no driver collect),
+    // O(users) state, each batch sorting only its own slice. One run
+    // per scale (the replay carries fixed per-batch harness overhead —
+    // the decade RATIO is the signal, absolute floors are stamped in
+    // HEADROOM's replay notes), with a session-count parity check
+    // against the batch operator at every scale.
+    if (selected("x14_events_sessions")) {
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val events = graft.sources.Tables.load(spark, d, "events")
+          val t0 = System.nanoTime()
+          val n = graft.streaming.EventStream
+            .sessionizeFileReplayCount(spark, events, nBatches = 8)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val nBatch = SparkEntry.queries("x14_events_sessions")(spark, d).count()
+          println(f"""{"query":"x14_stream_crossover","scale":"$label","sec":$sec%.3f,"sessions":$n,"batch_sessions":$nBatch,"parity":${n == nBatch}}""")
+      }
+    }
     if (!selected("x48_sequence_packing")) { spark.stop(); return }
     // ---- giant-single-stratum packing stress (derived from the 100x
     // corpus dir, 90% one lang)

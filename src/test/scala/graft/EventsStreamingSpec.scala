@@ -80,6 +80,22 @@ class EventsStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("file-transport streaming sessionization equals the batch operator") {
+    // the crossover demonstrator: same bounded-state operator as the
+    // MemoryStream parity harness, but fed time-ranged parquet files
+    // with no driver-side collect — the form that runs where x14's
+    // corpus-wide sort loses. Parity must stay exact through the
+    // range-partitioned staging and the sentinel-file drain.
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val streamed = EventStream.sessionizeFileReplay(spark, events, nBatches = 4)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    val batch = Events.sessionize(events)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "file-replay streaming sessions diverge from the batch operator")
+    assert(streamed.count() === batch.count())
+  }
+
   test("chained streaming hourly agg (exact n_users) equals the batch aggregate") {
     val events = graft.sources.Tables.load(spark, sf, "events")
     val streamed = EventStream.hourlyCountsReplay(spark, events)

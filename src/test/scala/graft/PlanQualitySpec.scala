@@ -404,6 +404,22 @@ class PlanQualitySpec extends SparkSpec {
           s"(line $joinLine) in the operator tree:\n" + p)
   }
 
+  test("x66 unified profile: every branch rides ONE scan of the table") {
+    // the composed profiler's whole point: counts, KMV distinct,
+    // histogram quantiles, and heavy hitters all consume the identical
+    // (col_name, value) aggregate, so AQE reuses the exchange and the
+    // parquet scan runs once — a branch-local filter pushed below the
+    // shared aggregate would fork the subtree into N scans
+    val df = q("x66_profile_all")
+    df.collect()
+    val exec = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case o => o.toString
+    }
+    assert("FileScan parquet".r.findAllIn(exec).length === 1,
+      "profileAll must be a single pass over the table:\n" + exec)
+  }
+
   test("window top-k (q28) vs custom operator (q30): only q28 sorts") {
     val pw = finalPlan(q("q28_window_topk"))
     val pc = finalPlan(q("q30_topk_custom_op"))
