@@ -1081,4 +1081,58 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos_sim"), col("approx_cos"))
   }
+
+  /** x67 — the retrain trigger that closes the lifecycle loop x61
+    * opened: [[ivfPqAppendIndex]] keeps stored codebooks frozen across
+    * appends (so does FAISS `add`) and its Scaladoc hands the
+    * when-to-rebuild decision to "the recall monitor" — this is that
+    * monitor. It reads the audit column the verified re-rank already
+    * emits (x57's `approx_cos` rides beside the exact `cos_sim`
+    * precisely for this) and distills the re-rank output into one
+    * decision row:
+    *   - `mean_gap` — mean(cos_sim − approx_cos) over the final top-k:
+    *     the quantization error the frozen codebooks currently add.
+    *     Appended vectors from a DRIFTED distribution land far from
+    *     every trained cell center, so the gap rises with drift; it
+    *     cannot fall below the training-time floor.
+    *   - `rank_churn` — the fraction of result rows whose exact rank
+    *     differs from their approx-cos rank: how often the compressed
+    *     domain mis-ORDERS what it still retrieves. Churn burns
+    *     shortlist budget (a mis-ranked true neighbor must fit inside
+    *     k' to survive), so rising churn predicts recall loss before
+    *     recall itself is measurable.
+    *   - `needs_retrain` — either mean exceeding its threshold. The
+    * churn default is deliberately loose (0.9): near-tied candidates
+    * reorder at any codebook health (the fixture shows ~0.67 churn
+    * with freshly trained codebooks and a 0.02 gap), so order churn
+    * only signals pathology when nearly every row is misordered —
+    * `mean_gap` is the primary trigger.
+    * Thresholds compare against the ROUNDED means, so the flag is
+    * bit-portable to the oracle. Cost: O(Q·k) input rows — the window
+    * partitions per query over k rows; free beside any search.
+    * Decimal-sum mean (associative) keeps the double mean
+    * order-independent, the same portability rule the event
+    * aggregates use.
+    */
+  def retrainMonitor(
+      rerank: DataFrame,
+      maxMeanGap: Double = 0.05,
+      maxRankChurn: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    rerank
+      .withColumn("approx_rank", row_number().over(w))
+      .agg(
+        count(lit(1)).as("n_results"),
+        round(sum((col("cos_sim") - col("approx_cos"))
+            .cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_gap"),
+        round(sum(when(col("rank") =!= col("approx_rank"), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("rank_churn"))
+      .select(col("n_results"), col("mean_gap"), col("rank_churn"),
+        (col("mean_gap") > maxMeanGap || col("rank_churn") > maxRankChurn)
+          .as("needs_retrain"))
+  }
 }

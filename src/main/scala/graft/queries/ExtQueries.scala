@@ -651,6 +651,48 @@ object ExtQueries {
               |  cos_sim, approx_cos
               |FROM rrk WHERE rnk <= 5""".stripMargin)),
 
+    // ---- similarity: the retrain trigger off the re-rank audit column
+    // x61's append path freezes codebooks between retrains and defers
+    // the rebuild decision to "the recall monitor" — x67 IS that
+    // monitor: x57's verified re-rank distilled to one decision row
+    // (mean exact-vs-approx gap, rank churn, thresholded
+    // needs_retrain). The oracle extends x57's CTE chain with the same
+    // decimal-sum means and rounded-threshold comparison.
+    ("x67_retrain_monitor",
+      (s: SparkSession, dir: String) =>
+        Similarity.retrainMonitor(
+          Similarity.ivfPqRerankTopK(t(s, dir, "embeddings"),
+            queryIds = Seq(7L, 177L, 357L))),
+      Some(s"""WITH $pqEncodeCtes,
+              |$ivfPqScoredCtes,
+              |srk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |        FROM scored),
+              |shortl AS (SELECT query_id, neighbor_id, approx_cos
+              |           FROM srk WHERE rnk <= $PqShortlist),
+              |re AS (SELECT sl.query_id, sl.neighbor_id,
+              |         ${cosSql("q.qv", "pe.v")} AS cos_sim, sl.approx_cos
+              |       FROM shortl sl
+              |       JOIN pe ON pe.vec_id = sl.neighbor_id
+              |       JOIN q ON q.query_id = sl.query_id),
+              |rrk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              |        FROM re),
+              |topk AS (SELECT query_id, rnk, neighbor_id, cos_sim, approx_cos
+              |         FROM rrk WHERE rnk <= 5),
+              |ar AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS arnk
+              |       FROM topk),
+              |agg AS (SELECT count(*) AS n_results,
+              |    round(CAST(sum(CAST(cos_sim - approx_cos AS DECIMAL(28,10))) AS DOUBLE)
+              |      / count(*), 6) AS mean_gap,
+              |    round(CAST(sum(CASE WHEN rnk <> arnk THEN 1 ELSE 0 END) AS DOUBLE)
+              |      / count(*), 6) AS rank_churn
+              |  FROM ar)
+              |SELECT n_results, mean_gap, rank_churn,
+              |  (mean_gap > 0.05 OR rank_churn > 0.9) AS needs_retrain
+              |FROM agg""".stripMargin)),
+
     // ---- similarity: the production ANN lifecycle, end to end ---------
     // x58's trained codebook built into x59's persisted index, searched
     // with x56's coarse-pruned compressed-domain scan, finished with

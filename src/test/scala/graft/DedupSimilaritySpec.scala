@@ -276,6 +276,37 @@ class DedupSimilaritySpec extends SparkSpec {
       "search over an appended index must equal the in-plan composition")
   }
 
+  test("retrain monitor: a drifted append trips needs_retrain, in-distribution search does not") {
+    // the x67 contract, on the real lifecycle: codebooks trained and
+    // persisted on the base corpus, a batch from a SHIFTED distribution
+    // appended with those codebooks frozen (x61 semantics) — the
+    // monitor must read the drift out of the re-rank audit column
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_retrain_spec").toString
+    Similarity.ivfPqWriteIndex(emb, idx, trainIters = 2)
+    val qsBase = Seq(0L, 100L, 200L)
+    val control = Similarity.retrainMonitor(
+      Similarity.ivfPqSearchIndexReranked(emb, idx, qsBase, k = 5)).head()
+    // drifted batch: every coordinate shifted +3 — far from every
+    // trained cell center, so the frozen codebooks misquantize it
+    val stride = 1000000L
+    val drifted = emb.select((col("vec_id") + stride).as("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0)).as("embedding"),
+      col("label"))
+    Similarity.ivfPqAppendIndex(drifted, idx)
+    val combined = emb.select("vec_id", "embedding", "label")
+      .unionByName(drifted)
+    val drift = Similarity.retrainMonitor(
+      Similarity.ivfPqSearchIndexReranked(
+        combined, idx, qsBase.map(_ + stride), k = 5)).head()
+    assert(drift.getAs[Double]("mean_gap") > control.getAs[Double]("mean_gap"),
+      s"drift must raise the quantization gap: control=$control drift=$drift")
+    assert(drift.getAs[Boolean]("needs_retrain"),
+      s"drifted append must trip the monitor: $drift")
+    assert(!control.getAs[Boolean]("needs_retrain"),
+      s"trained in-distribution search must not trip the monitor: $control")
+  }
+
   test("production path: trained + persisted + reranked equals the in-plan chain") {
     // x60's composition (trained codebook -> stored index -> pruned
     // compressed search -> exact re-rank) must equal the same chain
