@@ -323,14 +323,27 @@ object EventStream {
       .filter(col("user_id") >= 0)
 
   /** FILE-transport streaming sessionization — the scale form of
-    * [[sessionizeReplay]], and the demonstrator for the x14 crossover:
-    * the exact batch sessionizer pays a per-user SORT over the whole
-    * corpus (measured linear-and-worsening at the second decade), while
-    * this runs the same bounded-state operator over `nBatches`
-    * time-ranged parquet micro-batches with NO driver-side collect
-    * (MemoryStream — the parity harness's transport — materializes its
-    * input set on the driver by construction; a file stream reads
-    * executor-side like any scan).
+    * [[sessionizeReplay]]: the same bounded-state operator over
+    * `nBatches` time-ranged parquet micro-batches with NO driver-side
+    * collect (MemoryStream — the parity harness's transport —
+    * materializes its input set on the driver by construction; a file
+    * stream reads executor-side like any scan).
+    *
+    * What the round-10 measurement established (tools.CrossoverProbe,
+    * HEADROOM): in ONE-SHOT replay form this does NOT beat the batch
+    * sort at any measured scale — through 10⁸ events, on both the
+    * user-growth and time-growth corpus axes, Tungsten's codegen'd
+    * window sort (x14) wins wall-clock by 3–10× against the typed
+    * flatMapGroupsWithState path (per-row Event decode + state-store
+    * commits). The hypothesis "bounded state wins where the sort
+    * loses" is refuted for whole-corpus replay; what the measurement
+    * CONFIRMS is the marginal-cost contract: one micro-batch of ~12.5M
+    * new events costs ~21 s regardless of history length (state is
+    * O(users), never re-read history), while a nightly batch re-run
+    * pays the full-history sort again — 16 s at 10⁸ events and
+    * growing — so continuous ingestion crosses over once accumulated
+    * history exceeds ~10× the increment. Use x14 to (re)build, this
+    * operator to KEEP UP.
     *
     * Replay layout: the events are staged once, range-partitioned on
     * ts into `nBatches` files whose modification times are stamped in

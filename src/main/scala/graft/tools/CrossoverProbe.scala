@@ -30,11 +30,17 @@ object CrossoverProbe {
     spark.sparkContext.setLogLevel("WARN")
     // optional: derive an events-only corpus first (the third decade —
     // 1000× — is events-only; nothing else needs generating at that
-    // scale). args: [srcDir] [replicas]
+    // scale). args: [srcDir] [replicas] [axis: users|time] — `users`
+    // fans fresh user_ids per replica (population grows with data,
+    // the standard scale-up); `time` fans the TIME axis (same users,
+    // replicas-times-longer history — the shape where bounded state
+    // pays, see ScaleHeadroom.generateTimeFan)
     for (src <- args.lift(3); reps <- args.lift(4).map(_.toInt)
         if !new java.io.File(s"$dir/events.parquet").exists()) {
-      System.err.println(s"[crossover] generating ${reps}x events in $dir")
-      ScaleHeadroom.generate(spark, src, dir, reps, Set("events"))
+      val axis = args.lift(5).getOrElse("users")
+      System.err.println(s"[crossover] generating ${reps}x events ($axis axis) in $dir")
+      if (axis == "time") ScaleHeadroom.generateTimeFan(spark, src, dir, reps)
+      else ScaleHeadroom.generate(spark, src, dir, reps, Set("events"))
     }
     val events = graft.sources.Tables.load(spark, dir, "events")
     events.count() // warm the page cache so batch and stream compare fairly

@@ -62,6 +62,13 @@ object ScaleDecade {
     "x44_retention")    // batch form), attribution join, funnel
                         // windows, and retention cohort join
 
+  /** Probe-only names the filter accepts but the generic timing loop
+    * skips — these run bespoke blocks below (memoization or write
+    * side effects make SparkEntry-loop timing meaningless for them).
+    */
+  private val ProbeOnly = Seq(
+    "q24_maproot_write") // round 10: the flagship nested build + sink
+
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
     * queries this probe does not run).
@@ -95,7 +102,7 @@ object ScaleDecade {
     // same rationale as Verify's filter.
     val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
     only.foreach { names =>
-      val unknown = names -- Targets.toSet
+      val unknown = names -- Targets.toSet -- ProbeOnly.toSet
       require(unknown.isEmpty,
         s"unknown target(s) in filter: ${unknown.toSeq.sorted.mkString(",")}")
     }
@@ -172,6 +179,32 @@ object ScaleDecade {
           println(f"""{"query":"x59_split_$label","build_sec":$build%.3f,"search_sec":${times(1)}%.3f}""")
       }
     }
+    // ---- q24 flagship migration path: mapRoot + JsonSink at the decades
+    // The verify set covers the flat oracles; the actual nested document
+    // BUILD (region tree: nation → {customer → orders, supplier}, the
+    // DataMapper bottom-up fold) plus the distributed JSON write had no
+    // measured decade. A fresh DataMapper per run (the memoized
+    // MigrationPipeline path would time a cache hit); conversion comes
+    // from the memoized control plane — introspection cost is not the
+    // question here, the data plane is. Row counts printed as the
+    // correctness proxy (regions are 5 at every scale; the EMBEDDED mass
+    // is what decades — stamped as the orders count folded in).
+    if (selected("q24_maproot_write")) {
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val (db, schema) = graft.queries.MigrationPipeline.converted(spark, d)
+          val root = schema.roots.find(_.name == "region").get
+          val t0 = System.nanoTime()
+          val nested = new graft.map.DataMapper(spark, d, db).mapRoot(root)
+          val written = graft.sinks.JsonSink.write(
+            Seq("region" -> nested), s"/tmp/graft_maproot_$label")
+          val sec = (System.nanoTime() - t0) / 1e9
+          val nRoots = spark.read.json(s"/tmp/graft_maproot_$label/region").count()
+          val nOrders = graft.sources.Tables.load(spark, d, "orders").count()
+          println(f"""{"query":"q24_maproot_write","scale":"$label","sec":$sec%.3f,"root_docs":$nRoots,"orders_embedded":$nOrders,"collections":${written.size}}""")
+      }
+    }
+
     // ---- x14 crossover: the bounded-state streaming sessionizer over
     // the SAME corpora the sort-based exact form decades on. x14 is the
     // labeled linear row (10.8× in decade 2 — a per-user sort floor);

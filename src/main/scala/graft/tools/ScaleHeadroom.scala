@@ -151,6 +151,39 @@ object ScaleHeadroom {
       .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
+  /** Time-axis variant (events only): replicas keep the SAME users but
+    * shift each replica one full corpus span (+2h) later — the history
+    * gets `replicas`× LONGER while the user population stays fixed.
+    * This is the growth axis where bounded-state streaming semantics
+    * matter: sessionization state is O(users), so a time-fanned corpus
+    * grows per-user sort work (the batch form's cost) without growing
+    * state, whereas the standard scale-up (new users per replica) grows
+    * both in lockstep and the state bound buys nothing. The +2h seam
+    * exceeds the 30-minute session gap, so replica boundaries never
+    * merge sessions and the session count scales exactly linearly.
+    */
+  def generateTimeFan(spark: SparkSession, src: String, out: String,
+      replicas: Int): Unit = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$src/events.parquet")
+    // normalize ts to ns-long whichever way the producer framed it
+    // (TIMESTAMP(NANOS) under nanosAsLong arrives as long already; a
+    // µs TIMESTAMP — LTZ or NTZ — converts; same rule as Tables.load)
+    val tsNs = raw.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+      case _ => col("ts").cast("long")
+    }
+    val ev = raw.withColumn("ts", tsNs)
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val span = mm.getLong(1) - mm.getLong(0) + 2L * 3600 * 1000000000L
+    ev.withColumn("__r", explode(sequence(lit(0L), lit(replicas - 1L))))
+      .withColumn("event_id", col("event_id") + col("__r") * Stride)
+      .withColumn("ts", col("ts") + col("__r") * span)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
   /** The queries whose sf0.1 cost dominates the bench — the interesting
     * ones at 10×.
     */
