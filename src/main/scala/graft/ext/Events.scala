@@ -210,4 +210,96 @@ object Events {
         max(col("ts_us")).as("session_end_us"),
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
   }
+
+  /** x68 — BATCH-INCREMENTAL sessionization: sessionize one new batch
+    * of events against the open-session state carried from previous
+    * batches, without re-reading history and without streaming
+    * machinery. This is the constructive answer to the round-10
+    * crossover measurement (HEADROOM): the one-shot streaming replay
+    * LOSES to the batch sort at every measured scale (typed state-store
+    * path costs more per row than Tungsten's sort), and the nightly
+    * full re-sort re-pays the whole history every run — this operator
+    * takes the third path: per increment it sorts ONLY the batch
+    * (x14's window over batch rows) and joins ONLY the O(users) state,
+    * so the marginal cost is O(batch + users) with plain batch
+    * operators end to end, and folding every batch reproduces the
+    * full-corpus x14 result bit-for-bit (spec'd, and x68 verifies the
+    * 4-increment fold against x14's own DuckDB oracle).
+    *
+    * Contract: `openState` holds at most one OPEN session per user
+    * ((user_id, session_start_us, session_end_us, n_events) — the
+    * `is_open` rows of the previous call, or empty on the first);
+    * `batch` must be time-ordered ingestion — no event at or before
+    * any state session's end (time-ranged arrival, the same
+    * precondition the file replay's staging guarantees; enforced with
+    * a cheap global require: min(batch ts) > max(state end)).
+    *
+    * Mechanics: the batch sessionizes alone; a user's FIRST batch
+    * session merges into their open state session when the gap allows
+    * (only the first can — within-batch sessions are already > gap
+    * apart); an unmerged state session closes; state of users absent
+    * from the batch carries forward open. The LAST (possibly merged)
+    * batch session per user is the new open state.
+    *
+    * Output: (user_id, session_start_us, session_end_us, n_events,
+    * is_open) — callers emit `!is_open` rows downstream and feed the
+    * `is_open` rows to the next call. Plan: one batch-keyed window
+    * sort + two user-keyed joins against O(users) state; nothing
+    * touches prior batches.
+    */
+  def sessionizeIncremental(
+      batch: DataFrame,
+      openState: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val st = openState.select(col("user_id"),
+      col("session_start_us").as("st_start"),
+      col("session_end_us").as("st_end"),
+      col("n_events").as("st_n"))
+    // append-only time guard (global form — cheap, sufficient for
+    // time-ranged arrival; both sides are aggregates, no extra scans
+    // beyond one row each)
+    val stMax = st.agg(max(col("st_end"))).head()
+    if (!stMax.isNullAt(0)) {
+      val bMin = batch.select(tsMicros.as("ts_us")).agg(min(col("ts_us"))).head()
+      require(bMin.isNullAt(0) || bMin.getLong(0) > stMax.getLong(0),
+        "sessionizeIncremental: batch contains events at or before an " +
+          "open session's end — feed batches in time order")
+    }
+    val mini = sessionize(batch, gapMinutes)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start_us"), col("session_end_us"))
+    val lastId = Window.partitionBy(col("user_id"))
+    val canMerge = col("session_id") === 1L && col("st_end").isNotNull &&
+      col("session_start_us") - col("st_end") <= gapUs
+    val sessions = mini.join(st, Seq("user_id"), "left")
+      .select(col("user_id"), col("session_id"),
+        when(canMerge, col("st_start")).otherwise(col("session_start_us"))
+          .as("session_start_us"),
+        col("session_end_us"),
+        when(canMerge, col("n_events") + col("st_n")).otherwise(col("n_events"))
+          .as("n_events"))
+      .withColumn("is_open",
+        col("session_id") === max(col("session_id")).over(lastId))
+      .drop("session_id")
+    // state sessions the batch did NOT merge: the user posted again but
+    // past the gap — their old session closes now
+    val closedState = st.join(
+        mini.filter(col("session_id") === 1L)
+          .select(col("user_id"), col("session_start_us").as("b_start")),
+        Seq("user_id"))
+      .filter(col("b_start") - col("st_end") > gapUs)
+      .select(col("user_id"), col("st_start").as("session_start_us"),
+        col("st_end").as("session_end_us"), col("st_n").as("n_events"),
+        lit(false).as("is_open"))
+    // users with state but no batch events: still open, carried forward
+    val idleState = st.join(mini.select("user_id").distinct(),
+        Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("st_start").as("session_start_us"),
+        col("st_end").as("session_end_us"), col("st_n").as("n_events"),
+        lit(true).as("is_open"))
+    sessions.select("user_id", "session_start_us", "session_end_us",
+        "n_events", "is_open")
+      .unionByName(closedState).unionByName(idleState)
+  }
 }

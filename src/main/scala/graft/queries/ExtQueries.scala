@@ -869,6 +869,56 @@ object ExtQueries {
              |  max(ts_us) - min(ts_us) AS duration_us
              |FROM s GROUP BY user_id, session_id""".stripMargin)),
 
+    // ---- events: batch-incremental sessionization ---------------------
+    // The constructive answer to the round-10 crossover measurement:
+    // the full corpus folds through FOUR time-quartile increments of
+    // Events.sessionizeIncremental (each sorting only its batch and
+    // joining only O(users) open state), and the fold's closed ∪ open
+    // sessions re-ranked per user must equal the one-shot x14 window
+    // build — the oracle IS x14's oracle, so any state-carry bug
+    // (missed merge, dropped idle user, premature close) hash-fails.
+    ("x68_sessionize_incremental",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val ev = t(s, dir, "events")
+        val mm = ev.select(expr("ts div 1000").as("us"))
+          .agg(min(col("us")), max(col("us"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val k = 4
+        val bounds = (0 to k).map(i => lo + (hi - lo + 1) * i / k)
+        var state = Seq.empty[(Long, Long, Long, Long)]
+          .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+        val closed = scala.collection.mutable.Buffer.empty[DataFrame]
+        for (i <- 0 until k) {
+          val b = ev.filter(expr("ts div 1000") >= bounds(i) &&
+            expr("ts div 1000") < bounds(i + 1))
+          val out = graft.tools.InternalCaches.persist(
+            Events.sessionizeIncremental(b, state))
+          closed += out.filter(!col("is_open"))
+          state = out.filter(col("is_open"))
+        }
+        val all = (closed :+ state).reduce(_ unionByName _)
+          .select("user_id", "session_start_us", "session_end_us", "n_events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_us"))
+        all.withColumn("session_id", row_number().over(w).cast("long"))
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            col("session_start_us"), col("session_end_us"),
+            (col("session_end_us") - col("session_start_us")).as("duration_us"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+             |l AS (SELECT *, lag(ts_us) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM ev),
+             |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+             |        THEN 1 ELSE 0 END AS is_new FROM l),
+             |s AS (SELECT *, CAST(sum(is_new) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us, event_id
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+             |  max(ts_us) - min(ts_us) AS duration_us
+             |FROM s GROUP BY user_id, session_id""".stripMargin)),
+
     // ---- multimodal: binary payload + REAL batch decode ---------------
     // The oracle re-derives what the generator encoded (dims, frame
     // counts, payload sizes, content checksums) straight from doc_id —

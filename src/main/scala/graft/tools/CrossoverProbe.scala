@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Harness-parameter sweep for the x14 crossover demonstrator
   * ([[graft.streaming.EventStream.sessionizeFileReplayCount]]): time
@@ -57,6 +58,36 @@ object CrossoverProbe {
         .sessionizeFileReplayCount(spark, events, nBatches = nb, stateParts = sp)
       val sec = (System.nanoTime() - t1) / 1e9
       println(f"""{"probe":"crossover","n_batches":$nb,"state_parts":$sp,"sec":$sec%.3f,"parity":${n == nBatchSessions}}""")
+    }
+    // ---- x68 marginal cost: open state distilled from the first 99%
+    // of history (one amortized build, excluded from the timing — that
+    // is the point), then ONE batch-incremental step over the last 1%.
+    // The number to compare against batch_sec above: the nightly
+    // re-sort pays the history again, the incremental step does not.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val ts = expr("ts div 1000")
+      val mm = events.select(ts.as("us"))
+        .agg(min(col("us")), max(col("us"))).head()
+      val split = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0) + 1) * 99 / 100
+      val prefix = events.filter(ts < split)
+      val inc = events.filter(ts >= split)
+      val pref = graft.ext.Events.sessionize(prefix)
+        .withColumn("mx",
+          max(col("session_id")).over(Window.partitionBy(col("user_id"))))
+      val state = pref.filter(col("session_id") === col("mx"))
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .persist()
+      val nClosedHist = pref.filter(col("session_id") =!= col("mx")).count()
+      state.count() // materialize outside the timed step
+      val incRows = inc.count()
+      val t2 = System.nanoTime()
+      val out = graft.ext.Events.sessionizeIncremental(inc, state)
+      val emitted = out.count()
+      val sec = (System.nanoTime() - t2) / 1e9
+      // parity: history-closed + this step's output = the full build
+      val total = nClosedHist + emitted
+      println(f"""{"probe":"incremental","inc_rows":$incRows,"marginal_sec":$sec%.3f,"sessions_total":$total,"parity":${total == nBatchSessions}}""")
     }
     spark.stop()
   }

@@ -96,6 +96,42 @@ class EventsStreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
   }
 
+  test("incremental sessionization: merge, close, and idle-carry across the batch seam") {
+    import graft.ext.Events
+    // user 7: session spans the seam (10-min gap) -> must MERGE
+    // user 8: gap across the seam (40 min)        -> state must CLOSE
+    // user 9: absent from batch 2                  -> state carries OPEN
+    def df(rows: Seq[(Long, Long, Long)]) =
+      rows.map { case (id, tsMin, u) => (id, tsMin * min * 1000, u, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch1 = df(Seq((1L, 0L, 7L), (2L, 10L, 7L), (3L, 5L, 8L), (4L, 0L, 9L)))
+    val batch2 = df(Seq((5L, 20L, 7L), (6L, 45L, 8L)))
+    val st0 = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+    val out1 = Events.sessionizeIncremental(batch1, st0)
+    assert(out1.filter(!col("is_open")).count() === 0, "everything still open")
+    val out2 = Events.sessionizeIncremental(batch2, out1.filter(col("is_open")))
+    val byUser = (out2.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))).toMap
+    assert(byUser(7L) === ((0L, 20L * min, 3L, true)), s"merge failed: $byUser")
+    assert(byUser(9L) === ((0L, 0L, 1L, true)), s"idle carry failed: $byUser")
+    val u8 = out2.filter(col("user_id") === 8L).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4))).toSet
+    assert(u8 === Set((5L * min, 1L, false), (45L * min, 1L, true)),
+      s"state close failed: $u8")
+    // the fold equals the one-shot batch build
+    val folded = out2.select("user_id", "session_start_us", "session_end_us", "n_events")
+    val oneShot = Events.sessionize(df(Seq((1L, 0L, 7L), (2L, 10L, 7L), (3L, 5L, 8L),
+        (4L, 0L, 9L), (5L, 20L, 7L), (6L, 45L, 8L))))
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    assert(folded.exceptAll(oneShot).isEmpty && oneShot.exceptAll(folded).isEmpty,
+      "incremental fold diverges from the one-shot sessionize")
+    // out-of-order feeding must fail loudly
+    intercept[IllegalArgumentException] {
+      Events.sessionizeIncremental(batch1, out2.filter(col("is_open")))
+    }
+  }
+
   test("chained streaming hourly agg (exact n_users) equals the batch aggregate") {
     val events = graft.sources.Tables.load(spark, sf, "events")
     val streamed = EventStream.hourlyCountsReplay(spark, events)
