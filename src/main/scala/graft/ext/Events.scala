@@ -257,15 +257,16 @@ object Events {
       col("session_end_us").as("st_end"),
       col("n_events").as("st_n"))
     // append-only time guard (global form — cheap, sufficient for
-    // time-ranged arrival; both sides are aggregates, no extra scans
-    // beyond one row each)
-    val stMax = st.agg(max(col("st_end"))).head()
-    if (!stMax.isNullAt(0)) {
-      val bMin = batch.select(tsMicros.as("ts_us")).agg(min(col("ts_us"))).head()
-      require(bMin.isNullAt(0) || bMin.getLong(0) > stMax.getLong(0),
-        "sessionizeIncremental: batch contains events at or before an " +
-          "open session's end — feed batches in time order")
-    }
+    // time-ranged arrival). Both aggregates ride ONE driver action via
+    // the cross join: per-increment driver roundtrips are the dominant
+    // steady-state cost of a fold, so the guard pays one, not two.
+    val guard = batch.select(tsMicros.as("ts_us"))
+      .agg(min(col("ts_us")).as("b_min"))
+      .crossJoin(st.agg(max(col("st_end")).as("st_max"))).head()
+    require(guard.isNullAt(1) || guard.isNullAt(0) ||
+        guard.getLong(0) > guard.getLong(1),
+      "sessionizeIncremental: batch contains events at or before an " +
+        "open session's end — feed batches in time order")
     val mini = sessionize(batch, gapMinutes)
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("session_start_us"), col("session_end_us"))
