@@ -446,10 +446,25 @@ object Dedup {
     val items = expectedItems.getOrElse(math.max(b.count(), 64L))
     val numBits = BloomFilter.optimalNumOfBits(items, fpp)
     val spark = docs.sparkSession
-    val bf = b.select(col("sh")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .rdd.treeAggregate(BloomFilter.create(items, numBits))(
-        (f, v) => { f.putLong(v); f },
-        (a, c) => { a.mergeInPlace(c); a })
+    // zero value is NULL, not an allocated filter: treeAggregate ships
+    // its zero inside every task closure, and at the blocklist scales
+    // this rewrite exists for (~1.2 GB of zeroed bits at 10⁹ items) a
+    // materialized zero would serialize the empty filter to every task
+    // before a single shingle is hashed. Each partition allocates its
+    // own filter on first use; null partials merge away, and an empty
+    // bench yields null → one driver-side empty filter (keeps nothing,
+    // the exact answer).
+    val merged = b.select(col("sh")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .rdd.treeAggregate(null: BloomFilter)(
+        (f, v) => {
+          val g = if (f == null) BloomFilter.create(items, numBits) else f
+          g.putLong(v); g
+        },
+        (a, c) =>
+          if (a == null) c
+          else if (c == null) a
+          else { a.mergeInPlace(c); a })
+    val bf = Option(merged).getOrElse(BloomFilter.create(items, numBits))
     val mightContain =
       if (numBits / 8 <= maxLiteralBytes) {
         val bos = new java.io.ByteArrayOutputStream()

@@ -1090,23 +1090,33 @@ object Similarity {
     * emits (x57's `approx_cos` rides beside the exact `cos_sim`
     * precisely for this) and distills the re-rank output into one
     * decision row:
-    *   - `mean_gap` — mean(cos_sim − approx_cos) over the final top-k:
-    *     the quantization error the frozen codebooks currently add.
-    *     Appended vectors from a DRIFTED distribution land far from
-    *     every trained cell center, so the gap rises with drift; it
-    *     cannot fall below the training-time floor.
+    *   - `mean_abs_gap` — mean |cos_sim − approx_cos| over the final
+    *     top-k: the quantization error magnitude the frozen codebooks
+    *     currently add. ABSOLUTE, not signed: drift can make stale
+    *     codebooks OVERestimate cosine (inflated reconstructed dot
+    *     products), and a signed mean would let over- and
+    *     under-estimates cancel to a healthy-looking zero. Appended
+    *     vectors from a drifted distribution land far from every
+    *     trained cell center, so |gap| rises with drift; it cannot
+    *     fall below the training-time floor. The signed `mean_gap`
+    *     rides along as a direction diagnostic (negative = the
+    *     compressed domain flatters the corpus).
     *   - `rank_churn` — the fraction of result rows whose exact rank
     *     differs from their approx-cos rank: how often the compressed
     *     domain mis-ORDERS what it still retrieves. Churn burns
     *     shortlist budget (a mis-ranked true neighbor must fit inside
     *     k' to survive), so rising churn predicts recall loss before
     *     recall itself is measurable.
-    *   - `needs_retrain` — either mean exceeding its threshold. The
-    * churn default is deliberately loose (0.9): near-tied candidates
-    * reorder at any codebook health (the fixture shows ~0.67 churn
-    * with freshly trained codebooks and a 0.02 gap), so order churn
-    * only signals pathology when nearly every row is misordered —
-    * `mean_gap` is the primary trigger.
+    *   - `needs_retrain` — `mean_abs_gap` or `rank_churn` exceeding
+    * its threshold, and ALWAYS true on an empty monitored frame: a
+    * monitor that read zero evidence must page someone, not report
+    * healthy (the NULL a threshold comparison yields on no rows would
+    * read back as false through getAs[Boolean]). The churn default is
+    * deliberately loose (0.9): near-tied candidates reorder at any
+    * codebook health (the fixture shows ~0.67 churn with freshly
+    * trained codebooks and a 0.02 gap), so order churn only signals
+    * pathology when nearly every row is misordered — `mean_abs_gap`
+    * is the primary trigger.
     * Thresholds compare against the ROUNDED means, so the flag is
     * bit-portable to the oracle. Cost: O(Q·k) input rows — the window
     * partitions per query over k rows; free beside any search.
@@ -1128,11 +1138,17 @@ object Similarity {
         round(sum((col("cos_sim") - col("approx_cos"))
             .cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
           .as("mean_gap"),
+        round(sum(abs(col("cos_sim") - col("approx_cos"))
+            .cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_abs_gap"),
         round(sum(when(col("rank") =!= col("approx_rank"), 1L)
             .otherwise(0L)).cast("double") / count(lit(1)), 6)
           .as("rank_churn"))
-      .select(col("n_results"), col("mean_gap"), col("rank_churn"),
-        (col("mean_gap") > maxMeanGap || col("rank_churn") > maxRankChurn)
+      .select(col("n_results"), col("mean_gap"), col("mean_abs_gap"),
+        col("rank_churn"),
+        when(col("n_results") === 0, lit(true))
+          .otherwise(col("mean_abs_gap") > maxMeanGap ||
+            col("rank_churn") > maxRankChurn)
           .as("needs_retrain"))
   }
 }

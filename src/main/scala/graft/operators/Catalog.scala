@@ -469,8 +469,17 @@ object Catalog {
     * hitter partial heaps). Quantiles are estimated over the
     * CANONICAL value domain (doubles collapsed at 1e-6 by the
     * DECIMAL(38,6) rendering — the same profiling-grade trade x53's
-    * distinctness makes); ±Infinity and NaN are excluded from the
-    * numeric branch like x63 excludes NaN.
+    * distinctness makes). The ENTIRE numeric branch — min, max, and
+    * quantiles — operates over the FINITE domain: ±Infinity and NaN
+    * route to their canonical tokens (still counted by n_rows,
+    * distinctness, and heavy hitters) but are excluded from v_num,
+    * so a column containing +Infinity reports its largest FINITE
+    * value as `max`. Deliberate: admitting infinities would poison
+    * the bin arithmetic ((v−mn)/(mx−mn) → NaN for every row), and a
+    * profiler wants "the data's finite spread" plus "how many
+    * non-finite values" — the latter is readable from the
+    * heavy-hitter/token rows. This differs from [[profile]]'s plain
+    * min/max, which propagate infinities.
     *
     * Output, long format — one row per (column, metric):
     * (table_name, col_name, metric, ord, value_str, value_num) with

@@ -686,11 +686,14 @@ object ExtQueries {
               |agg AS (SELECT count(*) AS n_results,
               |    round(CAST(sum(CAST(cos_sim - approx_cos AS DECIMAL(28,10))) AS DOUBLE)
               |      / count(*), 6) AS mean_gap,
+              |    round(CAST(sum(CAST(abs(cos_sim - approx_cos) AS DECIMAL(28,10))) AS DOUBLE)
+              |      / count(*), 6) AS mean_abs_gap,
               |    round(CAST(sum(CASE WHEN rnk <> arnk THEN 1 ELSE 0 END) AS DOUBLE)
               |      / count(*), 6) AS rank_churn
               |  FROM ar)
-              |SELECT n_results, mean_gap, rank_churn,
-              |  (mean_gap > 0.05 OR rank_churn > 0.9) AS needs_retrain
+              |SELECT n_results, mean_gap, mean_abs_gap, rank_churn,
+              |  CASE WHEN n_results = 0 THEN true
+              |    ELSE (mean_abs_gap > 0.05 OR rank_churn > 0.9) END AS needs_retrain
               |FROM agg""".stripMargin)),
 
     // ---- similarity: the production ANN lifecycle, end to end ---------

@@ -62,12 +62,17 @@ object ScaleDecade {
     "x44_retention")    // batch form), attribution join, funnel
                         // windows, and retention cohort join
 
-  /** Probe-only names the filter accepts but the generic timing loop
-    * skips — these run bespoke blocks below (memoization or write
-    * side effects make SparkEntry-loop timing meaningless for them).
+  /** Probe-only names: accepted by the filter, skipped by the generic
+    * timing loop, and — unlike Targets — run ONLY when a filter names
+    * them explicitly. They carry costs a default full run must not pay
+    * implicitly: q24_maproot_write needs a 64 GB heap at 100× (five
+    * ~300 MB root documents — the measured document-size wall), and
+    * x14_stream_crossover replays the corpus through the streaming
+    * sessionizer (minutes at 100×).
     */
   private val ProbeOnly = Seq(
-    "q24_maproot_write") // round 10: the flagship nested build + sink
+    "q24_maproot_write",    // round 10: the flagship nested build + sink
+    "x14_stream_crossover") // round 10: streaming-vs-sort measurement
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -107,6 +112,9 @@ object ScaleDecade {
         s"unknown target(s) in filter: ${unknown.toSeq.sorted.mkString(",")}")
     }
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    // bespoke probes run only on explicit request — a default (no
+    // filter) run must not implicitly pay their heap/wall-clock costs
+    def probeSelected(name: String): Boolean = only.exists(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -189,7 +197,7 @@ object ScaleDecade {
     // question here, the data plane is. Row counts printed as the
     // correctness proxy (regions are 5 at every scale; the EMBEDDED mass
     // is what decades — stamped as the orders count folded in).
-    if (selected("q24_maproot_write")) {
+    if (probeSelected("q24_maproot_write")) {
       Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
         case (d, label) =>
           val (db, schema) = graft.queries.MigrationPipeline.converted(spark, d)
@@ -216,7 +224,7 @@ object ScaleDecade {
     // the decade RATIO is the signal, absolute floors are stamped in
     // HEADROOM's replay notes), with a session-count parity check
     // against the batch operator at every scale.
-    if (selected("x14_events_sessions")) {
+    if (probeSelected("x14_stream_crossover")) {
       Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
         case (d, label) =>
           val events = graft.sources.Tables.load(spark, d, "events")

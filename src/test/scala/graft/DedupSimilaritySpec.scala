@@ -299,12 +299,20 @@ class DedupSimilaritySpec extends SparkSpec {
     val drift = Similarity.retrainMonitor(
       Similarity.ivfPqSearchIndexReranked(
         combined, idx, qsBase.map(_ + stride), k = 5)).head()
-    assert(drift.getAs[Double]("mean_gap") > control.getAs[Double]("mean_gap"),
+    assert(drift.getAs[Double]("mean_abs_gap") > control.getAs[Double]("mean_abs_gap"),
       s"drift must raise the quantization gap: control=$control drift=$drift")
     assert(drift.getAs[Boolean]("needs_retrain"),
       s"drifted append must trip the monitor: $drift")
     assert(!control.getAs[Boolean]("needs_retrain"),
       s"trained in-distribution search must not trip the monitor: $control")
+    // zero evidence must page, not report healthy (NULL thresholds
+    // would read back as false through getAs[Boolean])
+    val empty = Similarity.retrainMonitor(
+      Seq.empty[(Long, Int, Long, Double, Double)]
+        .toDF("query_id", "rank", "neighbor_id", "cos_sim", "approx_cos")).head()
+    assert(empty.getAs[Long]("n_results") === 0L &&
+      empty.getAs[Boolean]("needs_retrain"),
+      s"empty monitored frame must flag needs_retrain: $empty")
   }
 
   test("production path: trained + persisted + reranked equals the in-plan chain") {
