@@ -41,6 +41,9 @@ object ScaleDecade {
     "x48_sequence_packing",
     "x51_table_profile",
     "x53_table_profile_kmv",
+    "x66_profile_all",  // round 10: the one-scan composed profile —
+                        // its decade must track x53's, not the sum of
+                        // the family's
     "x54_pq_encode",    // round 8: fixed-codebook PQ — 200k vectors at
     "x55_pq_adc_topk",  // 100× exercise the map-only encode + ADC scan
                         // two decades past the cap binding
