@@ -303,4 +303,54 @@ object Events {
         "n_events", "is_open")
       .unionByName(closedState).unionByName(idleState)
   }
+
+  /** The nightly-job form of [[sessionizeIncremental]]: open-session
+    * state lives as a parquet table under `stateDir` (the x59
+    * stored-index pattern applied to streaming state), each call
+    * stitches one batch against it, APPENDS the newly closed sessions
+    * under `closedDir`, and swaps the state table to the new open set.
+    * Returns the closed sessions this batch produced.
+    *
+    * Swap discipline: Spark cannot overwrite a table it is reading, so
+    * the new state writes to `stateDir`.next and renames over the old
+    * one only after BOTH writes succeed — a crashed run leaves the
+    * previous state intact and at worst a stale `.next` plus a
+    * partial `batch=` dir to clean, never a half-written current
+    * state. Closed sessions land under `closedDir/batch=<n>` (each
+    * call one partition dir) BEFORE the swap, so a crash between the
+    * two re-emits the batch on retry rather than losing it —
+    * at-least-once on `closedDir`, with the batch column as
+    * provenance for consumers that need to dedup. The returned frame
+    * reads the just-written partition, NOT the pre-swap state lineage
+    * (whose input files the swap deletes).
+    */
+  def sessionizeIncrementalStored(
+      batch: DataFrame,
+      stateDir: String,
+      closedDir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val state =
+      if (new java.io.File(stateDir).exists()) spark.read.parquet(stateDir)
+      else Seq.empty[(Long, Long, Long, Long)]
+        .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+    val out = sessionizeIncremental(batch, state, gapMinutes)
+    val cols = Seq("user_id", "session_start_us", "session_end_us", "n_events")
+    val next = stateDir + ".next"
+    out.filter(col("is_open")).select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(next)
+    val batchId = Option(new java.io.File(closedDir).list())
+      .map(_.count(_.startsWith("batch="))).getOrElse(0)
+    val closedPath = s"$closedDir/batch=$batchId"
+    out.filter(!col("is_open")).select(cols.map(col): _*)
+      .write.mode("errorifexists").parquet(closedPath)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    rmr(new java.io.File(stateDir))
+    require(new java.io.File(next).renameTo(new java.io.File(stateDir)),
+      s"sessionizeIncrementalStored: could not swap $next into place")
+    spark.read.parquet(closedPath)
+  }
 }

@@ -132,6 +132,33 @@ class EventsStreamingSpec extends SparkSpec {
     }
   }
 
+  test("stored-state incremental sessionization: fold across runs equals one-shot") {
+    import graft.ext.Events
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incstate_spec").toString
+    val (stateDir, closedDir) = (s"$root/state", s"$root/closed")
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val mm = events.select(expr("ts div 1000").as("us"))
+      .agg(org.apache.spark.sql.functions.min(col("us")),
+        org.apache.spark.sql.functions.max(col("us"))).head()
+    val split = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0) + 1) / 2
+    val c1 = Events.sessionizeIncrementalStored(
+      events.filter(expr("ts div 1000") < split), stateDir, closedDir)
+    c1.count() // first batch's closed set (may be empty) must be readable
+    val c2 = Events.sessionizeIncrementalStored(
+      events.filter(expr("ts div 1000") >= split), stateDir, closedDir)
+    c2.count()
+    // closed-across-runs + final stored open state = the one-shot build
+    val folded = spark.read.parquet(closedDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .unionByName(spark.read.parquet(stateDir))
+    val oneShot = Events.sessionize(events)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    assert(folded.exceptAll(oneShot).isEmpty && oneShot.exceptAll(folded).isEmpty,
+      "stored-state fold diverges from the one-shot sessionize")
+    assert(folded.count() === oneShot.count())
+  }
+
   test("chained streaming hourly agg (exact n_users) equals the batch aggregate") {
     val events = graft.sources.Tables.load(spark, sf, "events")
     val streamed = EventStream.hourlyCountsReplay(spark, events)
