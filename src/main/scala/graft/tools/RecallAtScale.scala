@@ -73,6 +73,16 @@ object RecallAtScale {
         f""""sl$sl":$r%.2f"""
       }
       println(s"""{"scale":"$label","rerank_shortlist_curve":{${curve.mkString(",")}}}""")
+      // the OTHER loss axis: IVF pruning. The shortlist can only
+      // recover what a probed bucket surfaced — this curve shows what
+      // nprobe buys at each scale (shortlist fixed at 50, trained
+      // codebooks so quantization noise doesn't mask it)
+      val npCurve = Seq(1, 2, 4, 8).map { np =>
+        val r = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs,
+          k = 5, nprobe = np, trainIters = 2)))
+        f""""np$np":$r%.2f"""
+      }
+      println(s"""{"scale":"$label","trained_rerank_nprobe_curve":{${npCurve.mkString(",")}}}""")
     }
     spark.stop()
   }
