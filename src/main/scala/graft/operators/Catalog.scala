@@ -639,6 +639,101 @@ object Catalog {
         col("metric"), col("ord"), col("value_str"), col("value_num"))
   }
 
+  /** x69 — corpus DRIFT between two corpus versions: the question a
+    * training-data pipeline asks at every refresh ("did the new crawl
+    * shift the length / language / source mix?"), answered per column
+    * as a total-variation distance with a thresholded flag.
+    *
+    * Statistic: TV = ½·Σ|p_a(i) − p_b(i)| over a shared domain —
+    * numeric columns binned to a FIXED-width histogram over the
+    * UNION's min/max (x63's arithmetic, so both sides land in the
+    * same bins by construction; a bounds shift between versions IS
+    * drift and shows up as mass at the edges), categorical columns
+    * compared value-by-value. TV over PSI/KL deliberately: it needs
+    * no logarithm (ln is not guaranteed bit-identical across libms,
+    * which would poison the oracle hash), it is bounded [0, 1] with
+    * a direct reading ("fraction of probability mass that moved"),
+    * and the per-term |p_a − p_b| rides a DECIMAL(28,12) sum so the
+    * total is order-independent and engine-exact.
+    *
+    * Plan shape: each side unpivots once with a side tag and the two
+    * scans union BEFORE any exchange, so bounds, bins, and per-side
+    * masses all ride one (col, key)-grouped pipeline over the union —
+    * two FileScans total (one per corpus version, irreducible), every
+    * post-scan structure ≤ bins (numeric) or distinct values
+    * (categorical, the heavy-hitter caveat applies). A value present
+    * in one side only contributes its full mass to TV, as it should.
+    *
+    * Output: (col_name, kind 'numeric_tv' | 'categorical_tv', n_a,
+    * n_b, tv, drifted), one row per compared column; `drifted` = tv >
+    * threshold compared on the 6-rounded value for oracle
+    * bit-portability. An empty side makes TV = 1 for every column
+    * (all mass moved) rather than erroring — a vanished corpus IS
+    * maximal drift.
+    */
+  def profileDrift(
+      a: DataFrame, b: DataFrame,
+      numericCols: Seq[String], catCols: Seq[String],
+      bins: Int = 10, threshold: Double = 0.1): DataFrame = {
+    requireSafeNames(numericCols ++ catCols, "profileDrift")
+    require((numericCols ++ catCols).nonEmpty, "profileDrift: no columns")
+    require(bins >= 2 && threshold > 0, "profileDrift: bad bins/threshold")
+    def unpivot(df: DataFrame, side: String): DataFrame = {
+      val numArgs = numericCols.map(c =>
+        s"'$c', 'num', CAST(CAST(`$c` AS DOUBLE) AS STRING)")
+      val catArgs = catCols.map(c => s"'$c', 'cat', CAST(`$c` AS STRING)")
+      val args = (numArgs ++ catArgs).mkString(", ")
+      df.select(expr(
+          s"stack(${numericCols.size + catCols.size}, $args) AS (col_name, kind, v)"))
+        .filter(col("v").isNotNull && !(col("kind") === "num" && isnan(col("v").cast("double"))))
+        .withColumn("side", lit(side))
+    }
+    val all = unpivot(a, "a").unionByName(unpivot(b, "b"))
+    // numeric: shared fixed-width bins over the union's bounds; the key
+    // for categorical columns is the value itself
+    val bounds = all.filter(col("kind") === "num")
+      .groupBy("col_name").agg(
+        min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+    val keyed = all.join(broadcast(bounds), Seq("col_name"), "left")
+      .select(col("col_name"), col("kind"), col("side"),
+        when(col("kind") === "cat", col("v"))
+          .when(col("mx") === col("mn"), lit("0"))
+          .otherwise(least(lit(bins - 1L), floor(
+            ((col("v").cast("double") - col("mn")) / (col("mx") - col("mn"))) * bins))
+            .cast("string"))
+          .as("k"))
+    val masses = keyed.groupBy("col_name", "kind", "k").agg(
+      sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+    val totals = masses.groupBy("col_name").agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    masses.join(broadcast(totals), Seq("col_name"))
+      .select(col("col_name"), col("kind"), col("n_a"), col("n_b"),
+        // empty side: its every fraction is defined 0 ⇒ TV = 1
+        abs(when(col("n_a") > 0, col("ca").cast("double") / col("n_a"))
+            .otherwise(lit(0.0)) -
+          when(col("n_b") > 0, col("cb").cast("double") / col("n_b"))
+            .otherwise(lit(0.0)))
+          .cast("decimal(28,12)").as("d"))
+      .groupBy(col("col_name"), col("kind"), col("n_a"), col("n_b"))
+      // cast the decimal sum to double BEFORE halving: /2 on a double
+      // is exact (power of two), while decimal division scale rules
+      // differ between engines
+      .agg(round(sum(col("d")).cast("double") / 2, 6).as("tv0"))
+      .select(col("col_name"),
+        concat(when(col("kind") === "num", lit("numeric"))
+          .otherwise(lit("categorical")), lit("_tv")).as("kind"),
+        col("n_a"), col("n_b"),
+        // an absent side under the defined-0 convention would read
+        // 0.5 (½·Σ p); pin it to the documented maximum instead — a
+        // vanished corpus is total drift, not half
+        when(col("n_a") === 0 || col("n_b") === 0, lit(1.0))
+          .otherwise(col("tv0")).as("tv"))
+      .select(col("col_name"), col("kind"), col("n_a"), col("n_b"),
+        col("tv"), (col("tv") > threshold).as("drifted"))
+  }
+
   /** Full introspection: builds the driver-side [[DatabaseMeta]] the
     * conversion algorithm consumes (analog of
     * server/DBMigration.js:30-91). Row counts and column lists come from

@@ -1443,6 +1443,57 @@ object ExtQueries {
               |  CAST(rnk AS DOUBLE), v, CAST(cnt AS DOUBLE) FROM phh
               |WHERE rnk <= 10""".stripMargin)),
 
+    // ---- catalog: corpus drift between two versions -------------------
+    // The refresh-time question ("did the new crawl shift the length /
+    // language mix?") as a per-column total-variation distance over a
+    // shared domain: numeric columns binned fixed-width over the
+    // UNION's bounds (x63 arithmetic), categoricals value-by-value; TV
+    // rides a decimal sum (no logarithms — ln is not bit-portable
+    // across libms). src0 plays the new crawl against the rest.
+    ("x69_profile_drift",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Catalog.profileDrift(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          numericCols = Seq("n_chars"), catCols = Seq("lang"))
+      },
+      Some("""WITH num AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+             |         CASE WHEN source = 'src0' THEN 'b' ELSE 'a' END AS side
+             |       FROM documents WHERE n_chars IS NOT NULL),
+             |nb AS (SELECT min(v) AS mn, max(v) AS mx FROM num),
+             |nk AS (SELECT CASE WHEN mx = mn THEN '0'
+             |           ELSE CAST(least(9, CAST(floor(((v - mn) / (mx - mn)) * 10) AS BIGINT)) AS VARCHAR)
+             |         END AS k, side
+             |       FROM num, nb),
+             |ck AS (SELECT lang AS k,
+             |         CASE WHEN source = 'src0' THEN 'b' ELSE 'a' END AS side
+             |       FROM documents WHERE lang IS NOT NULL),
+             |m AS (SELECT 'n_chars' AS col_name, 'numeric_tv' AS kind, k,
+             |        sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+             |        sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+             |      FROM nk GROUP BY k
+             |      UNION ALL
+             |      SELECT 'lang', 'categorical_tv', k,
+             |        sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END),
+             |        sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+             |      FROM ck GROUP BY k),
+             |t AS (SELECT col_name, sum(ca) AS n_a, sum(cb) AS n_b
+             |      FROM m GROUP BY 1),
+             |d AS (SELECT m.col_name, kind, n_a, n_b,
+             |        CAST(abs(
+             |          CASE WHEN n_a > 0 THEN CAST(ca AS DOUBLE) / n_a ELSE 0 END -
+             |          CASE WHEN n_b > 0 THEN CAST(cb AS DOUBLE) / n_b ELSE 0 END)
+             |          AS DECIMAL(28,12)) AS dd
+             |      FROM m JOIN t ON m.col_name = t.col_name),
+             |g AS (SELECT col_name, kind, CAST(n_a AS BIGINT) AS n_a,
+             |        CAST(n_b AS BIGINT) AS n_b,
+             |        CASE WHEN n_a = 0 OR n_b = 0 THEN 1.0
+             |          ELSE round(CAST(sum(dd) AS DOUBLE) / 2, 6) END AS tv
+             |      FROM d GROUP BY col_name, kind, n_a, n_b)
+             |SELECT col_name, kind, n_a, n_b, tv, tv > 0.1 AS drifted
+             |FROM g""".stripMargin)),
+
     // ---- multimodal capstone: decode → frame-sample → featurize → ANN
     // The vision-preprocessing path composed in one plan; the decode is
     // the real P5/P6/WAV parser, the featurization is the

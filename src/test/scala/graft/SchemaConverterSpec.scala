@@ -292,6 +292,32 @@ class SchemaConverterSpec extends SparkSpec {
     assert(capped.length === 2 && capped.map(_.getString(3)).toSeq === Seq("a", "b"))
   }
 
+  test("profile drift: zero for identical corpora, one for disjoint, shift trips the flag") {
+    import spark.implicits._
+    import graft.operators.Catalog
+    def corpus(langs: Seq[String], chars: Seq[Long]) =
+      langs.zip(chars).zipWithIndex.map { case ((l, c), i) => (i.toLong, l, c) }
+        .toDF("doc_id", "lang", "n_chars")
+    val a = corpus(Seq("en", "en", "fr", "de"), Seq(10L, 20L, 30L, 40L))
+    // identical distributions → tv 0, nothing drifts
+    val same = Catalog.profileDrift(a, a, Seq("n_chars"), Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getDouble(4), r.getBoolean(5))).toSet
+    assert(same === Set(("n_chars", 0.0, false), ("lang", 0.0, false)), s"$same")
+    // disjoint categorical support → all mass moved
+    val b = corpus(Seq("ja", "ja", "ko", "zh"), Seq(10L, 20L, 30L, 40L))
+    val disj = Catalog.profileDrift(a, b, Seq.empty, Seq("lang")).head()
+    assert(disj.getDouble(4) === 1.0 && disj.getBoolean(5), s"$disj")
+    // numeric shift: b's lengths live in bins a never occupies
+    val c = corpus(Seq("en", "en", "fr", "de"), Seq(910L, 920L, 930L, 940L))
+    val shift = Catalog.profileDrift(a, c, Seq("n_chars"), Seq.empty).head()
+    assert(shift.getDouble(4) === 1.0 && shift.getBoolean(5), s"$shift")
+    // an empty side is maximal drift, not an error
+    val empty = Catalog.profileDrift(a, a.filter("doc_id < 0"),
+      Seq("n_chars"), Seq("lang")).collect()
+    assert(empty.forall(r => r.getDouble(4) === 1.0 && r.getBoolean(5)),
+      empty.mkString(","))
+  }
+
   test("profile name guard rejects quote, backtick, and backslash names") {
     import spark.implicits._
     val base = Seq((1L, "x")).toDF("id", "v")
