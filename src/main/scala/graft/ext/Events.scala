@@ -311,18 +311,24 @@ object Events {
     * under `closedDir`, and swaps the state table to the new open set.
     * Returns the closed sessions this batch produced.
     *
-    * Swap discipline: Spark cannot overwrite a table it is reading, so
-    * the new state writes to `stateDir`.next and renames over the old
-    * one only after BOTH writes succeed — a crashed run leaves the
-    * previous state intact and at worst a stale `.next` plus a
-    * partial `batch=` dir to clean, never a half-written current
-    * state. Closed sessions land under `closedDir/batch=<n>` (each
-    * call one partition dir) BEFORE the swap, so a crash between the
-    * two re-emits the batch on retry rather than losing it —
-    * at-least-once on `closedDir`, with the batch column as
-    * provenance for consumers that need to dedup. The returned frame
-    * reads the just-written partition, NOT the pre-swap state lineage
-    * (whose input files the swap deletes).
+    * Swap discipline (LOCAL filesystem only — enforced loudly; a
+    * cluster deployment routes the same protocol through the Hadoop
+    * FileSystem API): Spark cannot overwrite a table it is reading,
+    * so the run commits in rename steps that each leave a recoverable
+    * picture — write `stateDir`.next, append the closed batch, rename
+    * the old state ASIDE (`.old`), promote `.next`, drop `.old`. On
+    * startup: a present `stateDir` is the truth (stale `.next`/`.old`
+    * are discarded — a crash before promotion means the batch either
+    * didn't commit its closed output or committed it and will re-emit
+    * on retry); an ABSENT `stateDir` with a `.next` means the crash
+    * hit between the aside-rename and the promotion, after the closed
+    * batch committed — `.next` is the post-batch state and is
+    * promoted. Net contract: state is never half-written and never
+    * silently reset; `closedDir` is at-least-once, each call one
+    * `batch=<n>` provenance partition (n = max existing + 1, so
+    * archived/deleted old partitions never collide). The returned
+    * frame reads the just-written partition, NOT the pre-swap state
+    * lineage (whose input files the swap deletes).
     */
   def sessionizeIncrementalStored(
       batch: DataFrame,
@@ -331,26 +337,52 @@ object Events {
       gapMinutes: Int = 30): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val state =
-      if (new java.io.File(stateDir).exists()) spark.read.parquet(stateDir)
-      else Seq.empty[(Long, Long, Long, Long)]
-        .toDF("user_id", "session_start_us", "session_end_us", "n_events")
-    val out = sessionizeIncremental(batch, state, gapMinutes)
-    val cols = Seq("user_id", "session_start_us", "session_end_us", "n_events")
-    val next = stateDir + ".next"
-    out.filter(col("is_open")).select(cols.map(col): _*)
-      .write.mode("overwrite").parquet(next)
-    val batchId = Option(new java.io.File(closedDir).list())
-      .map(_.count(_.startsWith("batch="))).getOrElse(0)
-    val closedPath = s"$closedDir/batch=$batchId"
-    out.filter(!col("is_open")).select(cols.map(col): _*)
-      .write.mode("errorifexists").parquet(closedPath)
+    // java.io.File semantics below require plain local paths — a
+    // URI-scheme path would WRITE fine through Spark but read/list as
+    // missing here, silently resetting state every run
+    for (p <- Seq(stateDir, closedDir))
+      require(!p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
+        s"sessionizeIncrementalStored needs a plain local path, got $p")
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
     }
-    rmr(new java.io.File(stateDir))
-    require(new java.io.File(next).renameTo(new java.io.File(stateDir)),
-      s"sessionizeIncrementalStored: could not swap $next into place")
-    spark.read.parquet(closedPath)
+    val (cur, next, old) =
+      (new java.io.File(stateDir), new java.io.File(stateDir + ".next"),
+        new java.io.File(stateDir + ".old"))
+    // crash recovery (see Scaladoc): present state wins; absent state
+    // promotes a committed .next
+    if (cur.exists()) { rmr(next); rmr(old) }
+    else if (next.exists()) {
+      rmr(old)
+      require(next.renameTo(cur),
+        s"sessionizeIncrementalStored: could not promote $next during recovery")
+    }
+    val state =
+      if (cur.exists()) spark.read.parquet(stateDir)
+      else Seq.empty[(Long, Long, Long, Long)]
+        .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+    // one pass for both writes: the batch window + state joins are the
+    // operator's whole cost, and the open/closed splits would each
+    // recompute the uncached lineage
+    val out = sessionizeIncremental(batch, state, gapMinutes).persist()
+    try {
+      val cols = Seq("user_id", "session_start_us", "session_end_us", "n_events")
+      out.filter(col("is_open")).select(cols.map(col): _*)
+        .write.mode("overwrite").parquet(next.getPath)
+      val batchId = Option(new java.io.File(closedDir).list())
+        .map(_.toSeq.collect { case n if n.startsWith("batch=") =>
+          n.stripPrefix("batch=").toLong
+        }.foldLeft(-1L)(math.max) + 1).getOrElse(0L)
+      val closedPath = s"$closedDir/batch=$batchId"
+      out.filter(!col("is_open")).select(cols.map(col): _*)
+        .write.mode("errorifexists").parquet(closedPath)
+      val hadState = cur.exists()
+      if (hadState) require(cur.renameTo(old),
+        s"sessionizeIncrementalStored: could not set $stateDir aside")
+      require(next.renameTo(cur),
+        s"sessionizeIncrementalStored: could not swap $next into place")
+      rmr(old)
+      spark.read.parquet(closedPath)
+    } finally out.unpersist()
   }
 }

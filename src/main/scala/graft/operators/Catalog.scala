@@ -677,15 +677,24 @@ object Catalog {
       bins: Int = 10, threshold: Double = 0.1): DataFrame = {
     requireSafeNames(numericCols ++ catCols, "profileDrift")
     require((numericCols ++ catCols).nonEmpty, "profileDrift: no columns")
+    require(numericCols.intersect(catCols).isEmpty,
+      "profileDrift: a column cannot be both numeric and categorical — " +
+        "the shared per-column totals would halve both distributions")
     require(bins >= 2 && threshold > 0, "profileDrift: bad bins/threshold")
     def unpivot(df: DataFrame, side: String): DataFrame = {
       val numArgs = numericCols.map(c =>
         s"'$c', 'num', CAST(CAST(`$c` AS DOUBLE) AS STRING)")
       val catArgs = catCols.map(c => s"'$c', 'cat', CAST(`$c` AS STRING)")
       val args = (numArgs ++ catArgs).mkString(", ")
+      val castV = col("v").cast("double")
       df.select(expr(
           s"stack(${numericCols.size + catCols.size}, $args) AS (col_name, kind, v)"))
-        .filter(col("v").isNotNull && !(col("kind") === "num" && isnan(col("v").cast("double"))))
+        // NaN AND ±Infinity out of the numeric branch: one Inf in
+        // either version would become the union max, collapse every
+        // finite value of BOTH sides into bin 0, and read total drift
+        // as tv ≈ 0 — the detector's answer inverted
+        .filter(col("v").isNotNull && !(col("kind") === "num" &&
+          (isnan(castV) || abs(castV) === lit(Double.PositiveInfinity))))
         .withColumn("side", lit(side))
     }
     val all = unpivot(a, "a").unionByName(unpivot(b, "b"))

@@ -157,6 +157,28 @@ class EventsStreamingSpec extends SparkSpec {
     assert(folded.exceptAll(oneShot).isEmpty && oneShot.exceptAll(folded).isEmpty,
       "stored-state fold diverges from the one-shot sessionize")
     assert(folded.count() === oneShot.count())
+
+    // crash recovery: simulate the window where the old state was set
+    // aside but the promotion never ran — stateDir absent, .next holds
+    // the committed post-batch state. The next run must PROMOTE it,
+    // not silently restart from empty (which would never close the
+    // open sessions).
+    val nOpen = spark.read.parquet(stateDir).count()
+    assert(nOpen > 0, "fixture should leave open sessions")
+    val stF = new java.io.File(stateDir)
+    assert(stF.renameTo(new java.io.File(stateDir + ".next")))
+    val farUs = mm.getLong(1) + 48L * 3600 * 1000000
+    val late = Seq((999999L, farUs * 1000, -42L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val c3 = Events.sessionizeIncrementalStored(late, stateDir, closedDir)
+    c3.count()
+    // users absent from the batch stay open BY DESIGN (gap
+    // sessionization closes a session only when its user reappears
+    // past the gap) — so recovery shows as the old opens CARRIED in
+    // the new state beside the new user, where a silent reset would
+    // leave exactly one row
+    assert(spark.read.parquet(stateDir).count() === nOpen + 1,
+      "promotion must recover the open sessions, not restart from empty")
   }
 
   test("chained streaming hourly agg (exact n_users) equals the batch aggregate") {
