@@ -473,8 +473,13 @@ object Dedup {
           Literal(bos.toByteArray, BinaryType),
           GraftSqlBridge.expression(col("sh"))))
       } else {
+        // registered for session-level release: the lazy plan holds
+        // the only reference, so without the registry a long-lived
+        // session screening repeatedly would pin one multi-GB blob per
+        // call in block-manager memory forever
         GraftSqlBridge.column(graft.functions.BloomMightContainBc(
-          spark.sparkContext.broadcast(bf),
+          graft.tools.InternalCaches.trackBroadcast(
+            spark, spark.sparkContext.broadcast(bf)),
           GraftSqlBridge.expression(col("sh"))))
       }
     val survivors = hashedShingleSet(docs, n).filter(mightContain)

@@ -343,9 +343,7 @@ object Events {
     for (p <- Seq(stateDir, closedDir))
       require(!p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
         s"sessionizeIncrementalStored needs a plain local path, got $p")
-    def rmr(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
-    }
+    val rmr = graft.tools.LocalFs.deleteRecursively _
     val (cur, next, old) =
       (new java.io.File(stateDir), new java.io.File(stateDir + ".next"),
         new java.io.File(stateDir + ".old"))

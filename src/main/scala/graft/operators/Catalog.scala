@@ -665,11 +665,15 @@ object Catalog {
     * in one side only contributes its full mass to TV, as it should.
     *
     * Output: (col_name, kind 'numeric_tv' | 'categorical_tv', n_a,
-    * n_b, tv, drifted), one row per compared column; `drifted` = tv >
+    * n_b, tv, drifted), one row per compared column ALWAYS — a column
+    * with zero usable values on BOTH sides still emits its row (n_a =
+    * n_b = 0, tv = 0, not drifted: the versions agree the field is
+    * dead, and the zero counts are the visible signal), via a seed
+    * union rather than vanishing from the result. `drifted` = tv >
     * threshold compared on the 6-rounded value for oracle
-    * bit-portability. An empty side makes TV = 1 for every column
-    * (all mass moved) rather than erroring — a vanished corpus IS
-    * maximal drift.
+    * bit-portability. An empty side (the other non-empty) makes
+    * TV = 1 for every column (all mass moved) rather than erroring —
+    * a vanished corpus IS maximal drift.
     */
   def profileDrift(
       a: DataFrame, b: DataFrame,
@@ -717,7 +721,7 @@ object Catalog {
       sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
     val totals = masses.groupBy("col_name").agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    masses.join(broadcast(totals), Seq("col_name"))
+    val scored = masses.join(broadcast(totals), Seq("col_name"))
       .select(col("col_name"), col("kind"), col("n_a"), col("n_b"),
         // empty side: its every fraction is defined 0 ⇒ TV = 1
         abs(when(col("n_a") > 0, col("ca").cast("double") / col("n_a"))
@@ -741,6 +745,27 @@ object Catalog {
           .otherwise(col("tv0")).as("tv"))
       .select(col("col_name"), col("kind"), col("n_a"), col("n_b"),
         col("tv"), (col("tv") > threshold).as("drifted"))
+    seedDriftColumns(a.sparkSession, scored, numericCols, catCols)
+  }
+
+  /** [[profileDrift]] body splits here so the seed join reads clearly:
+    * every REQUESTED column must emit a row even when both sides have
+    * zero usable values (all NULL/NaN/Inf) — otherwise a field that
+    * died between versions silently vanishes from the report.
+    */
+  private def seedDriftColumns(
+      spark: SparkSession,
+      result: DataFrame,
+      numericCols: Seq[String], catCols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val seed = (numericCols.map(_ -> "numeric_tv") ++
+      catCols.map(_ -> "categorical_tv")).toDF("col_name", "kind")
+    seed.join(result, Seq("col_name", "kind"), "left")
+      .select(col("col_name"), col("kind"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("tv"), lit(0.0)).as("tv"),
+        coalesce(col("drifted"), lit(false)).as("drifted"))
   }
 
   /** Full introspection: builds the driver-side [[DatabaseMeta]] the

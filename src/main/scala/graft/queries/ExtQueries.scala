@@ -1460,7 +1460,8 @@ object ExtQueries {
       },
       Some("""WITH num AS (SELECT CAST(n_chars AS DOUBLE) AS v,
              |         CASE WHEN source = 'src0' THEN 'b' ELSE 'a' END AS side
-             |       FROM documents WHERE n_chars IS NOT NULL),
+             |       FROM documents
+             |       WHERE n_chars IS NOT NULL AND source IS NOT NULL),
              |nb AS (SELECT min(v) AS mn, max(v) AS mx FROM num),
              |nk AS (SELECT CASE WHEN mx = mn THEN '0'
              |           ELSE CAST(least(9, CAST(floor(((v - mn) / (mx - mn)) * 10) AS BIGINT)) AS VARCHAR)
@@ -1468,7 +1469,8 @@ object ExtQueries {
              |       FROM num, nb),
              |ck AS (SELECT lang AS k,
              |         CASE WHEN source = 'src0' THEN 'b' ELSE 'a' END AS side
-             |       FROM documents WHERE lang IS NOT NULL),
+             |       FROM documents
+             |       WHERE lang IS NOT NULL AND source IS NOT NULL),
              |m AS (SELECT 'n_chars' AS col_name, 'numeric_tv' AS kind, k,
              |        sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
              |        sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
@@ -1490,9 +1492,15 @@ object ExtQueries {
              |        CAST(n_b AS BIGINT) AS n_b,
              |        CASE WHEN n_a = 0 OR n_b = 0 THEN 1.0
              |          ELSE round(CAST(sum(dd) AS DOUBLE) / 2, 6) END AS tv
-             |      FROM d GROUP BY col_name, kind, n_a, n_b)
-             |SELECT col_name, kind, n_a, n_b, tv, tv > 0.1 AS drifted
-             |FROM g""".stripMargin)),
+             |      FROM d GROUP BY col_name, kind, n_a, n_b),
+             |seed AS (SELECT * FROM (VALUES ('n_chars', 'numeric_tv'),
+             |           ('lang', 'categorical_tv')) s(col_name, kind))
+             |SELECT seed.col_name, seed.kind,
+             |  coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+             |  coalesce(tv, 0.0) AS tv,
+             |  coalesce(tv > 0.1, false) AS drifted
+             |FROM seed LEFT JOIN g
+             |  ON seed.col_name = g.col_name AND seed.kind = g.kind""".stripMargin)),
 
     // ---- multimodal capstone: decode → frame-sample → featurize → ANN
     // The vision-preprocessing path composed in one plan; the decode is

@@ -191,11 +191,7 @@ object EventStream {
       q.stop()
       // the replay is done with its checkpoint; a shm-backed dir held
       // past stop() is leaked RAM
-      def rmr(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmr))
-        f.delete()
-      }
-      rmr(new java.io.File(ckptDir))
+      graft.tools.LocalFs.deleteRecursively(new java.io.File(ckptDir))
     }
     spark.table(qname)
   }
@@ -414,10 +410,7 @@ object EventStream {
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
     val ckptDir = s"$ckptBase/graft_ckpt_$qname"
-    def rmr(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmr))
-      f.delete()
-    }
+    val rmr = graft.tools.LocalFs.deleteRecursively _
     // callers pass the Tables.load-normalized frame (ts = ns-epoch long)
     val batch = events
       .selectExpr("event_id", "ts div 1000 as ts_us", "user_id",
@@ -430,7 +423,14 @@ object EventStream {
     val parts = Option(stageDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
     val t0 = System.currentTimeMillis() - parts.length * 2000L
-    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 1000L) }
+    parts.zipWithIndex.foreach { case (f, i) =>
+      // loud, not best-effort: on a filesystem that refuses the stamp
+      // the oldest-first ordering silently breaks and the watermark
+      // DROPS the out-of-order ranges — a wrong session set, no error
+      require(f.setLastModified(t0 + i * 1000L),
+        s"sessionizeFileReplay: cannot stamp mtime on $f — file-order " +
+          "replay needs a filesystem that honors setLastModified")
+    }
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val q =
       try {

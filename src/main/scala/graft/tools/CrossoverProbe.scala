@@ -45,13 +45,14 @@ object CrossoverProbe {
     }
     val events = graft.sources.Tables.load(spark, dir, "events")
     events.count() // warm the page cache so batch and stream compare fairly
-    val batchTimes = (1 to 3).map { _ =>
+    val batchRuns = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      graft.ext.Events.sessionize(events).count()
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
-    val nBatchSessions = graft.ext.Events.sessionize(events).count()
-    println(f"""{"probe":"crossover","dir":"$dir","batch_sec":${batchTimes(1)}%.3f,"sessions":$nBatchSessions}""")
+      val n = graft.ext.Events.sessionize(events).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val nBatchSessions = batchRuns.head._2
+    val batchSec = batchRuns.map(_._1).sorted.apply(1)
+    println(f"""{"probe":"crossover","dir":"$dir","batch_sec":$batchSec%.3f,"sessions":$nBatchSessions}""")
     for (nb <- batchCounts; sp <- partCounts) {
       val t1 = System.nanoTime()
       val n = graft.streaming.EventStream

@@ -2,6 +2,7 @@ package graft.tools
 
 import scala.collection.concurrent.TrieMap
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -39,14 +40,34 @@ object InternalCaches {
     entries.getOrElseUpdate(key, df.persist(level))
   }
 
-  /** Unpersist every internal cache registered by this session. Call
-    * after the consuming actions complete (e.g. end of a verify/bench
-    * pass, or session teardown in a long-lived service).
+  private val broadcasts = TrieMap.empty[(String, Long), Broadcast[_]]
+
+  /** Track an internal broadcast variable for session-level release —
+    * the broadcast analog of [[persist]]: an operator that broadcasts a
+    * large object (e.g. the big-blob Bloom carrier) and hands back a
+    * lazy plan has no point at which IT can destroy the broadcast, so
+    * the handle registers here and [[release]] drops it with the
+    * caches. Not memoized (broadcast payloads have no canonical plan);
+    * callers that rebuild the same object re-register a new handle and
+    * release reaps them all.
+    */
+  def trackBroadcast[T](spark: SparkSession, b: Broadcast[T]): Broadcast[T] = {
+    broadcasts.put((spark.sparkContext.applicationId, b.id), b)
+    b
+  }
+
+  /** Unpersist every internal cache (and destroy every tracked
+    * broadcast) registered by this session. Call after the consuming
+    * actions complete (e.g. end of a verify/bench pass, or session
+    * teardown in a long-lived service).
     */
   def release(spark: SparkSession): Unit = {
     val appId = spark.sparkContext.applicationId
     entries.keys.filter(_._1 == appId).foreach { k =>
       entries.remove(k).foreach(_.unpersist(blocking = false))
+    }
+    broadcasts.keys.filter(_._1 == appId).foreach { k =>
+      broadcasts.remove(k).foreach(_.destroy())
     }
   }
 
