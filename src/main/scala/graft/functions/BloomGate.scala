@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.catalyst.expressions.{Expression, Predicate, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, Predicate, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** `might_contain` over a BROADCAST-carried Bloom filter — the big-blob
@@ -25,10 +25,16 @@ import org.apache.spark.util.sketch.BloomFilter
   * use it under `Filter`, where null keeps nothing).
   */
 case class BloomMightContainBc(bfBc: Broadcast[BloomFilter], child: Expression)
-    extends UnaryExpression with Predicate {
+    extends UnaryExpression with Predicate with ExpectsInputTypes {
 
   override def prettyName: String = "might_contain_bc"
   override def dataType: DataType = BooleanType
+
+  // mightContainLong is the only probe this carrier serves; type-check at
+  // analysis (like the built-in BloomFilterMightContain) instead of
+  // failing in codegen compile / ClassCastException at runtime
+  // (return type inferred: AbstractDataType is private[sql] in Spark 4)
+  override def inputTypes = Seq(LongType)
 
   override protected def nullSafeEval(v: Any): Any =
     bfBc.value.mightContainLong(v.asInstanceOf[Long])

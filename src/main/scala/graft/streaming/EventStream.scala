@@ -379,16 +379,20 @@ object EventStream {
     */
   def sessionizeFileReplayCount(spark: SparkSession, events: DataFrame,
       nBatches: Int = 8, stateParts: Int = 8): Long = {
-    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    // keyed by batchId, not a running sum: foreachBatch is at-least-once,
+    // so a retried micro-batch must OVERWRITE its own slot rather than
+    // double-count (a retry recomputes the same epoch's emissions)
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Long]()
     runFileReplay(spark, events, nBatches, stateParts) { (sessions, ckpt, _) =>
       sessions.writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          total.addAndGet(b.filter(col("user_id") >= 0).count()); ()
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          perBatch.put(id, b.filter(col("user_id") >= 0).count()); ()
         }
         .start()
     }
-    total.get()
+    import scala.jdk.CollectionConverters._
+    perBatch.values.asScala.sum
   }
 
   /** Shared file-replay scaffold: stage the events time-range-

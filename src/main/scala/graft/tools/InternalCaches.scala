@@ -56,12 +56,34 @@ object InternalCaches {
     b
   }
 
-  /** Unpersist every internal cache (and destroy every tracked
-    * broadcast) registered by this session. Call after the consuming
-    * actions complete (e.g. end of a verify/bench pass, or session
-    * teardown in a long-lived service).
+  /** Unpersist every internal cache and tracked broadcast registered by
+    * this session. Call after the consuming actions complete (e.g. end
+    * of a verify/bench pass).
+    *
+    * Broadcasts are UNPERSISTED, not destroyed: unpersist drops the
+    * executor copies but leaves the driver value, so a still-held lazy
+    * frame from e.g. `contaminationScreenBloom` re-ships the blob and
+    * keeps working after release — whereas destroy would make such a
+    * frame permanently unexecutable (SparkException on next action).
+    * True teardown (JVM about to drop the session, no frames can
+    * outlive it) goes through [[teardown]], which destroys.
     */
   def release(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    entries.keys.filter(_._1 == appId).foreach { k =>
+      entries.remove(k).foreach(_.unpersist(blocking = false))
+    }
+    broadcasts.keys.filter(_._1 == appId).foreach { k =>
+      broadcasts.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Session teardown: [[release]] semantics but broadcasts are
+    * DESTROYED (driver value freed too). Only for the point where the
+    * session itself is going away — any lazy frame still holding a
+    * tracked broadcast becomes unexecutable after this.
+    */
+  def teardown(spark: SparkSession): Unit = {
     val appId = spark.sparkContext.applicationId
     entries.keys.filter(_._1 == appId).foreach { k =>
       entries.remove(k).foreach(_.unpersist(blocking = false))

@@ -181,6 +181,56 @@ class EventsStreamingSpec extends SparkSpec {
       "promotion must recover the open sessions, not restart from empty")
   }
 
+  test("stored-state retry detection: replace before the swap, skip after it") {
+    import graft.ext.Events
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incretry_spec").toString
+    val (stateDir, closedDir) = (s"$root/state", s"$root/closed")
+    def df(rows: Seq[(Long, Long, Long)]) =
+      rows.map { case (id, tsMin, u) => (id, tsMin * min * 1000, u, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch1 = df(Seq((1L, 0L, 7L), (2L, 10L, 7L), (3L, 0L, 8L)))
+    val batch2 = df(Seq((4L, 60L, 7L), (5L, 15L, 8L)))
+    Events.sessionizeIncrementalStored(batch1, stateDir, closedDir).count()
+    // pre-batch2 state saved aside so the crash window can be replayed
+    copyTree(new java.io.File(stateDir), new java.io.File(s"$root/state_pre"))
+    Events.sessionizeIncrementalStored(batch2, stateDir, closedDir).count()
+    val closedAfter2 = spark.read.parquet(closedDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+    val snapshot = closedAfter2.collect().toSet
+    assert(snapshot.nonEmpty, "batch2 should close user 7's first session")
+    val nParts = new java.io.File(closedDir).list().count(_.startsWith("batch="))
+
+    // REPLAY 1 — crash hit after the partition commit, before the state
+    // swap: stored state is the pre-batch picture. The retry must
+    // REPLACE the committed partition, not append a duplicate.
+    graft.tools.LocalFs.deleteRecursively(new java.io.File(stateDir))
+    copyTree(new java.io.File(s"$root/state_pre"), new java.io.File(stateDir))
+    Events.sessionizeIncrementalStored(batch2, stateDir, closedDir).count()
+    assert(new java.io.File(closedDir).list().count(_.startsWith("batch=")) === nParts,
+      "retry before the swap must replace, not append")
+    assert(spark.read.parquet(closedDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().toSet === snapshot)
+
+    // REPLAY 2 — crash hit after recovery promoted .next: state already
+    // includes the batch. The retry must SKIP and return the committed
+    // partition unchanged.
+    val skipped = Events.sessionizeIncrementalStored(batch2, stateDir, closedDir)
+    assert(skipped.count() === snapshot.size)
+    assert(new java.io.File(closedDir).list().count(_.startsWith("batch=")) === nParts,
+      "retry after the swap must not append")
+    assert(spark.read.parquet(closedDir)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().toSet === snapshot)
+  }
+
   test("chained streaming hourly agg (exact n_users) equals the batch aggregate") {
     val events = graft.sources.Tables.load(spark, sf, "events")
     val streamed = EventStream.hourlyCountsReplay(spark, events)

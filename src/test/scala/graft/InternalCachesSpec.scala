@@ -34,4 +34,15 @@ class InternalCachesSpec extends SparkSpec {
     // released frames stay usable — they just recompute
     assert(a.count() === 1)
   }
+
+  test("release unpersists tracked broadcasts without killing held frames") {
+    val bc = InternalCaches.trackBroadcast(spark,
+      spark.sparkContext.broadcast(Array(1L, 2L, 3L)))
+    // a lazy frame still holding the broadcast handle
+    val held = spark.range(5).filter { r => bc.value.contains(r.longValue) }
+    InternalCaches.release(spark)
+    // unpersist (unlike destroy) leaves the driver value: the held
+    // frame re-ships the blob and keeps executing after release
+    assert(held.count() === 3)
+  }
 }
