@@ -165,4 +165,73 @@ object SchemaConverter {
     }
     schema
   }
+
+  /** x70 pressure valve: force referencing where the document-size
+    * pre-flight says embedding would breach the per-document budget.
+    *
+    * The reference's workload rule keeps hot tables top-level but knows
+    * nothing about document BYTES — a cold deep tree sails through the
+    * decision procedure and then hits MongoDB's 16 MB rejection (or the
+    * build's own giant-row wall) at data-mapping time. This procedure
+    * closes the loop: while any root's largest estimated document
+    * (`maxDocBytes`, normally [[graft.map.DocSizeAudit.maxDocBytes]])
+    * exceeds `budgetBytes`, DEMOTE that root — its direct children hoist
+    * to top-level Referencing collections (their own subtrees intact,
+    * their attributes restored to the referencing shape: all columns,
+    * FKs renamed `_REF`) and the root keeps only its own attributes.
+    * Each demotion removes at least one embedding edge, so the loop
+    * terminates; a childless over-budget root (the table's own row
+    * exceeds the budget — nothing schema-level can fix that) is reported
+    * and left as-is.
+    *
+    * Returns the adjusted schema plus the demotion log
+    * (root → hoisted children), empty when everything already fits.
+    * Driver-side control plane like the rest of the converter; only the
+    * estimator callback runs Spark jobs.
+    */
+  def enforceDocBudget(
+      db: DatabaseMeta,
+      schema: DocumentSchema,
+      maxDocBytes: CollectionNode => Long,
+      budgetBytes: Long): (DocumentSchema, Seq[(String, Seq[String])]) = {
+    def referencingNode(n: CollectionNode): CollectionNode = {
+      val t = db(n.name)
+      val fkCols = t.foreignKeys.map(_.columnName).toSet
+      n.copy(
+        kind = ConversionKind.Referencing,
+        attributes = t.columns.map(c => if (fkCols.contains(c)) c + "_REF" else c),
+        embeddedAttributesFrom = None,
+        parentFkColumn = None)
+    }
+    var cur = schema
+    val log = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String])]
+    var progress = true
+    while (progress) {
+      progress = false
+      cur.roots.find(r => r.embedded.nonEmpty && maxDocBytes(r) > budgetBytes)
+        .foreach { r =>
+          val hoisted = r.embedded.map(referencingNode)
+          log += r.name -> hoisted.map(_.name)
+          cur = cur.copy(roots =
+            cur.roots.map(x => if (x.name == r.name) x.copy(embedded = Seq.empty) else x) ++
+              hoisted)
+          progress = true
+        }
+    }
+    cur.roots.filter(r => r.embedded.isEmpty && maxDocBytes(r) > budgetBytes)
+      .foreach(r => System.err.println(
+        s"[graft] WARNING: root ${r.name} exceeds the $budgetBytes-byte " +
+          "document budget with no embedded children to hoist — the table's " +
+          "own rows are too large for the target store"))
+    (cur, log.toSeq)
+  }
+
+  /** Run the whole conversion with the document-size budget enforced —
+    * [[convert]] then [[enforceDocBudget]] in one call.
+    */
+  def convertWithBudget(
+      db: DatabaseMeta,
+      maxDocBytes: CollectionNode => Long,
+      budgetBytes: Long): (DocumentSchema, Seq[(String, Seq[String])]) =
+    enforceDocBudget(db, convert(db), maxDocBytes, budgetBytes)
 }

@@ -1,6 +1,7 @@
 package graft.map
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.model._
 import graft.operators.Embedding
 import graft.sources.Tables
@@ -44,6 +45,41 @@ class DataMapper(
   /** Build every root collection: (collection name, nested DataFrame). */
   def mapAll(schema: DocumentSchema): Seq[(String, DataFrame)] =
     schema.roots.map(r => r.name -> mapRoot(r))
+
+  /** [[mapRoot]] behind the x70 pre-flight: estimate every root
+    * document's size ([[DocSizeAudit]]) and REFUSE to build when any
+    * exceeds `budgetBytes` — the audit costs a (key, long) aggregate
+    * per tree edge where the build it guards would pay the full nested
+    * fold before discovering the wall as an executor OOM (or MongoDB's
+    * 16 MB rejection two decades earlier). The error names the worst
+    * offenders so the caller can re-plan — typically by demoting the
+    * root ([[graft.convert.SchemaConverter.enforceDocBudget]]).
+    */
+  def mapRootGuarded(
+      root: CollectionNode,
+      budgetBytes: Long = DocSizeAudit.MongoDocLimit): DataFrame = {
+    val audit = new DocSizeAudit(spark, sfDir, db, loader).estimateRoot(root)
+    // control-plane action: ≤5 (key, bytes) rows cross the driver
+    val worst = audit.filter(col("est_doc_bytes") > budgetBytes)
+      .orderBy(col("est_doc_bytes").desc)
+      .limit(5).collect()
+    if (worst.nonEmpty) {
+      val keys = db(root.name).primaryKeys.mkString(",")
+      val tops = worst.map(r => s"($keys)=(${
+        r.toSeq.dropRight(1).mkString(",")}) ~${r.getLong(r.length - 1)}B")
+      throw new IllegalStateException(
+        s"mapRootGuarded: root '${root.name}' would build documents over " +
+          s"the $budgetBytes-byte budget; worst: ${tops.mkString("; ")}. " +
+          "Demote the root (SchemaConverter.enforceDocBudget) or raise the budget.")
+    }
+    mapRoot(root)
+  }
+
+  /** [[mapAll]] with the per-root budget guard applied to every root. */
+  def mapAllGuarded(
+      schema: DocumentSchema,
+      budgetBytes: Long = DocSizeAudit.MongoDocLimit): Seq[(String, DataFrame)] =
+    schema.roots.map(r => r.name -> mapRootGuarded(r, budgetBytes))
 
   /** Build one root collection's nested DataFrame. */
   def mapRoot(root: CollectionNode): DataFrame = {

@@ -1502,6 +1502,73 @@ object ExtQueries {
              |FROM seed LEFT JOIN g
              |  ON seed.col_name = g.col_name AND seed.kind = g.kind""".stripMargin)),
 
+    // ---- x70: document-size pre-flight audit --------------------------
+    // Estimated BSON bytes of every region root document the migration
+    // would build (region → nation → {customer → orders, supplier}),
+    // computed WITHOUT building — per tree edge one (key, long)
+    // aggregate + join where the build carries whole subtrees. This is
+    // the guard for the measured q24 wall (~300 MB root docs OOMing the
+    // 100× build) and MongoDB's 16 MB document limit; budget here is
+    // 256 KiB so the flag discriminates at harness scale. The oracle
+    // recomputes the documented byte model (doc frame 5; field
+    // 2+name + 0/null, strlen+5/string, 4/int32, 8/int64-double-ts;
+    // child array 7+name + Σ(4+child)) bottom-up in plain SQL.
+    ("x70_doc_size_audit",
+      (s: SparkSession, dir: String) => {
+        val (db, schema) = MigrationPipeline.converted(s, dir)
+        val audit = new graft.map.DocSizeAudit(s, dir, db)
+        audit.estimateRoot(schema.roots.find(_.name == "region").get)
+          .withColumn("over_budget", col("est_doc_bytes") > lit(262144L))
+      },
+      Some("""WITH odoc AS (
+             |  SELECT o_custkey, 5
+             |    + 12 + CASE WHEN o_orderkey IS NULL THEN 0 ELSE 8 END
+             |    + 15 + CASE WHEN o_orderstatus IS NULL THEN 0 ELSE strlen(o_orderstatus) + 5 END
+             |    + 14 + CASE WHEN o_totalprice IS NULL THEN 0 ELSE 8 END
+             |    + 13 + CASE WHEN o_orderdate IS NULL THEN 0 ELSE 8 END
+             |    + 17 + CASE WHEN o_orderpriority IS NULL THEN 0 ELSE strlen(o_orderpriority) + 5 END
+             |    AS b
+             |  FROM orders),
+             |ocontrib AS (
+             |  SELECT o_custkey AS k, 13 + sum(4 + b) AS contrib FROM odoc GROUP BY 1),
+             |cdoc AS (
+             |  SELECT c_nationkey, 5
+             |    + 11 + CASE WHEN c_custkey IS NULL THEN 0 ELSE 8 END
+             |    + 8  + CASE WHEN c_name IS NULL THEN 0 ELSE strlen(c_name) + 5 END
+             |    + 11 + CASE WHEN c_acctbal IS NULL THEN 0 ELSE 8 END
+             |    + 14 + CASE WHEN c_mktsegment IS NULL THEN 0 ELSE strlen(c_mktsegment) + 5 END
+             |    + coalesce(oc.contrib, 0) AS b
+             |  FROM customer LEFT JOIN ocontrib oc ON oc.k = c_custkey),
+             |ccontrib AS (
+             |  SELECT c_nationkey AS k, 15 + sum(4 + b) AS contrib FROM cdoc GROUP BY 1),
+             |sdoc AS (
+             |  SELECT s_nationkey, 5
+             |    + 11 + CASE WHEN s_suppkey IS NULL THEN 0 ELSE 8 END
+             |    + 8  + CASE WHEN s_name IS NULL THEN 0 ELSE strlen(s_name) + 5 END
+             |    + 11 + CASE WHEN s_acctbal IS NULL THEN 0 ELSE 8 END
+             |    AS b
+             |  FROM supplier),
+             |scontrib AS (
+             |  SELECT s_nationkey AS k, 15 + sum(4 + b) AS contrib FROM sdoc GROUP BY 1),
+             |ndoc AS (
+             |  SELECT n_regionkey, 5
+             |    + 13 + CASE WHEN n_nationkey IS NULL THEN 0 ELSE 4 END
+             |    + 8  + CASE WHEN n_name IS NULL THEN 0 ELSE strlen(n_name) + 5 END
+             |    + coalesce(cc.contrib, 0) + coalesce(sc.contrib, 0) AS b
+             |  FROM nation
+             |  LEFT JOIN ccontrib cc ON cc.k = n_nationkey
+             |  LEFT JOIN scontrib sc ON sc.k = n_nationkey),
+             |ncontrib AS (
+             |  SELECT n_regionkey AS k, 13 + sum(4 + b) AS contrib FROM ndoc GROUP BY 1)
+             |SELECT r_regionkey, est_doc_bytes, est_doc_bytes > 262144 AS over_budget
+             |FROM (
+             |  SELECT r_regionkey,
+             |    CAST(5
+             |      + 13 + CASE WHEN r_regionkey IS NULL THEN 0 ELSE 4 END
+             |      + 8  + CASE WHEN r_name IS NULL THEN 0 ELSE strlen(r_name) + 5 END
+             |      + coalesce(nc.contrib, 0) AS BIGINT) AS est_doc_bytes
+             |  FROM region LEFT JOIN ncontrib nc ON nc.k = r_regionkey) x""".stripMargin)),
+
     // ---- multimodal capstone: decode → frame-sample → featurize → ANN
     // The vision-preprocessing path composed in one plan; the decode is
     // the real P5/P6/WAV parser, the featurization is the

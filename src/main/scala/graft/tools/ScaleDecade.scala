@@ -59,6 +59,10 @@ object ScaleDecade {
     "x60_ann_production", // round 9: the composed lifecycle (train +
                         // build + write + pruned search + re-rank,
                         // the bundled honest cost per run)
+    "x70_doc_size_audit", // round 11: the document-size pre-flight —
+                        // must stay cheap at the scale where the build
+                        // it guards (q24_maproot_write) OOMs; the
+                        // bespoke block below prints the 16 MB verdict
     "x14_events_sessions", // round 9: the events family had only one
     "x35_session_attribution", // measured decade — 10M events at 100×
     "x43_funnel",       // cover sessionize (flatMapGroups-shaped
@@ -213,6 +217,26 @@ object ScaleDecade {
           val nRoots = spark.read.json(s"/tmp/graft_maproot_$label/region").count()
           val nOrders = graft.sources.Tables.load(spark, d, "orders").count()
           println(f"""{"query":"q24_maproot_write","scale":"$label","sec":$sec%.3f,"root_docs":$nRoots,"orders_embedded":$nOrders,"collections":${written.size}}""")
+      }
+    }
+
+    // ---- x70 verdicts: the pre-flight's actual decision at each scale,
+    // against the real MongoDB budget. The generic loop above times the
+    // audit; this block prints what it DECIDES — the point is that the
+    // 16 MB flag trips at exactly the scale where q24_maproot_write
+    // needs a 64 GB heap and 281 s to discover the same wall the hard
+    // way (HEADROOM r10).
+    if (selected("x70_doc_size_audit")) {
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val (db, schema) = graft.queries.MigrationPipeline.converted(spark, d)
+          val audit = new graft.map.DocSizeAudit(spark, d, db)
+          val region = schema.roots.find(_.name == "region").get
+          val t0 = System.nanoTime()
+          val mx = audit.maxDocBytes(region)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val over = mx > graft.map.DocSizeAudit.MongoDocLimit
+          println(f"""{"query":"x70_verdict","scale":"$label","audit_sec":$sec%.3f,"max_doc_bytes":$mx,"over_16mb":$over}""")
       }
     }
 
