@@ -1151,4 +1151,62 @@ object Similarity {
             col("rank_churn") > maxRankChurn)
           .as("needs_retrain"))
   }
+
+  /** x72 — [[retrainMonitor]] at PER-APPEND-BATCH grain: the production
+    * monitor trends codebook health per append (x61's `batch=`
+    * provenance is already on disk for exactly this attribution), so a
+    * drifted NEW batch pages while the healthy base corpus does not —
+    * the global form averages the drift away until the whole index
+    * looks sick.
+    *
+    * `batchCol` names the batch key on the re-rank frame (callers
+    * attribute each neighbor to its index partition; ranks stay
+    * per-QUERY — ordering is a query-level property, only the
+    * attribution is per-batch). `expectedBatches` seeds the output: a
+    * batch the caller expected to monitor but that contributed ZERO
+    * re-rank rows still yields a row, with `needs_retrain` forced true
+    * — the per-group form of the global monitor's empty-evidence rule
+    * (an append whose vectors never surface in any shortlist is
+    * unmonitored, not healthy). Gap/churn columns stay NULL for such
+    * batches: there is no evidence to summarize, and 0.0 would read as
+    * "measured perfect".
+    */
+  def retrainMonitorPerBatch(
+      rerank: DataFrame,
+      batchCol: String,
+      expectedBatches: Seq[Long] = Seq.empty,
+      maxMeanGap: Double = 0.05,
+      maxRankChurn: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val agg = rerank
+      .withColumn("approx_rank", row_number().over(w))
+      .groupBy(col(batchCol).cast("long").as("batch"))
+      .agg(
+        count(lit(1)).as("n_results"),
+        round(sum((col("cos_sim") - col("approx_cos"))
+            .cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_gap"),
+        round(sum(abs(col("cos_sim") - col("approx_cos"))
+            .cast("decimal(28,10)")).cast("double") / count(lit(1)), 6)
+          .as("mean_abs_gap"),
+        round(sum(when(col("rank") =!= col("approx_rank"), 1L)
+            .otherwise(0L)).cast("double") / count(lit(1)), 6)
+          .as("rank_churn"))
+    val seeded =
+      if (expectedBatches.isEmpty) agg
+      else {
+        val spark = rerank.sparkSession
+        import spark.implicits._
+        expectedBatches.toDF("batch").join(agg, Seq("batch"), "left")
+      }
+    seeded.select(col("batch"),
+      coalesce(col("n_results"), lit(0L)).as("n_results"),
+      col("mean_gap"), col("mean_abs_gap"), col("rank_churn"),
+      when(coalesce(col("n_results"), lit(0L)) === 0, lit(true))
+        .otherwise(col("mean_abs_gap") > maxMeanGap ||
+          col("rank_churn") > maxRankChurn)
+        .as("needs_retrain"))
+  }
 }

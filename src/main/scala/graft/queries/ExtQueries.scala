@@ -44,6 +44,11 @@ object ExtQueries {
   private def simhashes(s: SparkSession, dir: String): DataFrame =
     simhashCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.tools.InternalCaches.persist(Dedup.simhash(t(s, dir, "documents"))))
+  // x71 per-invocation state roots: fresh dir each run (repeat runs
+  // must re-exercise the whole stored fold), previous run's dir reaped
+  private val x71Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x71Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
     * keep → stratified sample) as ONE lazy plan — shared by x27 (its
@@ -696,6 +701,68 @@ object ExtQueries {
               |    ELSE (mean_abs_gap > 0.05 OR rank_churn > 0.9) END AS needs_retrain
               |FROM agg""".stripMargin)),
 
+    // ---- similarity: the retrain monitor at per-append-batch grain ----
+    // x67 distills the re-rank audit to ONE decision row; the
+    // production monitor trends per APPEND (x61's batch= provenance),
+    // so a drifted new batch pages while the healthy base does not.
+    // Here each neighbor attributes to batch 1 if it sits in the upper
+    // half of the id space (the append boundary an x61 index records
+    // as its batch=1 partition), batch 0 otherwise; batch 2 is seeded
+    // as EXPECTED but contributes nothing — its row must come back
+    // forced needs_retrain=true with NULL evidence columns (the
+    // per-group empty-evidence rule). Oracle: x67's CTE chain with the
+    // batch attribution + seed LEFT JOIN.
+    ("x72_retrain_monitor_batch",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        // control-plane scalar: the simulated append boundary
+        val boundary = emb.agg(max(col("vec_id"))).head().getLong(0) / 2
+        val rr = Similarity.ivfPqRerankTopK(emb, queryIds = Seq(7L, 177L, 357L))
+          .withColumn("batch",
+            when(col("neighbor_id") > boundary, 1L).otherwise(0L))
+        Similarity.retrainMonitorPerBatch(rr, "batch",
+          expectedBatches = Seq(0L, 1L, 2L))
+      },
+      Some(s"""WITH $pqEncodeCtes,
+              |$ivfPqScoredCtes,
+              |srk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |        FROM scored),
+              |shortl AS (SELECT query_id, neighbor_id, approx_cos
+              |           FROM srk WHERE rnk <= $PqShortlist),
+              |re AS (SELECT sl.query_id, sl.neighbor_id,
+              |         ${cosSql("q.qv", "pe.v")} AS cos_sim, sl.approx_cos
+              |       FROM shortl sl
+              |       JOIN pe ON pe.vec_id = sl.neighbor_id
+              |       JOIN q ON q.query_id = sl.query_id),
+              |rrk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              |        FROM re),
+              |topk AS (SELECT query_id, rnk, neighbor_id, cos_sim, approx_cos
+              |         FROM rrk WHERE rnk <= 5),
+              |ar AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS arnk
+              |       FROM topk),
+              |bat AS (SELECT *, CASE WHEN neighbor_id >
+              |          (SELECT max(vec_id) // 2 FROM pe) THEN 1 ELSE 0 END AS batch
+              |        FROM ar),
+              |agg AS (SELECT CAST(batch AS BIGINT) AS batch,
+              |    count(*) AS n_results,
+              |    round(CAST(sum(CAST(cos_sim - approx_cos AS DECIMAL(28,10))) AS DOUBLE)
+              |      / count(*), 6) AS mean_gap,
+              |    round(CAST(sum(CAST(abs(cos_sim - approx_cos) AS DECIMAL(28,10))) AS DOUBLE)
+              |      / count(*), 6) AS mean_abs_gap,
+              |    round(CAST(sum(CASE WHEN rnk <> arnk THEN 1 ELSE 0 END) AS DOUBLE)
+              |      / count(*), 6) AS rank_churn
+              |  FROM bat GROUP BY batch),
+              |seed AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT)),
+              |          (CAST(2 AS BIGINT))) s(batch))
+              |SELECT seed.batch, coalesce(n_results, 0) AS n_results,
+              |  mean_gap, mean_abs_gap, rank_churn,
+              |  CASE WHEN coalesce(n_results, 0) = 0 THEN true
+              |    ELSE (mean_abs_gap > 0.05 OR rank_churn > 0.9) END AS needs_retrain
+              |FROM seed LEFT JOIN agg ON seed.batch = agg.batch""".stripMargin)),
+
     // ---- similarity: the production ANN lifecycle, end to end ---------
     // x58's trained codebook built into x59's persisted index, searched
     // with x56's coarse-pruned compressed-domain scan, finished with
@@ -903,6 +970,59 @@ object ExtQueries {
         }
         val all = (closed :+ state).reduce(_ unionByName _)
           .select("user_id", "session_start_us", "session_end_us", "n_events")
+        val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_us"))
+        all.withColumn("session_id", row_number().over(w).cast("long"))
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            col("session_start_us"), col("session_end_us"),
+            (col("session_end_us") - col("session_start_us")).as("duration_us"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+             |l AS (SELECT *, lag(ts_us) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM ev),
+             |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+             |        THEN 1 ELSE 0 END AS is_new FROM l),
+             |s AS (SELECT *, CAST(sum(is_new) OVER
+             |        (PARTITION BY user_id ORDER BY ts_us, event_id
+             |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n)
+             |SELECT user_id, session_id, count(*) AS n_events,
+             |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+             |  max(ts_us) - min(ts_us) AS duration_us
+             |FROM s GROUP BY user_id, session_id""".stripMargin)),
+
+    // ---- events: the stored-state NIGHTLY form of x68 -----------------
+    // Same four-quartile fold, but the open-session state lives as a
+    // parquet table on disk between increments and closed sessions
+    // append under batch= provenance partitions — the crash-safe
+    // rename-aside swap path the EventsStreamingSpec recovery tests
+    // cover, now exercised end-to-end under the correctness gate. The
+    // oracle is x14's full-corpus SQL, so a state-swap bug (reset
+    // state, double-emitted partition, missed promotion) hash-fails.
+    // Each invocation gets a fresh state root (the previous one is
+    // reaped) so bench's repeated runs re-exercise the full fold
+    // rather than tripping the append-only guard on leftover state.
+    ("x71_sessionize_stored",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+        val mm = ev.select(expr("ts div 1000").as("us"))
+          .agg(min(col("us")), max(col("us"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val k = 4
+        val bounds = (0 to k).map(i => lo + (hi - lo + 1) * i / k)
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x71_${x71Seq.incrementAndGet()}")
+        Option(x71Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        val stateDir = new java.io.File(root, "state").getPath
+        val closedDir = new java.io.File(root, "closed").getPath
+        for (i <- 0 until k) {
+          val b = ev.filter(expr("ts div 1000") >= bounds(i) &&
+            expr("ts div 1000") < bounds(i + 1))
+          Events.sessionizeIncrementalStored(b, stateDir, closedDir)
+        }
+        val cols = Seq("user_id", "session_start_us", "session_end_us", "n_events")
+        val all = s.read.parquet(closedDir).select(cols.map(col): _*)
+          .unionByName(s.read.parquet(stateDir).select(cols.map(col): _*))
         val w = Window.partitionBy(col("user_id")).orderBy(col("session_start_us"))
         all.withColumn("session_id", row_number().over(w).cast("long"))
           .select(col("user_id"), col("session_id"), col("n_events"),

@@ -54,6 +54,70 @@ object MigrationPipeline {
       new DataMapper(spark, sfDir, db).mapRoot(root).persist()
     })
 
+  /** x73 — the profile-informed conversion audit: x66's one-scan
+    * unified profile ([[Catalog.profileAll]]) run over every migration
+    * table and read back AGAINST the declared schema and the decision
+    * procedure's output. The reference introspects names and row counts
+    * only (server/DBMigration.js:30-91); this is the data-shape audit
+    * SURVEY §1.3 calls for, turned into actionable advisories:
+    *
+    *   - `key_candidate` — a non-key column that is null-free and
+    *     near-unique (distinct ≥ 95% of rows): a document-key the
+    *     declared schema missed.
+    *   - `constant_fold` — at most one distinct value: repeating it in
+    *     every document wastes bytes; fold into collection metadata.
+    *   - `null_heavy_fk` — a declared FK null in over half the rows:
+    *     embedding on it orphans the null-keyed children, so the
+    *     conversion kind the decision procedure chose (joined in as
+    *     `kind`) deserves a second look.
+    *
+    * Thresholds compare in integer arithmetic (est·100 ≥ rows·95,
+    * nulls·2 > rows) so the flags are bit-portable to the oracle; the
+    * distinct estimate is the KMV sketch both engines compute
+    * bit-identically. One profileAll scan per table; the advisory
+    * derivation reads only the three count metrics but the full
+    * profile rides the same pass for the operator that wants it.
+    * Output: (table_name, col_name, advisory, kind, n_rows, n_nulls,
+    * n_distinct_est).
+    */
+  def profileAdvisories(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (db, _) = converted(spark, sfDir)
+    val profiles = Tables.migrationTables.map { tn =>
+      val df = Tables.load(spark, sfDir, tn)
+      val numCols = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+      }.toSeq
+      Catalog.profileAll(df, tn, df.columns.toSeq, numCols)
+    }.reduce(_ unionByName _)
+    val m = profiles
+      .filter(col("metric").isin("n_rows", "n_nulls", "n_distinct_est"))
+      .groupBy("table_name", "col_name")
+      .agg(
+        max(when(col("metric") === "n_rows", col("value_num"))).cast("long").as("n_rows"),
+        max(when(col("metric") === "n_nulls", col("value_num"))).cast("long").as("n_nulls"),
+        max(when(col("metric") === "n_distinct_est", col("value_num"))).cast("long").as("n_distinct_est"))
+    val roles = db.tables.flatMap(t => t.columns.map(c =>
+        (t.name, c, t.primaryKeys.contains(c), t.foreignKeys.exists(_.columnName == c))))
+      .toDF("table_name", "col_name", "is_pk", "is_fk")
+    val kinds = decisions(spark, sfDir)
+      .select(col("collection_name").as("table_name"), col("kind"))
+    m.join(broadcast(roles), Seq("table_name", "col_name"))
+      .join(broadcast(kinds), Seq("table_name"), "left")
+      .select(col("table_name"), col("col_name"), col("kind"),
+        col("n_rows"), col("n_nulls"), col("n_distinct_est"),
+        explode(array(
+          when(!col("is_pk") && !col("is_fk") && col("n_nulls") === 0 &&
+            col("n_distinct_est") * 100 >= col("n_rows") * 95, "key_candidate"),
+          when(col("n_distinct_est") <= 1, "constant_fold"),
+          when(col("is_fk") && col("n_nulls") * 2 > col("n_rows"), "null_heavy_fk")))
+          .as("advisory"))
+      .filter(col("advisory").isNotNull)
+      .select(col("table_name"), col("col_name"), col("advisory"), col("kind"),
+        col("n_rows"), col("n_nulls"), col("n_distinct_est"))
+  }
+
   /** Flatten the converted tree to (collection, kind, parent, depth) rows
     * for the decision-procedure query surface.
     */

@@ -315,6 +315,49 @@ class DedupSimilaritySpec extends SparkSpec {
       s"empty monitored frame must flag needs_retrain: $empty")
   }
 
+  test("per-batch retrain monitor: increasing drift trends up, empty batch pages") {
+    // the x72 contract on a controlled frame: three append batches of
+    // increasing quantization gap (constant per-row shift, so churn
+    // stays 0 and mean_abs_gap IS the injected gap), plus a seeded
+    // batch that contributed no re-rank rows
+    val gaps = Map(0L -> 0.01, 1L -> 0.04, 2L -> 0.08)
+    val rows = for {
+      (b, gap) <- gaps.toSeq
+      r <- 1 to 5
+    } yield {
+      val cos = 1.0 - r * 0.05
+      (b * 10 + 1L, r, b * 100 + r.toLong, cos, cos - gap, b)
+    }
+    val rr = rows.toDF("query_id", "rank", "neighbor_id",
+      "cos_sim", "approx_cos", "batch")
+    val out = Similarity.retrainMonitorPerBatch(rr, "batch",
+        expectedBatches = Seq(0L, 1L, 2L, 3L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    // the trend: gap rises batch over batch, exactly as injected
+    val measured = Seq(0L, 1L, 2L).map(b => out(b).getAs[Double]("mean_abs_gap"))
+    assert(measured === Seq(0.01, 0.04, 0.08), s"gap trend off: $measured")
+    assert(measured.sliding(2).forall { case Seq(a, b) => a < b },
+      "drift must trend up across appends")
+    // threshold (0.05) separates the batches: only the worst pages
+    assert(!out(0L).getAs[Boolean]("needs_retrain"))
+    assert(!out(1L).getAs[Boolean]("needs_retrain"))
+    assert(out(2L).getAs[Boolean]("needs_retrain"),
+      "the drifted append must page at per-batch grain")
+    // the same frame through the GLOBAL monitor averages the drift
+    // away — the reason the per-batch grain exists
+    val global = Similarity.retrainMonitor(rr).head()
+    assert(!global.getAs[Boolean]("needs_retrain"),
+      s"global mean should mask the one bad batch here: $global")
+    // expected-but-absent batch: forced page with NULL evidence
+    val missing = out(3L)
+    assert(missing.getAs[Long]("n_results") === 0L)
+    assert(missing.getAs[Boolean]("needs_retrain"),
+      "an unmonitored expected batch must page, not read healthy")
+    assert(missing.isNullAt(missing.fieldIndex("mean_abs_gap")),
+      "no evidence must stay NULL, not read as measured-perfect 0.0")
+  }
+
   test("production path: trained + persisted + reranked equals the in-plan chain") {
     // x60's composition (trained codebook -> stored index -> pruned
     // compressed search -> exact re-rank) must equal the same chain
