@@ -763,6 +763,128 @@ object ExtQueries {
               |    ELSE (mean_abs_gap > 0.05 OR rank_churn > 0.9) END AS needs_retrain
               |FROM seed LEFT JOIN agg ON seed.batch = agg.batch""".stripMargin)),
 
+    // ---- migration: profile-informed conversion advisories (x73) ------
+    // x66's one-scan unified profile run over every migration table and
+    // read back AGAINST the declared schema and the decision procedure
+    // (MigrationPipeline.profileAdvisories): near-unique null-free
+    // non-key columns surface as key candidates, single-valued columns
+    // as constant folds, half-null declared FKs as embedding hazards.
+    // The reference introspects names and row counts only
+    // (server/DBMigration.js:30-91); this is the data-shape audit
+    // SURVEY §1.3 calls for. Oracle: per-column count/null/KMV stats
+    // (x53's estimator, generated from the parquet schema per the same
+    // canonical renderings) joined to VALUES-encoded schema roles and
+    // q20's decision kinds, same integer-arithmetic thresholds.
+    ("x73_profile_advisories",
+      (s: SparkSession, dir: String) =>
+        MigrationPipeline.profileAdvisories(s, dir),
+      Some {
+        def dbl(c: String) =
+          s"""CASE WHEN isnan($c) THEN 'NaN'
+             |    WHEN $c = 'infinity'::DOUBLE THEN 'Infinity'
+             |    WHEN $c = '-infinity'::DOUBLE THEN '-Infinity'
+             |    WHEN abs($c) >= 1e32 THEN printf('%.6e', $c)
+             |    ELSE CAST(CAST($c AS DECIMAL(38,6)) AS VARCHAR) END""".stripMargin
+        def num(c: String) = s"CAST($c AS VARCHAR)"
+        def ts(c: String) = s"CAST(epoch_us($c) AS VARCHAR)"
+        val renderings: Seq[(String, Seq[(String, String)])] = Seq(
+          "region" -> Seq(
+            "r_regionkey" -> num("r_regionkey"), "r_name" -> "r_name"),
+          "nation" -> Seq(
+            "n_nationkey" -> num("n_nationkey"), "n_name" -> "n_name",
+            "n_regionkey" -> num("n_regionkey")),
+          "customer" -> Seq(
+            "c_custkey" -> num("c_custkey"), "c_name" -> "c_name",
+            "c_nationkey" -> num("c_nationkey"),
+            "c_acctbal" -> dbl("c_acctbal"), "c_mktsegment" -> "c_mktsegment"),
+          "supplier" -> Seq(
+            "s_suppkey" -> num("s_suppkey"), "s_name" -> "s_name",
+            "s_nationkey" -> num("s_nationkey"), "s_acctbal" -> dbl("s_acctbal")),
+          "part" -> Seq(
+            "p_partkey" -> num("p_partkey"), "p_name" -> "p_name",
+            "p_brand" -> "p_brand", "p_type" -> "p_type",
+            "p_size" -> num("p_size"), "p_retailprice" -> dbl("p_retailprice")),
+          "orders" -> Seq(
+            "o_orderkey" -> num("o_orderkey"), "o_custkey" -> num("o_custkey"),
+            "o_orderstatus" -> "o_orderstatus", "o_totalprice" -> dbl("o_totalprice"),
+            "o_orderdate" -> ts("o_orderdate"), "o_orderpriority" -> "o_orderpriority"),
+          "lineitem" -> Seq(
+            "l_orderkey" -> num("l_orderkey"), "l_partkey" -> num("l_partkey"),
+            "l_suppkey" -> num("l_suppkey"), "l_linenumber" -> num("l_linenumber"),
+            "l_quantity" -> dbl("l_quantity"),
+            "l_extendedprice" -> dbl("l_extendedprice"),
+            "l_discount" -> dbl("l_discount"), "l_tax" -> dbl("l_tax"),
+            "l_returnflag" -> "l_returnflag", "l_linestatus" -> "l_linestatus",
+            "l_shipdate" -> ts("l_shipdate")))
+        val stats = renderings.flatMap { case (tn, cs) => cs.map { case (c, r) =>
+          s"""SELECT '$tn' AS table_name, '$c' AS col_name,
+             |  count(*) AS n_rows, count(*) - count($r) AS n_nulls,
+             |  (SELECT CASE WHEN count(*) < 256 THEN count(*)
+             |     ELSE CAST(round(255.0 * 1152921504606846976.0 /
+             |            CAST(max(h) AS DOUBLE)) AS BIGINT) END
+             |   FROM (SELECT h FROM
+             |           (SELECT DISTINCT ${h60(r)} AS h FROM $tn
+             |            WHERE $r IS NOT NULL)
+             |         ORDER BY h LIMIT 256)) AS n_distinct_est
+             |FROM $tn""".stripMargin
+        }}.mkString("\nUNION ALL\n")
+        val roleRows = Seq(
+          ("region", "r_regionkey", true, false), ("region", "r_name", false, false),
+          ("nation", "n_nationkey", true, false), ("nation", "n_name", false, false),
+          ("nation", "n_regionkey", false, true),
+          ("customer", "c_custkey", true, false), ("customer", "c_name", false, false),
+          ("customer", "c_nationkey", false, true),
+          ("customer", "c_acctbal", false, false),
+          ("customer", "c_mktsegment", false, false),
+          ("supplier", "s_suppkey", true, false), ("supplier", "s_name", false, false),
+          ("supplier", "s_nationkey", false, true),
+          ("supplier", "s_acctbal", false, false),
+          ("part", "p_partkey", true, false), ("part", "p_name", false, false),
+          ("part", "p_brand", false, false), ("part", "p_type", false, false),
+          ("part", "p_size", false, false), ("part", "p_retailprice", false, false),
+          ("orders", "o_orderkey", true, false), ("orders", "o_custkey", false, true),
+          ("orders", "o_orderstatus", false, false),
+          ("orders", "o_totalprice", false, false),
+          ("orders", "o_orderdate", false, false),
+          ("orders", "o_orderpriority", false, false),
+          ("lineitem", "l_orderkey", true, true), ("lineitem", "l_partkey", false, true),
+          ("lineitem", "l_suppkey", false, true),
+          ("lineitem", "l_linenumber", true, false),
+          ("lineitem", "l_quantity", false, false),
+          ("lineitem", "l_extendedprice", false, false),
+          ("lineitem", "l_discount", false, false), ("lineitem", "l_tax", false, false),
+          ("lineitem", "l_returnflag", false, false),
+          ("lineitem", "l_linestatus", false, false),
+          ("lineitem", "l_shipdate", false, false))
+          .map { case (t0, c0, pk, fk) => s"('$t0', '$c0', $pk, $fk)" }
+          .mkString(",\n|  ")
+        s"""WITH stats AS (
+           |$stats),
+           |roles AS (SELECT * FROM (VALUES
+           |  $roleRows
+           |) r(table_name, col_name, is_pk, is_fk)),
+           |kinds AS (SELECT * FROM (VALUES
+           |  ('region', 'root'), ('nation', 'one_way_embedded'),
+           |  ('customer', 'one_way_embedded'), ('supplier', 'one_way_embedded'),
+           |  ('part', 'root'), ('orders', 'one_way_embedded'),
+           |  ('lineitem', 'referencing')) k(table_name, kind)),
+           |j AS (SELECT s.table_name, s.col_name, kind,
+           |        n_rows, n_nulls, n_distinct_est, is_pk, is_fk
+           |      FROM stats s
+           |      JOIN roles r ON r.table_name = s.table_name
+           |                  AND r.col_name = s.col_name
+           |      LEFT JOIN kinds k ON k.table_name = s.table_name)
+           |SELECT table_name, col_name, 'key_candidate' AS advisory, kind,
+           |  n_rows, n_nulls, n_distinct_est FROM j
+           |WHERE NOT is_pk AND NOT is_fk AND n_nulls = 0
+           |  AND n_distinct_est * 100 >= n_rows * 95
+           |UNION ALL SELECT table_name, col_name, 'constant_fold', kind,
+           |  n_rows, n_nulls, n_distinct_est FROM j WHERE n_distinct_est <= 1
+           |UNION ALL SELECT table_name, col_name, 'null_heavy_fk', kind,
+           |  n_rows, n_nulls, n_distinct_est FROM j
+           |WHERE is_fk AND n_nulls * 2 > n_rows""".stripMargin
+      }),
+
     // ---- similarity: the production ANN lifecycle, end to end ---------
     // x58's trained codebook built into x59's persisted index, searched
     // with x56's coarse-pruned compressed-domain scan, finished with
@@ -1009,10 +1131,15 @@ object ExtQueries {
         val (lo, hi) = (mm.getLong(0), mm.getLong(1))
         val k = 4
         val bounds = (0 to k).map(i => lo + (hi - lo + 1) * i / k)
+        // appId in the name: the per-JVM sequence restarts at 1, so a
+        // previous JVM's root would otherwise be picked up as leftover
+        // open-session state and trip the append-only guard; the
+        // defensive delete covers even an appId collision
         val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_x71_${x71Seq.incrementAndGet()}")
+          s"graft_x71_${s.sparkContext.applicationId}_${x71Seq.incrementAndGet()}")
         Option(x71Prev.getAndSet(root))
           .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
         val stateDir = new java.io.File(root, "state").getPath
         val closedDir = new java.io.File(root, "closed").getPath
         for (i <- 0 until k) {

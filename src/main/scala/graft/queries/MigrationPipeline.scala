@@ -103,7 +103,19 @@ object MigrationPipeline {
       .toDF("table_name", "col_name", "is_pk", "is_fk")
     val kinds = decisions(spark, sfDir)
       .select(col("collection_name").as("table_name"), col("kind"))
-    m.join(broadcast(roles), Seq("table_name", "col_name"))
+    advisoriesFrom(m, roles, kinds)
+  }
+
+  /** The advisory derivation of [[profileAdvisories]], factored over its
+    * three inputs so the threshold logic is testable on controlled
+    * frames: `stats` = (table_name, col_name, n_rows, n_nulls,
+    * n_distinct_est), `roles` = (table_name, col_name, is_pk, is_fk),
+    * `kinds` = (table_name, kind). Both metadata frames are broadcast —
+    * they are catalog-sized at any data scale.
+    */
+  def advisoriesFrom(stats: DataFrame, roles: DataFrame, kinds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    stats.join(broadcast(roles), Seq("table_name", "col_name"))
       .join(broadcast(kinds), Seq("table_name"), "left")
       .select(col("table_name"), col("col_name"), col("kind"),
         col("n_rows"), col("n_nulls"), col("n_distinct_est"),

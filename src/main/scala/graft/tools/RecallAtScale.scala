@@ -25,7 +25,19 @@ import graft.ext.Similarity
   * Recall convention matches PqSweep: set intersection over
   * (query_id, neighbor_id) pairs ÷ |ground truth|.
   *
-  * Usage: runMain graft.tools.RecallAtScale [srcDir] [out10] [out100]
+  * Round 11 extends the grid one decade (1000× = 2M vectors) and adds
+  * the axis the round-10 headline was not tested against: CLUSTERED
+  * corpora ([[ScaleHeadroom.generateSkewedEmbeddings]] — ~4/5 of the
+  * mass in a handful of hot coarse buckets) at 200k and 2M vectors,
+  * measured on both the standard (cold) query set and on the anchor
+  * queries sitting INSIDE a hot cloud. At the 2M scales the sweeps
+  * keep only the decision points round 10 identified (sl ∈ {50, 200},
+  * np ∈ {1, 2, 4}) — each sweep point re-encodes the full corpus.
+  *
+  * Usage: runMain graft.tools.RecallAtScale
+  *          [srcDir] [out10] [out100] [out1000] [skew100] [skew1000]
+  * Pass a scale-label filter via SPARK_GRAFT_RECALL_ONLY (comma list,
+  * e.g. "100x-skew,1000x") to run a subset.
   */
 object RecallAtScale {
 
@@ -33,6 +45,9 @@ object RecallAtScale {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out10 = args.lift(1).getOrElse("/tmp/graft_sf1")
     val out100 = args.lift(2).getOrElse("/tmp/graft_sf10")
+    val out1000 = args.lift(3).getOrElse("/tmp/graft_sf100")
+    val skew100 = args.lift(4).getOrElse("/tmp/graft_skew100")
+    val skew1000 = args.lift(5).getOrElse("/tmp/graft_skew1000")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,44 +60,64 @@ object RecallAtScale {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    for ((dir, reps) <- Seq(out10 -> 10, out100 -> 100)
-        if !new java.io.File(s"$dir/embeddings.parquet").exists()) {
-      System.err.println(s"[recall] generating ${reps}x embeddings in $dir")
-      ScaleHeadroom.generate(spark, src, dir, reps, Set("embeddings"))
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_RECALL_ONLY").map(_.split(",").toSet)
+    def wanted(label: String) = only.forall(_.contains(label))
+
+    // (dir, label, replicas, skewed); replicas=0 → the source corpus
+    val corpora = Seq(
+      (src, "1x", 0, false), (out10, "10x", 10, false),
+      (out100, "100x", 100, false), (out1000, "1000x", 1000, false),
+      (skew100, "100x-skew", 100, true), (skew1000, "1000x-skew", 1000, true))
+    for ((dir, label, reps, skewed) <- corpora
+        if reps > 0 && wanted(label) &&
+          !new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      System.err.println(s"[recall] generating $label embeddings in $dir")
+      if (skewed) ScaleHeadroom.generateSkewedEmbeddings(spark, src, dir, reps)
+      else ScaleHeadroom.generate(spark, src, dir, reps, Set("embeddings"))
     }
 
-    val qs = Seq(0L, 100L, 200L, 300L, 400L)
+    val qsCold = Seq(0L, 100L, 200L, 300L, 400L)
+    // base rows of the first two skew anchors: queries inside a hot cloud
+    val qsHot = Seq(37L, 537L)
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select(col("query_id"), col("neighbor_id"))
         .as[(Long, Long)].collect().toSet
 
-    for ((dir, label) <- Seq(src -> "1x", out10 -> "10x", out100 -> "100x")) {
+    for ((dir, label, _, skewed) <- corpora if wanted(label)) {
+      val big = label.startsWith("1000x")
+      val (slSweep, npSweep) =
+        if (big) (Seq(50, 200), Seq(1, 2, 4))
+        else (Seq(10, 50, 100, 200), Seq(1, 2, 4, 8))
       val emb = graft.sources.Tables.load(spark, dir, "embeddings")
       val n = emb.count()
-      val gt = pairs(Similarity.bruteForceTopK(emb, k = 5, queryIds = qs))
-      def recall(approx: Set[(Long, Long)]): Double =
-        (gt intersect approx).size.toDouble / gt.size
-      val r56 = recall(pairs(Similarity.ivfPqTopK(emb, queryIds = qs, k = 5)))
-      val r57 = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs, k = 5)))
-      val r60 = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs, k = 5,
-        trainIters = 2)))
-      println(f"""{"scale":"$label","vectors":$n,"recall5_x56_ivfpq":$r56%.2f,"recall5_x57_rerank":$r57%.2f,"recall5_x60_trained":$r60%.2f}""")
-      val curve = Seq(10, 50, 100, 200).map { sl =>
-        val r = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs,
-          k = 5, shortlist = sl)))
-        f""""sl$sl":$r%.2f"""
+      for ((qs, qlabel) <- Seq(qsCold -> label) ++
+          (if (skewed) Seq(qsHot -> s"$label-hotq") else Seq.empty)) {
+        val gt = pairs(Similarity.bruteForceTopK(emb, k = 5, queryIds = qs))
+        def recall(approx: Set[(Long, Long)]): Double =
+          (gt intersect approx).size.toDouble / gt.size
+        val r56 = recall(pairs(Similarity.ivfPqTopK(emb, queryIds = qs, k = 5)))
+        val r57 = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs, k = 5)))
+        val r60 = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs, k = 5,
+          trainIters = 2)))
+        println(f"""{"scale":"$qlabel","vectors":$n,"recall5_x56_ivfpq":$r56%.2f,"recall5_x57_rerank":$r57%.2f,"recall5_x60_trained":$r60%.2f}""")
+        val curve = slSweep.map { sl =>
+          val r = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs,
+            k = 5, shortlist = sl)))
+          f""""sl$sl":$r%.2f"""
+        }
+        println(s"""{"scale":"$qlabel","rerank_shortlist_curve":{${curve.mkString(",")}}}""")
+        // the OTHER loss axis: IVF pruning. The shortlist can only
+        // recover what a probed bucket surfaced — this curve shows what
+        // nprobe buys at each scale (shortlist fixed at 50, trained
+        // codebooks so quantization noise doesn't mask it)
+        val npCurve = npSweep.map { np =>
+          val r = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs,
+            k = 5, nprobe = np, trainIters = 2)))
+          f""""np$np":$r%.2f"""
+        }
+        println(s"""{"scale":"$qlabel","trained_rerank_nprobe_curve":{${npCurve.mkString(",")}}}""")
       }
-      println(s"""{"scale":"$label","rerank_shortlist_curve":{${curve.mkString(",")}}}""")
-      // the OTHER loss axis: IVF pruning. The shortlist can only
-      // recover what a probed bucket surfaced — this curve shows what
-      // nprobe buys at each scale (shortlist fixed at 50, trained
-      // codebooks so quantization noise doesn't mask it)
-      val npCurve = Seq(1, 2, 4, 8).map { np =>
-        val r = recall(pairs(Similarity.ivfPqRerankTopK(emb, queryIds = qs,
-          k = 5, nprobe = np, trainIters = 2)))
-        f""""np$np":$r%.2f"""
-      }
-      println(s"""{"scale":"$label","trained_rerank_nprobe_curve":{${npCurve.mkString(",")}}}""")
     }
     spark.stop()
   }

@@ -66,8 +66,15 @@ object ScaleDecade {
     "x14_events_sessions", // round 9: the events family had only one
     "x35_session_attribution", // measured decade — 10M events at 100×
     "x43_funnel",       // cover sessionize (flatMapGroups-shaped
-    "x44_retention")    // batch form), attribution join, funnel
+    "x44_retention",    // batch form), attribution join, funnel
                         // windows, and retention cohort join
+    "x71_sessionize_stored", // round 11: the stored-state nightly fold —
+                        // 4 increments × (batch sort + state joins +
+                        // parquet state swap) per run; state is O(users)
+                        // so the decade should track x14's sort, not
+                        // worsen with history
+    "x69_profile_drift") // round 11: two irreducible FileScans, post-
+                        // scan ≤ bins rows/column — should be near-flat
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

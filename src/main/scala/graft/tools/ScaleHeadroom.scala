@@ -136,6 +136,49 @@ object ScaleHeadroom {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
+  /** Clustered (hot-coarse-bucket) embeddings variant: replica 0 keeps
+    * the base corpus; for r > 0, four of five vectors collapse into a
+    * tight cloud around one of `nAnchors` anchor vectors
+    * (v' = anchor + eps·rot_r(v) — distinct per row, cos(v', anchor) ≈ 1
+    * for small eps) while the remaining fifth rotates exactly as the
+    * uniform generator does. Coarse-bucket occupancy then concentrates
+    * ~4/5 of the corpus into the few buckets nearest the anchors — the
+    * non-uniform occupancy the round-10 recall headline ("pruning gets
+    * safer with scale"; nprobe=1 → 1.00 at 200k) was NOT tested
+    * against: a hot bucket is where IVF pruning fails in practice and
+    * where ADC noise must rank thousands of candidates inside one
+    * quantization-error band. Anchor ids (37 + 500·a) are deliberately
+    * OFF the modulus-seeded centroid list (37 % 100 ≠ 0) and their base
+    * rows are 'hot-eligible' (37 % 5 ≠ 0) — the anchors model organic
+    * density peaks, not seeded centroids; centroid-seed rows
+    * (vec_id % 100 == 0, hence % 5 == 0) always stay on the rotated
+    * cold path so the coarse quantizer's seeding is unchanged.
+    */
+  def generateSkewedEmbeddings(spark: SparkSession, src: String, out: String,
+      replicas: Int, nAnchors: Int = 4, eps: Float = 0.05f): Unit = {
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") % 500 === 37 &&
+        col("vec_id") / 500 < nAnchors)
+      .select((col("vec_id") / 500).cast("long").as("__a"),
+        col("embedding").as("__av"))
+    val r = (col("__r") % size(col("embedding"))).cast("int")
+    val rotated = when(col("__r") === 0, col("embedding")).otherwise(concat(
+      slice(col("embedding"), r + 1, size(col("embedding")) - r),
+      slice(col("embedding"), lit(1), r)))
+    emb.withColumn("__r", explode(sequence(lit(0L), lit(replicas - 1L))))
+      .withColumn("__a", col("vec_id") % nAnchors)
+      .join(broadcast(anchors), Seq("__a"))
+      .withColumn("embedding",
+        when(col("__r") === 0, col("embedding"))
+          .when(col("vec_id") % 5 =!= 0,
+            zip_with(col("__av"), rotated, (a, b) => a + lit(eps) * b))
+          .otherwise(rotated))
+      .withColumn("vec_id", col("vec_id") + col("__r") * Stride)
+      .select(emb.columns.map(col): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
   /** Hot-user variant (events only): replicas keep the SAME user_id —
     * every user now has 10× events in the same time range, so per-user
     * candidate sets (the funnel's click×purchase join, the session
