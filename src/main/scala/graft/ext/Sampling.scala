@@ -132,6 +132,117 @@ object Sampling {
           .as("mix_weight"))
   }
 
+  /** Integer document merit + token cost — the shared scoring frame of
+    * [[selectToBudget]] / [[selectToBudgetBinned]]. Merit is the
+    * INTEGER analog of x10's `quality_score`
+    * (`min(n_tokens/100, 1) · (1 − punct_ratio)`, reference scoring
+    * shape): `least(n_tokens, 100)·1000 − (punct·100000 div n_chars)`
+    * — both terms land in [0, 100000], and integer arithmetic end to
+    * end means both engines order documents identically (a float score
+    * would tie-break on libm rounding). The bounded range also bounds
+    * [[selectToBudgetBinned]]'s bin-table state by CONSTRUCTION:
+    * ≤ 200k distinct merits whatever the corpus size. NULL doc_id/text
+    * rows are excluded (same rule as [[stratifiedByHash]]);
+    * `greatest(n_chars, 1)` keeps the empty-string document defined in
+    * both engines (DuckDB integer `//` by zero errors out).
+    * Output: (doc_id, merit, n_tokens).
+    */
+  def meritTokens(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nTok = size(tokens(col(textCol))).cast("long")
+    val punct = size(regexp_extract_all(col(textCol), lit("[.,;:!?]"), lit(0)))
+      .cast("long")
+    val nCh = greatest(length(col(textCol)).cast("long"), lit(1L))
+    docs.filter(col("doc_id").isNotNull && col(textCol).isNotNull)
+      .select(col("doc_id"), least(nTok, lit(100L)).as("__cap"),
+        punct.as("__punct"), nCh.as("__nch"), nTok.as("n_tokens"))
+      // `div`, not `/`: Column./ is always floating-point division
+      .select(col("doc_id"),
+        (col("__cap") * 1000L - expr("(__punct * 100000) div __nch")).as("merit"),
+        col("n_tokens"))
+  }
+
+  /** Token-budget corpus selection, EXACT BASELINE (labeled, like x62
+    * beside x63): "fill a token budget with the best documents" — the
+    * greedy prefix rule every curation pipeline runs before training.
+    * Documents ordered by (merit DESC, doc_id ASC); a document is kept
+    * iff its inclusive running token total stays ≤ `budgetTokens`.
+    * The prefix rule is deliberate (NOT best-fit bin packing): the cut
+    * is a quality threshold, so the selected set is "everything above
+    * the bar", which is what a data recipe reproduces. This form
+    * computes the running total with ONE GLOBAL unpartitioned window —
+    * a single-task sort of the whole corpus, the classic
+    * does-not-scale shape. It exists as the specification the binned
+    * path is verified bit-identical against; production runs
+    * [[selectToBudgetBinned]]. Output: (doc_id, merit, n_tokens).
+    */
+  def selectToBudget(docs: DataFrame, budgetTokens: Long,
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, s"negative budget: $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("merit").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    meritTokens(docs, textCol)
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .filter(col("__cum") <= budgetTokens)
+      .select(col("doc_id"), col("merit"), col("n_tokens"))
+  }
+
+  /** [[selectToBudget]]'s scale path — BIT-IDENTICAL output, no global
+    * sort of the corpus. The prefix rule has exactly one cut point
+    * (the running total is monotone), so whole merit BINS are decided
+    * wholesale and only the single boundary bin needs per-document
+    * work:
+    *
+    *   1. one map-side-combined `groupBy(merit)` — bin-table rows are
+    *      bounded by [[meritTokens]]' ±100k merit range, NOT by corpus
+    *      size;
+    *   2. an exclusive running total over that tiny bin table (the one
+    *      unpartitioned window here runs over ≤ 200k BIN rows, never
+    *      the corpus) classifies each bin: fully in
+    *      (`cum_above + bin_tokens ≤ budget`), boundary
+    *      (`cum_above ≤ budget < cum_above + bin_tokens` — at most one
+    *      bin qualifies), or out;
+    *   3. the classification broadcasts back onto the corpus (narrow
+    *      pass, no corpus shuffle);
+    *   4. only the boundary bin's documents sort (by doc_id, keyed by
+    *      merit so the exchange is that bin alone) against the leftover
+    *      `budget − cum_above`.
+    *
+    * Fully-in bins reproduce the prefix rule because every inclusive
+    * prefix inside them is ≤ `cum_above + bin_tokens ≤ budget`; out
+    * bins because every prefix is > budget; the boundary bin re-runs
+    * the rule verbatim on the leftover. BudgetSelectionSpec pins
+    * equality against [[selectToBudget]] on the fixture and on crafted
+    * edges (budget 0, budget on an exact bin edge, budget ≥ corpus).
+    * Output: (doc_id, merit, n_tokens).
+    */
+  def selectToBudgetBinned(docs: DataFrame, budgetTokens: Long,
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0, s"negative budget: $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val scored = meritTokens(docs, textCol)
+    val bins = scored.groupBy("merit")
+      .agg(sum(col("n_tokens")).as("__bin_tokens"))
+    val wb = Window.orderBy(col("merit").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classified = bins
+      .withColumn("__cum_above", coalesce(sum(col("__bin_tokens")).over(wb), lit(0L)))
+      .select(col("merit"), col("__cum_above"),
+        (col("__cum_above") + col("__bin_tokens") <= budgetTokens).as("__full"),
+        (col("__cum_above") <= budgetTokens &&
+          col("__cum_above") + col("__bin_tokens") > budgetTokens).as("__boundary"))
+    val joined = scored.join(broadcast(classified), Seq("merit"))
+    val fullyIn = joined.filter(col("__full"))
+      .select(col("doc_id"), col("merit"), col("n_tokens"))
+    val wd = Window.partitionBy(col("merit")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryIn = joined.filter(col("__boundary"))
+      .withColumn("__cum_in", sum(col("n_tokens")).over(wd))
+      .filter(col("__cum_above") + col("__cum_in") <= budgetTokens)
+      .select(col("doc_id"), col("merit"), col("n_tokens"))
+    fullyIn.union(boundaryIn)
+  }
+
   /** Temperature-flattened corpus mixture — the standard multilingual /
     * multi-source LM sampling rule (exponent-smoothed shares, as in
     * XLM's p_i^α rescaling, arXiv:1901.07291 §3.1): per stratum, the

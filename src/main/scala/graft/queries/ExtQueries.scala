@@ -1440,6 +1440,33 @@ object ExtQueries {
              |    (CAST(n_tokens AS DOUBLE) / t), 6) AS boost
              |FROM ps, tot""".stripMargin)),
 
+    // ---- token-budget corpus selection (round 11) --------------------
+    // "Fill a 13k-token budget with the best documents": the greedy
+    // prefix rule over (merit DESC, doc_id ASC). The REGISTERED path is
+    // the binned threshold-finder (no global corpus sort — bin
+    // classification over a merit-bounded bin table + a boundary-bin-
+    // only cut); the ORACLE is the exact prefix rule as one window
+    // cumsum, so the driver hash proves the scale path ≡ the exact
+    // semantics on every run. 13000 ≈ half the sf0.01 token mass, so
+    // the boundary-bin cut is exercised, not just whole-bin decisions.
+    ("x74_budget_selection",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Sampling.selectToBudgetBinned(
+          t(s, dir, "documents"), budgetTokens = 13000L),
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    least(len(string_split(trim(text), ' ')), 100) * 1000
+             |      - (len(regexp_extract_all(text, '[.,;:!?]')) * 100000
+             |         // greatest(strlen(text), 1)) AS merit,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             |c AS (
+             |  SELECT doc_id, merit, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY merit DESC, doc_id ASC
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM s)
+             |SELECT doc_id, merit, n_tokens FROM c WHERE cum <= 13000""".stripMargin)),
+
     // ---- capstone: curate → pack (raw corpus to training batches) ----
     // The x27 selection flows straight into greedy sequence packing:
     // language-ID → quality gate → dedup-keep → stratified sample →
