@@ -719,6 +719,40 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("keep"))
   }
 
+  /** Leakage-safe train/eval split: assign documents to splits at the
+    * NEAR-DUP-CLUSTER grain, not the document grain. A document-grain
+    * random split leaks — a near-duplicate of an eval document lands in
+    * train with probability trainPct, and memorizing it inflates eval
+    * scores (the train/test overlap failure Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 §6.2
+    * measures). Quotienting by the near-dup equivalence first makes
+    * straddling impossible BY CONSTRUCTION: the split is a pure
+    * function of `cluster_id` (deterministic [[Portable.hash32]], same
+    * rule as [[Sampling.stratifiedByHash]]), so every member of a
+    * cluster — including singletons, whose cluster is themselves —
+    * lands on the same side, on every run, on every engine.
+    *
+    * Scale shape: [[resolveClusters]] (the component computation x19
+    * already pays) plus one narrow projection — the split itself adds
+    * ZERO shuffles; membership never consults other rows.
+    * Output: (doc_id, cluster_id, split ∈ {train, eval}).
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int): DataFrame =
+    splitByCluster(resolveClusters(docs, pairs), trainPct)
+
+  /** The split projection of [[leakageSafeSplit]] over an already
+    * materialized [[resolveClusters]] frame — callers that share the
+    * component computation across queries (the x19/x75 memo) apply the
+    * split without re-running the iterative loop.
+    */
+  def splitByCluster(resolved: DataFrame, trainPct: Int): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, s"trainPct out of range: $trainPct")
+    resolved.select(col("doc_id"), col("cluster_id"),
+      when(pmod(hash32(col("cluster_id").cast("string")), lit(100)) < trainPct,
+        lit("train")).otherwise(lit("eval")).as("split"))
+  }
+
   /** [[simhashPairs]] over a prebuilt (doc_id, simhash) table. */
   def simhashPairsFromSig(sh: DataFrame, maxHamming: Int = 12): DataFrame = {
     val chunks = sh.select(col("doc_id"), col("simhash"),

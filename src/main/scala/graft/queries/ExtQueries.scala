@@ -1301,6 +1301,31 @@ object ExtQueries {
               |  r.doc_id = r.cluster_id AS keep
               |FROM resolved r JOIN csz USING (cluster_id)""".stripMargin)),
 
+    // ---- dedup: leakage-safe train/eval split (round 11) -------------
+    // The split rides the SAME memoized cluster frame as x19 (the
+    // component loop runs once per session/dir); splitByCluster adds a
+    // narrow projection only. 80/20 at the cluster grain: near-dup
+    // pairs cannot straddle train/eval because split is a pure function
+    // of cluster_id.
+    ("x75_leakage_split",
+      (s: SparkSession, dir: String) =>
+        Dedup.splitByCluster(resolvedClusters(s, dir), trainPct = 80),
+      Some(s"""WITH RECURSIVE $hashedShingleCtes,
+              |$jaccardCtes,
+              |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+              |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
+              |reach(n, m) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
+              |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+              |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+              |             FROM documents d LEFT JOIN cc USING (doc_id))
+              |SELECT doc_id, cluster_id,
+              |  CASE WHEN (${h32("CAST(cluster_id AS VARCHAR)")}) % 100 < 80
+              |       THEN 'train' ELSE 'eval' END AS split
+              |FROM resolved""".stripMargin)),
+
     // ---- text: per-doc top terms by TF-IDF (rational form) ------------
     ("x20_tfidf_topterms",
       (s: SparkSession, dir: String) =>

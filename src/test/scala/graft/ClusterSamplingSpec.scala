@@ -30,6 +30,46 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(out.count(_._4) === 5)
   }
 
+  test("leakage-safe split: no near-dup pair straddles train/eval, singletons split too") {
+    // components {1,2,3,4}, {10,11,12}, {20,21}; 30..35 are singletons
+    val docs = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L) ++ (30L to 35L))
+      .toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val out = Dedup.leakageSafeSplit(docs, pairs, trainPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === docs.count())
+    // every cluster maps to exactly one split — leakage impossible
+    val perCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perCluster.values.forall(_.size === 1))
+    // explicitly: each edge's endpoints agree
+    val bySide = out.map(r => r._1 -> r._3).toMap
+    for ((a, b) <- Seq((1L, 2L), (3L, 4L), (10L, 12L), (20L, 21L)))
+      assert(bySide(a) === bySide(b), s"pair ($a,$b) straddles the split")
+    // at 50% both sides are populated on this frame (hash dispersion
+    // sanity — 9 clusters land on both sides for this fixture)
+    assert(out.map(_._3).toSet === Set("train", "eval"))
+    // deterministic: identical assignment on a second run
+    val again = Dedup.leakageSafeSplit(docs, pairs, trainPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
+  test("leakage-safe split honors the rate at the cluster grain, 0 and 100 degenerate") {
+    val docs = (1L to 400L).toDF("doc_id")
+    val pairs = spark.emptyDataFrame.select(lit(0L).as("doc_a"), lit(0L).as("doc_b"))
+      .filter(lit(false)) // all singletons
+    val all = Dedup.leakageSafeSplit(docs, pairs, trainPct = 100).collect()
+    assert(all.forall(_.getString(2) == "train"))
+    val none = Dedup.leakageSafeSplit(docs, pairs, trainPct = 0).collect()
+    assert(none.forall(_.getString(2) == "eval"))
+    val half = Dedup.leakageSafeSplit(docs, pairs, trainPct = 50).collect()
+    val trainN = half.count(_.getString(2) == "train")
+    // hash32 spreads ~uniformly: 400 singleton clusters at 50% should
+    // land well inside [140, 260] (±5.5σ)
+    assert(trainN > 140 && trainN < 260, s"suspicious split balance: $trainN/400")
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     val rows = (for (i <- 1L to 2000L) yield (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")
