@@ -69,6 +69,72 @@ object TextAnalysis {
           (lit(1.0) - punct.cast("double") / nCh), 6).as("quality_score"))
   }
 
+  /** Filter-cascade attrition audit: the report a curation pipeline
+    * reads BEFORE shipping a filter recipe. Four declared stages run as
+    * per-document flags in ONE scan; the output is one row per stage:
+    *
+    *   - `n_fail` — documents failing this stage's predicate alone
+    *     (independent of the others): the stage's raw strictness;
+    *   - `n_sole_fail` — failing this stage and NO other: what the
+    *     filter uniquely removes. A stage whose sole-kill is ~0 is
+    *     redundant — dropping it changes nothing, and this column is
+    *     the evidence;
+    *   - `n_pass_cum` — documents passing stages 1..i in declared
+    *     order: the attrition funnel (the last row is the shipped
+    *     corpus size).
+    *
+    * Stages (predicates are INTEGER arithmetic end to end, so both
+    * engines agree bit for bit — the repo-wide oracle-portability
+    * rule): `too_short` (< 20 tokens), `low_stopword` (English
+    * stopword mass < 30‰ of tokens — gibberish/non-prose heuristic),
+    * `lang_excluded` (declared lang outside the en/es/de/fr
+    * whitelist — note the deliberate overlap with low_stopword: CJK
+    * text fails both, and `n_sole_fail` is what quantifies the
+    * redundancy), `repetitive` (distinct-token ratio < 500‰ — the
+    * boilerplate/template signal, same family as x26's metrics).
+    *
+    * Scale shape: one corpus scan → one single-row aggregate
+    * (map-side combined; every flag is a codegen'd projection — the
+    * stopword counter is the separator-doubled form, not an
+    * interpreted lambda) → a constant 4-row unpivot. Nothing after
+    * the scan grows with the corpus.
+    * Output: (ord, stage, n_fail, n_sole_fail, n_pass_cum).
+    */
+  def filterCascade(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("long")
+    val nDis = size(array_distinct(t)).cast("long")
+    val stop = score(col("__spaced"), Seq("the", "a", "and", "of", "is")).cast("long")
+    val whitelist = Seq("en", "es", "de", "fr")
+    val flags = docs
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .withColumn("__spaced", spacedText(col("text")))
+      .select(
+        (nTok < 20L).cast("long").as("f1"),
+        (stop * 1000L < nTok * 30L).cast("long").as("f2"),
+        (col("lang").isNull || !col("lang").isin(whitelist: _*))
+          .cast("long").as("f3"),
+        (nDis * 1000L < nTok * 500L).cast("long").as("f4"))
+    val agged = flags.agg(
+      sum("f1").as("n1"), sum("f2").as("n2"),
+      sum("f3").as("n3"), sum("f4").as("n4"),
+      sum(expr("f1 * (1-f2) * (1-f3) * (1-f4)")).as("s1"),
+      sum(expr("f2 * (1-f1) * (1-f3) * (1-f4)")).as("s2"),
+      sum(expr("f3 * (1-f1) * (1-f2) * (1-f4)")).as("s3"),
+      sum(expr("f4 * (1-f1) * (1-f2) * (1-f3)")).as("s4"),
+      sum(expr("(1-f1)")).as("c1"),
+      sum(expr("(1-f1) * (1-f2)")).as("c2"),
+      sum(expr("(1-f1) * (1-f2) * (1-f3)")).as("c3"),
+      sum(expr("(1-f1) * (1-f2) * (1-f3) * (1-f4)")).as("c4"))
+    agged.selectExpr(
+      """stack(4,
+        |  1, 'too_short',     n1, s1, c1,
+        |  2, 'low_stopword',  n2, s2, c2,
+        |  3, 'lang_excluded', n3, s3, c3,
+        |  4, 'repetitive',    n4, s4, c4)
+        |AS (ord, stage, n_fail, n_sole_fail, n_pass_cum)""".stripMargin)
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digit runs / single other chars).
     * Output: (doc_id, ws_tokens, re_tokens, chars_per_token).

@@ -1426,6 +1426,46 @@ object ExtQueries {
              |  round(1.0 - CAST(d_bg AS DOUBLE) / n_bg, 6) AS dup_bigram_frac
              |FROM ts JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin)),
 
+    // ---- text: filter-cascade attrition audit (round 11) -------------
+    // Per declared stage: independent kill count, SOLE kill count (what
+    // the filter uniquely removes — ~0 means the stage is redundant),
+    // and the cumulative survivor funnel. One scan, one single-row
+    // aggregate, constant 4-row output.
+    ("x76_filter_cascade",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.filterCascade(t(s, dir, "documents")),
+      Some("""WITH s AS (
+             |  SELECT
+             |    CASE WHEN len(string_split(trim(text), ' ')) < 20 THEN 1 ELSE 0 END AS f1,
+             |    CASE WHEN (len(list_filter(string_split(trim(text), ' '), x -> x = 'the'))
+             |             + len(list_filter(string_split(trim(text), ' '), x -> x = 'a'))
+             |             + len(list_filter(string_split(trim(text), ' '), x -> x = 'and'))
+             |             + len(list_filter(string_split(trim(text), ' '), x -> x = 'of'))
+             |             + len(list_filter(string_split(trim(text), ' '), x -> x = 'is'))) * 1000
+             |           < len(string_split(trim(text), ' ')) * 30 THEN 1 ELSE 0 END AS f2,
+             |    CASE WHEN lang IS NULL OR lang NOT IN ('en','es','de','fr')
+             |         THEN 1 ELSE 0 END AS f3,
+             |    CASE WHEN len(list_distinct(string_split(trim(text), ' '))) * 1000
+             |           < len(string_split(trim(text), ' ')) * 500 THEN 1 ELSE 0 END AS f4
+             |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+             |a AS (SELECT
+             |    CAST(sum(f1) AS BIGINT) AS n1, CAST(sum(f2) AS BIGINT) AS n2,
+             |    CAST(sum(f3) AS BIGINT) AS n3, CAST(sum(f4) AS BIGINT) AS n4,
+             |    CAST(sum(f1*(1-f2)*(1-f3)*(1-f4)) AS BIGINT) AS s1,
+             |    CAST(sum(f2*(1-f1)*(1-f3)*(1-f4)) AS BIGINT) AS s2,
+             |    CAST(sum(f3*(1-f1)*(1-f2)*(1-f4)) AS BIGINT) AS s3,
+             |    CAST(sum(f4*(1-f1)*(1-f2)*(1-f3)) AS BIGINT) AS s4,
+             |    CAST(sum(1-f1) AS BIGINT) AS c1,
+             |    CAST(sum((1-f1)*(1-f2)) AS BIGINT) AS c2,
+             |    CAST(sum((1-f1)*(1-f2)*(1-f3)) AS BIGINT) AS c3,
+             |    CAST(sum((1-f1)*(1-f2)*(1-f3)*(1-f4)) AS BIGINT) AS c4
+             |  FROM s)
+             |SELECT 1 AS ord, 'too_short' AS stage, n1 AS n_fail,
+             |       s1 AS n_sole_fail, c1 AS n_pass_cum FROM a
+             |UNION ALL SELECT 2, 'low_stopword', n2, s2, c2 FROM a
+             |UNION ALL SELECT 3, 'lang_excluded', n3, s3, c3 FROM a
+             |UNION ALL SELECT 4, 'repetitive', n4, s4, c4 FROM a""".stripMargin)),
+
     // ---- sampling: corpus-mixing weights per language -----------------
     // Token-mass share per stratum and the factor that would equalize
     // token mass across strata — the input to mixing temperatures.

@@ -11,6 +11,44 @@ import graft.ext.{Sampling, TextAnalysis}
 class TextMetricsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("filter cascade: hand-computed attrition, sole-kill, and funnel order") {
+    // 25 tokens of prose-ish english: passes everything
+    val good = "the cat sat and the dog ran of a hill is near and " +
+      "the bird flew of a tree is tall and more words here"        // 25 tok, stopword-rich, distinct-rich
+    val docs = Seq(
+      (1L, good, "en"),
+      // f1 only: 5 tokens but stopword-rich ("the of a and is" = 100% stop), distinct
+      (2L, "the of a and is", "en"),
+      // f3 only: fine text, excluded lang
+      (3L, good, "zh"),
+      // f2 + f4: 20 identical non-stopword tokens — low stopword AND repetitive
+      (4L, Seq.fill(20)("spam").mkString(" "), "en"),
+      // all four: short, no stopwords, bad lang, repetitive
+      (5L, "x x x", null)
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.filterCascade(docs).orderBy("ord")
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    // doc1: passes all. doc2: f1=1 (5<20) — stop=5*1000=5000 ≥ 5*30 so f2=0; sole f1.
+    // doc3: f3 only. doc4: f2 (0 < 600) + f4 (1*1000 < 20*500). doc5: f1,f2,f3,f4.
+    assert(out === Seq(
+      (1, "too_short",     2L, 1L, 3L),  // fails: 2,5; sole: 2; pass f1: 1,3,4
+      (2, "low_stopword",  2L, 0L, 2L),  // fails: 4,5; sole: none; pass f1,f2: 1,3
+      (3, "lang_excluded", 2L, 1L, 1L),  // fails: 3,5; sole: 3; pass f1..f3: 1
+      (4, "repetitive",    2L, 0L, 1L))) // fails: 4,5; sole: none; survivors: 1
+  }
+
+  test("filter cascade is one scan and a single-row aggregate (nothing corpus-sized after)") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val plan = TextAnalysis.filterCascade(docs).queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    // exactly one Aggregate, grouping by nothing (global single row)
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.length === 1 && aggs.head.groupingExpressions.isEmpty)
+    // exactly one scan relation
+    def leaves(p: LogicalPlan): Seq[LogicalPlan] = p.collectLeaves()
+    assert(leaves(plan).length === 1)
+  }
+
   test("repetition metrics on a crafted degenerate document") {
     val docs = Seq(
       (1L, "a a a b"),          // 4 tokens, 2 distinct, top 3; bigrams [a a, a a, a b]: 3 total, 2 distinct
