@@ -1005,6 +1005,33 @@ object Similarity {
     * 1×), which no re-rank can resurrect — grow nprobe, not k', for
     * that term.
     *
+    * ROUND-11 GRID — one more decade, plus clustered (non-uniform)
+    * corpora (tools.RecallAtScale with ScaleHeadroom's hot-coarse-
+    * bucket generator; ~4/5 of the mass within eps=0.05 of 4 anchors):
+    *   - 1000× uniform (2M vectors): 1.00 across every path and every
+    *     measured sl/np point — the "pruning gets safer with scale"
+    *     property holds a fourth decade.
+    *   - 100×-skew, COLD queries (outside the hot clouds): raw ADC
+    *     drops to 0.44 (hot-cell quantization noise), but sl=50
+    *     re-rank and trained codebooks both hold 1.00; nprobe=1
+    *     suffices. Clustered occupancy alone does not break the
+    *     contract.
+    *   - HOT queries (the query IS a cloud anchor): ID-recall@5 is
+    *     0.00 for every configuration at both 200k and 2M — and that
+    *     number is a METRIC artifact, not a retrieval failure. The
+    *     exact top-5 is an arbitrary pick among tens of thousands of
+    *     ε-ties; a k'-deep shortlist holds k'/cloud ≈ 0.1% of them,
+    *     so the ID sets are disjoint while every returned neighbor's
+    *     exact cosine is within ~1e-3 of the k-th ground-truth score
+    *     (ε-recall@5 at τ=0.001: 1.00 where ID-recall reads 0.00 —
+    *     same tool, same runs). Production reading: (1) monitor
+    *     ε-recall / the exact-vs-approx gap ([[retrainMonitor]]
+    *     already computes exactly that audit), not raw ID overlap;
+    *     (2) the real fix is upstream — near-dup clouds this dense
+    *     are what [[Dedup.resolveClusters]] / SemDeDup (x33/x37)
+    *     exist to collapse BEFORE indexing; an index of
+    *     representatives has no hot clouds.
+    *
     * Scale shape: the shortlist (≤ Q·k' rows — the heap bounds it
     * before any exchange) is BROADCAST into one corpus scan to fetch
     * the original vectors, so the fetch adds zero corpus-keyed

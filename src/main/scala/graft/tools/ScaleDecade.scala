@@ -73,8 +73,15 @@ object ScaleDecade {
                         // parquet state swap) per run; state is O(users)
                         // so the decade should track x14's sort, not
                         // worsen with history
-    "x69_profile_drift") // round 11: two irreducible FileScans, post-
+    "x69_profile_drift", // round 11: two irreducible FileScans, post-
                         // scan ≤ bins rows/column — should be near-flat
+    "x74_budget_selection", // round 11: binned threshold-finder — one
+                        // merit-bounded agg + broadcast + narrow pass;
+                        // the bespoke block below pairs it against the
+                        // exact global-window form at each scale
+    "x76_filter_cascade") // round 11: one scan → single-row aggregate →
+                        // constant 4-row unpivot — should track the
+                        // scan cost alone
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names
@@ -244,6 +251,36 @@ object ScaleDecade {
           val sec = (System.nanoTime() - t0) / 1e9
           val over = mx > graft.map.DocSizeAudit.MongoDocLimit
           println(f"""{"query":"x70_verdict","scale":"$label","audit_sec":$sec%.3f,"max_doc_bytes":$mx,"over_16mb":$over}""")
+      }
+    }
+
+    // ---- x74 pairing: exact global-window prefix rule vs the binned
+    // threshold-finder on the SAME corpus and budget (half the corpus
+    // token mass, so the boundary-bin cut runs at every scale). The
+    // generic loop times the registered binned form at the fixed 13k
+    // budget; this block is the x62/x63-style honesty table — the
+    // exact form pays a single-task corpus sort that grows with the
+    // data, the binned form pays a merit-bounded aggregate that
+    // doesn't. Selection parity is asserted, not assumed.
+    if (selected("x74_budget_selection")) {
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val docs = graft.sources.Tables.load(spark, d, "documents")
+          val budget = graft.ext.Sampling.meritTokens(docs)
+            .agg(org.apache.spark.sql.functions.sum("n_tokens"))
+            .head().getLong(0) / 2
+          def med(f: => Long): (Double, Long) = {
+            var n = 0L
+            val ts = (1 to 3).map { _ =>
+              val t0 = System.nanoTime(); n = f
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            (ts(1), n)
+          }
+          val (se, ne) = med(graft.ext.Sampling.selectToBudget(docs, budget).count())
+          val (sb, nb) = med(graft.ext.Sampling.selectToBudgetBinned(docs, budget).count())
+          require(ne == nb, s"exact/binned row-count divergence at $label: $ne vs $nb")
+          println(f"""{"query":"x74_pairing","scale":"$label","budget":$budget,"selected":$ne,"exact_sec":$se%.3f,"binned_sec":$sb%.3f}""")
       }
     }
 
