@@ -768,6 +768,52 @@ object Catalog {
         coalesce(col("drifted"), lit(false)).as("drifted"))
   }
 
+  /** Corpus-version manifest diff: the IDENTITY-level companion to
+    * [[profileDrift]]'s distribution-level drift — "which documents did
+    * the new crawl add, remove, or change", the question every
+    * incremental re-train, cache invalidation, and audit trail starts
+    * from. One full-outer equi-join on the id; emits ONLY the deltas
+    * (added / removed / changed) — at corpus scale the output is the
+    * delta, not the corpus.
+    *
+    * Scale shape: content equality is decided on a 60-bit fingerprint
+    * ([[graft.functions.Portable.hash60]] over the content columns,
+    * each value LENGTH-PREFIXED so column boundaries cannot alias
+    * (("ab","c") vs ("a","bc")) and NULL (rendered "n:") is distinct
+    * from every string ("<len>:...")) PROJECTED BEFORE the join — the
+    * exchange carries (id, 8-byte fp) per side, never the document
+    * bodies, so the shuffle width is independent of document size. A
+    * fingerprint collision (≈ 2⁻⁶⁰ per pair) would misreport one
+    * changed row as unchanged; an audit that cannot tolerate that
+    * re-checks the reported-unchanged ids by content. The driver
+    * oracle compares the raw columns directly (IS DISTINCT FROM), so
+    * the hash shortcut is itself verified against content-level truth
+    * on every run.
+    * Output: (doc_id, status ∈ {added, removed, changed}).
+    */
+  def corpusDiff(oldV: DataFrame, newV: DataFrame, idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    def render(c: String) = {
+      val s = col(c).cast("string")
+      when(s.isNull, lit("n:"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
+    def fp(df: DataFrame, side: String): DataFrame =
+      df.filter(col(idCol).isNotNull).select(
+        col(idCol).as(s"__id_$side"),
+        graft.functions.Portable.hash60(
+          concat(contentCols.map(render): _*)).as(s"__fp_$side"))
+    fp(oldV, "o").join(fp(newV, "n"),
+        col("__id_o") === col("__id_n"), "full_outer")
+      .select(coalesce(col("__id_o"), col("__id_n")).as(idCol),
+        when(col("__id_o").isNull, "added")
+          .when(col("__id_n").isNull, "removed")
+          .when(col("__fp_o") =!= col("__fp_n"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
   /** Full introspection: builds the driver-side [[DatabaseMeta]] the
     * conversion algorithm consumes (analog of
     * server/DBMigration.js:30-91). Row counts and column lists come from

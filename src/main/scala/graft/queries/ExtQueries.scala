@@ -1841,6 +1841,50 @@ object ExtQueries {
              |FROM seed LEFT JOIN g
              |  ON seed.col_name = g.col_name AND seed.kind = g.kind""".stripMargin)),
 
+    // ---- x77: corpus-version manifest diff (round 11) ----------------
+    // The identity-level companion to x69: WHICH documents the new
+    // crawl added / removed / changed. The new version is constructed
+    // deterministically from the fixture (every 7th doc removed, every
+    // 5th survivor's text suffixed, every 9th doc re-added under a
+    // shifted id); the engine decides via length-prefixed fingerprints
+    // projected before the join, the oracle compares raw columns — so
+    // the hash shortcut is verified against content truth.
+    ("x77_corpus_diff",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val newV = docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 9 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        graft.operators.Catalog.corpusDiff(docs, newV, "doc_id",
+          Seq("text", "lang", "source"))
+      },
+      Some("""WITH oldv AS (
+             |  SELECT doc_id, text, lang, source FROM documents
+             |  WHERE doc_id IS NOT NULL),
+             |newv AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+             |    lang, source
+             |  FROM oldv WHERE doc_id % 7 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, lang, source FROM oldv
+             |  WHERE doc_id % 9 = 0),
+             |j AS (
+             |  SELECT o.doc_id AS oid, n.doc_id AS nid,
+             |    o.text AS ot, n.text AS nt, o.lang AS ol, n.lang AS nl,
+             |    o.source AS os, n.source AS ns
+             |  FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+             |SELECT coalesce(oid, nid) AS doc_id,
+             |  CASE WHEN oid IS NULL THEN 'added'
+             |       WHEN nid IS NULL THEN 'removed'
+             |       ELSE 'changed' END AS status
+             |FROM j
+             |WHERE oid IS NULL OR nid IS NULL
+             |   OR ot IS DISTINCT FROM nt OR ol IS DISTINCT FROM nl
+             |   OR os IS DISTINCT FROM ns""".stripMargin)),
+
     // ---- x70: document-size pre-flight audit --------------------------
     // Estimated BSON bytes of every region root document the migration
     // would build (region → nation → {customer → orders, supplier}),

@@ -318,6 +318,37 @@ class SchemaConverterSpec extends SparkSpec {
       empty.mkString(","))
   }
 
+  test("corpus diff: added/removed/changed detected, unchanged suppressed") {
+    import spark.implicits._
+    val oldV = Seq(
+      (1L, "alpha", "en"), (2L, "beta", "en"),
+      (3L, "gamma", "de"), (4L, "delta", "fr")).toDF("doc_id", "text", "lang")
+    val newV = Seq(
+      (1L, "alpha", "en"),      // unchanged → suppressed
+      (2L, "beta2", "en"),      // changed (text)
+      (3L, "gamma", "en"),      // changed (lang)
+      (5L, "epsilon", "en")     // added; 4 removed
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.operators.Catalog.corpusDiff(oldV, newV, "doc_id", Seq("text", "lang"))
+      .as[(Long, String)].collect().toSet
+    assert(out === Set((2L, "changed"), (3L, "changed"),
+      (4L, "removed"), (5L, "added")))
+  }
+
+  test("corpus diff: NULL vs string and column-boundary aliasing both read as changed") {
+    import spark.implicits._
+    // (ab, c) vs (a, bc): a naive separator-less concat fingerprints
+    // these identically; the length prefix must not
+    val oldV = Seq((1L, Some("ab"), Some("c")), (2L, Some("x"), None))
+      .toDF("doc_id", "t1", "t2")
+    val newV = Seq((1L, Some("a"), Some("bc")), (2L, Some("x"), Some("")))
+      .toDF("doc_id", "t1", "t2")
+    val out = graft.operators.Catalog.corpusDiff(oldV, newV, "doc_id", Seq("t1", "t2"))
+      .as[(Long, String)].collect().toSet
+    // doc 2: NULL → empty string is a change (NULL renders "n:", "" renders "0:")
+    assert(out === Set((1L, "changed"), (2L, "changed")))
+  }
+
   test("profile name guard rejects quote, backtick, and backslash names") {
     import spark.implicits._
     val base = Seq((1L, "x")).toDF("id", "v")
