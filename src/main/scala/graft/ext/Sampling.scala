@@ -176,12 +176,20 @@ object Sampling {
     * [[selectToBudgetBinned]]. Output: (doc_id, merit, n_tokens).
     */
   def selectToBudget(docs: DataFrame, budgetTokens: Long,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    selectToBudgetFrom(meritTokens(docs, textCol), budgetTokens)
+
+  /** [[selectToBudget]] over a pre-scored (doc_id, merit, n_tokens)
+    * frame — callers that persist the scoring pass (it is the expensive
+    * tokenizing scan, and a pipeline reuses it across budgets) select
+    * without re-scoring.
+    */
+  def selectToBudgetFrom(scored: DataFrame, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"negative budget: $budgetTokens")
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("merit").desc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    meritTokens(docs, textCol)
+    scored
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .filter(col("__cum") <= budgetTokens)
       .select(col("doc_id"), col("merit"), col("n_tokens"))
@@ -217,10 +225,20 @@ object Sampling {
     * Output: (doc_id, merit, n_tokens).
     */
   def selectToBudgetBinned(docs: DataFrame, budgetTokens: Long,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    selectToBudgetBinnedFrom(meritTokens(docs, textCol), budgetTokens)
+
+  /** [[selectToBudgetBinned]] over a pre-scored frame (see
+    * [[selectToBudgetFrom]]). The plan reads `scored` three times (the
+    * bin aggregate and the two branch probes) — when `scored` is the
+    * raw tokenizing scan those are three tokenization passes, so
+    * production callers (and the registered x74 query) persist the
+    * scoring pass first; the re-reads are then columnar cache hits on
+    * a 3-column frame.
+    */
+  def selectToBudgetBinnedFrom(scored: DataFrame, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"negative budget: $budgetTokens")
     import org.apache.spark.sql.expressions.Window
-    val scored = meritTokens(docs, textCol)
     val bins = scored.groupBy("merit")
       .agg(sum(col("n_tokens")).as("__bin_tokens"))
     val wb = Window.orderBy(col("merit").desc)
@@ -241,6 +259,44 @@ object Sampling {
       .filter(col("__cum_above") + col("__cum_in") <= budgetTokens)
       .select(col("doc_id"), col("merit"), col("n_tokens"))
     fullyIn.union(boundaryIn)
+  }
+
+  /** Deterministic shuffle-shard: the training-order assignment every
+    * pretraining dataloader needs — each document lands in one of
+    * `nShards` shards with a reproducible pseudo-random within-shard
+    * position, so the epoch's read order is (shard asc, pos asc) and
+    * re-running the job, re-reading a lost partition, or changing
+    * cluster size reproduces the identical order. The seed reshuffles:
+    * one corpus, one assignment per epoch string.
+    *
+    * Scale shape — this is the operator where the naive form dies
+    * first: a global `orderBy(hash)` is a RANGE exchange + total sort
+    * whose skew/coordination cost grows with the corpus, and no
+    * consumer actually needs a TOTAL order — dataloaders read shards
+    * independently. So the shard id comes from a pure hash (narrow,
+    * no data movement), and the only exchange is hash-partitioning by
+    * shard with a per-shard sort (`row_number` PARTITIONED by shard —
+    * never a global window). Shards are mutually independent: a
+    * 1000-executor cluster writes all of them in parallel and a
+    * straggling shard delays only itself.
+    *
+    * NULL ids are excluded (the [[stratifiedByHash]] rule). Position
+    * ties on the 60-bit hash break by id, so the order is total and
+    * engine-portable. Output: (doc_id, shard, pos) — pos is 1-based
+    * within shard.
+    */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int,
+      seed: String = "epoch0"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = hash60(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    docs.filter(col(idCol).isNotNull)
+      .select(col(idCol), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
   }
 
   /** Temperature-flattened corpus mixture — the standard multilingual /

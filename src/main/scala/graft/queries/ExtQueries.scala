@@ -72,6 +72,17 @@ object ExtQueries {
         col("quality_score"), col("cluster_id"))
   }
 
+  // x74's scoring pass (the tokenizing scan), memoized like the shingle
+  // set: the binned selection plan reads the scored frame three times
+  // (bin aggregate + two branch probes), and the pairing probe reads it
+  // for the exact form too — persist so each is a 3-column cache hit,
+  // not a re-tokenization of the corpus.
+  private val meritCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private[queries] def meritScored(s: SparkSession, dir: String): DataFrame =
+    meritCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      graft.tools.InternalCaches.persist(
+        graft.ext.Sampling.meritTokens(t(s, dir, "documents"))))
+
   private def resolvedClusters(s: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate((s.sparkContext.applicationId, dir),
       graft.tools.InternalCaches.persist(graft.ext.Dedup.resolveClusters(
@@ -1516,8 +1527,8 @@ object ExtQueries {
     // the boundary-bin cut is exercised, not just whole-bin decisions.
     ("x74_budget_selection",
       (s: SparkSession, dir: String) =>
-        graft.ext.Sampling.selectToBudgetBinned(
-          t(s, dir, "documents"), budgetTokens = 13000L),
+        graft.ext.Sampling.selectToBudgetBinnedFrom(
+          meritScored(s, dir), budgetTokens = 13000L),
       Some("""WITH s AS (
              |  SELECT doc_id,
              |    least(len(string_split(trim(text), ' ')), 100) * 1000
@@ -1531,6 +1542,26 @@ object ExtQueries {
              |      ROWS UNBOUNDED PRECEDING) AS cum
              |  FROM s)
              |SELECT doc_id, merit, n_tokens FROM c WHERE cum <= 13000""".stripMargin)),
+
+    // ---- deterministic shuffle-shard (round 11) ----------------------
+    // The epoch read-order assignment: 8 shards, hash-seeded by the
+    // epoch string, within-shard positions from a SHARD-PARTITIONED
+    // row_number (never a global sort — no consumer needs total order
+    // across shards, and the range exchange a global orderBy pays is
+    // pure waste at corpus scale).
+    ("x78_shuffle_shards",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Sampling.shuffleShards(
+          t(s, dir, "documents").select(col("doc_id")),
+          idCol = "doc_id", nShards = 8, seed = "epoch0"),
+      Some(s"""WITH h AS (
+              |  SELECT doc_id,
+              |    ${h60("'epoch0' || ':' || CAST(doc_id AS VARCHAR)")} AS hv
+              |  FROM documents WHERE doc_id IS NOT NULL)
+              |SELECT doc_id, hv % 8 AS shard,
+              |  CAST(row_number() OVER (PARTITION BY hv % 8
+              |    ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos
+              |FROM h""".stripMargin)),
 
     // ---- capstone: curate → pack (raw corpus to training batches) ----
     // The x27 selection flows straight into greedy sequence packing:

@@ -266,7 +266,13 @@ object ScaleDecade {
       Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
         case (d, label) =>
           val docs = graft.sources.Tables.load(spark, d, "documents")
-          val budget = graft.ext.Sampling.meritTokens(docs)
+          // both forms run over the SAME persisted scoring pass — the
+          // pairing isolates the SELECTION machinery (global window
+          // sort vs bin classification), which is where the forms
+          // differ; the tokenizing scan is shared pipeline cost
+          val scored = graft.tools.InternalCaches.persist(
+            graft.ext.Sampling.meritTokens(docs))
+          val budget = scored
             .agg(org.apache.spark.sql.functions.sum("n_tokens"))
             .head().getLong(0) / 2
           def med(f: => Long): (Double, Long) = {
@@ -277,9 +283,10 @@ object ScaleDecade {
             }.sorted
             (ts(1), n)
           }
-          val (se, ne) = med(graft.ext.Sampling.selectToBudget(docs, budget).count())
-          val (sb, nb) = med(graft.ext.Sampling.selectToBudgetBinned(docs, budget).count())
+          val (se, ne) = med(graft.ext.Sampling.selectToBudgetFrom(scored, budget).count())
+          val (sb, nb) = med(graft.ext.Sampling.selectToBudgetBinnedFrom(scored, budget).count())
           require(ne == nb, s"exact/binned row-count divergence at $label: $ne vs $nb")
+          scored.unpersist()
           println(f"""{"query":"x74_pairing","scale":"$label","budget":$budget,"selected":$ne,"exact_sec":$se%.3f,"binned_sec":$sb%.3f}""")
       }
     }

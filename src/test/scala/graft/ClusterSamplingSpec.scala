@@ -70,6 +70,39 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(trainN > 140 && trainN < 260, s"suspicious split balance: $trainN/400")
   }
 
+  test("shuffle-shard: total coverage, contiguous positions, reproducible, seed reshuffles") {
+    val docs = (1L to 2000L).toDF("doc_id")
+    val out = Sampling.shuffleShards(docs, "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 2000)
+    assert(out.map(_._1).toSet === (1L to 2000L).toSet, "every doc exactly once")
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions are 1..n contiguous per shard
+    for ((_, rows) <- out.groupBy(_._2))
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    // balance: 2000/8 = 250 expected, allow wide slack
+    assert(out.groupBy(_._2).values.map(_.length).forall(n => n > 150 && n < 350))
+    // reproducible under the same seed
+    val again = Sampling.shuffleShards(docs, "doc_id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+    // a different epoch seed produces a different assignment
+    val epoch1 = Sampling.shuffleShards(docs, "doc_id", nShards = 8, seed = "epoch1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(epoch1.sortBy(_._1).toSeq !== out.sortBy(_._1).toSeq)
+  }
+
+  test("shuffle-shard plan has no global sort or unpartitioned window") {
+    val docs = (1L to 100L).toDF("doc_id")
+    val plan = Sampling.shuffleShards(docs, "doc_id", nShards = 8)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort, Window => LWindow}
+    assert(plan.collect { case s: Sort if s.global => s }.isEmpty, "global sort")
+    assert(plan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+      "unpartitioned window")
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     val rows = (for (i <- 1L to 2000L) yield (i, if (i % 2 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")
