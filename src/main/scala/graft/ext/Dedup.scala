@@ -753,6 +753,66 @@ object Dedup {
         lit("train")).otherwise(lit("eval")).as("split"))
   }
 
+  /** x79 — substring-level duplicate spans: the token ranges of each
+    * document covered by a `k`-token gram that occurs at least
+    * `minCount` times ANYWHERE in the corpus (other documents or a
+    * repeat within the same one). Document-grain dedup (exact / MinHash
+    * / SemDeDup) misses this failure mode entirely: a boilerplate
+    * header, license block, or navigation chrome pasted into millions
+    * of otherwise-distinct pages never makes the *documents* similar,
+    * yet is exactly the repeated text a training corpus wants cut
+    * (Lee et al. 2021, arXiv:2107.06499 §4.1 — their ExactSubstr
+    * dedup at 50-token grain; `k` is that knob, defaulted small so the
+    * fixture corpus exercises the merge logic).
+    *
+    * Method: positional k-gram stream → global occurrence count on the
+    * 60-bit gram hash → keep positions whose gram count ≥ minCount →
+    * merge overlapping/adjacent hits per document (classic
+    * gaps-and-islands: a hit at `pos` extends the current span when
+    * `pos − prev ≤ k`, else opens a new one). Output one row per
+    * merged span: (doc_id, span_start, span_end, span_tokens,
+    * n_grams), end exclusive, token-indexed.
+    *
+    * Scale shape (100 TB): four stages, all linear —
+    *   1. gram stream is map-side (posexplode over the zipped-slice
+    *      [[graft.functions.Portable.shingleStructs]] — no lambda
+    *      interpretation, no exchange); the stream is persisted via
+    *      [[graft.tools.InternalCaches]] because stage 3 re-reads it
+    *      (without the persist the corpus re-tokenizes twice);
+    *   2. the occurrence count is one hash exchange on the 8-byte gram
+    *      hash with map-side partial combine — a super-common gram
+    *      (the skew hazard) is pre-summed per mapper, so no reducer
+    *      receives O(occurrences) rows;
+    *   3. hit selection joins the stream back on the hash; the hot set
+    *      is usually corpus-fraction-small, so AQE converts the join
+    *      to broadcast at runtime when it fits;
+    *   4. span merge is ONE exchange by doc_id with ONE sort serving
+    *      both window functions (lag + running sum share the spec) and
+    *      the final aggregate reuses the same partitioning (the x14
+    *      plan discipline) — per-doc positions are bounded by document
+    *      length, never by corpus size.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 8, minCount: Long = 2): DataFrame = {
+    val grams = graft.tools.InternalCaches.persist(
+      docs.select(col("doc_id"), posexplode(shingleStructs(tokens(col("text")), k)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          hash60(shingleText(col("col"), k)).as("g")))
+    val hot = grams.groupBy("g").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select("g")
+    val hits = grams.join(hot, "g").select("doc_id", "pos")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("span_start"), (max(col("pos")) + k).as("span_end"),
+        (max(col("pos")) + k - min(col("pos"))).as("span_tokens"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+  }
+
   /** [[simhashPairs]] over a prebuilt (doc_id, simhash) table. */
   def simhashPairsFromSig(sh: DataFrame, maxHamming: Int = 12): DataFrame = {
     val chunks = sh.select(col("doc_id"), col("simhash"),

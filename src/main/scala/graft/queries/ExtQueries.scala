@@ -134,8 +134,9 @@ object ExtQueries {
   /** Shared encode CTEs ending in psc(vec_id, subspace, code_id, l2_sq)
     * — the scored (vector, codeword) table both PQ queries rank.
     */
-  private def pqEncodeCtes =
-    s"""pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private def pqEncodeCtes: String = pqEncodeCtes("embeddings")
+  private def pqEncodeCtes(src: String) =
+    s"""pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
        |psp AS (SELECT unnest(range(0, $PqM)) AS subspace),
        |psub AS (SELECT vec_id, subspace, ${pqSlice("v")} AS sv FROM pe, psp),
        |pcw AS (SELECT vec_id AS code_id, subspace, ${pqSlice("v")} AS cwv
@@ -178,7 +179,9 @@ object ExtQueries {
     * CTE instead of the convention psc/pcw).
     */
   private def ivfPqScoredCtes: String = ivfPqScoredCtes("psc", "pcw")
-  private def ivfPqScoredCtes(scoreCte: String, cbCte: String) =
+  private def ivfPqScoredCtes(scoreCte: String, cbCte: String): String =
+    ivfPqScoredCtes(scoreCte, cbCte, "pe")
+  private def ivfPqScoredCtes(scoreCte: String, cbCte: String, qSrc: String) =
     s"""enc AS (SELECT vec_id, subspace, code_id FROM
        |         (SELECT *, row_number() OVER
        |            (PARTITION BY vec_id, subspace ORDER BY l2_sq, code_id) AS rn
@@ -193,7 +196,7 @@ object ExtQueries {
        |              (SELECT *, row_number() OVER
        |                 (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
        |               FROM a1) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM pe WHERE vec_id IN (7, 177, 357)),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM $qSrc WHERE vec_id IN (7, 177, 357)),
        |p1 AS (SELECT query_id, centroid_id,
        |         round(${l2Sql("qv", "cv", 64)}, 6) AS d2
        |       FROM q, ivfc),
@@ -224,6 +227,41 @@ object ExtQueries {
 
   private def cosSql(a: String, b: String, dims: Int = 64) =
     s"round((${dotSql(a, b, dims)}) / ((${normSql(a, dims)}) * (${normSql(b, dims)})), 6)"
+  /** x37's hierarchical SemDeDup chain (mirrors
+    * Similarity.semDedupHierarchical at the shared quantizer defaults:
+    * modulus 100, superFactor 16, nprobe 2), ending in
+    * sdas(vec_id, v, centroid_id) — the assignment — and
+    * sdw(vec_id, n_witnesses, max_sim) — the witnessed (duplicate)
+    * vectors. CTE names are sd-prefixed where they would collide with
+    * the PQ helpers (x80 composes both chains in one WITH).
+    */
+  private def semDedupHierCtes(minCos: Double) =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+       |sups AS (SELECT vec_id AS super_id, v AS sv FROM e WHERE vec_id % 1600 = 0),
+       |cs1 AS (SELECT c.centroid_id, c.cv, s.super_id,
+       |          ${cosSql("c.cv", "s.sv")} AS s_sim FROM cents c, sups s),
+       |cs2 AS (SELECT *, row_number() OVER
+       |          (PARTITION BY centroid_id ORDER BY s_sim DESC, super_id) AS rn FROM cs1),
+       |c2s AS (SELECT centroid_id, cv,
+       |          CASE WHEN centroid_id % 1600 = 0 THEN centroid_id
+       |               ELSE super_id END AS super_id
+       |        FROM cs2 WHERE rn = 1),
+       |vs1 AS (SELECT e.vec_id, e.v, s.super_id,
+       |          ${cosSql("e.v", "s.sv")} AS s_sim FROM e, sups s),
+       |vs2 AS (SELECT *, row_number() OVER
+       |          (PARTITION BY vec_id ORDER BY s_sim DESC, super_id) AS rn FROM vs1),
+       |v2s AS (SELECT vec_id, v, super_id FROM vs2 WHERE rn <= 2),
+       |sda1 AS (SELECT t.vec_id, t.v, m.centroid_id, ${cosSql("t.v", "m.cv")} AS c_sim
+       |       FROM v2s t JOIN c2s m ON t.super_id = m.super_id),
+       |sda2 AS (SELECT *, row_number() OVER
+       |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM sda1),
+       |sdas AS (SELECT vec_id, v, centroid_id FROM sda2 WHERE rn = 1),
+       |sdpw AS (SELECT b.vec_id, ${cosSql("a.v", "b.v")} AS c_sim
+       |       FROM sdas a JOIN sdas b
+       |         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+       |sdw AS (SELECT vec_id, count(*) AS n_witnesses, max(c_sim) AS max_sim
+       |      FROM sdpw WHERE c_sim >= $minCos GROUP BY vec_id)""".stripMargin
   // numeric-profile conventions — MUST mirror the x62/x63 query entries.
   private val QuantCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -1563,6 +1601,91 @@ object ExtQueries {
               |    ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos
               |FROM h""".stripMargin)),
 
+    // ---- substring-level duplicate spans (Lee et al. 2021 ExactSubstr) ----
+    // Document-grain dedup can't see a boilerplate block pasted into
+    // otherwise-distinct pages; x79 finds the token ranges covered by
+    // any 8-gram occurring ≥2× corpus-wide and merges overlaps per doc.
+    // The oracle rebuilds the positional gram stream with a list
+    // comprehension, counts the same 60-bit hash, and replays the
+    // gaps-and-islands merge.
+    ("x79_dup_spans",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Dedup.duplicateSpans(t(s, dir, "documents"), k = 8),
+      Some(s"""WITH grams AS (
+              |  SELECT doc_id,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
+              |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
+              |            for i in range(1, len(t)-8+2)]) AS g
+              |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+              |        FROM documents)),
+              |hot AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+              |hits AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN hot USING (g)),
+              |brk AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              |         THEN 0 ELSE 1 END AS b
+              |  FROM hits),
+              |isl AS (
+              |  SELECT doc_id, pos,
+              |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+              |                 ROWS UNBOUNDED PRECEDING) AS island
+              |  FROM brk)
+              |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+              |       max(pos) + 8 - min(pos) AS span_tokens,
+              |       count(*) AS n_grams
+              |FROM isl GROUP BY doc_id, island""".stripMargin)),
+
+    // ---- capstone: dedup BEFORE indexing (the hot-cloud fix) ---------
+    // Round 11's skewed-corpus recall measurement (HEADROOM: hot-query
+    // ID-recall 0.00 inside a 40k-vector near-dup cloud) is the
+    // quantified argument for running SemDeDup before the ANN index:
+    // an index of cluster representatives has no hot clouds. x80 is
+    // that pipeline ordering as one operator — x37's hierarchical
+    // dedup selects representatives, the FULL x60 lifecycle (trained
+    // codebook → persisted index → pruned search → exact re-rank) runs
+    // over representatives only, and queries still come from the whole
+    // corpus. The oracle chains both verified CTE stacks: the sd chain
+    // picks reps, the PQ chain indexes them, q/re-rank read the full
+    // corpus CTE.
+    ("x80_dedup_index_search",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val dd = Similarity.semDedupHierarchical(emb, minCos = 0.45)
+        val reps = emb.join(
+          dd.filter(!col("is_dup")).select("vec_id"), Seq("vec_id"))
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_ivfpq_reps_idx_" + Integer.toHexString(dir.hashCode)
+        Similarity.ivfPqWriteIndex(reps, idx, trainIters = PqTrainIters)
+        Similarity.ivfPqSearchIndexReranked(emb, idx,
+          queryIds = Seq(7L, 177L, 357L))
+      },
+      Some(s"""WITH ${semDedupHierCtes(0.45)},
+              |repsrc AS (SELECT vec_id, embedding FROM embeddings
+              |           WHERE vec_id NOT IN (SELECT vec_id FROM sdw)),
+              |${pqEncodeCtes("repsrc")},
+              |${lloydCte("pcw", "tcw1", 1)},
+              |${lloydCte("tcw1", "tcw2", 2)},
+              |tsc AS (SELECT vec_id, psub.subspace, code_id,
+              |          round(${l2Sql("sv", "cwv", PqSubDim)}, 6) AS l2_sq
+              |        FROM psub JOIN tcw2 ON psub.subspace = tcw2.subspace),
+              |${ivfPqScoredCtes("tsc", "tcw2", "e")},
+              |srk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |        FROM scored),
+              |shortl AS (SELECT query_id, neighbor_id, approx_cos
+              |           FROM srk WHERE rnk <= $PqShortlist),
+              |re AS (SELECT sl.query_id, sl.neighbor_id,
+              |         ${cosSql("q.qv", "fe.v")} AS cos_sim, sl.approx_cos
+              |       FROM shortl sl
+              |       JOIN e fe ON fe.vec_id = sl.neighbor_id
+              |       JOIN q ON q.query_id = sl.query_id),
+              |rrk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              |        FROM re)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id,
+              |  cos_sim, approx_cos
+              |FROM rrk WHERE rnk <= 5""".stripMargin)),
+
     // ---- capstone: curate → pack (raw corpus to training batches) ----
     // The x27 selection flows straight into greedy sequence packing:
     // language-ID → quality gate → dedup-keep → stratified sample →
@@ -2214,36 +2337,11 @@ object ExtQueries {
     ("x37_semdedup_hier",
       (s: SparkSession, dir: String) =>
         Similarity.semDedupHierarchical(t(s, dir, "embeddings"), minCos = 0.45),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
-              |sups AS (SELECT vec_id AS super_id, v AS sv FROM e WHERE vec_id % 1600 = 0),
-              |cs1 AS (SELECT c.centroid_id, c.cv, s.super_id,
-              |          ${cosSql("c.cv", "s.sv")} AS s_sim FROM cents c, sups s),
-              |cs2 AS (SELECT *, row_number() OVER
-              |          (PARTITION BY centroid_id ORDER BY s_sim DESC, super_id) AS rn FROM cs1),
-              |c2s AS (SELECT centroid_id, cv,
-              |          CASE WHEN centroid_id % 1600 = 0 THEN centroid_id
-              |               ELSE super_id END AS super_id
-              |        FROM cs2 WHERE rn = 1),
-              |vs1 AS (SELECT e.vec_id, e.v, s.super_id,
-              |          ${cosSql("e.v", "s.sv")} AS s_sim FROM e, sups s),
-              |vs2 AS (SELECT *, row_number() OVER
-              |          (PARTITION BY vec_id ORDER BY s_sim DESC, super_id) AS rn FROM vs1),
-              |v2s AS (SELECT vec_id, v, super_id FROM vs2 WHERE rn <= 2),
-              |a1 AS (SELECT t.vec_id, t.v, m.centroid_id, ${cosSql("t.v", "m.cv")} AS c_sim
-              |       FROM v2s t JOIN c2s m ON t.super_id = m.super_id),
-              |a2 AS (SELECT *, row_number() OVER
-              |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM a1),
-              |assigned AS (SELECT vec_id, v, centroid_id FROM a2 WHERE rn = 1),
-              |pw AS (SELECT b.vec_id, ${cosSql("a.v", "b.v")} AS c_sim
-              |       FROM assigned a JOIN assigned b
-              |         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
-              |w AS (SELECT vec_id, count(*) AS n_witnesses, max(c_sim) AS max_sim
-              |      FROM pw WHERE c_sim >= 0.45 GROUP BY vec_id)
+      Some(s"""WITH ${semDedupHierCtes(0.45)}
               |SELECT s.vec_id, s.centroid_id,
               |  CAST(COALESCE(w.n_witnesses, 0) AS BIGINT) AS n_witnesses,
               |  w.max_sim, w.n_witnesses IS NOT NULL AS is_dup
-              |FROM assigned s LEFT JOIN w ON s.vec_id = w.vec_id""".stripMargin)),
+              |FROM sdas s LEFT JOIN sdw w ON s.vec_id = w.vec_id""".stripMargin)),
 
     // ---- sampling: deterministic weighted priority sample ------------
     // 25 documents per language, weighted by token count — integer

@@ -79,9 +79,23 @@ object ScaleDecade {
                         // merit-bounded agg + broadcast + narrow pass;
                         // the bespoke block below pairs it against the
                         // exact global-window form at each scale
-    "x76_filter_cascade") // round 11: one scan → single-row aggregate →
+    "x76_filter_cascade", // round 11: one scan → single-row aggregate →
                         // constant 4-row unpivot — should track the
                         // scan cost alone
+    "x75_leakage_split", // round 11: rides x19's component frame — the
+                        // decade should track the dedup candidate pass
+    "x77_corpus_diff",  // round 11: pre-join 8-byte fingerprints — the
+                        // full-outer exchange carries (id, hash) only,
+                        // so the decade should track the two scans
+    "x78_shuffle_shards", // round 11: pure hash + shard-partitioned
+                        // row_number — no global sort to decade
+    "x79_dup_spans",    // round 11: substring dedup — gram count
+                        // exchange + join-back + one doc_id window;
+                        // replica-tagged scale-up grows grams linearly
+                        // with zero cross-replica sharing
+    "x80_dedup_index_search") // round 11: dedup-before-index capstone —
+                        // witness pass + trained build per run (the
+                        // bundled honest cost, like x60) + pruned search
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

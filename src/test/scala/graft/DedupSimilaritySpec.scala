@@ -416,4 +416,94 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ok.getDouble(0) === 0.0 && ok.getLong(1) === 3L,
       "exact-match codewords tie at 0.0; lowest code id wins")
   }
+
+  test("dedup-before-index: no returned neighbor is a semantic duplicate") {
+    // x80: the index holds only SemDeDup representatives, so a search
+    // can never return a vector the dedup pass marked redundant.
+    val dd = Similarity.semDedupHierarchical(emb, minCos = 0.45).cache()
+    val dups = dd.filter(col("is_dup")).select("vec_id").as[Long].collect().toSet
+    assert(dups.nonEmpty, "fixture should contain semantic dups at minCos=0.45")
+    val reps = emb.join(dd.filter(!col("is_dup")).select("vec_id"), Seq("vec_id"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_x80_spec").toString
+    Similarity.ivfPqWriteIndex(reps, idx, trainIters = 2)
+    val out = Similarity.ivfPqSearchIndexReranked(emb, idx,
+      queryIds = Seq(7L, 177L, 357L))
+    val neighbors = out.select("neighbor_id").as[Long].collect()
+    assert(neighbors.nonEmpty)
+    assert(neighbors.forall(n => !dups.contains(n)),
+      s"index of representatives returned a dup: ${neighbors.filter(dups).toSeq}")
+  }
+
+  test("dedup-before-index: with no duplicates the chain IS the x60 lifecycle") {
+    // degeneracy anchor: a minCos no witness can reach keeps every
+    // vector a representative, so x80's index is x60's index and the
+    // search results must match bit-for-bit.
+    val dd = Similarity.semDedupHierarchical(emb, minCos = 1.01)
+    assert(dd.filter(col("is_dup")).isEmpty)
+    val reps = emb.join(dd.filter(!col("is_dup")).select("vec_id"), Seq("vec_id"))
+    val idxReps = java.nio.file.Files
+      .createTempDirectory("graft_x80_reps").toString
+    val idxAll = java.nio.file.Files
+      .createTempDirectory("graft_x80_all").toString
+    Similarity.ivfPqWriteIndex(reps, idxReps, trainIters = 2)
+    Similarity.ivfPqWriteIndex(emb, idxAll, trainIters = 2)
+    val qs = Seq(7L, 177L, 357L)
+    val a = Similarity.ivfPqSearchIndexReranked(emb, idxReps, qs)
+    val b = Similarity.ivfPqSearchIndexReranked(emb, idxAll, qs)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "no-dup x80 must equal the x60 chain bit-for-bit")
+  }
+
+  test("duplicate spans: cross-doc block found, overlaps merged, within-doc repeat counts") {
+    // doc 1 and 2 share tokens 2..7 (a 4-gram at k=3 would hit twice);
+    // doc 3 repeats its own 3 tokens twice; doc 4 shares nothing.
+    val boiler = "the quick brown fox jumps over"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"one two $boiler three four five"),
+      (3L, "repeat me now filler repeat me now"),
+      (4L, "entirely unique text with no duplicated grams at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, k = 3)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect()
+
+    // docs 1/2: the shared 6-token block starts at token 2 in both;
+    // its four overlapping 3-gram hits merge into ONE span of 6 tokens.
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).toSeq === Seq((1L, 2L, 8L, 6L, 4L)))
+    assert(byDoc(2L).toSeq === Seq((2L, 2L, 8L, 6L, 4L)))
+    // doc 3: "repeat me now" occurs twice IN THE SAME doc (positions 0
+    // and 4); the two hits are 4 apart > k=3, so two separate spans.
+    assert(byDoc(3L).toSeq === Seq((3L, 0L, 3L, 3L, 1L), (3L, 4L, 7L, 3L, 1L)))
+    // doc 4 contributes no rows at all.
+    assert(!byDoc.contains(4L))
+  }
+
+  test("duplicate spans: adjacent-but-distinct hot grams merge into one span") {
+    // grams at positions 0 and 3 with k=3: spans [0,3) and [3,6) are
+    // adjacent (pos diff == k), so they merge into [0,6).
+    val d = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "aa bb cc xx yy zz"), // makes gram@0 of doc 1 hot
+      (3L, "qq rr dd ee ff ss") // makes gram@3 of doc 1 hot
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(d, k = 3)
+      .filter(col("doc_id") === 1L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 0L, 6L, 6L, 2L)),
+      s"adjacent spans should merge: ${out.toSeq}")
+  }
+
+  test("duplicate spans: span merge reuses the doc partitioning — no exchange " +
+    "between the window and the final aggregate") {
+    val plan = Dedup.duplicateSpans(docs, k = 8).queryExecution.executedPlan.toString
+    // the window sort and the span aggregate sit on ONE doc_id exchange:
+    // count hashpartitioning exchanges keyed by doc_id alone (the gram
+    // count + join-back are keyed by g).
+    val docExchanges = "hashpartitioning\\(doc_id".r.findAllIn(plan).size
+    assert(docExchanges == 1,
+      s"expected one doc_id exchange (window+agg shared), got $docExchanges")
+  }
 }
