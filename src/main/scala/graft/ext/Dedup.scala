@@ -719,6 +719,33 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("keep"))
   }
 
+  /** x82 — quality-aware cluster representative selection: instead of
+    * [[resolveClusters]]' lowest-id convention, keep the HIGHEST-MERIT
+    * member of each near-dup cluster (ties to the lowest doc_id) — the
+    * SlimPajama-style refinement where the canonical copy should be
+    * the best-written one, not the first-crawled one. `resolved` is
+    * [[resolveClusters]]' output (or the memoized x19 frame);
+    * `scored` carries (doc_id, merit) — x74's integer merit by
+    * default, any deterministic integer score works.
+    *
+    * Scale shape: one doc_id join (scored onto the cluster frame), one
+    * map-side-combinable `groupBy(cluster_id).agg(min(struct(-merit,
+    * doc_id)))` — the argmax as an associative aggregate, NO per-cluster
+    * window sort (a giant cluster pre-reduces per mapper) — and one
+    * join back. Output: (doc_id, cluster_id, cluster_size, merit,
+    * keep); downstream dedup is `filter(keep)`, exactly as with x19.
+    */
+  def resolveClustersByMerit(resolved: DataFrame, scored: DataFrame): DataFrame = {
+    val j = resolved.select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .join(scored.select(col("doc_id"), col("merit")), Seq("doc_id"))
+    val best = j.groupBy("cluster_id")
+      .agg(min(struct((-col("merit")).as("nm"), col("doc_id").as("id"))).as("b"))
+      .select(col("cluster_id"), col("b.id").as("keep_id"))
+    j.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("merit"), (col("doc_id") === col("keep_id")).as("keep"))
+  }
+
   /** Leakage-safe train/eval split: assign documents to splits at the
     * NEAR-DUP-CLUSTER grain, not the document grain. A document-grain
     * random split leaks — a near-duplicate of an eval document lands in
@@ -811,6 +838,69 @@ object Dedup {
         (max(col("pos")) + k - min(col("pos"))).as("span_tokens"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+  }
+
+  /** x81 — substring dedup APPLIED: the cleaned corpus after cutting
+    * every repeated `k`-gram occurrence except the corpus-first one
+    * (Lee et al. 2021 §4.1 leave-one-copy semantics; [[duplicateSpans]]
+    * is the audit view of the same phenomenon, this is the transform).
+    *
+    * Redundancy rule, deterministic by construction: a gram occurrence
+    * (doc, pos) is redundant iff the same gram occurs at a strictly
+    * smaller (doc_id, pos) — i.e. all but the lexicographically first
+    * occurrence corpus-wide. A token is cut when ANY redundant
+    * occurrence covers it ([pos, pos+k)); the first copy survives
+    * unless a different redundant gram's span overlaps it. Output one
+    * row per document: (doc_id, clean_text, n_kept, n_removed) —
+    * clean docs pass through with n_removed = 0.
+    *
+    * Scale shape: the gram stream and its persist are [[duplicateSpans]]'s
+    * stages 1–2; the per-gram first occurrence is a map-side-combinable
+    * `groupBy(g).agg(min(struct(doc_id, pos)))` (NO per-gram window
+    * sort — a super-common gram pre-reduces per mapper); redundant
+    * hits join back on the hash; covered positions explode ≤ k rows
+    * per redundant hit (bounded fan-out); the rebuild is ONE doc_id
+    * exchange — tokens anti-join covered positions on (doc_id, pos)
+    * and collapse via sort_array(collect_list(struct(pos, tok))), so
+    * the only sort is per-doc over its own token array.
+    */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    val grams = graft.tools.InternalCaches.persist(
+      docs.select(col("doc_id"), posexplode(shingleStructs(tokens(col("text")), k)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          hash60(shingleText(col("col"), k)).as("g")))
+    // corpus-first occurrence per gram: min (doc_id, pos), one combined
+    // exchange on the gram hash
+    val first = grams.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("g"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val redundant = grams.join(first, "g")
+      .filter(col("doc_id") =!= col("f_doc") || col("pos") =!= col("f_pos"))
+      .select(col("doc_id"), col("pos"))
+    // positions covered by any redundant occurrence ([pos, pos+k))
+    val covered = redundant
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    kept.groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_total")), Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
   /** [[simhashPairs]] over a prebuilt (doc_id, simhash) table. */

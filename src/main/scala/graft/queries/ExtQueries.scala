@@ -1635,6 +1635,83 @@ object ExtQueries {
               |       count(*) AS n_grams
               |FROM isl GROUP BY doc_id, island""".stripMargin)),
 
+    // ---- substring dedup APPLIED (leave-one-copy clean corpus) -------
+    // x79's transform twin: cut every repeated 8-gram occurrence except
+    // the corpus-first (lexicographically smallest (doc_id, pos)); the
+    // oracle replays the redundancy rule with a per-gram window and
+    // rebuilds each document from its surviving token positions.
+    ("x81_dup_spans_removed",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Dedup.removeDuplicateSpans(t(s, dir, "documents"), k = 8),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              |           FROM documents),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)+1)]) AS pos,
+              |    unnest(t) AS tok
+              |  FROM tk),
+              |grams AS (
+              |  SELECT doc_id,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
+              |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
+              |            for i in range(1, len(t)-8+2)]) AS g
+              |  FROM tk),
+              |rg AS (SELECT doc_id, pos FROM (
+              |    SELECT doc_id, pos, row_number() OVER
+              |      (PARTITION BY g ORDER BY doc_id, pos) AS rn
+              |    FROM grams) WHERE rn > 1),
+              |cov AS (SELECT DISTINCT doc_id, pos + d AS pos
+              |        FROM rg, range(0, 8) r(d)),
+              |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+              |         ANTI JOIN cov c
+              |           ON t.doc_id = c.doc_id AND t.pos = c.pos),
+              |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+              |          count(*) AS n_kept
+              |        FROM kept GROUP BY doc_id),
+              |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_total FROM tk)
+              |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+              |  COALESCE(a.n_kept, 0) AS n_kept,
+              |  t.n_total - COALESCE(a.n_kept, 0) AS n_removed
+              |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // ---- quality-aware cluster representative (round 11) -------------
+    // x19 keeps each near-dup cluster's lowest id; x82 keeps its
+    // highest-merit member (x74's integer merit, ties to lowest id) —
+    // the canonical copy should be the best-written one. Rides the
+    // memoized cluster frame; the argmax is an associative
+    // min(struct(-merit, id)) aggregate, no per-cluster window.
+    ("x82_cluster_best_rep",
+      (s: SparkSession, dir: String) =>
+        Dedup.resolveClustersByMerit(resolvedClusters(s, dir),
+          graft.ext.Sampling.meritTokens(t(s, dir, "documents"))),
+      Some(s"""WITH RECURSIVE $hashedShingleCtes,
+              |$jaccardCtes,
+              |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+              |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
+              |reach(n, m) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
+              |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+              |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+              |             FROM documents d LEFT JOIN cc USING (doc_id)),
+              |csz AS (SELECT cluster_id, count(*) AS cluster_size FROM resolved GROUP BY cluster_id),
+              |ms AS (
+              |  SELECT doc_id,
+              |    least(len(string_split(trim(text), ' ')), 100) * 1000
+              |      - (len(regexp_extract_all(text, '[.,;:!?]')) * 100000
+              |         // greatest(strlen(text), 1)) AS merit
+              |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+              |bk AS (SELECT cluster_id, doc_id AS keep_id FROM (
+              |    SELECT r.cluster_id, ms.doc_id, row_number() OVER
+              |      (PARTITION BY r.cluster_id ORDER BY ms.merit DESC, ms.doc_id ASC) AS rn
+              |    FROM resolved r JOIN ms ON r.doc_id = ms.doc_id) WHERE rn = 1)
+              |SELECT r.doc_id, r.cluster_id, csz.cluster_size, ms.merit,
+              |  r.doc_id = bk.keep_id AS keep
+              |FROM resolved r JOIN csz USING (cluster_id)
+              |     JOIN ms ON ms.doc_id = r.doc_id
+              |     JOIN bk ON bk.cluster_id = r.cluster_id""".stripMargin)),
+
     // ---- capstone: dedup BEFORE indexing (the hot-cloud fix) ---------
     // Round 11's skewed-corpus recall measurement (HEADROOM: hot-query
     // ID-recall 0.00 inside a 40k-vector near-dup cloud) is the

@@ -131,4 +131,20 @@ class ClusterSamplingSpec extends SparkSpec {
     // tie at 3.0 broken by term asc: common < zebra
     assert(top === Seq("alpha", "common"))
   }
+
+  test("cluster best-rep: highest merit wins over lowest id; ties break low; " +
+    "singletons keep themselves") {
+    val resolved = Seq(
+      (1L, 1L, 3L), (5L, 1L, 3L), (9L, 1L, 3L), // cluster 1: merits 10/99/99
+      (7L, 7L, 1L) // singleton
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val scored = Seq((1L, 10L), (5L, 99L), (9L, 99L), (7L, 3L))
+      .toDF("doc_id", "merit")
+    val out = Dedup.resolveClustersByMerit(resolved, scored)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // doc 5 wins cluster 1: merit 99 beats doc 1's 10 despite the larger
+    // id, and the 99-tie with doc 9 breaks to the LOWER id (5)
+    assert(out === Map(1L -> false, 5L -> true, 9L -> false, 7L -> true))
+  }
 }

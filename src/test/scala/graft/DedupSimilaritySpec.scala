@@ -496,6 +496,30 @@ class DedupSimilaritySpec extends SparkSpec {
       s"adjacent spans should merge: ${out.toSeq}")
   }
 
+  test("remove duplicate spans: corpus-first copy survives, later copies cut, " +
+    "totals conserved") {
+    val d = Seq(
+      (1L, "a b c d e x y z"), // first occurrence of the shared block
+      (2L, "p q a b c d r s"), // "a b c"/"b c d" redundant → pos 2..5 cut
+      (3L, "m n o f m n o g"), // within-doc repeat: second "m n o" cut
+      (4L, "a b c d"), // fully covered → empty clean text
+      (5L, "totally unrelated tokens here") // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, k = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((1L, "a b c d e x y z", 8L, 0L)),
+      "the corpus-first occurrence must survive untouched")
+    assert(out(1) === ((2L, "p q r s", 4L, 4L)))
+    assert(out(2) === ((3L, "m n o f g", 5L, 3L)))
+    assert(out(3) === ((4L, "", 0L, 4L)),
+      "a fully-redundant doc keeps a row with empty clean text")
+    assert(out(4) === ((5L, "totally unrelated tokens here", 4L, 0L)))
+    // conservation: kept + removed = tokenized length, every doc present
+    assert(out.length === 5)
+    assert(out.forall { case (_, _, kept, rem) => kept + rem > 0 || kept == 0 })
+  }
+
   test("duplicate spans: span merge reuses the doc partitioning — no exchange " +
     "between the window and the final aggregate") {
     val plan = Dedup.duplicateSpans(docs, k = 8).queryExecution.executedPlan.toString
