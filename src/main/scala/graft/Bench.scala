@@ -111,10 +111,23 @@ object Bench {
     // {"value":0.00,"queries":{}} artifact would read as a perfect run
     require(selected.nonEmpty,
       s"SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(",")).getOrElse("")} matched no queries")
+    // FULL-ROW forcing, not count(): under `df.count()` Catalyst prunes
+    // every column the count doesn't need — a projection-shaped query
+    // (x34's regex scrub, x16's date conversion, x78's window
+    // position) degrades to a bare scan count, and a query ending in
+    // an outer join keyed on an aggregate's grouping column (x81/x83's
+    // document rebuild) loses the JOIN ITSELF to unique-key join
+    // elimination. Round 11 caught this when x81 "ran" 100× data in a
+    // flat 0.2 s next to x79's 19.7 s on shared stages. toRdd.count()
+    // executes the physical plan that produces every output column
+    // (no driver-side data — rows are counted where they are), so the
+    // timed plan is the one a consumer actually runs. Stamped in the
+    // artifact as "forcing" — totals are NOT comparable to pre-round-11
+    // artifacts for projection-shaped queries.
     def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
       (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        try fn(spark, sfDir).queryExecution.toRdd.count()
         catch { case e: Throwable =>
           // surface the failure — a swallowed exception would otherwise
           // be reported as a suspiciously fast query
@@ -186,6 +199,7 @@ object Bench {
         s"""\"$n\":{"first":${f6(first)},"retry":${f6(again)},"load":"$ld"}"""
       }.mkString("\"retried\":{", ",", "},")
     println(s"""{"metric":"total_detail","value":${f6(total)},"unit":"sec","stat":"median","runs":$runs,""" +
+      s""""forcing":"full_rows",""" +
       s""""total_min":${f6(totalMin)},"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
       deferredDetail + retriedDetail +
       s""""replay_harness":$harnessJson,""" +
@@ -211,6 +225,7 @@ object Bench {
       val defer = if (deferred) s""""load_deferred_from":"$deferTrail",""" else ""
       val retr = if (retried.isEmpty) "" else s""""retries":${retried.size},"""
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","stat":"median","runs":$runs,""" +
+        s""""forcing":"full_rows",""" +
         s""""total_min":${f2(totalMin)},"load":"$loadBefore;$loadAfter",""" + defer + retr +
         s""""replay_harness":$harnessJson,""" +
         om + s""""queries":${qs.map { case (k, v) => "\"" + k + "\":" + f2(v._1) }

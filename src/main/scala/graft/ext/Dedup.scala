@@ -879,8 +879,51 @@ object Dedup {
     val redundant = grams.join(first, "g")
       .filter(col("doc_id") =!= col("f_doc") || col("pos") =!= col("f_pos"))
       .select(col("doc_id"), col("pos"))
-    // positions covered by any redundant occurrence ([pos, pos+k))
-    val covered = redundant
+    rebuildWithoutSpans(docs, redundant, k)
+  }
+
+  /** x83 — surgical benchmark decontamination: cut every corpus span
+    * covered by a `k`-gram that appears ANYWHERE in the benchmark
+    * (eval-suite) text, keeping the rest of the document. x30 answers
+    * "which documents overlap the benchmark?" at the document grain —
+    * dropping a whole page because one quoted question leaked is the
+    * blunt instrument; this is the scalpel (the PaLM/GPT-3-style
+    * decontamination that excises the leaked span and keeps the
+    * document). Output contract matches [[removeDuplicateSpans]]:
+    * (doc_id, clean_text, n_kept, n_removed) over the CORPUS side.
+    *
+    * Scale shape: the benchmark gram-hash set is distinct and
+    * benchmark-sized (broadcast — the x30 contract; when an eval suite
+    * outgrows broadcast, the x65 Bloom-carrier pattern pre-gates the
+    * same join), the corpus gram stream is map-side, matches explode
+    * to ≤ k covered positions each, and the rebuild pays the one
+    * doc_id exchange [[rebuildWithoutSpans]] documents.
+    */
+  def removeBenchmarkSpans(docs: DataFrame, bench: DataFrame, k: Int = 5): DataFrame = {
+    val bg = bench
+      .select(explode(shingleStructs(tokens(col("text")), k)).as("s"))
+      .select(hash60(shingleText(col("s"), k)).as("g")).distinct()
+    val grams = docs
+      .select(col("doc_id"), posexplode(shingleStructs(tokens(col("text")), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        hash60(shingleText(col("col"), k)).as("g"))
+    val hits = grams.join(broadcast(bg), "g").select("doc_id", "pos")
+    rebuildWithoutSpans(docs, hits, k)
+  }
+
+  /** Shared rebuild tail of the span-cutting transforms (x81/x83):
+    * expand each hit to its covered positions ([pos, pos+k) — ≤ k rows
+    * per hit), anti-join the positional token stream, and rebuild each
+    * document's text from the survivors. ONE doc_id exchange; the only
+    * sort is per-doc over its own token array (sort_array on the
+    * collected (pos, tok) structs — the post-aggregation per-row spot
+    * where an interpreted transform is acceptable, as with
+    * MergeSortedArrays). Docs with nothing cut pass through; fully
+    * covered docs keep a row with empty text.
+    */
+  private def rebuildWithoutSpans(
+      docs: DataFrame, hits: DataFrame, k: Int): DataFrame = {
+    val covered = hits
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
       .distinct()

@@ -1674,6 +1674,51 @@ object ExtQueries {
               |  t.n_total - COALESCE(a.n_kept, 0) AS n_removed
               |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin)),
 
+    // ---- surgical benchmark decontamination (round 11) ---------------
+    // x30 flags whole documents sharing any 5-gram with the benchmark
+    // (source 'src0', the same convention); x83 excises just the
+    // leaked spans and keeps the documents — benchmark gram set
+    // broadcast, corpus rebuilt from surviving token positions.
+    ("x83_decontam_spans",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        Dedup.removeBenchmarkSpans(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), k = 5)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t
+              |           FROM documents),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)+1)]) AS pos,
+              |    unnest(t) AS tok
+              |  FROM tk WHERE source <> 'src0'),
+              |bg AS (SELECT DISTINCT
+              |    unnest([${h60("array_to_string(t[i:i+4], ' ')")}
+              |            for i in range(1, len(t)-5+2)]) AS g
+              |  FROM tk WHERE source = 'src0'),
+              |grams AS (
+              |  SELECT doc_id,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-5+2)]) AS pos,
+              |    unnest([${h60("array_to_string(t[i:i+4], ' ')")}
+              |            for i in range(1, len(t)-5+2)]) AS g
+              |  FROM tk WHERE source <> 'src0'),
+              |hits AS (SELECT gr.doc_id, gr.pos FROM grams gr JOIN bg USING (g)),
+              |cov AS (SELECT DISTINCT doc_id, pos + d AS pos
+              |        FROM hits, range(0, 5) r(d)),
+              |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+              |         ANTI JOIN cov c
+              |           ON t.doc_id = c.doc_id AND t.pos = c.pos),
+              |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+              |          count(*) AS n_kept
+              |        FROM kept GROUP BY doc_id),
+              |tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_total
+              |        FROM tk WHERE source <> 'src0')
+              |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+              |  COALESCE(a.n_kept, 0) AS n_kept,
+              |  t.n_total - COALESCE(a.n_kept, 0) AS n_removed
+              |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
     // ---- quality-aware cluster representative (round 11) -------------
     // x19 keeps each near-dup cluster's lowest id; x82 keeps its
     // highest-merit member (x74's integer merit, ties to lowest id) —

@@ -93,9 +93,18 @@ object ScaleDecade {
                         // exchange + join-back + one doc_id window;
                         // replica-tagged scale-up grows grams linearly
                         // with zero cross-replica sharing
-    "x80_dedup_index_search") // round 11: dedup-before-index capstone —
+    "x80_dedup_index_search", // round 11: dedup-before-index capstone —
                         // witness pass + trained build per run (the
                         // bundled honest cost, like x60) + pruned search
+    "x82_cluster_best_rep", // round 11: argmax aggregate over the
+                        // memoized cluster frame (marginal cost, like
+                        // x75 — the component loop decades in x27)
+    "x81_dup_spans_removed", // round 11: the span-cut transform — x79's
+                        // stages + covered-position explode + the one
+                        // doc_id rebuild exchange (needs the full-row
+                        // forcing in timeFn — see its comment)
+    "x83_decontam_spans") // round 11: broadcast benchmark gram set +
+                        // the same rebuild exchange as x81
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names
@@ -181,11 +190,19 @@ object ScaleDecade {
       System.err.println(s"[decade] generating skewed-lang variant in $outSkew")
       generateSkewedLang(spark, out100, outSkew)
     }
+    // FULL-ROW forcing (round 11): df.count() lets Catalyst prune every
+    // column the count doesn't need — a projection-shaped target (x78's
+    // window position) times as a bare scan, and x81/x83's final
+    // unique-keyed outer join is ELIMINATED outright (the first x81
+    // probe read a flat 0.2 s at 100× next to x79's 19.7 s on shared
+    // stages — physically impossible, and the tell). toRdd.count()
+    // executes the plan that produces every output column, rows counted
+    // where they are; Bench.timeQuery applies the same rule.
     def timeFn(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Double = {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        fn(spark, dir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
       times(1)

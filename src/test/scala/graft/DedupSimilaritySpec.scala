@@ -520,6 +520,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall { case (_, _, kept, rem) => kept + rem > 0 || kept == 0 })
   }
 
+  test("remove duplicate spans: the redundancy rule is an aggregate, not a " +
+    "per-gram window — no Window operator anywhere in the plan") {
+    // the corpus-first occurrence is min(struct(doc_id, pos)) per gram
+    // hash: associative, map-side combined. A row_number window over
+    // grams would sort every occurrence of every gram on one reducer
+    // per gram — the boilerplate-gram straggler by construction.
+    val plan = Dedup.removeDuplicateSpans(docs, k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "x81 must not contain a Window operator (argmax is an aggregate)")
+  }
+
+  test("benchmark span decontamination: leaked span cut, rest of doc kept, " +
+    "benchmark-free docs untouched") {
+    val bench = Seq((100L, "what is the capital of france")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // leaks the 5-gram "what is the capital of" (and "is the ... france")
+      (1L, "intro text what is the capital of france answer paris"),
+      (2L, "no overlap with any benchmark content here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeBenchmarkSpans(corpus, bench, k = 5)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    // doc 1: grams@2 and @3 hit → positions 2..7 cut ("what is the
+    // capital of france"), keeping "intro text answer paris"
+    assert(out(0) === ((1L, "intro text answer paris", 4L, 6L)))
+    assert(out(1) === ((2L, "no overlap with any benchmark content here at all", 9L, 0L)))
+  }
+
   test("duplicate spans: span merge reuses the doc partitioning — no exchange " +
     "between the window and the final aggregate") {
     val plan = Dedup.duplicateSpans(docs, k = 8).queryExecution.executedPlan.toString
