@@ -548,6 +548,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(1) === ((2L, "no overlap with any benchmark content here at all", 9L, 0L)))
   }
 
+  test("benchmark span decontamination: the benchmark gram set joins as a " +
+    "broadcast, never a corpus-keyed shuffle") {
+    val bench = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val plan = Dedup.removeBenchmarkSpans(corpus, bench, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark gram set must broadcast (the x30 contract)")
+    // exactly ONE gram-hash exchange: the BENCHMARK-side distinct
+    // (benchmark-sized, feeding the broadcast). The corpus gram stream
+    // must reach the match join map-side — a second g exchange would
+    // mean the corpus stream is being shuffled on the gram hash.
+    val gExchanges = "hashpartitioning\\(g#".r.findAllIn(plan).size
+    assert(gExchanges == 1,
+      s"expected one g exchange (bench distinct only), got $gExchanges")
+  }
+
   test("duplicate spans: span merge reuses the doc partitioning — no exchange " +
     "between the window and the final aggregate") {
     val plan = Dedup.duplicateSpans(docs, k = 8).queryExecution.executedPlan.toString
