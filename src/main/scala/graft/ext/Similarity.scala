@@ -280,6 +280,60 @@ object Similarity {
         col("n_witnesses").isNotNull.as("is_dup"))
   }
 
+  /** x84 — SEMANTIC contamination screen: flag benchmark (eval-suite)
+    * vectors whose embedding has a close corpus neighbor. The lexical
+    * screens (x30 exact 5-grams, x65's Bloom pre-gate, x83's span
+    * scalpel) catch verbatim leakage; a paraphrased eval question
+    * shares no n-grams with its source and sails through all three —
+    * embedding-space proximity is the published countermeasure, and
+    * this is that check with the same machinery the dedup family
+    * already verifies: corpus-derived modulus centroids, the shared
+    * [[nearestRef]] quantizer (bit-identical rounding/tie-breaks), and
+    * within-cell exact cosine.
+    *
+    * Semantics: centroids come from the CORPUS (the index side); both
+    * sides assign to their nearest centroid; a benchmark vector is
+    * `contaminated` iff some corpus vector IN ITS CELL scores
+    * ≥ minCos. Cell-boundary misses are the standard IVF trade-off
+    * (exactly x33's): the single-cell degenerate provably equals the
+    * brute-force screen (spec-gated), and a production caller widens
+    * recall by raising `centroidModulus` (fewer, larger cells) or
+    * pre-collapsing the corpus with x37.
+    *
+    * Scale shape: two broadcast-centroid assignments (map-side + heap
+    * top-1, sort-free), ONE within-cell join whose benchmark side is
+    * eval-suite-sized, and a bench-keyed aggregate. No corpus×bench
+    * cross join exists anywhere in the plan.
+    * Output: (bench_id, n_matches, max_sim, contaminated) — one row
+    * per benchmark vector, x30's shape.
+    */
+  def semanticScreen(
+      corpus: DataFrame,
+      bench: DataFrame,
+      minCos: Double = 0.4,
+      centroidModulus: Int = 100): DataFrame = {
+    val c = vecs(corpus)
+    val b = vecs(bench)
+    val cents = modulusCentroids(c, centroidModulus)
+    val ca = assignToCentroids(c, cents)
+      .select(col("centroid_id").as("cc"),
+        col("vec_id").as("corpus_id"), col("v").as("cv2"))
+    val ba = assignToCentroids(b, cents)
+    val matches = ba
+      .select(col("centroid_id"), col("vec_id").as("bench_id"), col("v").as("bv"))
+      .join(ca, col("centroid_id") === col("cc"))
+      .select(col("bench_id"),
+        round(cos(col("bv"), col("cv2")), 6).as("c_sim"))
+      .filter(col("c_sim") >= minCos)
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("c_sim")).as("max_sim"))
+    b.select(col("vec_id").as("bench_id")).join(matches, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("max_sim"),
+        col("n_matches").isNotNull.as("contaminated"))
+  }
+
   /** [[semDedup]] with a TWO-LEVEL quantizer — the assignment scale
     * path. The flat quantizer scores every vector against every
     * centroid: with occupancy held constant (k = n/occ, the SemDeDup

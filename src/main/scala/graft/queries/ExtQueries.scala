@@ -1719,6 +1719,45 @@ object ExtQueries {
               |  t.n_total - COALESCE(a.n_kept, 0) AS n_removed
               |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin)),
 
+    // ---- SEMANTIC contamination screen (round 11) --------------------
+    // The lexical screens (x30/x65/x83) miss paraphrased eval leakage;
+    // x84 flags benchmark vectors (vec_id % 100 = 50, the held-out
+    // convention) with a close corpus neighbor in embedding space —
+    // corpus-derived modulus centroids, within-cell exact cosine,
+    // x30's output shape.
+    ("x84_semantic_contamination",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.semanticScreen(
+          emb.filter(col("vec_id") % 100 =!= 50),
+          emb.filter(col("vec_id") % 100 === 50), minCos = 0.4)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |bv AS (SELECT * FROM e WHERE vec_id % 100 = 50),
+              |cvs AS (SELECT * FROM e WHERE vec_id % 100 != 50),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM cvs
+              |          WHERE vec_id % 100 = 0),
+              |ca1 AS (SELECT cvs.vec_id, cvs.v, c.centroid_id,
+              |          ${cosSql("cvs.v", "c.cvv")} AS cs FROM cvs, cents c),
+              |ca AS (SELECT vec_id, v, centroid_id FROM
+              |        (SELECT *, row_number() OVER
+              |           (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+              |         FROM ca1) WHERE rn = 1),
+              |ba1 AS (SELECT bv.vec_id, bv.v, c.centroid_id,
+              |          ${cosSql("bv.v", "c.cvv")} AS cs FROM bv, cents c),
+              |ba AS (SELECT vec_id, v, centroid_id FROM
+              |        (SELECT *, row_number() OVER
+              |           (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+              |         FROM ba1) WHERE rn = 1),
+              |m AS (SELECT ba.vec_id AS bench_id, ${cosSql("ba.v", "ca.v")} AS c_sim
+              |      FROM ba JOIN ca ON ba.centroid_id = ca.centroid_id),
+              |w AS (SELECT bench_id, count(*) AS n_matches, max(c_sim) AS max_sim
+              |      FROM m WHERE c_sim >= 0.4 GROUP BY bench_id)
+              |SELECT b.vec_id AS bench_id,
+              |  CAST(COALESCE(w.n_matches, 0) AS BIGINT) AS n_matches,
+              |  w.max_sim, w.n_matches IS NOT NULL AS contaminated
+              |FROM bv b LEFT JOIN w ON w.bench_id = b.vec_id""".stripMargin)),
+
     // ---- quality-aware cluster representative (round 11) -------------
     // x19 keeps each near-dup cluster's lowest id; x82 keeps its
     // highest-merit member (x74's integer merit, ties to lowest id) —

@@ -103,8 +103,11 @@ object ScaleDecade {
                         // stages + covered-position explode + the one
                         // doc_id rebuild exchange (needs the full-row
                         // forcing in timeFn — see its comment)
-    "x83_decontam_spans") // round 11: broadcast benchmark gram set +
+    "x83_decontam_spans", // round 11: broadcast benchmark gram set +
                         // the same rebuild exchange as x81
+    "x84_semantic_contamination") // round 11: two broadcast-centroid
+                        // assignments + a bench-sized within-cell join
+                        // — should track the corpus scan
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

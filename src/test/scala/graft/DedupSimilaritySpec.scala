@@ -455,6 +455,61 @@ class DedupSimilaritySpec extends SparkSpec {
       "no-dup x80 must equal the x60 chain bit-for-bit")
   }
 
+  test("semantic screen: single-cell degenerate IS the brute-force screen") {
+    // with a modulus larger than any vec_id, only vector 0 is a
+    // centroid, every vector lands in its cell, and the within-cell
+    // pass degenerates to exact all-pairs — the x33-style anchor that
+    // pins the bucketing as the only approximation.
+    val bench = emb.filter(col("vec_id") % 100 === 50)
+    val corpus = emb.filter(col("vec_id") % 100 =!= 50)
+    val screened = Similarity.semanticScreen(corpus, bench,
+        minCos = 0.3, centroidModulus = Int.MaxValue)
+      .select("bench_id", "n_matches", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (b, n, c) => b -> ((n, c)) }.toMap
+    // brute force over the same frames
+    val b = bench.select(col("vec_id").as("bid"),
+      col("embedding").cast("array<double>").as("bv"))
+    val c = corpus.select(col("vec_id").as("cid"),
+      col("embedding").cast("array<double>").as("cv"))
+    val brute = b.crossJoin(c)
+      .select(col("bid"),
+        round(graft.functions.CosineSim.cosine_sim(col("bv"), col("cv")), 6).as("cs"))
+      .filter(col("cs") >= 0.3)
+      .groupBy("bid").count()
+      .as[(Long, Long)].collect().toMap
+    assert(screened.nonEmpty)
+    screened.foreach { case (bid, (n, contaminated)) =>
+      assert(n === brute.getOrElse(bid, 0L),
+        s"bench $bid: bucketed $n vs brute ${brute.getOrElse(bid, 0L)}")
+      assert(contaminated === brute.contains(bid))
+    }
+  }
+
+  test("semantic screen: a paraphrase-close pair is flagged, a distant one is not") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dims = 64
+    def vec(seed: Double*): Seq[Float] =
+      (seed ++ Seq.fill(dims - seed.size)(0.0)).map(_.toFloat)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val corpus = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, vec(1.0, 0.0)), // centroid
+        Row(1L, vec(0.9, 0.1)), // near bench 50
+        Row(2L, vec(-1.0, 0.5))),
+      schema)
+    val bench = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(50L, vec(0.95, 0.05)), // close to corpus 0 and 1
+        Row(150L, vec(0.0, 0.0, 0.0, 0.0, 1.0))), // orthogonal to all
+      schema)
+    val out = Similarity.semanticScreen(corpus, bench, minCos = 0.9)
+      .select("bench_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(50L -> true, 150L -> false))
+  }
+
   test("duplicate spans: cross-doc block found, overlaps merged, within-doc repeat counts") {
     // doc 1 and 2 share tokens 2..7 (a 4-gram at k=3 would hit twice);
     // doc 3 repeats its own 3 tokens twice; doc 4 shares nothing.
