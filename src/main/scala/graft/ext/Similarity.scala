@@ -303,7 +303,15 @@ object Similarity {
     * Scale shape: two broadcast-centroid assignments (map-side + heap
     * top-1, sort-free), ONE within-cell join whose benchmark side is
     * eval-suite-sized, and a bench-keyed aggregate. No corpus×bench
-    * cross join exists anywhere in the plan.
+    * cross join exists anywhere in the plan. The quantizer is CAPPED
+    * (`maxCentroids`, the x56 discipline — fixed index structures are
+    * what keep the build linear): an uncapped modulus quantizer grows
+    * its centroid set with the corpus and the assignment turns
+    * O(n²/modulus) — the first decade probe of this operator measured
+    * exactly that (decade2 19.6× at 200k vectors) before the cap
+    * landed. With the cap, assignment is O(n·maxCentroids) and the
+    * within-cell join is O(|bench| · corpus/maxCentroids) — both
+    * linear in the corpus at fixed bench size.
     * Output: (bench_id, n_matches, max_sim, contaminated) — one row
     * per benchmark vector, x30's shape.
     */
@@ -311,10 +319,11 @@ object Similarity {
       corpus: DataFrame,
       bench: DataFrame,
       minCos: Double = 0.4,
-      centroidModulus: Int = 100): DataFrame = {
+      centroidModulus: Int = 100,
+      maxCentroids: Int = 1024): DataFrame = {
     val c = vecs(corpus)
     val b = vecs(bench)
-    val cents = modulusCentroids(c, centroidModulus)
+    val cents = ivfCentroids(c, centroidModulus, maxCentroids)
     val ca = assignToCentroids(c, cents)
       .select(col("centroid_id").as("cc"),
         col("vec_id").as("corpus_id"), col("v").as("cv2"))

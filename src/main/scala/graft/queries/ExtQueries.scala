@@ -1736,7 +1736,7 @@ object ExtQueries {
               |bv AS (SELECT * FROM e WHERE vec_id % 100 = 50),
               |cvs AS (SELECT * FROM e WHERE vec_id % 100 != 50),
               |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM cvs
-              |          WHERE vec_id % 100 = 0),
+              |          WHERE vec_id % 100 = 0 AND vec_id < 102400),
               |ca1 AS (SELECT cvs.vec_id, cvs.v, c.centroid_id,
               |          ${cosSql("cvs.v", "c.cvv")} AS cs FROM cvs, cents c),
               |ca AS (SELECT vec_id, v, centroid_id FROM
