@@ -820,13 +820,20 @@ object Dedup {
     *      length, never by corpus size.
     */
   def duplicateSpans(docs: DataFrame, k: Int = 8, minCount: Long = 2): DataFrame = {
-    val grams = graft.tools.InternalCaches.persist(
-      docs.select(col("doc_id"), posexplode(shingleStructs(tokens(col("text")), k)))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          hash60(shingleText(col("col"), k)).as("g")))
+    val grams = graft.tools.InternalCaches.persist(gramStream(docs, k))
     val hot = grams.groupBy("g").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount).select("g")
     val hits = grams.join(hot, "g").select("doc_id", "pos")
+    mergeSpans(hits, k)
+  }
+
+  /** The gaps-and-islands span merge shared by x79 and x85: hit
+    * positions → merged (doc_id, span_start, span_end, span_tokens,
+    * n_grams) rows. ONE doc_id exchange; the single sort serves both
+    * window functions and the aggregate reuses the partitioning (the
+    * x14 discipline, spec-gated).
+    */
+  private def mergeSpans(hits: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("brk",
@@ -838,6 +845,55 @@ object Dedup {
         (max(col("pos")) + k - min(col("pos"))).as("span_tokens"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+  }
+
+  /** The positional k-gram stream shared by the substring family:
+    * (doc_id, pos, g) — map-side only (zipped-slice structs +
+    * posexplode, 60-bit hash), no exchange.
+    */
+  private def gramStream(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), posexplode(shingleStructs(tokens(col("text")), k)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        hash60(shingleText(col("col"), k)).as("g"))
+
+  /** x85 index half — persist the corpus's DISTINCT gram-hash set as a
+    * parquet table: the substring-grain analog of x40's stored shingle
+    * index, precomputed at ingest so the nightly screen never re-reads
+    * history. [[appendGramIndex]] adds a batch's grams as additional
+    * files (duplicates across files are harmless — the screen's semi
+    * join is set-semantics), cost = one batch scan + batch-sized
+    * distinct, independent of index size.
+    */
+  def writeGramIndex(docs: DataFrame, indexDir: String, k: Int = 8): Unit =
+    gramStream(docs, k).select("g").distinct()
+      .write.mode("overwrite").parquet(indexDir)
+
+  def appendGramIndex(newDocs: DataFrame, indexDir: String, k: Int = 8): Unit =
+    gramStream(newDocs, k).select("g").distinct()
+      .write.mode("append").parquet(indexDir)
+
+  /** x85 screen half — duplicate spans of an INCOMING batch against the
+    * stored corpus gram index: the token ranges of each batch document
+    * covered by a k-gram the indexed corpus already contains
+    * ([[duplicateSpans]] output contract; within-batch repeats are
+    * x79's job on the batch itself). This is the daily-ingest shape:
+    * the index is read, never rebuilt, so screen cost is
+    * O(batch + index-scan) with no history re-shingling — and the
+    * index scan is the dominant term a Bloom pre-gate (the x65
+    * carrier) would remove when batches are small.
+    *
+    * Join strategy: the batch gram set joins the index as a LEFT SEMI
+    * on the 8-byte hash — AQE broadcasts the smaller side at runtime;
+    * at a 100 TB index with a small nightly batch the right call is
+    * broadcasting the BATCH's distinct grams into one index scan,
+    * which is what AQE picks when the batch fits.
+    */
+  def duplicateSpansAgainstIndex(
+      batch: DataFrame, indexDir: String, k: Int = 8): DataFrame = {
+    val idx = batch.sparkSession.read.parquet(indexDir)
+    val hits = gramStream(batch, k)
+      .join(idx, Seq("g"), "left_semi").select("doc_id", "pos")
+    mergeSpans(hits, k)
   }
 
   /** x81 — substring dedup APPLIED: the cleaned corpus after cutting
@@ -865,10 +921,7 @@ object Dedup {
     * the only sort is per-doc over its own token array.
     */
   def removeDuplicateSpans(docs: DataFrame, k: Int = 8): DataFrame = {
-    val grams = graft.tools.InternalCaches.persist(
-      docs.select(col("doc_id"), posexplode(shingleStructs(tokens(col("text")), k)))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          hash60(shingleText(col("col"), k)).as("g")))
+    val grams = graft.tools.InternalCaches.persist(gramStream(docs, k))
     // corpus-first occurrence per gram: min (doc_id, pos), one combined
     // exchange on the gram hash
     val first = grams.groupBy("g")

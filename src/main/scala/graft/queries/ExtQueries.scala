@@ -1758,6 +1758,52 @@ object ExtQueries {
               |  w.max_sim, w.n_matches IS NOT NULL AS contaminated
               |FROM bv b LEFT JOIN w ON w.bench_id = b.vec_id""".stripMargin)),
 
+    // ---- incremental substring screen (round 11) ---------------------
+    // x40's daily-ingest shape at the substring grain: the corpus's
+    // distinct gram hashes are a stored parquet index (built once at
+    // ingest, appended per batch); the screen finds the incoming
+    // batch's spans covered by any indexed gram WITHOUT re-shingling
+    // history. Incoming = source 'src2' (x40's convention).
+    ("x85_incremental_span_screen",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_gram_idx_" + Integer.toHexString(dir.hashCode)
+        Dedup.writeGramIndex(docs.filter(col("source") =!= "src2"), idx, k = 8)
+        Dedup.duplicateSpansAgainstIndex(
+          docs.filter(col("source") === "src2"), idx, k = 8)
+      },
+      Some(s"""WITH ex AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              |           FROM documents WHERE source <> 'src2'),
+              |inc AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              |        FROM documents WHERE source = 'src2'),
+              |idx AS (SELECT DISTINCT
+              |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
+              |            for i in range(1, len(t)-8+2)]) AS g
+              |  FROM ex),
+              |grams AS (
+              |  SELECT doc_id,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
+              |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
+              |            for i in range(1, len(t)-8+2)]) AS g
+              |  FROM inc),
+              |hits AS (SELECT gr.doc_id, gr.pos FROM grams gr
+              |         SEMI JOIN idx ON gr.g = idx.g),
+              |brk AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              |         THEN 0 ELSE 1 END AS b
+              |  FROM hits),
+              |isl AS (
+              |  SELECT doc_id, pos,
+              |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+              |                 ROWS UNBOUNDED PRECEDING) AS island
+              |  FROM brk)
+              |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+              |       max(pos) + 8 - min(pos) AS span_tokens,
+              |       count(*) AS n_grams
+              |FROM isl GROUP BY doc_id, island""".stripMargin)),
+
     // ---- quality-aware cluster representative (round 11) -------------
     // x19 keeps each near-dup cluster's lowest id; x82 keeps its
     // highest-merit member (x74's integer merit, ties to lowest id) —

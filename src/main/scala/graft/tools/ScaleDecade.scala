@@ -105,9 +105,12 @@ object ScaleDecade {
                         // forcing in timeFn — see its comment)
     "x83_decontam_spans", // round 11: broadcast benchmark gram set +
                         // the same rebuild exchange as x81
-    "x84_semantic_contamination") // round 11: two broadcast-centroid
+    "x84_semantic_contamination", // round 11: two broadcast-centroid
                         // assignments + a bench-sized within-cell join
                         // — should track the corpus scan
+    "x85_incremental_span_screen") // round 11: stored gram index built
+                        // per run (the bundled honest cost) + semi-join
+                        // screen of the src2 batch
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

@@ -587,6 +587,38 @@ class DedupSimilaritySpec extends SparkSpec {
       "x81 must not contain a Window operator (argmax is an aggregate)")
   }
 
+  test("incremental span screen: indexed grams flag batch spans; " +
+    "build+append equals rebuild") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different historical content here")
+    ).toDF("doc_id", "text")
+    val extra = Seq((3L, "an appended document with novel words")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "prefix quick brown fox tail"), // "quick brown fox" indexed via doc 1
+      (11L, "an appended document suffix y z"), // hits only via the appended doc 3
+      (12L, "nothing indexed matches this one")
+    ).toDF("doc_id", "text")
+    val idxA = java.nio.file.Files.createTempDirectory("graft_x85_a").toString
+    val idxB = java.nio.file.Files.createTempDirectory("graft_x85_b").toString
+    // build(existing) + append(extra) vs build(existing ∪ extra)
+    Dedup.writeGramIndex(existing, idxA, k = 3)
+    Dedup.appendGramIndex(extra, idxA, k = 3)
+    Dedup.writeGramIndex(existing.unionByName(extra), idxB, k = 3)
+    val a = Dedup.duplicateSpansAgainstIndex(batch, idxA, k = 3)
+    val b = Dedup.duplicateSpansAgainstIndex(batch, idxB, k = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "append path must screen identically to a fresh rebuild")
+    val rows = a.orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // doc 10: "quick brown fox" at pos 1 → one 3-token span
+    assert(rows.filter(_._1 == 10L).toSeq === Seq((10L, 1L, 4L, 3L, 1L)))
+    // doc 11: "an appended document" at pos 0 (from the APPENDED index files)
+    assert(rows.filter(_._1 == 11L).toSeq === Seq((11L, 0L, 3L, 3L, 1L)))
+    // doc 12: clean — no rows
+    assert(!rows.exists(_._1 == 12L))
+  }
+
   test("benchmark span decontamination: leaked span cut, rest of doc kept, " +
     "benchmark-free docs untouched") {
     val bench = Seq((100L, "what is the capital of france")).toDF("doc_id", "text")
