@@ -277,6 +277,117 @@ object Multimodal {
       }
   }
 
+  /** x86 — 64-bit difference hash (dHash) of an image payload: the
+    * perceptual fingerprint LAION-scale image dedup runs (two crops of
+    * the same photo byte-differ everywhere yet dHash-match within a few
+    * bits). REAL byte parsing — header via the same [[asciiInt]]
+    * validation as [[netpbmFrame]], pixels read from the raster, no
+    * doc_id shortcuts — then pure integer reduction so the oracle can
+    * replay it arithmetically from the generator formula:
+    *   gray = (r+g+b) div 3 for P6, the raw byte for P5;
+    *   pixel (x,y) belongs to block (x·9 div w, y·8 div h) — the
+    *   forward mapping keeps both engines' block membership trivially
+    *   identical (no floor-boundary inversion);
+    *   block mean = div of integer sums; bit(by,bx) = 1 iff
+    *   mean(by,bx) < mean(by,bx+1); hash = Σ bit << (by·8+bx).
+    * Requires w ≥ 9 and h ≥ 8 (every block nonempty) — smaller rasters
+    * are rejected as malformed for this operator.
+    */
+  private def dhashOf(docId: Long, b: Array[Byte]): Long = {
+    if (b.length < 2 || b(0) != 'P') fail(docId, "no Netpbm magic at byte 0")
+    val ch = b(1) match {
+      case '5' => 1
+      case '6' => 3
+      case c   => fail(docId, s"unsupported Netpbm type P${c.toChar}")
+    }
+    val (w, p1) = asciiInt(b, 2, docId)
+    val (h, p2) = asciiInt(b, p1, docId)
+    val (maxval, p3) = asciiInt(b, p2, docId)
+    if (maxval != 255) fail(docId, s"unsupported maxval $maxval")
+    if (w < 9 || h < 8) fail(docId, s"raster ${w}x$h below the 9x8 dHash grid")
+    if (p3 >= b.length || !(b(p3) == '\n' || b(p3) == ' ' || b(p3) == '\t' ||
+        b(p3) == '\r')) fail(docId, "missing raster separator")
+    val dataStart = p3 + 1
+    if (dataStart + w.toLong * h * ch > b.length)
+      fail(docId, "truncated raster")
+    val sums = new Array[Long](72)
+    val counts = new Array[Long](72)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 9 / w
+        val base = dataStart + (y.toLong * w + x).toInt * ch
+        val gray =
+          if (ch == 3)
+            ((b(base) & 0xff) + (b(base + 1) & 0xff) + (b(base + 2) & 0xff)) / 3
+          else b(base) & 0xff
+        sums(by * 9 + bx) += gray
+        counts(by * 9 + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var byi = 0
+    while (byi < 8) {
+      var bxi = 0
+      while (bxi < 8) {
+        val l = sums(byi * 9 + bxi) / counts(byi * 9 + bxi)
+        val r = sums(byi * 9 + bxi + 1) / counts(byi * 9 + bxi + 1)
+        if (l < r) hash |= 1L << (byi * 8 + bxi)
+        bxi += 1
+      }
+      byi += 1
+    }
+    hash
+  }
+
+  /** dHash over an explicit (doc_id, payload) frame — the seam real
+    * image bytes (or crafted test rasters) enter through.
+    */
+  def dHashImagesFromPayload(spark: SparkSession, frame: DataFrame): DataFrame = {
+    import spark.implicits._
+    frame.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, dhashOf(id, bytes)) })
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Per-image dHash frame: (doc_id, dhash) over the corpus's image
+    * payloads — typed mapPartitions beside the rows, like [[decodeMeta]].
+    */
+  def dHashImages(spark: SparkSession, docs: DataFrame): DataFrame =
+    dHashImagesFromPayload(spark,
+      withPayload(docs).filter(col("media_type") === "image"))
+
+  /** x86 pairs — near-duplicate images by dHash Hamming distance, found
+    * via 5×13-bit chunk bucketing (the x05 SimHash shape). For
+    * `maxHamming` ≤ 4 the bucketing is EXACT, not approximate: 4 bit
+    * flips cannot touch all 5 chunks (pigeonhole), so every qualifying
+    * pair shares at least one intact chunk and the bucket join is a
+    * pure optimization over the all-pairs form (spec-gated). Chunks use
+    * arithmetic shift + mask on both engines, so the top chunk's
+    * sign-extension replica bit is identical by construction.
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def imageNearDupPairs(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val dh = dHashImages(spark, docs)
+    val chunks = dh.select(col("doc_id"), col("dhash"),
+        explode(sequence(lit(0), lit(4))).as("c"))
+      .withColumn("chunk", expr("shiftright(dhash, c * 13) & 8191"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** One sampled (and resized) frame of a media payload. */
   final case class FrameMeta(
       doc_id: Long,

@@ -1758,6 +1758,48 @@ object ExtQueries {
               |  w.max_sim, w.n_matches IS NOT NULL AS contaminated
               |FROM bv b LEFT JOIN w ON w.bench_id = b.vec_id""".stripMargin)),
 
+    // ---- perceptual image near-dup (round 11) ------------------------
+    // 64-bit dHash over REAL decoded Netpbm rasters (block means on a
+    // 9x8 grid, difference bits), pairs at Hamming <= 4 via 5x13-bit
+    // chunk buckets — exact at this threshold by pigeonhole. The
+    // oracle replays the pixel arithmetic from the deterministic
+    // payload generator formula (the x15 contract: the engine parses
+    // bytes, the oracle predicts them) and compares ALL-PAIRS, so the
+    // bucket join is verified equivalent on every run.
+    ("x86_image_phash_pairs",
+      (s: SparkSession, dir: String) =>
+        Multimodal.imageNearDupPairs(s, t(s, dir, "documents"), maxHamming = 4),
+      Some("""WITH imgs AS (SELECT doc_id,
+             |    (doc_id % 16) * 4 + 16 AS w, (doc_id % 9) * 4 + 12 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |px AS (SELECT doc_id, w, h, ch,
+             |    CAST(unnest(range(w*h)) AS BIGINT) AS p FROM imgs),
+             |gray AS (SELECT doc_id, w, h,
+             |    p % w AS x, p // w AS y,
+             |    CASE WHEN ch = 3 THEN
+             |      (((doc_id + p*3) % 251) + ((doc_id + p*3 + 1) % 251)
+             |       + ((doc_id + p*3 + 2) % 251)) // 3
+             |    ELSE (doc_id + p) % 251 END AS g
+             |  FROM px),
+             |bm AS (SELECT doc_id, (x*9)//w AS bx, (y*8)//h AS by,
+             |    CAST(sum(g) // count(*) AS BIGINT) AS m
+             |  FROM gray GROUP BY doc_id, (x*9)//w, (y*8)//h),
+             |bits AS (SELECT a.doc_id, a.by, a.bx,
+             |    CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+             |  FROM bm a JOIN bm b ON a.doc_id = b.doc_id AND a.by = b.by
+             |    AND b.bx = a.bx + 1
+             |  WHERE a.bx < 8),
+             |dh AS (SELECT doc_id, CAST(sum(CASE WHEN by*8 + bx = 63
+             |      THEN bit * (-9223372036854775807 - 1)
+             |      ELSE bit * (CAST(1 AS BIGINT) << CAST(by*8 + bx AS INTEGER))
+             |      END) AS BIGINT) AS dhash
+             |  FROM bits GROUP BY doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  bit_count(xor(a.dhash, b.dhash)) AS hamming
+             |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4""".stripMargin)),
+
     // ---- incremental substring screen (round 11) ---------------------
     // x40's daily-ingest shape at the substring grain: the corpus's
     // distinct gram hashes are a stored parquet index (built once at

@@ -108,9 +108,11 @@ object ScaleDecade {
     "x84_semantic_contamination", // round 11: two broadcast-centroid
                         // assignments + a bench-sized within-cell join
                         // — should track the corpus scan
-    "x85_incremental_span_screen") // round 11: stored gram index built
+    "x85_incremental_span_screen", // round 11: stored gram index built
                         // per run (the bundled honest cost) + semi-join
                         // screen of the src2 batch
+    "x86_image_phash_pairs") // round 11: typed decode + dHash map +
+                        // 5-chunk bucket join — image-count linear
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

@@ -243,4 +243,55 @@ class MultimodalSpec extends SparkSpec {
       }
     })
   }
+
+  test("dHash: hand-crafted 9x8 PGM gives the hand-derived bit pattern") {
+    // 9x8 raster, one pixel per block: row y = [0,10,0,10,...] alternating
+    // ascending steps so bit(by,bx) = (left < right): columns alternate
+    // 0,10,0,10,0,10,0,10,0 → bits 1,0,1,0,1,0,1,0 per row, all rows.
+    val row = Array[Byte](0, 10, 0, 10, 0, 10, 0, 10, 0)
+    val bytes = "P5\n9 8\n255\n".getBytes("US-ASCII") ++
+      Array.fill(8)(row).flatten
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((42L, "image", bytes)).toDF("doc_id", "media_type", "payload")
+    // one pixel per block: bit(by,bx) = 1 iff col bx even (0 < 10);
+    // odd bx compares 10 > 0 → 0
+    val expected = (0 until 8).map { by =>
+      (0 until 8).filter(bx => bx % 2 == 0).map(bx => 1L << (by * 8 + bx)).sum
+    }.sum
+    val got = graft.ext.Multimodal.dHashImagesFromPayload(spark, df)
+      .select("dhash").as[Long].head()
+    assert(got === expected,
+      f"dhash 0x$got%016x != expected 0x$expected%016x")
+  }
+
+  test("dHash pairs: chunk bucketing is EXACT at maxHamming <= 4 (pigeonhole)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val spark2 = spark
+    import spark2.implicits._
+    val dh = Multimodal.dHashImages(spark, docs)
+      .as[(Long, Long)].collect()
+    assert(dh.nonEmpty)
+    // brute-force all pairs
+    val brute = (for {
+      (a, ha) <- dh; (b, hb) <- dh if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (a, b, d.toLong)).toSet
+    val bucketed = Multimodal.imageNearDupPairs(spark, docs, maxHamming = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bucketed === brute,
+      s"bucketed ${bucketed.size} pairs != brute ${brute.size}")
+  }
+
+  test("dHash: rasters below the 9x8 grid are rejected as malformed") {
+    val tiny = "P5\n4 3\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(1.toByte)
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((13L, "image", tiny)).toDF("doc_id", "media_type", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.ext.Multimodal.dHashImagesFromPayload(spark, df).collect()
+    }
+    assert(e.getMessage.contains("dHash grid") ||
+      Option(e.getCause).exists(_.getMessage.contains("dHash grid")))
+  }
 }
