@@ -388,6 +388,61 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** x87 — image near-dup CLUSTER resolution, the scale path beside
+    * x86's pair audit. The pair form's output is inherently quadratic
+    * in duplicate-class sizes: the 100× decade probe measured it 30×
+    * in decade 2, and the class-structure numbers explain why — 167k
+    * images collapse to 8,339 distinct dHashes with identical-hash
+    * classes up to 418 docs, so identical pairs ALONE are 2.5M rows.
+    * This form works at the DISTINCT-HASH grain throughout: group docs
+    * by dhash (one exchange, map-side combined), run the 5-chunk
+    * bucket join over distinct hashes only (D², with D saturating as
+    * the structured hash space fills — 8.3k at 100×, vs 167k docs),
+    * connected-components over the hash-grain edges (tiny graph), and
+    * map every document to its cluster through one dhash join. Output
+    * is x19's contract — (doc_id, cluster_id, cluster_size, keep),
+    * cluster_id = the cluster's lowest doc_id — O(docs) rows, never
+    * O(pairs); downstream dedup is `filter(keep)`.
+    */
+  def imageNearDupClusters(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val dh = graft.tools.InternalCaches.persist(dHashImages(spark, docs))
+    val classes = dh.groupBy("dhash").agg(min(col("doc_id")).as("class_rep"))
+    val chunks = classes.select(col("dhash"),
+        explode(sequence(lit(0), lit(4))).as("c"))
+      .withColumn("chunk", expr("shiftright(dhash, c * 13) & 8191"))
+    val edges = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+          col("a.dhash") < col("b.dhash"))
+      .select(col("a.dhash").as("doc_a"), col("b.dhash").as("doc_b"),
+        expr("bit_count(a.dhash ^ b.dhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b")
+    // maxIter raised over the 50-round default (sized for the sparse
+    // Jaccard cluster graphs): a structured perceptual-hash space forms
+    // LONG Hamming chains — ramp-patterned rasters differ from their
+    // neighbors by a few bits each, so components are paths thousands
+    // of hashes long, and the 10× corpus graph genuinely needs more
+    // than 50 label-propagation+halving rounds to drain.
+    val hcc = graft.ext.Dedup.connectedComponents(edges, maxIter = 500)
+      .select(col("doc_id").as("dhash"), col("cluster_id").as("hcluster"))
+    val hashCluster = classes.join(hcc, Seq("dhash"), "left")
+      .select(col("dhash"),
+        coalesce(col("hcluster"), col("dhash")).as("hcluster"),
+        col("class_rep"))
+    val reps = hashCluster.groupBy("hcluster")
+      .agg(min(col("class_rep")).as("cluster_id"))
+    val docCluster = dh.join(hashCluster, Seq("dhash")).join(reps, Seq("hcluster"))
+      .select(col("doc_id"), col("cluster_id"))
+    val sizes = docCluster.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    docCluster.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+
   /** One sampled (and resized) frame of a media payload. */
   final case class FrameMeta(
       doc_id: Long,

@@ -1800,6 +1800,65 @@ object ExtQueries {
              |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4""".stripMargin)),
 
+    // ---- image near-dup clusters (round 11) --------------------------
+    // x86's pair output is quadratic in duplicate-class sizes (the
+    // 100x probe measured 30x decade2: 167k images -> 8,339 distinct
+    // hashes, identical pairs alone 2.5M); x87 is the scale path —
+    // everything at the distinct-hash grain, connected components over
+    // hash edges, x19's per-doc output contract.
+    ("x87_image_phash_clusters",
+      (s: SparkSession, dir: String) =>
+        Multimodal.imageNearDupClusters(s, t(s, dir, "documents"), maxHamming = 4),
+      Some("""WITH RECURSIVE imgs AS (SELECT doc_id,
+             |    (doc_id % 16) * 4 + 16 AS w, (doc_id % 9) * 4 + 12 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |px AS (SELECT doc_id, w, h, ch,
+             |    CAST(unnest(range(w*h)) AS BIGINT) AS p FROM imgs),
+             |gray AS (SELECT doc_id, w, h,
+             |    p % w AS x, p // w AS y,
+             |    CASE WHEN ch = 3 THEN
+             |      (((doc_id + p*3) % 251) + ((doc_id + p*3 + 1) % 251)
+             |       + ((doc_id + p*3 + 2) % 251)) // 3
+             |    ELSE (doc_id + p) % 251 END AS g
+             |  FROM px),
+             |bm AS (SELECT doc_id, (x*9)//w AS bx, (y*8)//h AS by,
+             |    CAST(sum(g) // count(*) AS BIGINT) AS m
+             |  FROM gray GROUP BY doc_id, (x*9)//w, (y*8)//h),
+             |bits AS (SELECT a.doc_id, a.by, a.bx,
+             |    CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+             |  FROM bm a JOIN bm b ON a.doc_id = b.doc_id AND a.by = b.by
+             |    AND b.bx = a.bx + 1
+             |  WHERE a.bx < 8),
+             |dh AS (SELECT doc_id, CAST(sum(CASE WHEN by*8 + bx = 63
+             |      THEN bit * (-9223372036854775807 - 1)
+             |      ELSE bit * (CAST(1 AS BIGINT) << CAST(by*8 + bx AS INTEGER))
+             |      END) AS BIGINT) AS dhash
+             |  FROM bits GROUP BY doc_id),
+             |cls AS (SELECT dhash, min(doc_id) AS class_rep FROM dh GROUP BY dhash),
+             |he AS (SELECT a.dhash AS ha, b.dhash AS hb
+             |       FROM cls a JOIN cls b ON a.dhash < b.dhash
+             |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+             |edges AS (SELECT ha AS s, hb AS d FROM he UNION SELECT hb, ha FROM he),
+             |reach(n, m) AS (
+             |  SELECT s, s FROM edges
+             |  UNION
+             |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
+             |hcc AS (SELECT n AS dhash, min(m) AS hcluster FROM reach GROUP BY n),
+             |hc AS (SELECT cls.dhash, coalesce(hcc.hcluster, cls.dhash) AS hcluster,
+             |         cls.class_rep
+             |       FROM cls LEFT JOIN hcc ON cls.dhash = hcc.dhash),
+             |reps AS (SELECT hcluster, min(class_rep) AS cluster_id
+             |         FROM hc GROUP BY hcluster),
+             |dc AS (SELECT dh.doc_id, reps.cluster_id
+             |       FROM dh JOIN hc ON dh.dhash = hc.dhash
+             |               JOIN reps ON hc.hcluster = reps.hcluster),
+             |csz AS (SELECT cluster_id, count(*) AS cluster_size
+             |        FROM dc GROUP BY cluster_id)
+             |SELECT dc.doc_id, dc.cluster_id, csz.cluster_size,
+             |  dc.doc_id = dc.cluster_id AS keep
+             |FROM dc JOIN csz USING (cluster_id)""".stripMargin)),
+
     // ---- incremental substring screen (round 11) ---------------------
     // x40's daily-ingest shape at the substring grain: the corpus's
     // distinct gram hashes are a stored parquet index (built once at

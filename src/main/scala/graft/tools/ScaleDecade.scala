@@ -111,8 +111,13 @@ object ScaleDecade {
     "x85_incremental_span_screen", // round 11: stored gram index built
                         // per run (the bundled honest cost) + semi-join
                         // screen of the src2 batch
-    "x86_image_phash_pairs") // round 11: typed decode + dHash map +
-                        // 5-chunk bucket join — image-count linear
+    "x86_image_phash_pairs", // round 11: the PAIR audit — output grows
+                        // with duplicate-class sizes squared (measured
+                        // 30x decade2; kept as the labeled baseline,
+                        // x87 is the scale path)
+    "x87_image_phash_clusters") // round 11: distinct-hash grain + CC —
+                        // O(docs) output, D saturates as the hash
+                        // space fills
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

@@ -283,6 +283,37 @@ class MultimodalSpec extends SparkSpec {
       s"bucketed ${bucketed.size} pairs != brute ${brute.size}")
   }
 
+  test("dHash clusters: pair endpoints co-cluster, identical hashes co-cluster, " +
+    "the representative is the cluster's min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val clusters = Multimodal.imageNearDupClusters(spark, docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(clusters.nonEmpty)
+    val cmap = clusters.map(r => r._1 -> r._2).toMap
+    // every x86 near-dup pair must land in one cluster (clusters are the
+    // transitive closure of the pair relation)
+    val pairs = Multimodal.imageNearDupPairs(spark, docs)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, _) =>
+      assert(cmap(a) === cmap(b), s"pair ($a,$b) split across clusters")
+    }
+    // identical hashes must co-cluster
+    val byHash = Multimodal.dHashImages(spark, docs)
+      .as[(Long, Long)].collect().groupBy(_._2)
+    byHash.values.filter(_.length > 1).foreach { ms =>
+      assert(ms.map(m => cmap(m._1)).distinct.length === 1)
+    }
+    // representative invariants: min id, exactly one keep, sizes consistent
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      assert(members.count(_._4) === 1 && members.find(_._4).get._1 === cid)
+      assert(members.forall(_._3 == members.length))
+    }
+  }
+
   test("dHash: rasters below the 9x8 grid are rejected as malformed") {
     val tiny = "P5\n4 3\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(1.toByte)
     val spark2 = spark
