@@ -1800,6 +1800,65 @@ object ExtQueries {
              |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4""".stripMargin)),
 
+    // ---- capstone: select AFTER substring dedup (round 11) -----------
+    // Token-budget selection over the CLEANED corpus — x81's cut
+    // transform feeds x74's binned threshold-finder, so the budget is
+    // filled by post-dedup token counts (selecting on raw counts
+    // over-weights boilerplate-heavy documents: the cut changes both
+    // each doc's merit AND its cost against the budget). One lazy
+    // plan; the oracle chains x81's positional rebuild into x74's
+    // prefix rule.
+    ("x88_select_cleaned",
+      (s: SparkSession, dir: String) =>
+        // persist the scoring pass (the x74 discipline): the binned
+        // selector reads its scored frame three times, and here that
+        // frame derives from the whole x81 rebuild pipeline — without
+        // the persist the selection re-runs substring dedup 3×
+        graft.ext.Sampling.selectToBudgetBinnedFrom(
+          graft.tools.InternalCaches.persist(graft.ext.Sampling.meritTokens(
+            graft.ext.Dedup.removeDuplicateSpans(t(s, dir, "documents"), k = 8)
+              .select(col("doc_id"), col("clean_text").as("text")))),
+          budgetTokens = 13000L),
+      Some(s"""WITH tk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              |           FROM documents),
+              |toks AS (
+              |  SELECT doc_id,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)+1)]) AS pos,
+              |    unnest(t) AS tok
+              |  FROM tk),
+              |grams AS (
+              |  SELECT doc_id,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
+              |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
+              |            for i in range(1, len(t)-8+2)]) AS g
+              |  FROM tk),
+              |rg AS (SELECT doc_id, pos FROM (
+              |    SELECT doc_id, pos, row_number() OVER
+              |      (PARTITION BY g ORDER BY doc_id, pos) AS rn
+              |    FROM grams) WHERE rn > 1),
+              |cov AS (SELECT DISTINCT doc_id, pos + d AS pos
+              |        FROM rg, range(0, 8) r(d)),
+              |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+              |         ANTI JOIN cov c
+              |           ON t.doc_id = c.doc_id AND t.pos = c.pos),
+              |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
+              |        FROM kept GROUP BY doc_id),
+              |cleaned AS (SELECT tk.doc_id, COALESCE(agg.ct, '') AS text
+              |            FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id),
+              |s AS (
+              |  SELECT doc_id,
+              |    least(len(string_split(trim(text), ' ')), 100) * 1000
+              |      - (len(regexp_extract_all(text, '[.,;:!?]')) * 100000
+              |         // greatest(strlen(text), 1)) AS merit,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+              |  FROM cleaned WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+              |c AS (
+              |  SELECT doc_id, merit, n_tokens,
+              |    sum(n_tokens) OVER (ORDER BY merit DESC, doc_id ASC
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM s)
+              |SELECT doc_id, merit, n_tokens FROM c WHERE cum <= 13000""".stripMargin)),
+
     // ---- image near-dup clusters (round 11) --------------------------
     // x86's pair output is quadratic in duplicate-class sizes (the
     // 100x probe measured 30x decade2: 167k images -> 8,339 distinct
