@@ -115,9 +115,12 @@ object ScaleDecade {
                         // with duplicate-class sizes squared (measured
                         // 30x decade2; kept as the labeled baseline,
                         // x87 is the scale path)
-    "x87_image_phash_clusters") // round 11: distinct-hash grain + CC —
+    "x87_image_phash_clusters", // round 11: distinct-hash grain + CC —
                         // O(docs) output, D saturates as the hash
                         // space fills
+    "x88_select_cleaned") // round 11: x81's rebuild (persisted scoring
+                        // pass) + the binned selector — should track
+                        // x81's decade
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names
