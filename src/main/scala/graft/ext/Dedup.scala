@@ -833,7 +833,7 @@ object Dedup {
     * window functions and the aggregate reuses the partitioning (the
     * x14 discipline, spec-gated).
     */
-  private def mergeSpans(hits: DataFrame, k: Int): DataFrame = {
+  private[graft] def mergeSpans(hits: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("brk",

@@ -299,6 +299,45 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** x89 — deterministic weighted interleave: the mixture READ ORDER.
+    * x29/x50 compute per-source sampling weights; x78 assigns shard
+    * membership; this operator emits the key that serializes documents
+    * so that ANY prefix of key order holds each source in proportion
+    * to its token mass — stride scheduling (Waldspurger & Weihl, OSDI
+    * '94), the deterministic form of weighted round-robin: source s's
+    * r-th document (1-based, hash-shuffled within source) gets
+    *   ikey = (2r − 1) · 10^12 div (2 · w_s)
+    * — the midpoint of its r-th stride — so sources emit at evenly
+    * spaced key intervals ∝ 1/w_s. All integer arithmetic (div, not
+    * `/`), bit-portable to the oracle.
+    *
+    * Deliberately NO materialized global position (the x78 argument —
+    * a global row_number is one task holding the corpus): the key IS
+    * the order; a writer lays out the epoch with
+    * `repartitionByRange + sortWithinPartitions` on (ikey, source,
+    * id) — Spark's scalable total-order path — and a reader streams
+    * shards in key order. One exchange (per-source window for the
+    * within-source rank; parallelism = #sources, the x48-style
+    * giant-stratum caveat applies), zero global sorts.
+    * Output: (idCol, source, ikey).
+    */
+  def weightedInterleave(docs: DataFrame, strataCol: String, idCol: String,
+      weightExpr: Column, seed: String = "epoch0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.filter(col(idCol).isNotNull && col(strataCol).isNotNull)
+    val weights = base.groupBy(col(strataCol))
+      .agg(sum(weightExpr).as("__w"))
+    val h = hash60(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__h").asc, col(idCol).asc)
+    base
+      .select(col(idCol), col(strataCol), h.as("__h"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .join(broadcast(weights), Seq(strataCol))
+      .select(col(idCol), col(strataCol),
+        expr("(2 * __r - 1) * 1000000000000 div (2 * __w)").as("ikey"))
+  }
+
   /** Temperature-flattened corpus mixture — the standard multilingual /
     * multi-source LM sampling rule (exponent-smoothed shares, as in
     * XLM's p_i^α rescaling, arXiv:1901.07291 §3.1): per stratum, the

@@ -1800,6 +1800,29 @@ object ExtQueries {
              |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4""".stripMargin)),
 
+    // ---- deterministic weighted interleave (round 11) ----------------
+    // The mixture read order: stride-scheduled keys so any prefix of
+    // key order holds each source in proportion to its token mass.
+    // Source = the stratum, weight = token count; hash-shuffled
+    // within-source ranks; all integer arithmetic.
+    ("x89_weighted_interleave",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Sampling.weightedInterleave(t(s, dir, "documents"),
+          strataCol = "source", idCol = "doc_id",
+          weightExpr = size(graft.functions.Portable.tokens(col("text"))).cast("long")),
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt,
+              |    ${h60("'epoch0' || ':' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+              |w AS (SELECT source, sum(nt) AS tw FROM b GROUP BY source),
+              |r AS (SELECT doc_id, source,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn
+              |  FROM b)
+              |SELECT r.doc_id, r.source,
+              |  (2 * rn - 1) * 1000000000000 // (2 * w.tw) AS ikey
+              |FROM r JOIN w USING (source)""".stripMargin)),
+
     // ---- capstone: select AFTER substring dedup (round 11) -----------
     // Token-budget selection over the CLEANED corpus — x81's cut
     // transform feeds x74's binned threshold-finder, so the budget is

@@ -118,9 +118,11 @@ object ScaleDecade {
     "x87_image_phash_clusters", // round 11: distinct-hash grain + CC —
                         // O(docs) output, D saturates as the hash
                         // space fills
-    "x88_select_cleaned") // round 11: x81's rebuild (persisted scoring
+    "x88_select_cleaned", // round 11: x81's rebuild (persisted scoring
                         // pass) + the binned selector — should track
                         // x81's decade
+    "x89_weighted_interleave") // round 11: per-source window + broadcast
+                        // weights — x78's shape plus one join
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names
@@ -232,6 +234,32 @@ object ScaleDecade {
       val s100 = timeFn(fn, out100)
       println(f"""{"query":"$name","base_sec":$b%.3f,"x10_sec":$s10%.3f,"x100_sec":$s100%.3f,"decade1":${s10 / b}%.2f,"decade2":${s100 / s10}%.2f}""")
     }
+    // ---- x85: stored gram index — build vs screen-only, separately
+    // (the x59 pattern). The bundled decade row pays the per-run index
+    // build; the production claim is that the SCREEN is batch-sized and
+    // history-independent — this block measures that claim directly:
+    // build once per scale, then median-of-3 screens over the stored
+    // index.
+    if (selected("x85_incremental_span_screen")) {
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val docs = graft.sources.Tables.load(spark, d, "documents")
+          val idx = s"/tmp/graft_gram_idx_decade_$label"
+          val t0 = System.nanoTime()
+          graft.ext.Dedup.writeGramIndex(
+            docs.filter(col("source") =!= "src2"), idx, k = 8)
+          val build = (System.nanoTime() - t0) / 1e9
+          val times = (1 to 3).map { _ =>
+            val t1 = System.nanoTime()
+            graft.ext.Dedup.duplicateSpansAgainstIndex(
+                docs.filter(col("source") === "src2"), idx, k = 8)
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t1) / 1e9
+          }.sorted
+          println(f"""{"query":"x85_split_$label","build_sec":$build%.3f,"screen_sec":${times(1)}%.3f}""")
+      }
+    }
+
     // ---- x59: persisted IVF-PQ — build vs search-only, separately.
     // x56's decade numbers bundle the per-run index rebuild; the
     // amortized production cost is the search half alone, which prunes

@@ -132,6 +132,38 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(top === Seq("alpha", "common"))
   }
 
+  test("weighted interleave: every prefix of key order holds sources in " +
+    "proportion to their weights") {
+    // three sources with weights 1:2:4 via per-doc weight 1 and doc
+    // counts 10/20/40
+    val d = (1L to 70L).map { id =>
+      val src = if (id <= 10) "a" else if (id <= 30) "b" else "c"
+      (id, src)
+    }.toDF("doc_id", "source")
+    val keys = Sampling.weightedInterleave(d, "source", "doc_id", lit(1L))
+      .orderBy(col("ikey"), col("source"), col("doc_id"))
+      .select("source").as[String].collect()
+    assert(keys.length === 70)
+    // stride scheduling's defining property: in any prefix, each
+    // source's count deviates from its proportional share by < 1 stride
+    val weights = Map("a" -> 10.0, "b" -> 20.0, "c" -> 40.0)
+    val total = weights.values.sum
+    (1 to keys.length).foreach { n =>
+      val counts = keys.take(n).groupBy(identity).view.mapValues(_.length)
+      weights.foreach { case (s, w) =>
+        val expected = n * w / total
+        val got = counts.getOrElse(s, 0).toDouble
+        assert(math.abs(got - expected) <= 1.0 + 1e-9,
+          s"prefix $n: source $s has $got docs, expected ~$expected")
+      }
+    }
+    // determinism: same seed → identical keys
+    val again = Sampling.weightedInterleave(d, "source", "doc_id", lit(1L))
+      .orderBy(col("ikey"), col("source"), col("doc_id"))
+      .select("source").as[String].collect()
+    assert(keys.toSeq === again.toSeq)
+  }
+
   test("cluster best-rep: highest merit wins over lowest id; ties break low; " +
     "singletons keep themselves") {
     val resolved = Seq(

@@ -120,4 +120,36 @@ class CurationPropertySpec extends SparkSpec {
       out == expected
     }, samples = 10)
   }
+
+  test("mergeSpans: islands cover exactly the hit-covered positions, are " +
+    "disjoint with gaps, and conserve hit counts (randomized)") {
+    // the gaps-and-islands core shared by x79/x81/x83/x85
+    val hitsGen = for {
+      k <- Gen.choose(2, 6)
+      nDocs <- Gen.choose(1, 4)
+      docs <- Gen.listOfN(nDocs, for {
+        id <- Gen.choose(1L, 100L)
+        ps <- Gen.nonEmptyListOf(Gen.choose(0L, 40L))
+      } yield (id, ps.distinct))
+    } yield (k, docs.toMap)
+    check(Prop.forAll(hitsGen) { case (k, docs) =>
+      val hits = docs.toSeq.flatMap { case (id, ps) => ps.map(p => (id, p)) }
+      val out = graft.ext.Dedup.mergeSpans(
+          hits.toDF("doc_id", "pos"), k)
+        .as[(Long, Long, Long, Long, Long)].collect()
+      docs.forall { case (id, ps) =>
+        val spans = out.filter(_._1 == id).map(r => (r._2, r._3, r._5)).sortBy(_._1)
+        val covered = ps.flatMap(p => p until p + k).toSet
+        val spanCover = spans.flatMap(s => s._1 until s._2).toSet
+        val disjointWithGaps = spans.toSeq.sliding(2).forall {
+          case Seq((_, e1, _), (s2, _, _)) => s2 > e1 // gap ≥ 1 token
+          case _ => true
+        }
+        spanCover == covered &&
+          disjointWithGaps &&
+          spans.map(_._3).sum == ps.size && // n_grams conserves hits
+          spans.forall(s => s._2 - s._1 >= k) // every span ≥ one gram wide
+      }
+    }, samples = 20)
+  }
 }
