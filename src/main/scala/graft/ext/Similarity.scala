@@ -343,6 +343,70 @@ object Similarity {
         col("n_matches").isNotNull.as("contaminated"))
   }
 
+  /** x90 index half — persist the corpus's semantic-screen index: the
+    * capped centroids plus every corpus vector laid out
+    * `partitionBy(centroid_id)` (one directory per cell, the x59
+    * layout), so a screen probing Q cells reads ~Q/#cells of the
+    * vector files via a literal partition filter. Built once at
+    * ingest; the nightly screen ([[semanticScreenIndex]]) never
+    * re-assigns the corpus.
+    */
+  def writeSemanticIndex(
+      corpus: DataFrame,
+      indexDir: String,
+      centroidModulus: Int = 100,
+      maxCentroids: Int = 1024): Unit = {
+    val c = vecs(corpus)
+    val cents = ivfCentroids(c, centroidModulus, maxCentroids)
+    assignToCentroids(c, cents)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/vectors")
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** x90 screen half — [[semanticScreen]] against the PERSISTED index:
+    * benchmark vectors assign against the stored centroids, the probed
+    * cell ids are collected (control-plane — ≤ |bench| longs) into a
+    * LITERAL partition filter on the vectors table, and the
+    * within-cell exact-cosine pass runs over only the probed
+    * directories. Results are bit-identical to the in-plan
+    * [[semanticScreen]] at the same parameters (the registered x90
+    * oracle IS x84's SQL, so the storage round-trip is hash-enforced
+    * every round); the cost model is x59's — the corpus-sized
+    * assignment is paid once at ingest, the screen pays
+    * O(|bench| · occupancy) plus the pruned read.
+    */
+  def semanticScreenIndex(
+      bench: DataFrame,
+      indexDir: String,
+      minCos: Double = 0.4): DataFrame = {
+    val spark = bench.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val b = vecs(bench)
+    val ba = graft.tools.InternalCaches.persist(assignToCentroids(b, cents))
+    val probedIds = ba.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .select(col("centroid_id").as("cc"),
+        col("vec_id").as("corpus_id"), col("v").as("cv2"))
+    val matches = ba
+      .select(col("centroid_id"), col("vec_id").as("bench_id"), col("v").as("bv"))
+      .join(cells, col("centroid_id") === col("cc"))
+      .select(col("bench_id"),
+        round(cos(col("bv"), col("cv2")), 6).as("c_sim"))
+      .filter(col("c_sim") >= minCos)
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("c_sim")).as("max_sim"))
+    b.select(col("vec_id").as("bench_id")).join(matches, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("max_sim"),
+        col("n_matches").isNotNull.as("contaminated"))
+  }
+
   /** [[semDedup]] with a TWO-LEVEL quantizer — the assignment scale
     * path. The flat quantizer scores every vector against every
     * centroid: with occupancy held constant (k = n/occ, the SemDeDup

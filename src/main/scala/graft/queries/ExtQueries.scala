@@ -1987,6 +1987,48 @@ object ExtQueries {
               |       count(*) AS n_grams
               |FROM isl GROUP BY doc_id, island""".stripMargin)),
 
+    // ---- persisted semantic screen (round 11) ------------------------
+    // x84 through the x59 lifecycle: the corpus assignment persists
+    // partitioned by cell at ingest; the nightly screen assigns the
+    // bench against stored centroids and reads ONLY the probed cell
+    // directories (literal partition filter). The oracle is x84's SQL
+    // verbatim — the storage round-trip is hash-enforced every round.
+    ("x90_semantic_screen_stored",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_sem_idx_" + Integer.toHexString(dir.hashCode)
+        Similarity.writeSemanticIndex(
+          emb.filter(col("vec_id") % 100 =!= 50), idx)
+        Similarity.semanticScreenIndex(
+          emb.filter(col("vec_id") % 100 === 50), idx, minCos = 0.4)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |bv AS (SELECT * FROM e WHERE vec_id % 100 = 50),
+              |cvs AS (SELECT * FROM e WHERE vec_id % 100 != 50),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM cvs
+              |          WHERE vec_id % 100 = 0 AND vec_id < 102400),
+              |ca1 AS (SELECT cvs.vec_id, cvs.v, c.centroid_id,
+              |          ${cosSql("cvs.v", "c.cvv")} AS cs FROM cvs, cents c),
+              |ca AS (SELECT vec_id, v, centroid_id FROM
+              |        (SELECT *, row_number() OVER
+              |           (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+              |         FROM ca1) WHERE rn = 1),
+              |ba1 AS (SELECT bv.vec_id, bv.v, c.centroid_id,
+              |          ${cosSql("bv.v", "c.cvv")} AS cs FROM bv, cents c),
+              |ba AS (SELECT vec_id, v, centroid_id FROM
+              |        (SELECT *, row_number() OVER
+              |           (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+              |         FROM ba1) WHERE rn = 1),
+              |m AS (SELECT ba.vec_id AS bench_id, ${cosSql("ba.v", "ca.v")} AS c_sim
+              |      FROM ba JOIN ca ON ba.centroid_id = ca.centroid_id),
+              |w AS (SELECT bench_id, count(*) AS n_matches, max(c_sim) AS max_sim
+              |      FROM m WHERE c_sim >= 0.4 GROUP BY bench_id)
+              |SELECT b.vec_id AS bench_id,
+              |  CAST(COALESCE(w.n_matches, 0) AS BIGINT) AS n_matches,
+              |  w.max_sim, w.n_matches IS NOT NULL AS contaminated
+              |FROM bv b LEFT JOIN w ON w.bench_id = b.vec_id""".stripMargin)),
+
     // ---- quality-aware cluster representative (round 11) -------------
     // x19 keeps each near-dup cluster's lowest id; x82 keeps its
     // highest-merit member (x74's integer merit, ties to lowest id) —

@@ -510,6 +510,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out === Map(50L -> true, 150L -> false))
   }
 
+  test("stored semantic screen: bit-identical to in-plan, and the vectors " +
+    "scan carries a literal partition filter") {
+    val bench = emb.filter(col("vec_id") % 100 === 50)
+    val corpus = emb.filter(col("vec_id") % 100 =!= 50)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_x90_spec").toString
+    Similarity.writeSemanticIndex(corpus, idx)
+    val stored = Similarity.semanticScreenIndex(bench, idx, minCos = 0.4)
+    val inplan = Similarity.semanticScreen(corpus, bench, minCos = 0.4)
+    assert(stored.exceptAll(inplan).isEmpty && inplan.exceptAll(stored).isEmpty,
+      "storage round-trip must not change a single screen verdict")
+    // the probed cells reach the stored vectors scan as partition pruning
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      "vectors scan must prune by the probed centroid directories")
+  }
+
   test("duplicate spans: cross-doc block found, overlaps merged, within-doc repeat counts") {
     // doc 1 and 2 share tokens 2..7 (a 4-gram at k=3 would hit twice);
     // doc 3 repeats its own 3 tokens twice; doc 4 shares nothing.
