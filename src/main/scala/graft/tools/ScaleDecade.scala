@@ -121,8 +121,11 @@ object ScaleDecade {
     "x88_select_cleaned", // round 11: x81's rebuild (persisted scoring
                         // pass) + the binned selector — should track
                         // x81's decade
-    "x89_weighted_interleave") // round 11: per-source window + broadcast
+    "x89_weighted_interleave", // round 11: per-source window + broadcast
                         // weights — x78's shape plus one join
+    "x90_semantic_screen_stored") // round 11: per-run index build (the
+                        // bundled honest cost) + partition-pruned
+                        // bench-sized screen
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names
