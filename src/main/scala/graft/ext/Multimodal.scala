@@ -405,8 +405,24 @@ object Multimodal {
     * O(pairs); downstream dedup is `filter(keep)`.
     */
   def imageNearDupClusters(
-      spark: SparkSession, docs: DataFrame, maxHamming: Int = 4): DataFrame = {
-    val dh = graft.tools.InternalCaches.persist(dHashImages(spark, docs))
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 4): DataFrame =
+    hashGrainClusters(
+      graft.tools.InternalCaches.persist(dHashImages(spark, docs)), maxHamming)
+
+  /** The distinct-hash-grain cluster machinery shared by the image
+    * (x87) and audio (x91) perceptual dedups: class aggregate, the
+    * EXACT 5×13-bit chunk bucket join over distinct hashes only (D²
+    * with D saturating as the structured hash space fills), connected
+    * components over the hash-edge graph, one hash join back to
+    * documents. `dh` = (doc_id, dhash), persisted by the caller (read
+    * three times here). CC maxIter is raised over the 50-round default
+    * (sized for sparse Jaccard cluster graphs): a structured
+    * perceptual-hash space forms LONG Hamming chains — neighbors
+    * differ by a few bits each, so components are paths thousands of
+    * hashes long, and the 10× corpus graph genuinely needs more than
+    * 50 label-propagation+halving rounds to drain.
+    */
+  private def hashGrainClusters(dh: DataFrame, maxHamming: Int): DataFrame = {
     val classes = dh.groupBy("dhash").agg(min(col("doc_id")).as("class_rep"))
     val chunks = classes.select(col("dhash"),
         explode(sequence(lit(0), lit(4))).as("c"))
@@ -420,12 +436,6 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b")
-    // maxIter raised over the 50-round default (sized for the sparse
-    // Jaccard cluster graphs): a structured perceptual-hash space forms
-    // LONG Hamming chains — ramp-patterned rasters differ from their
-    // neighbors by a few bits each, so components are paths thousands
-    // of hashes long, and the 10× corpus graph genuinely needs more
-    // than 50 label-propagation+halving rounds to drain.
     val hcc = graft.ext.Dedup.connectedComponents(edges, maxIter = 500)
       .select(col("doc_id").as("dhash"), col("cluster_id").as("hcluster"))
     val hashCluster = classes.join(hcc, Seq("dhash"), "left")
@@ -442,6 +452,85 @@ object Multimodal {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("keep"))
   }
+
+  /** x91 — 64-bit energy-envelope hash of a WAV payload: the audio
+    * analog of [[dhashOf]] (a Shazam-style fingerprint reduced to its
+    * deterministic core). REAL byte parsing — the same RIFF/fmt/data
+    * validation as the metadata decoder, PCM16 samples read
+    * little-endian — then pure integer reduction: energy = |sample|,
+    * sample i belongs to block (i·65 div n) (65 blocks, forward
+    * mapping), block mean = integer div of sums, bit b = 1 iff
+    * mean(b) < mean(b+1), hash = Σ bit << b. Requires n ≥ 65 samples
+    * (every block nonempty).
+    */
+  private def ahashOf(docId: Long, b: Array[Byte]): Long = {
+    if (b.length < 44) fail(docId, s"WAV shorter than canonical header (${b.length} bytes)")
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII")
+    }
+    if (fourcc() != "RIFF") fail(docId, "no RIFF magic")
+    val riffLen = buf.getInt()
+    if (riffLen != b.length - 8) fail(docId, s"RIFF length $riffLen != ${b.length - 8}")
+    if (fourcc() != "WAVE") fail(docId, "no WAVE form type")
+    if (fourcc() != "fmt ") fail(docId, "missing fmt chunk")
+    if (buf.getInt() != 16) fail(docId, "non-PCM fmt chunk size")
+    val (fmt, channels) = (buf.getShort(), buf.getShort())
+    if (fmt != 1 || channels != 1) fail(docId, s"unsupported fmt=$fmt channels=$channels")
+    buf.getInt(); buf.getInt(); buf.getShort() // rate, byte rate, block align
+    if (buf.getShort() != 16) fail(docId, "unsupported bits/sample")
+    if (fourcc() != "data") fail(docId, "missing data chunk")
+    val dataLen = buf.getInt()
+    if (dataLen != b.length - 44) fail(docId, s"data length $dataLen != ${b.length - 44}")
+    if (dataLen % 2 != 0) fail(docId, "odd PCM16 data length")
+    val n = dataLen / 2
+    if (n < 65) fail(docId, s"$n samples below the 65-block envelope grid")
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val blk = (i.toLong * 65 / n).toInt
+      sums(blk) += math.abs(buf.getShort().toLong)
+      counts(blk) += 1
+      i += 1
+    }
+    var hash = 0L
+    var bi = 0
+    while (bi < 64) {
+      if (sums(bi) / counts(bi) < sums(bi + 1) / counts(bi + 1))
+        hash |= 1L << bi
+      bi += 1
+    }
+    hash
+  }
+
+  /** aHash over an explicit (doc_id, payload) frame (the crafted-bytes
+    * seam, like [[dHashImagesFromPayload]]).
+    */
+  def aHashAudioFromPayload(spark: SparkSession, frame: DataFrame): DataFrame = {
+    import spark.implicits._
+    frame.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => (id, ahashOf(id, bytes)) })
+      .toDF("doc_id", "dhash")
+  }
+
+  def aHashAudio(spark: SparkSession, docs: DataFrame): DataFrame =
+    aHashAudioFromPayload(spark,
+      withPayload(docs).filter(col("media_type") === "audio"))
+
+  /** x91 — audio near-dup CLUSTER resolution over the energy-envelope
+    * hash. REGISTERED ONLY in cluster form, by measurement made BEFORE
+    * shipping (the x86 lesson applied proactively): the 100× corpus
+    * probe shows 167k audio docs collapsing to 3,144 distinct hashes
+    * with identical classes up to 429 docs — the pair form's output
+    * would be 39.8M rows at Hamming ≤ 4, quadratic in class sizes.
+    * Same shared machinery and contracts as [[imageNearDupClusters]].
+    */
+  def audioNearDupClusters(
+      spark: SparkSession, docs: DataFrame, maxHamming: Int = 4): DataFrame =
+    hashGrainClusters(
+      graft.tools.InternalCaches.persist(aHashAudio(spark, docs)), maxHamming)
 
   /** One sampled (and resized) frame of a media payload. */
   final case class FrameMeta(

@@ -1941,6 +1941,55 @@ object ExtQueries {
              |  dc.doc_id = dc.cluster_id AS keep
              |FROM dc JOIN csz USING (cluster_id)""".stripMargin)),
 
+    // ---- audio near-dup clusters (round 11) --------------------------
+    // Energy-envelope hash over REAL decoded PCM16 samples; registered
+    // in CLUSTER form only — the pre-registration probe measured the
+    // pair form's output at 39.8M rows on the 100x corpus (identical
+    // classes up to 429 docs), the x86 lesson applied before shipping.
+    ("x91_audio_phash_clusters",
+      (s: SparkSession, dir: String) =>
+        Multimodal.audioNearDupClusters(s, t(s, dir, "documents"), maxHamming = 4),
+      Some("""WITH RECURSIVE au AS (SELECT doc_id, (doc_id % 25 + 1) * 160 AS n
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |sm AS (SELECT doc_id, n, CAST(unnest(range(n)) AS BIGINT) AS i FROM au),
+             |e AS (SELECT doc_id, n, i,
+             |    abs((doc_id * 7 + i * 13) % 2003 - 1001) AS ev FROM sm),
+             |bm AS (SELECT doc_id, (i * 65) // n AS b,
+             |    CAST(sum(ev) // count(*) AS BIGINT) AS m
+             |  FROM e GROUP BY doc_id, (i * 65) // n),
+             |bits AS (SELECT a.doc_id, a.b,
+             |    CASE WHEN a.m < c.m THEN 1 ELSE 0 END AS bit
+             |  FROM bm a JOIN bm c ON a.doc_id = c.doc_id AND c.b = a.b + 1
+             |  WHERE a.b < 64),
+             |dh AS (SELECT doc_id, CAST(sum(CASE WHEN b = 63
+             |      THEN bit * (-9223372036854775807 - 1)
+             |      ELSE bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+             |      END) AS BIGINT) AS dhash
+             |  FROM bits GROUP BY doc_id),
+             |cls AS (SELECT dhash, min(doc_id) AS class_rep FROM dh GROUP BY dhash),
+             |he AS (SELECT a.dhash AS ha, b.dhash AS hb
+             |       FROM cls a JOIN cls b ON a.dhash < b.dhash
+             |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+             |edges AS (SELECT ha AS s, hb AS d FROM he UNION SELECT hb, ha FROM he),
+             |reach(n2, m2) AS (
+             |  SELECT s, s FROM edges
+             |  UNION
+             |  SELECT e2.s, r.m2 FROM edges e2 JOIN reach r ON e2.d = r.n2),
+             |hcc AS (SELECT n2 AS dhash, min(m2) AS hcluster FROM reach GROUP BY n2),
+             |hc AS (SELECT cls.dhash, coalesce(hcc.hcluster, cls.dhash) AS hcluster,
+             |         cls.class_rep
+             |       FROM cls LEFT JOIN hcc ON cls.dhash = hcc.dhash),
+             |reps AS (SELECT hcluster, min(class_rep) AS cluster_id
+             |         FROM hc GROUP BY hcluster),
+             |dc AS (SELECT dh.doc_id, reps.cluster_id
+             |       FROM dh JOIN hc ON dh.dhash = hc.dhash
+             |               JOIN reps ON hc.hcluster = reps.hcluster),
+             |csz AS (SELECT cluster_id, count(*) AS cluster_size
+             |        FROM dc GROUP BY cluster_id)
+             |SELECT dc.doc_id, dc.cluster_id, csz.cluster_size,
+             |  dc.doc_id = dc.cluster_id AS keep
+             |FROM dc JOIN csz USING (cluster_id)""".stripMargin)),
+
     // ---- incremental substring screen (round 11) ---------------------
     // x40's daily-ingest shape at the substring grain: the corpus's
     // distinct gram hashes are a stored parquet index (built once at

@@ -123,9 +123,12 @@ object ScaleDecade {
                         // x81's decade
     "x89_weighted_interleave", // round 11: per-source window + broadcast
                         // weights — x78's shape plus one join
-    "x90_semantic_screen_stored") // round 11: per-run index build (the
+    "x90_semantic_screen_stored", // round 11: per-run index build (the
                         // bundled honest cost) + partition-pruned
                         // bench-sized screen
+    "x91_audio_phash_clusters") // round 11: x87's machinery over the
+                        // audio envelope hash — should saturate the
+                        // same way
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

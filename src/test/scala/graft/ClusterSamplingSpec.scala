@@ -164,6 +164,21 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(keys.toSeq === again.toSeq)
   }
 
+  test("weighted interleave: no global Sort and no unpartitioned Window " +
+    "anywhere in the plan") {
+    val d = (1L to 50L).map(id => (id, s"s${id % 3}")).toDF("doc_id", "source")
+    val plan = Sampling.weightedInterleave(d, "source", "doc_id", lit(1L))
+      .queryExecution.executedPlan.toString
+    // the within-source rank is a SOURCE-partitioned window; a global
+    // ordering anywhere would be the one-task corpus funnel x78 bans
+    assert(!plan.contains("Sort [ikey"), "no global sort on the key")
+    assert(!plan.contains("Window [row_number#") ||
+      plan.contains("partitionBy") || plan.contains("hashpartitioning(source"),
+      "rank window must be source-partitioned")
+    assert("rangepartitioning".r.findAllIn(plan).isEmpty,
+      "no range partitioning (global total order) in the operator itself")
+  }
+
   test("cluster best-rep: highest merit wins over lowest id; ties break low; " +
     "singletons keep themselves") {
     val resolved = Seq(

@@ -314,6 +314,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash: hand-crafted WAV gives the hand-derived envelope bits; " +
+    "negative samples count by magnitude") {
+    // 130 samples = 65 blocks of 2; even blocks hold 0s, odd blocks
+    // hold -10s (abs → 10), so bit b = (even b: 0 < 10 → 1, odd: 0)
+    val n = 130
+    val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    (0 until n).foreach { i =>
+      buf.putShort(if ((i / 2) % 2 == 0) 0 else -10)
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((5L, "audio", buf.array())).toDF("doc_id", "media_type", "payload")
+    val expected = (0 until 64).filter(_ % 2 == 0).map(1L << _).sum
+    val got = Multimodal.aHashAudioFromPayload(spark, df)
+      .select("dhash").as[Long].head()
+    assert(got === expected, f"ahash 0x$got%016x != expected 0x$expected%016x")
+  }
+
+  test("aHash clusters: identical hashes co-cluster and reps are min ids") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val clusters = Multimodal.audioNearDupClusters(spark, docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(clusters.nonEmpty)
+    val cmap = clusters.map(r => r._1 -> r._2).toMap
+    val byHash = Multimodal.aHashAudio(spark, docs)
+      .as[(Long, Long)].collect().groupBy(_._2)
+    byHash.values.filter(_.length > 1).foreach { ms =>
+      assert(ms.map(m => cmap(m._1)).distinct.length === 1)
+    }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      assert(members.count(_._4) === 1)
+    }
+  }
+
   test("dHash: rasters below the 9x8 grid are rejected as malformed") {
     val tiny = "P5\n4 3\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(1.toByte)
     val spark2 = spark
