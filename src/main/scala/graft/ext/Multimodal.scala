@@ -293,14 +293,21 @@ object Multimodal {
     * Requires w ≥ 9 and h ≥ 8 (every block nonempty) — smaller rasters
     * are rejected as malformed for this operator.
     */
-  private def dhashOf(docId: Long, b: Array[Byte]): Long = {
-    if (b.length < 2 || b(0) != 'P') fail(docId, "no Netpbm magic at byte 0")
-    val ch = b(1) match {
+  private def dhashOf(docId: Long, b: Array[Byte]): Long =
+    dhashFrame(docId, b, 0)._1
+
+  /** One frame's dHash starting at `pos0`; returns (hash, posAfter) so
+    * [[videoFrameHashes]] can walk a multi-frame payload.
+    */
+  private def dhashFrame(docId: Long, b: Array[Byte], pos0: Int): (Long, Int) = {
+    if (pos0 + 2 > b.length || b(pos0) != 'P')
+      fail(docId, s"no Netpbm magic at byte $pos0")
+    val ch = b(pos0 + 1) match {
       case '5' => 1
       case '6' => 3
       case c   => fail(docId, s"unsupported Netpbm type P${c.toChar}")
     }
-    val (w, p1) = asciiInt(b, 2, docId)
+    val (w, p1) = asciiInt(b, pos0 + 2, docId)
     val (h, p2) = asciiInt(b, p1, docId)
     val (maxval, p3) = asciiInt(b, p2, docId)
     if (maxval != 255) fail(docId, s"unsupported maxval $maxval")
@@ -341,7 +348,71 @@ object Multimodal {
       }
       byi += 1
     }
-    hash
+    (hash, (dataStart + w.toLong * h * ch).toInt)
+  }
+
+  /** Per-frame dHash stream of a multi-frame Netpbm payload (video):
+    * frames parsed back-to-back, the whole payload consumed.
+    */
+  private def videoFrameHashes(docId: Long, b: Array[Byte]): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = 0
+    while (pos < b.length) {
+      val (h, next) = dhashFrame(docId, b, pos)
+      out += h
+      pos = next
+    }
+    if (out.isEmpty) fail(docId, "empty payload")
+    out.toSeq
+  }
+
+  /** x92 — video near-dup CLUSTER resolution by frame-fingerprint SET
+    * overlap: two videos are near-dups when the Jaccard of their
+    * per-frame dHash sets reaches `minJaccard` (shared-scene
+    * detection — re-encodes and trims keep most frame fingerprints).
+    * This is [[graft.ext.Dedup]]'s verified text machinery pointed at
+    * frames: the (video, frame-hash) set is a hashed shingle set, the
+    * document-frequency cap drops boilerplate frames (the
+    * pre-registration probe measured the hottest frame hash shared by
+    * 830 videos at 100× — 32.8M candidate pairs uncapped, the
+    * black-frame analog of the boilerplate shingle), the
+    * inverted-index Jaccard runs on the capped set, and
+    * [[graft.ext.Dedup.resolveClusters]] emits the per-video
+    * (doc_id, cluster_id, cluster_size, keep) contract. Registered in
+    * cluster form only (the x86→x91 lesson).
+    */
+  def videoNearDupClusters(
+      spark: SparkSession,
+      docs: DataFrame,
+      minJaccard: Double = 0.3,
+      maxFrameDf: Int = 20): DataFrame =
+    videoNearDupClustersFromPayload(spark,
+      withPayload(docs).filter(col("media_type") === "video")
+        .select(col("doc_id"), col("payload")),
+      minJaccard, maxFrameDf)
+
+  /** [[videoNearDupClusters]] over an explicit (doc_id, payload) frame
+    * (the crafted-bytes seam).
+    */
+  def videoNearDupClustersFromPayload(
+      spark: SparkSession,
+      frame: DataFrame,
+      minJaccard: Double = 0.3,
+      maxFrameDf: Int = 20): DataFrame = {
+    import spark.implicits._
+    val sh = graft.tools.InternalCaches.persist(
+      frame.select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          videoFrameHashes(id, bytes).map(h => (id, h))
+        }
+        .toDF("doc_id", "sh").distinct())
+    val pairs = graft.ext.Dedup.ngramJaccardFromShingles(
+        graft.ext.Dedup.capShingleDf(sh, maxFrameDf), minJaccard)
+      .select("doc_a", "doc_b")
+    // every parsed video has ≥1 frame row, so the persisted hash set is
+    // also the video id universe — no second payload pass
+    graft.ext.Dedup.resolveClusters(sh.select("doc_id").distinct(), pairs)
   }
 
   /** dHash over an explicit (doc_id, payload) frame — the seam real

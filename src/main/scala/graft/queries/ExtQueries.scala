@@ -1990,6 +1990,70 @@ object ExtQueries {
              |  dc.doc_id = dc.cluster_id AS keep
              |FROM dc JOIN csz USING (cluster_id)""".stripMargin)),
 
+    // ---- video near-dup clusters (round 11) --------------------------
+    // Frame-fingerprint SET overlap: per-frame dHash over REAL
+    // multi-frame Netpbm parsing, then the verified text-dedup
+    // machinery at the video grain (hashed shingle set = frame hashes,
+    // DF cap for boilerplate frames, inverted-index Jaccard,
+    // resolveClusters). Cluster form only — the probe priced the
+    // uncapped candidate mass at 32.8M pairs on the 100x corpus.
+    ("x92_video_phash_clusters",
+      (s: SparkSession, dir: String) =>
+        Multimodal.videoNearDupClusters(s, t(s, dir, "documents"),
+          minJaccard = 0.3, maxFrameDf = 20),
+      Some("""WITH RECURSIVE vids AS (SELECT doc_id,
+             |    (doc_id % 16) * 4 + 16 AS w, (doc_id % 9) * 4 + 12 AS h,
+             |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+             |    doc_id % 5 + 2 AS nf
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |fr AS (SELECT doc_id, w, h, ch, nf,
+             |    CAST(unnest(range(nf)) AS BIGINT) AS f FROM vids),
+             |px AS (SELECT doc_id, w, h, ch, f,
+             |    CAST(unnest(range(w*h)) AS BIGINT) AS p FROM fr),
+             |gray AS (SELECT doc_id, w, h, f, p % w AS x, p // w AS y,
+             |    CASE WHEN ch = 3 THEN
+             |      (((doc_id + f*w*h*3 + p*3) % 251)
+             |       + ((doc_id + f*w*h*3 + p*3 + 1) % 251)
+             |       + ((doc_id + f*w*h*3 + p*3 + 2) % 251)) // 3
+             |    ELSE (doc_id + f*w*h + p) % 251 END AS g
+             |  FROM px),
+             |bm AS (SELECT doc_id, f, (x*9)//w AS bx, (y*8)//h AS by,
+             |    CAST(sum(g) // count(*) AS BIGINT) AS m
+             |  FROM gray GROUP BY doc_id, f, (x*9)//w, (y*8)//h),
+             |bits AS (SELECT a.doc_id, a.f, a.by, a.bx,
+             |    CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+             |  FROM bm a JOIN bm b ON a.doc_id = b.doc_id AND a.f = b.f
+             |    AND a.by = b.by AND b.bx = a.bx + 1
+             |  WHERE a.bx < 8),
+             |dh AS (SELECT DISTINCT doc_id, CAST(sum(CASE WHEN by*8 + bx = 63
+             |      THEN bit * (-9223372036854775807 - 1)
+             |      ELSE bit * (CAST(1 AS BIGINT) << CAST(by*8 + bx AS INTEGER))
+             |      END) AS BIGINT) AS sh
+             |  FROM bits GROUP BY doc_id, f),
+             |capped AS (SELECT * FROM dh WHERE sh NOT IN
+             |    (SELECT sh FROM dh GROUP BY sh HAVING count(*) > 20)),
+             |sz AS (SELECT doc_id, count(*) AS ns FROM capped GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS iv
+             |  FROM capped a JOIN capped b
+             |    ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |prs AS (SELECT da, db FROM inter
+             |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+             |  WHERE round(CAST(iv AS DOUBLE) / (sa.ns + sb.ns - iv), 6) >= 0.3),
+             |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
+             |reach(n2, m2) AS (
+             |  SELECT s, s FROM edges
+             |  UNION
+             |  SELECT e2.s, r.m2 FROM edges e2 JOIN reach r ON e2.d = r.n2),
+             |cc AS (SELECT n2 AS doc_id, min(m2) AS cluster_id FROM reach GROUP BY n2),
+             |vu AS (SELECT DISTINCT doc_id FROM dh),
+             |resolved AS (SELECT v.doc_id, coalesce(cc.cluster_id, v.doc_id) AS cluster_id
+             |             FROM vu v LEFT JOIN cc USING (doc_id)),
+             |csz AS (SELECT cluster_id, count(*) AS cluster_size
+             |        FROM resolved GROUP BY cluster_id)
+             |SELECT r.doc_id, r.cluster_id, csz.cluster_size,
+             |  r.doc_id = r.cluster_id AS keep
+             |FROM resolved r JOIN csz USING (cluster_id)""".stripMargin)),
+
     // ---- incremental substring screen (round 11) ---------------------
     // x40's daily-ingest shape at the substring grain: the corpus's
     // distinct gram hashes are a stored parquet index (built once at

@@ -126,9 +126,11 @@ object ScaleDecade {
     "x90_semantic_screen_stored", // round 11: per-run index build (the
                         // bundled honest cost) + partition-pruned
                         // bench-sized screen
-    "x91_audio_phash_clusters") // round 11: x87's machinery over the
+    "x91_audio_phash_clusters", // round 11: x87's machinery over the
                         // audio envelope hash — should saturate the
                         // same way
+    "x92_video_phash_clusters") // round 11: frame-set Jaccard over the
+                        // capped frame-hash inverted index
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

@@ -358,6 +358,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video clusters: a trimmed copy joins its source by frame-set Jaccard; " +
+    "disjoint videos stay singletons") {
+    val spark2 = spark
+    import spark2.implicits._
+    // craft 9x8 P5 frames with distinct patterns (multiplicative steps
+    // give different block means, so different dHashes)
+    def frame(step: Int): Array[Byte] =
+      "P5\n9 8\n255\n".getBytes("US-ASCII") ++
+        Array.tabulate(72)(i => ((i * step) % 200).toByte)
+    val (a, b, c) = (frame(3), frame(7), frame(11))
+    val docs = Seq(
+      (2L, a ++ b ++ c), // full video: frame set {A,B,C}
+      (5L, a ++ b), // trimmed copy: J({A,B,C},{A,B}) = 2/3 ≥ 0.3
+      (8L, c ++ c), // one distinct frame: J with doc 2 = 1/3 ≥ 0.3
+      (11L, frame(13) ++ frame(17)) // disjoint frame set
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.videoNearDupClustersFromPayload(spark, docs,
+        minJaccard = 0.3, maxFrameDf = 20)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 2, 5 and 8 form one cluster (5 and 8 connect through 2), rep = 2
+    assert(out(2L) === ((2L, 3L, true)))
+    assert(out(5L) === ((2L, 3L, false)))
+    assert(out(8L) === ((2L, 3L, false)))
+    // 11 is its own singleton
+    assert(out(11L) === ((11L, 1L, true)))
+  }
+
+  test("video clusters: fixture corpus — members share capped frame hashes, " +
+    "reps are min ids, universe covers every video") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val out = Multimodal.videoNearDupClusters(spark, docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    // universe: every video doc (doc_id % 3 == 2 by the generator)
+    val expectedVids = docs.select("doc_id").as[Long].collect()
+      .filter(_ % 3 == 2).toSet
+    assert(out.map(_._1).toSet === expectedVids)
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid)
+      assert(members.count(_._4) === 1)
+      assert(members.forall(_._3 == members.length))
+    }
+  }
+
   test("dHash: rasters below the 9x8 grid are rejected as malformed") {
     val tiny = "P5\n4 3\n255\n".getBytes("US-ASCII") ++ Array.fill(12)(1.toByte)
     val spark2 = spark
