@@ -107,8 +107,9 @@ object ExtQueries {
   /** same, with shingles hashed to 32-bit ints and the document-frequency
     * cap applied (mirrors Dedup.hashedShingleSet + capShingleDf).
     */
-  private def hashedShingleCtes =
-    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+  private def hashedShingleCtes: String = hashedShingleCtes("documents")
+  private def hashedShingleCtes(src: String) =
+    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM $src),
        |shs AS (SELECT doc_id,
        |          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS shingle
        |        FROM toks),
@@ -287,13 +288,14 @@ object ExtQueries {
   /** language-ID CTEs ending in lang(doc_id, lang_pred) — mirrors
     * TextAnalysis.languageId (shared by x09's expanded form and x21).
     */
-  private def langPredCtes: String = {
+  private def langPredCtes: String = langPredCtes("documents")
+  private def langPredCtes(src: String): String = {
     val cnt = (ws: Seq[String]) =>
       ws.map(w => s"len(list_filter(t, x -> x = '$w'))").mkString(" + ")
     val scores = TextAnalysis.markers
       .map { case (l, ws) => s"CAST(${cnt(ws)} AS BIGINT) AS s_$l" }
       .mkString(",\n  ")
-    s"""ltoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    s"""ltoks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM $src),
        |ls AS (SELECT doc_id,
        |  $scores
        |FROM ltoks),
@@ -310,9 +312,10 @@ object ExtQueries {
     * mirrors TextAnalysis.quality (shared by the x27/x47/x52 oracles;
     * one copy, so the quality rule cannot drift between them).
     */
-  private val qualityCtes =
-    """qb AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t,
-      |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct FROM documents),
+  private def qualityCtes: String = qualityCtes("documents")
+  private def qualityCtes(src: String) =
+    s"""qb AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t,
+      |         len(regexp_extract_all(text, '[.,;:!?]')) AS punct FROM $src),
       |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
       |        round(least(CAST(len(t) AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
       |          * (CAST(1.0 AS DOUBLE) - CAST(punct AS DOUBLE) / length(text)), 6)
@@ -2179,6 +2182,84 @@ object ExtQueries {
               |FROM resolved r JOIN csz USING (cluster_id)
               |     JOIN ms ON ms.doc_id = r.doc_id
               |     JOIN bk ON bk.cluster_id = r.cluster_id""".stripMargin)),
+
+    // ---- capstone: curation v2 over the CLEANED corpus ---------------
+    // The x27 pipeline re-run where production runs it: AFTER the
+    // substring cut. Every stage consumes x81's rebuilt text —
+    // language-ID, quality, shingle dedup (fresh clusters: cutting
+    // boilerplate CHANGES which documents are near-dups), and the
+    // stratified sample. Fully-cut documents drop first (the P5
+    // empty-doc rule at the cleaned grain). The oracle chains the
+    // positional rebuild into the parameterized x27 CTE stack.
+    ("x93_curation_v2",
+      (s: SparkSession, dir: String) => {
+        val cleaned = graft.tools.InternalCaches.persist(
+          Dedup.removeDuplicateSpans(t(s, dir, "documents"), k = 8)
+            .filter(length(col("clean_text")) > 0)
+            .select(col("doc_id"), col("clean_text").as("text")))
+        val lang = TextAnalysis.languageId(cleaned)
+          .select(col("doc_id"), col("lang_pred"))
+        val qual = TextAnalysis.quality(cleaned)
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            col("quality_score"))
+        val keep = Dedup.resolveClusters(cleaned,
+            Dedup.ngramJaccardFromShingles(
+              graft.tools.InternalCaches.persist(
+                Dedup.hashedShingleSet(cleaned, maxShingleDf = MaxShingleDf)),
+              minJaccard = 0.8).select(col("doc_a"), col("doc_b")))
+          .filter(col("keep")).select(col("doc_id"), col("cluster_id"))
+        val gated = lang.join(qual, Seq("doc_id")).join(keep, Seq("doc_id"))
+          .filter(col("quality_score") >= 0.5)
+        graft.ext.Sampling.stratifiedByHash(gated, "lang_pred", "doc_id",
+            ratesPct = Seq("en" -> 50, "es" -> 30, "de" -> 20, "fr" -> 10),
+            defaultPct = 5)
+          .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+            col("quality_score"), col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE ctk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              |           FROM documents),
+              |ctoks AS (
+              |  SELECT doc_id,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)+1)]) AS pos,
+              |    unnest(t) AS tok
+              |  FROM ctk),
+              |cgrams AS (
+              |  SELECT doc_id,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
+              |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
+              |            for i in range(1, len(t)-8+2)]) AS g
+              |  FROM ctk),
+              |crg AS (SELECT doc_id, pos FROM (
+              |    SELECT doc_id, pos, row_number() OVER
+              |      (PARTITION BY g ORDER BY doc_id, pos) AS rn
+              |    FROM cgrams) WHERE rn > 1),
+              |ccov AS (SELECT DISTINCT doc_id, pos + d AS pos
+              |        FROM crg, range(0, 8) r(d)),
+              |ckept AS (SELECT t.doc_id, t.pos, t.tok FROM ctoks t
+              |         ANTI JOIN ccov c
+              |           ON t.doc_id = c.doc_id AND t.pos = c.pos),
+              |cagg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
+              |        FROM ckept GROUP BY doc_id),
+              |cleaned AS (SELECT ctk.doc_id, COALESCE(cagg.ct, '') AS text
+              |            FROM ctk LEFT JOIN cagg USING (doc_id)
+              |            WHERE length(COALESCE(cagg.ct, '')) > 0),
+              |${hashedShingleCtes("cleaned")},
+              |$jaccardCtes,
+              |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+              |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
+              |reach(n, m) AS (
+              |  SELECT s, s FROM edges
+              |  UNION
+              |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
+              |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+              |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+              |             FROM cleaned d LEFT JOIN cc USING (doc_id)),
+              |${langPredCtes("cleaned")},
+              |${qualityCtes("cleaned")}
+              |SELECT r.doc_id, lang.lang_pred, q.n_tokens, q.quality_score, r.cluster_id
+              |FROM resolved r
+              |JOIN lang USING (doc_id) JOIN q USING (doc_id)
+              |WHERE $curationGateWhere""".stripMargin)),
 
     // ---- capstone: dedup BEFORE indexing (the hot-cloud fix) ---------
     // Round 11's skewed-corpus recall measurement (HEADROOM: hot-query

@@ -129,8 +129,10 @@ object ScaleDecade {
     "x91_audio_phash_clusters", // round 11: x87's machinery over the
                         // audio envelope hash — should saturate the
                         // same way
-    "x92_video_phash_clusters") // round 11: frame-set Jaccard over the
+    "x92_video_phash_clusters", // round 11: frame-set Jaccard over the
                         // capped frame-hash inverted index
+    "x93_curation_v2")  // round 11: the x27 chain over x81's cleaned
+                        // corpus — should track x81 + x27 combined
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names
