@@ -734,12 +734,22 @@ object Dedup {
     * window sort (a giant cluster pre-reduces per mapper) — and one
     * join back. Output: (doc_id, cluster_id, cluster_size, merit,
     * keep); downstream dedup is `filter(keep)`, exactly as with x19.
+    *
+    * `scored` is joined LEFT: a cluster member with no merit row (e.g.
+    * a NULL-text document [[graft.ext.Sampling.meritTokens]] excludes)
+    * keeps its row with `merit` null and can never be the
+    * representative while any scored member exists — its sort key is
+    * Long.MaxValue (NOT the negation of a sentinel merit: `-Long
+    * .MinValue` wraps back to Long.MinValue under non-ANSI arithmetic
+    * and would make unscored members WIN). A cluster with no scored
+    * member at all falls back to the x19 convention: lowest doc_id.
     */
   def resolveClustersByMerit(resolved: DataFrame, scored: DataFrame): DataFrame = {
     val j = resolved.select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .join(scored.select(col("doc_id"), col("merit")), Seq("doc_id"))
+      .join(scored.select(col("doc_id"), col("merit")), Seq("doc_id"), "left")
+    val nm = when(col("merit").isNull, lit(Long.MaxValue)).otherwise(-col("merit"))
     val best = j.groupBy("cluster_id")
-      .agg(min(struct((-col("merit")).as("nm"), col("doc_id").as("id"))).as("b"))
+      .agg(min(struct(nm.as("nm"), col("doc_id").as("id"))).as("b"))
       .select(col("cluster_id"), col("b.id").as("keep_id"))
     j.join(best, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

@@ -445,6 +445,9 @@ object Multimodal {
     */
   def imageNearDupPairs(
       spark: SparkSession, docs: DataFrame, maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 4,
+      s"5x13-bit chunk bucketing is exact only for maxHamming <= 4 " +
+        s"(pigeonhole over 5 chunks), got $maxHamming")
     val dh = dHashImages(spark, docs)
     val chunks = dh.select(col("doc_id"), col("dhash"),
         explode(sequence(lit(0), lit(4))).as("c"))
@@ -494,6 +497,9 @@ object Multimodal {
     * 50 label-propagation+halving rounds to drain.
     */
   private def hashGrainClusters(dh: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 4,
+      s"5x13-bit chunk bucketing is exact only for maxHamming <= 4 " +
+        s"(pigeonhole over 5 chunks), got $maxHamming")
     val classes = dh.groupBy("dhash").agg(min(col("doc_id")).as("class_rep"))
     val chunks = classes.select(col("dhash"),
         explode(sequence(lit(0), lit(4))).as("c"))

@@ -316,26 +316,86 @@ object Sampling {
     * the order; a writer lays out the epoch with
     * `repartitionByRange + sortWithinPartitions` on (ikey, source,
     * id) — Spark's scalable total-order path — and a reader streams
-    * shards in key order. One exchange (per-source window for the
-    * within-source rank; parallelism = #sources, the x48-style
-    * giant-stratum caveat applies), zero global sorts.
-    * Output: (idCol, source, ikey).
+    * shards in key order.
+    *
+    * The within-source rank is the TWO-PHASE form, not a per-source
+    * window (round 11 shipped `Window.partitionBy(source)` — one task
+    * holding each source's entire corpus, the exact giant-stratum
+    * funnel x48/x78 ban): range-partition on (source, __h, id) —
+    * source leading, so each partition holds contiguous runs of at
+    * most a few sources and a giant source SPREADS across partitions
+    * in key order — sort within partitions, take the per-partition
+    * sequence from `monotonically_increasing_id` (consecutive within a
+    * partition, so `__mid − min(__mid)` is the local rank within a
+    * contiguous (partition, source) run), aggregate per-(partition,
+    * source) counts (a #partitions × #sources frame), prefix-sum those
+    * into start offsets with a window over the TINY stats frame, and
+    * broadcast-join the offsets back. Bit-identical to
+    * `row_number() OVER (PARTITION BY source ORDER BY __h, id)` —
+    * partition boundaries cannot reorder unique keys — and gated by
+    * ClusterSamplingSpec both ways (equality to the window form;
+    * no corpus-scale Window / no SinglePartition in the plan).
+    *
+    * Arithmetic: the stride product is computed in DECIMAL(34,0) —
+    * `(2r−1) · 10^12` overflows LONG once a source's rank exceeds
+    * ~4.6M documents, and non-ANSI Spark would wrap silently to
+    * negative keys while the oracle errors (round-11 advisory).
+    * DECIMAL is exact, `div` returns LONG, and the quotient itself
+    * fits LONG whenever per-document weights are ≥ 1 (then tw ≥ r, so
+    * ikey < 10^12); zero-total-weight strata are dropped (mirrored in
+    * the oracle) rather than dividing by zero. Output: (idCol, source,
+    * ikey) with ikey LONG on both engines — the oracle casts its
+    * HUGEINT quotient back to BIGINT so the driver's hasher sees the
+    * same type either side.
     */
   def weightedInterleave(docs: DataFrame, strataCol: String, idCol: String,
       weightExpr: Column, seed: String = "epoch0"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = docs.filter(col(idCol).isNotNull && col(strataCol).isNotNull)
     val weights = base.groupBy(col(strataCol))
       .agg(sum(weightExpr).as("__w"))
+      .filter(col("__w") > 0)
     val h = hash60(concat_ws(":", lit(seed), col(idCol).cast("string")))
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(col("__h").asc, col(idCol).asc)
-    base
-      .select(col(idCol), col(strataCol), h.as("__h"))
-      .withColumn("__r", row_number().over(w).cast("long"))
+    val ranked = rankWithinStrata(
+      base.select(col(idCol), col(strataCol), h.as("__h")), strataCol, idCol)
+    ranked
       .join(broadcast(weights), Seq(strataCol))
       .select(col(idCol), col(strataCol),
-        expr("(2 * __r - 1) * 1000000000000 div (2 * __w)").as("ikey"))
+        expr("cast(2 * __r - 1 as decimal(20,0)) * 1000000000000 div (2 * __w)")
+          .as("ikey"))
+  }
+
+  /** Two-phase within-stratum rank: `__r` = row_number over
+    * (__h asc, id asc) within strataCol, with NO per-stratum
+    * single-task window. Input must carry (idCol, strataCol, __h) with
+    * idCol unique; output adds `__r` (long, 1-based). See
+    * [[weightedInterleave]] for the derivation; factored out so other
+    * stratified operators can rank at scale.
+    */
+  private[graft] def rankWithinStrata(
+      base: DataFrame, strataCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = base.sparkSession.sessionState.conf.numShufflePartitions
+    // one range exchange; the sort, partition-id and sequence stamps
+    // are all narrow in the same stage. Persisted: read twice (stats +
+    // output), and the second read must see the SAME partition layout
+    // the stats were computed from.
+    val ordered = graft.tools.InternalCaches.persist(
+      base.repartitionByRange(parts, col(strataCol), col("__h"), col(idCol))
+        .sortWithinPartitions(col(strataCol), col("__h"), col(idCol))
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("__pid", spark_partition_id().cast("long")))
+    // #partitions × #strata rows — control-plane sized; the prefix-sum
+    // window runs over THIS frame, never the corpus
+    val stats = ordered.groupBy(col("__pid"), col(strataCol))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__base"))
+    val byStratum = Window.partitionBy(col(strataCol)).orderBy(col("__pid"))
+    val offsets = stats.withColumn("__off",
+      coalesce(sum(col("__cnt"))
+        .over(byStratum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    ordered
+      .join(broadcast(offsets), Seq("__pid", strataCol))
+      .withColumn("__r", col("__off") + (col("__mid") - col("__base")) + 1L)
+      .drop("__mid", "__pid", "__cnt", "__base", "__off")
   }
 
   /** Temperature-flattened corpus mixture — the standard multilingual /

@@ -1574,7 +1574,7 @@ object ExtQueries {
              |  SELECT doc_id,
              |    least(len(string_split(trim(text), ' ')), 100) * 1000
              |      - (len(regexp_extract_all(text, '[.,;:!?]')) * 100000
-             |         // greatest(strlen(text), 1)) AS merit,
+             |         // greatest(length(text), 1)) AS merit,
              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
              |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
              |c AS (
@@ -1813,17 +1813,25 @@ object ExtQueries {
         graft.ext.Sampling.weightedInterleave(t(s, dir, "documents"),
           strataCol = "source", idCol = "doc_id",
           weightExpr = size(graft.functions.Portable.tokens(col("text"))).cast("long")),
+      // ikey arithmetic is HUGEINT (sum() propagates int128 through
+      // `//`) and is cast back to BIGINT so the driver's hasher sees
+      // the same 64-bit type Spark emits — an uncast HUGEINT column is
+      // environment-sensitive in downstream readers (round-11 red-row
+      // suspect). Zero-total-weight sources are dropped on both sides
+      // instead of dividing by zero.
       Some(s"""WITH b AS (SELECT doc_id, source,
               |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt,
               |    ${h60("'epoch0' || ':' || CAST(doc_id AS VARCHAR)")} AS h
               |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
-              |w AS (SELECT source, sum(nt) AS tw FROM b GROUP BY source),
+              |w AS (SELECT source, sum(nt) AS tw FROM b GROUP BY source
+              |      HAVING sum(nt) > 0),
               |r AS (SELECT doc_id, source,
               |    CAST(row_number() OVER (PARTITION BY source
               |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn
               |  FROM b)
               |SELECT r.doc_id, r.source,
-              |  (2 * rn - 1) * 1000000000000 // (2 * w.tw) AS ikey
+              |  CAST(CAST(2 * rn - 1 AS HUGEINT) * 1000000000000
+              |       // (2 * w.tw) AS BIGINT) AS ikey
               |FROM r JOIN w USING (source)""".stripMargin)),
 
     // ---- capstone: select AFTER substring dedup (round 11) -----------
@@ -1875,7 +1883,7 @@ object ExtQueries {
               |  SELECT doc_id,
               |    least(len(string_split(trim(text), ' ')), 100) * 1000
               |      - (len(regexp_extract_all(text, '[.,;:!?]')) * 100000
-              |         // greatest(strlen(text), 1)) AS merit,
+              |         // greatest(length(text), 1)) AS merit,
               |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
               |  FROM cleaned WHERE doc_id IS NOT NULL AND text IS NOT NULL),
               |c AS (
@@ -2171,16 +2179,17 @@ object ExtQueries {
               |  SELECT doc_id,
               |    least(len(string_split(trim(text), ' ')), 100) * 1000
               |      - (len(regexp_extract_all(text, '[.,;:!?]')) * 100000
-              |         // greatest(strlen(text), 1)) AS merit
+              |         // greatest(length(text), 1)) AS merit
               |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
               |bk AS (SELECT cluster_id, doc_id AS keep_id FROM (
-              |    SELECT r.cluster_id, ms.doc_id, row_number() OVER
-              |      (PARTITION BY r.cluster_id ORDER BY ms.merit DESC, ms.doc_id ASC) AS rn
-              |    FROM resolved r JOIN ms ON r.doc_id = ms.doc_id) WHERE rn = 1)
+              |    SELECT r.cluster_id, r.doc_id, row_number() OVER
+              |      (PARTITION BY r.cluster_id
+              |       ORDER BY ms.merit DESC NULLS LAST, r.doc_id ASC) AS rn
+              |    FROM resolved r LEFT JOIN ms ON r.doc_id = ms.doc_id) WHERE rn = 1)
               |SELECT r.doc_id, r.cluster_id, csz.cluster_size, ms.merit,
               |  r.doc_id = bk.keep_id AS keep
               |FROM resolved r JOIN csz USING (cluster_id)
-              |     JOIN ms ON ms.doc_id = r.doc_id
+              |     LEFT JOIN ms ON ms.doc_id = r.doc_id
               |     JOIN bk ON bk.cluster_id = r.cluster_id""".stripMargin)),
 
     // ---- capstone: curation v2 over the CLEANED corpus ---------------
@@ -3248,6 +3257,28 @@ object ExtQueries {
           .withColumnRenamed("o_orderdate", "order_date_bkk"),
       Some("""SELECT o_orderkey,
              |  strftime(o_orderdate + INTERVAL 7 HOUR, '%Y-%m-%d') AS order_date_bkk
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // ---- x94: interleave weight sums (x89's localizer) ---------------
+    // The per-source totals x89's stride keys divide by, as their own
+    // gated query: if x89 ever reds in the driver again while this row
+    // stays green, the divergence is in the RANKS (hash order /
+    // row_number seam); if this rows reds too, it is in the WEIGHTS
+    // (tokenizer / sum seam). Same filters, same weight expression,
+    // same BIGINT casts as x89.
+    ("x94_interleave_weights",
+      (s: SparkSession, dir: String) =>
+        t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("source").isNotNull)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(graft.functions.Portable.tokens(col("text"))).cast("long"))
+              .as("total_weight")),
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CAST(len(string_split(trim(text), ' ')) AS BIGINT))
+             |       AS BIGINT) AS total_weight
+             |FROM documents
+             |WHERE doc_id IS NOT NULL AND source IS NOT NULL
+             |GROUP BY source""".stripMargin))
   )
 }

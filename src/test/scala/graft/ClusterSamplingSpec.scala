@@ -164,19 +164,99 @@ class ClusterSamplingSpec extends SparkSpec {
     assert(keys.toSeq === again.toSeq)
   }
 
-  test("weighted interleave: no global Sort and no unpartitioned Window " +
-    "anywhere in the plan") {
+  test("weighted interleave: rank is the range-partitioned two-phase " +
+    "form — no per-source window, no single-partition exchange") {
     val d = (1L to 50L).map(id => (id, s"s${id % 3}")).toDF("doc_id", "source")
-    val plan = Sampling.weightedInterleave(d, "source", "doc_id", lit(1L))
-      .queryExecution.executedPlan.toString
-    // the within-source rank is a SOURCE-partitioned window; a global
-    // ordering anywhere would be the one-task corpus funnel x78 bans
-    assert(!plan.contains("Sort [ikey"), "no global sort on the key")
-    assert(!plan.contains("Window [row_number#") ||
-      plan.contains("partitionBy") || plan.contains("hashpartitioning(source"),
-      "rank window must be source-partitioned")
-    assert("rangepartitioning".r.findAllIn(plan).isEmpty,
-      "no range partitioning (global total order) in the operator itself")
+    val df = Sampling.weightedInterleave(d, "source", "doc_id", lit(1L))
+    df.collect() // finalize AQE before reading the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the scalable within-source rank: ONE range exchange on
+    // (source, __h, id) — a giant source spreads across partitions
+    assert(plan.contains("rangepartitioning(source"),
+      s"expected the two-phase rank's range exchange in:\n$plan")
+    // the round-11 shape this replaces: row_number over a per-source
+    // window (one task holding each source's whole corpus)
+    assert(!plan.contains("row_number"), "no window row_number rank")
+    // no one-task funnel anywhere
+    assert(!plan.contains("SinglePartition"), "no single-partition exchange")
+    // the only Window is the prefix-sum over the #partitions x #strata
+    // stats frame — it sums __cnt, never corpus rows
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.forall(_.contains("__cnt")),
+      s"Window over a non-stats frame:\n${windows.mkString("\n")}")
+  }
+
+  test("two-phase within-source rank is bit-identical to the window form") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed sources (one giant, several small), non-trivial weights
+    val d = (1L to 500L).map { id =>
+      val src = if (id <= 350) "giant" else s"s${id % 7}"
+      (id, src, (id % 13) + 1)
+    }.toDF("doc_id", "source", "wt")
+    val got = Sampling.weightedInterleave(d, "source", "doc_id", col("wt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // reference: the round-11 per-source window rank, same arithmetic
+    val h = graft.functions.Portable.hash60(
+      concat_ws(":", lit("epoch0"), col("doc_id").cast("string")))
+    val weights = d.groupBy("source").agg(sum(col("wt")).as("__w"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__h").asc, col("doc_id").asc)
+    val ref = d.select(col("doc_id"), col("source"), h.as("__h"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .join(weights, Seq("source"))
+      .select(col("doc_id"), col("source"),
+        expr("cast(2 * __r - 1 as decimal(20,0)) * 1000000000000 div (2 * __w)")
+          .as("ikey"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === ref)
+  }
+
+  test("interleave pins the single-space tokenizer on adversarial " +
+    "whitespace (the x89 driver-divergence localizer)") {
+    // Java-side reimplementation of hash60 = first 15 hex chars of md5
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // single-space split of TRIMMED text, EMPTY TOKENS COUNT — the
+    // convention both engines share: "a  b" is 3 tokens, a tab is not
+    // a separator, "" is 1 token
+    val texts = Seq(
+      1L -> "a  b", // consecutive spaces: 3
+      2L -> "a\tb", // tab is not a separator: 1
+      3L -> " a b ", // leading/trailing trimmed: 2
+      4L -> "", // empty splits to one empty token: 1
+      5L -> "x y z") // plain: 3
+    val expTok = Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 3L)
+    val d = texts.toDF("doc_id", "text").withColumn("source", lit("s"))
+    val got = Sampling.weightedInterleave(d, "source", "doc_id",
+      size(graft.functions.Portable.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // expected ikeys from first principles: tw = 10, ranks by
+    // (h60("epoch0:"+id), id)
+    val tw = expTok.values.sum
+    val ranks = texts.map(_._1).sortBy(id => (h60(s"epoch0:$id"), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val exp = ranks.map { case (id, r) =>
+      id -> (BigInt(2 * r - 1) * BigInt("1000000000000") / BigInt(2 * tw)).toLong
+    }
+    assert(got === exp)
+  }
+
+  test("stride keys survive ranks past the old Long-overflow point " +
+    "(r > 4.6M: (2r-1)*10^12 no longer wraps negative)") {
+    val n = 4700000L
+    val d = spark.range(1L, n + 1L).toDF("doc_id")
+      .withColumn("source", lit("s"))
+    val agg = Sampling.weightedInterleave(d, "source", "doc_id", lit(1L))
+      .agg(min(col("ikey")).as("mn"), max(col("ikey")).as("mx"),
+        count(lit(1)).as("n")).head()
+    assert(agg.getLong(2) === n)
+    assert(agg.getLong(0) >= 0L, s"negative ikey: wrapped overflow (${agg.getLong(0)})")
+    // max ikey = (2n-1)*10^12 div (2n) — just under one full stride span
+    val expMax = (BigInt(2 * n - 1) * BigInt("1000000000000") / BigInt(2 * n)).toLong
+    assert(agg.getLong(1) === expMax)
   }
 
   test("cluster best-rep: highest merit wins over lowest id; ties break low; " +
@@ -193,5 +273,22 @@ class ClusterSamplingSpec extends SparkSpec {
     // doc 5 wins cluster 1: merit 99 beats doc 1's 10 despite the larger
     // id, and the 99-tie with doc 9 breaks to the LOWER id (5)
     assert(out === Map(1L -> false, 5L -> true, 9L -> false, 7L -> true))
+  }
+
+  test("cluster best-rep: unscored members keep a row (null merit) and " +
+    "never win while any scored member exists; all-unscored clusters " +
+    "fall back to lowest id") {
+    val resolved = Seq(
+      (1L, 1L, 3L), (5L, 1L, 3L), (9L, 1L, 3L), // doc 9 has no merit row
+      (20L, 20L, 2L), (21L, 20L, 2L) // whole cluster unscored
+    ).toDF("doc_id", "cluster_id", "cluster_size")
+    val scored = Seq((1L, 10L), (5L, 99L)).toDF("doc_id", "merit")
+    val rows = Dedup.resolveClustersByMerit(resolved, scored).collect()
+    val out = rows.map(r => r.getLong(0) ->
+      ((if (r.isNullAt(3)) None else Some(r.getLong(3))), r.getBoolean(4))).toMap
+    assert(out === Map(
+      1L -> ((Some(10L), false)), 5L -> ((Some(99L), true)),
+      9L -> ((None, false)),
+      20L -> ((None, true)), 21L -> ((None, false))))
   }
 }
