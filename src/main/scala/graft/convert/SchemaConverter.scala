@@ -54,8 +54,19 @@ object SchemaConverter {
 
   /** The per-table embed-vs-reference rule (server/DBMigration.js:341-389),
     * returning what to do with one table given the already-built tree.
+    *
+    * `nullHeavyFks` feeds x73's data audit into the decision (round-12
+    * advisory loop): a (table, fkColumn) pair flagged `null_heavy_fk`
+    * forces Referencing — embedding on an FK that is null in most rows
+    * ORPHANS the null-keyed children (they join to no parent document
+    * and vanish from the corpus), so the safe shape is a top-level
+    * collection with the `_REF` link. Precedence sits with the
+    * workload rule: structural rules (root / self-ref / >2 FKs) first,
+    * then the data-driven overrides. Empty set (the default) preserves
+    * the reference's exact semantics.
     */
-  def decide(t: TableMeta, db: DatabaseMeta): ConversionKind = {
+  def decide(t: TableMeta, db: DatabaseMeta,
+      nullHeavyFks: Set[(String, String)] = Set.empty): ConversionKind = {
     if (t.foreignKeys.isEmpty) ConversionKind.Root
     else if (t.isSelfReferencing) ConversionKind.Referencing
     else if (t.numOfForeignKeys > 2) ConversionKind.Referencing
@@ -66,7 +77,9 @@ object SchemaConverter {
       val hot = t.uaf > db.maf ||
         (t.isReferenced && t.referencingTables.exists(rt =>
           db.get(rt).exists(_.uaf > db.maf)))
-      if (hot) ConversionKind.Referencing
+      val orphaning = t.foreignKeys.exists(fk =>
+        nullHeavyFks.contains((t.name, fk.columnName)))
+      if (hot || orphaning) ConversionKind.Referencing
       else if (t.numOfForeignKeys == 2) ConversionKind.TwoWayEmbedded
       else ConversionKind.OneWayEmbedded
     }
@@ -78,7 +91,8 @@ object SchemaConverter {
     * shows region→territory→employeeterritory at 3 levels, and
     * referencing-created roots still receive embedded children).
     */
-  def convert(db: DatabaseMeta): DocumentSchema = {
+  def convert(db: DatabaseMeta,
+      nullHeavyFks: Set[(String, String)] = Set.empty): DocumentSchema = {
     val topo = topoOrder(db)
     var schema = DocumentSchema(db.name, Seq.empty)
 
@@ -102,7 +116,7 @@ object SchemaConverter {
 
     for (name <- topo.order) {
       val t = db(name)
-      decide(t, db) match {
+      decide(t, db, nullHeavyFks) match {
         case k @ (ConversionKind.Root | ConversionKind.Referencing) =>
           schema = schema.copy(roots = schema.roots :+
             CollectionNode(t.name, attributesFor(t, k, None), k))

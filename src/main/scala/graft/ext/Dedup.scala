@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.util.sketch.BloomFilter
 import graft.functions.Portable._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -423,6 +424,61 @@ object Dedup {
     * the confirm join keeps the output exact either way. `fpp` trades
     * blob size against survivor count.
     */
+  /** Fold a LONG column into an `o.a.s.util.sketch.BloomFilter` with
+    * one treeAggregate pass (map-side partial filters, tree-merged).
+    * The zero value is NULL, not an allocated filter: treeAggregate
+    * ships its zero inside every task closure, and at blocklist scales
+    * (~1.2 GB of zeroed bits at 10⁹ items) a materialized zero would
+    * serialize the empty bit array to every task before a single value
+    * is hashed. Each partition allocates its own filter on first use;
+    * null partials merge away, and an empty input yields one
+    * driver-side empty filter (keeps nothing — the exact answer).
+    */
+  private[graft] def buildBloomOfLongs(
+      vals: DataFrame, valCol: String, items: Long, numBits: Long): BloomFilter = {
+    val merged = vals.select(col(valCol))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .rdd.treeAggregate(null: BloomFilter)(
+        (f, v) => {
+          val g = if (f == null) BloomFilter.create(items, numBits) else f
+          g.putLong(v); g
+        },
+        (a, c) =>
+          if (a == null) c
+          else if (c == null) a
+          else { a.mergeInPlace(c); a })
+    Option(merged).getOrElse(BloomFilter.create(items, numBits))
+  }
+
+  /** The size-switched x65 carrier: `might_contain(bf, input)` as a
+    * codegen'd Column — a binary literal riding the plan when the blob
+    * is at most `maxLiteralBytes`, else a broadcast variable fetched
+    * once per executor ([[graft.functions.BloomMightContainBc]]),
+    * registered with [[graft.tools.InternalCaches]] for session-level
+    * release (the lazy plan holds the only reference — without the
+    * registry a long-lived session would pin one multi-GB blob per
+    * call in block-manager memory forever).
+    */
+  private[graft] def bloomGateColumn(
+      spark: SparkSession, bf: BloomFilter, numBits: Long,
+      maxLiteralBytes: Long, input: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    if (numBits / 8 <= maxLiteralBytes) {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      GraftSqlBridge.column(new BloomFilterMightContain(
+        Literal(bos.toByteArray, BinaryType),
+        GraftSqlBridge.expression(input)))
+    } else {
+      GraftSqlBridge.column(graft.functions.BloomMightContainBc(
+        graft.tools.InternalCaches.trackBroadcast(
+          spark, spark.sparkContext.broadcast(bf)),
+        GraftSqlBridge.expression(input)))
+    }
+  }
+
   def contaminationScreenBloom(
       docs: DataFrame,
       bench: DataFrame,
@@ -431,10 +487,6 @@ object Dedup {
       expectedItems: Option[Long] = None,
       fpp: Double = 0.01,
       maxLiteralBytes: Long = 4L << 20): DataFrame = {
-    import org.apache.spark.sql.GraftSqlBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
-    import org.apache.spark.util.sketch.BloomFilter
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(expectedItems.forall(_ > 0) && fpp > 0 && fpp < 1,
       s"need expectedItems > 0 and fpp in (0,1), got $expectedItems / $fpp")
@@ -446,42 +498,8 @@ object Dedup {
     val items = expectedItems.getOrElse(math.max(b.count(), 64L))
     val numBits = BloomFilter.optimalNumOfBits(items, fpp)
     val spark = docs.sparkSession
-    // zero value is NULL, not an allocated filter: treeAggregate ships
-    // its zero inside every task closure, and at the blocklist scales
-    // this rewrite exists for (~1.2 GB of zeroed bits at 10⁹ items) a
-    // materialized zero would serialize the empty filter to every task
-    // before a single shingle is hashed. Each partition allocates its
-    // own filter on first use; null partials merge away, and an empty
-    // bench yields null → one driver-side empty filter (keeps nothing,
-    // the exact answer).
-    val merged = b.select(col("sh")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .rdd.treeAggregate(null: BloomFilter)(
-        (f, v) => {
-          val g = if (f == null) BloomFilter.create(items, numBits) else f
-          g.putLong(v); g
-        },
-        (a, c) =>
-          if (a == null) c
-          else if (c == null) a
-          else { a.mergeInPlace(c); a })
-    val bf = Option(merged).getOrElse(BloomFilter.create(items, numBits))
-    val mightContain =
-      if (numBits / 8 <= maxLiteralBytes) {
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        GraftSqlBridge.column(new BloomFilterMightContain(
-          Literal(bos.toByteArray, BinaryType),
-          GraftSqlBridge.expression(col("sh"))))
-      } else {
-        // registered for session-level release: the lazy plan holds
-        // the only reference, so without the registry a long-lived
-        // session screening repeatedly would pin one multi-GB blob per
-        // call in block-manager memory forever
-        GraftSqlBridge.column(graft.functions.BloomMightContainBc(
-          graft.tools.InternalCaches.trackBroadcast(
-            spark, spark.sparkContext.broadcast(bf)),
-          GraftSqlBridge.expression(col("sh"))))
-      }
+    val bf = buildBloomOfLongs(b, "sh", items, numBits)
+    val mightContain = bloomGateColumn(spark, bf, numBits, maxLiteralBytes, col("sh"))
     val survivors = hashedShingleSet(docs, n).filter(mightContain)
     val ov = survivors.join(b, Seq("sh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
@@ -870,9 +888,13 @@ object Dedup {
     * parquet table: the substring-grain analog of x40's stored shingle
     * index, precomputed at ingest so the nightly screen never re-reads
     * history. [[appendGramIndex]] adds a batch's grams as additional
-    * files (duplicates across files are harmless — the screen's semi
-    * join is set-semantics), cost = one batch scan + batch-sized
-    * distinct, independent of index size.
+    * files (duplicates across files are harmless to correctness — the
+    * screen's semi join is set-semantics — but grow the scan with
+    * append count), cost = one batch scan + batch-sized distinct,
+    * independent of index size. This flat form is the labeled baseline
+    * beside the bucketed family below ([[writeGramIndexBucketed]] /
+    * [[duplicateSpansAgainstIndexBloom]] / [[compactGramIndex]]),
+    * which Bloom-gates the batch and partition-prunes the index scan.
     */
   def writeGramIndex(docs: DataFrame, indexDir: String, k: Int = 8): Unit =
     gramStream(docs, k).select("g").distinct()
@@ -903,6 +925,178 @@ object Dedup {
     val idx = batch.sparkSession.read.parquet(indexDir)
     val hits = gramStream(batch, k)
       .join(idx, Seq("g"), "left_semi").select("doc_id", "pos")
+    mergeSpans(hits, k)
+  }
+
+  // ---- x95: bucket-partitioned gram index + Bloom sidecar -----------
+  //
+  // The flat index above has two growth terms HEADROOM measured
+  // (0.34 s → 8.2 s across two decades): the screen's semi join scans
+  // the WHOLE index every night, and `appendGramIndex` accumulates
+  // cross-batch duplicate gram files, so the scan grows with append
+  // count on top of corpus size. This family removes both: the index
+  // is partitioned by a gram-hash bucket (the x90 `partitionBy` +
+  // literal-partition-filter pattern at the substring grain), a Bloom
+  // filter over the full gram set rides beside it as a sidecar
+  // artifact (built at ingest, MERGED on append — Bloom union is
+  // bitwise OR), and the screen (a) pre-gates the batch's grams
+  // through the carrier map-side, then (b) reads ONLY the buckets the
+  // surviving candidates hash into. Screen cost is O(batch + touched
+  // buckets), decoupled from index size for small nightly batches;
+  // output stays EXACT — Bloom false positives die in the confirm
+  // semi join against the pruned buckets (false negatives don't
+  // exist), so the oracle is x85's SQL verbatim.
+
+  /** Sidecar layout: `<indexDir>/_gram_bloom` — underscore-prefixed,
+    * so parquet readers of the index ignore it. Header pins the
+    * parameters appends must replay: bucket count (partitioning
+    * scheme) and the Bloom sizing (mergeInPlace requires identical
+    * numBits/numHashFunctions, both derived from (items, numBits)).
+    */
+  private def bloomSidecarPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(indexDir, "_gram_bloom")
+
+  private def writeBloomSidecar(spark: SparkSession, indexDir: String,
+      buckets: Int, items: Long, numBits: Long, bf: BloomFilter): Unit = {
+    val p = bloomSidecarPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(fs.create(p, true))
+    try { out.writeInt(buckets); out.writeLong(items); out.writeLong(numBits); bf.writeTo(out) }
+    finally out.close()
+  }
+
+  private[graft] def readBloomSidecar(
+      spark: SparkSession, indexDir: String): (Int, Long, Long, BloomFilter) = {
+    val p = bloomSidecarPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(fs.open(p))
+    try (in.readInt(), in.readLong(), in.readLong(), BloomFilter.readFrom(in))
+    finally in.close()
+  }
+
+  /** Build the bucket-partitioned gram index + Bloom sidecar at corpus
+    * ingest. `expectedItems` sizes the Bloom (default: the measured
+    * distinct-gram count — one aggregate over the frame the write
+    * materializes anyway); appends past the sizing only raise fpp
+    * (weaker pruning, still-exact output) until [[compactGramIndex]]
+    * re-sizes. `buckets` fixes the partitioning scheme for the index's
+    * lifetime (recorded in the sidecar); size it so one bucket ≈ a few
+    * file-scan tasks at the target corpus.
+    */
+  def writeGramIndexBucketed(docs: DataFrame, indexDir: String, k: Int = 8,
+      buckets: Int = 256, expectedItems: Option[Long] = None,
+      fpp: Double = 0.01): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
+    val spark = docs.sparkSession
+    val g = graft.tools.InternalCaches.persist(
+      gramStream(docs, k).select("g").distinct())
+    val items = math.max(expectedItems.getOrElse(g.count()), 64L)
+    val numBits = BloomFilter.optimalNumOfBits(items, fpp)
+    val bf = buildBloomOfLongs(g, "g", items, numBits)
+    g.withColumn("bucket", pmod(col("g"), lit(buckets.toLong)).cast("int"))
+      // ONE file per bucket per write: without the bucket repartition
+      // every writer task opens every bucket directory (tasks x
+      // buckets tiny files — measured 10x screen-cost overhead from
+      // file listing alone at the probe scales)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
+    // after the parquet write: overwrite mode clears the directory
+    writeBloomSidecar(spark, indexDir, buckets, items, numBits, bf)
+  }
+
+  /** Append a batch's grams into the bucketed index: new files inside
+    * the bucket directories (duplicates across files are harmless to
+    * the screen's set semantics, and [[compactGramIndex]] reaps them)
+    * plus a Bloom merge into the sidecar. Cost = one batch scan +
+    * batch-sized distinct — independent of index size.
+    */
+  def appendGramIndexBucketed(
+      newDocs: DataFrame, indexDir: String, k: Int = 8): Unit = {
+    val spark = newDocs.sparkSession
+    val (buckets, items, numBits, bf) = readBloomSidecar(spark, indexDir)
+    val g = graft.tools.InternalCaches.persist(
+      gramStream(newDocs, k).select("g").distinct())
+    // identical sizing → numHashFunctions match → mergeInPlace is legal
+    val batchBf = buildBloomOfLongs(g, "g", items, numBits)
+    g.withColumn("bucket", pmod(col("g"), lit(buckets.toLong)).cast("int"))
+      // ONE file per bucket per write: without the bucket repartition
+      // every writer task opens every bucket directory (tasks x
+      // buckets tiny files — measured 10x screen-cost overhead from
+      // file listing alone at the probe scales)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("append").parquet(indexDir)
+    bf.mergeInPlace(batchBf)
+    writeBloomSidecar(spark, indexDir, buckets, items, numBits, bf)
+  }
+
+  /** Offline maintenance: rewrite every bucket to its distinct gram
+    * set (drop the cross-batch duplicate rows appends accumulate) and
+    * re-size the Bloom to the measured cardinality. Both read actions
+    * (the compacted write and the Bloom rebuild) complete BEFORE any
+    * directory mutation; the swap then keeps a complete copy on disk
+    * at every step (tmp → old → live), so a crash at any point leaves
+    * a readable index — re-run to finish.
+    */
+  def compactGramIndex(spark: SparkSession, indexDir: String,
+      fpp: Double = 0.01): Unit = {
+    import org.apache.hadoop.fs.Path
+    val (buckets, _, _, _) = readBloomSidecar(spark, indexDir)
+    // NOT the memoized registry: this frame reads the very directory
+    // the swap below replaces — a registry entry keyed on its plan
+    // would hand a later caller a cached plan over deleted files. A
+    // local persist scoped to this call, released before return.
+    val g = spark.read.parquet(indexDir).select("g").distinct().persist()
+    val items = math.max(g.count(), 64L)
+    val numBits = BloomFilter.optimalNumOfBits(items, fpp)
+    val bf = buildBloomOfLongs(g, "g", items, numBits)
+    val tmp = indexDir + ".compact"
+    g.withColumn("bucket", pmod(col("g"), lit(buckets.toLong)).cast("int"))
+      // ONE file per bucket per write: without the bucket repartition
+      // every writer task opens every bucket directory (tasks x
+      // buckets tiny files — measured 10x screen-cost overhead from
+      // file listing alone at the probe scales)
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+    writeBloomSidecar(spark, tmp, buckets, items, numBits, bf)
+    // swap: every step leaves a complete index on disk somewhere
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(indexDir + ".old")
+    fs.delete(old, true)
+    fs.rename(new Path(indexDir), old)
+    fs.rename(new Path(tmp), new Path(indexDir))
+    fs.delete(old, true)
+    // the compacted frame replaced the files its cached plan reads —
+    // drop the cache so later actions re-read the live directory
+    g.unpersist(blocking = false)
+  }
+
+  /** x95 screen — [[duplicateSpansAgainstIndex]] semantics (same
+    * output contract, same oracle) with the scan term decoupled from
+    * index size: batch grams pre-gate through the sidecar Bloom
+    * map-side, candidate buckets are collected (≤ `buckets` ints by
+    * construction — control-plane), and the exact confirm semi-joins
+    * only those bucket directories via a literal partition filter
+    * (plan-gated in DedupSimilaritySpec).
+    */
+  def duplicateSpansAgainstIndexBloom(batch: DataFrame, indexDir: String,
+      k: Int = 8, maxLiteralBytes: Long = 4L << 20): DataFrame = {
+    val spark = batch.sparkSession
+    val (buckets, _, numBits, bf) = readBloomSidecar(spark, indexDir)
+    val grams = graft.tools.InternalCaches.persist(gramStream(batch, k))
+    val gate = bloomGateColumn(spark, bf, numBits, maxLiteralBytes, col("g"))
+    val cand = graft.tools.InternalCaches.persist(
+      grams.filter(gate).select("g").distinct())
+    val hot = cand
+      .select(pmod(col("g"), lit(buckets.toLong)).cast("int").as("bucket"))
+      .distinct()
+      .as[Int](org.apache.spark.sql.Encoders.scalaInt).collect()
+    val idx = spark.read.parquet(indexDir)
+      .filter(col("bucket").isin(hot.map(Int.box).toSeq: _*))
+      .select("g")
+    val confirmed = cand.join(idx, Seq("g"), "left_semi")
+    val hits = grams.join(confirmed, Seq("g"), "left_semi")
+      .select("doc_id", "pos")
     mergeSpans(hits, k)
   }
 

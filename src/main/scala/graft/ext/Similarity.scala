@@ -66,6 +66,26 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Brute-force top-k of explicit QUERY vectors against a SEPARATE
+    * corpus — the ground-truth form when the searchable set is not the
+    * queries' own corpus (x80's representative index: a hot-cloud
+    * query may itself have been deduplicated away, so its exact
+    * neighbors must be ranked over the REP set, not the raw one).
+    * Self-matches (same vec_id) are excluded; otherwise identical to
+    * [[bruteForceTopK]] — one broadcast of the query rows, the heap
+    * operator for ranking.
+    */
+  def bruteForceTopKAgainst(
+      corpus: DataFrame, queryFrame: DataFrame, k: Int = 10): DataFrame = {
+    val all = vecs(corpus)
+    val queries = vecs(queryFrame)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
   /** Shared ranking tail: best `k` rows per query_id by (cos_sim desc,
     * neighbor_id asc) with a 1-based `rank`, via the heap operator.
     */

@@ -95,6 +95,42 @@ object ExtQueries {
   /** 60-bit md5-derived hash (mirrors Portable.hash60). */
   private def h60(x: String) =
     s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
+
+  /** The stored-index span-screen oracle, shared by x85 (flat index)
+    * and x95 (bucketed + Bloom-gated): both are output-invariant
+    * reorganizations of "spans of src2 covered by any non-src2 gram".
+    */
+  private lazy val spanScreenOracle: String =
+    s"""WITH ex AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+       |           FROM documents WHERE source <> 'src2'),
+       |inc AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+       |        FROM documents WHERE source = 'src2'),
+       |idx AS (SELECT DISTINCT
+       |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
+       |            for i in range(1, len(t)-8+2)]) AS g
+       |  FROM ex),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
+       |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
+       |            for i in range(1, len(t)-8+2)]) AS g
+       |  FROM inc),
+       |hits AS (SELECT gr.doc_id, gr.pos FROM grams gr
+       |         SEMI JOIN idx ON gr.g = idx.g),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+       |         THEN 0 ELSE 1 END AS b
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM brk)
+       |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+       |       max(pos) + 8 - min(pos) AS span_tokens,
+       |       count(*) AS n_grams
+       |FROM isl GROUP BY doc_id, island""".stripMargin
   /** 32-bit md5-derived hash (mirrors Portable.hash32). */
   private def h32(x: String) =
     s"CAST(concat('0x', substr(md5($x),1,8)) AS BIGINT)"
@@ -2080,36 +2116,33 @@ object ExtQueries {
         Dedup.duplicateSpansAgainstIndex(
           docs.filter(col("source") === "src2"), idx, k = 8)
       },
-      Some(s"""WITH ex AS (SELECT doc_id, string_split(trim(text), ' ') AS t
-              |           FROM documents WHERE source <> 'src2'),
-              |inc AS (SELECT doc_id, string_split(trim(text), ' ') AS t
-              |        FROM documents WHERE source = 'src2'),
-              |idx AS (SELECT DISTINCT
-              |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
-              |            for i in range(1, len(t)-8+2)]) AS g
-              |  FROM ex),
-              |grams AS (
-              |  SELECT doc_id,
-              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
-              |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
-              |            for i in range(1, len(t)-8+2)]) AS g
-              |  FROM inc),
-              |hits AS (SELECT gr.doc_id, gr.pos FROM grams gr
-              |         SEMI JOIN idx ON gr.g = idx.g),
-              |brk AS (
-              |  SELECT doc_id, pos,
-              |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
-              |         THEN 0 ELSE 1 END AS b
-              |  FROM hits),
-              |isl AS (
-              |  SELECT doc_id, pos,
-              |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-              |                 ROWS UNBOUNDED PRECEDING) AS island
-              |  FROM brk)
-              |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
-              |       max(pos) + 8 - min(pos) AS span_tokens,
-              |       count(*) AS n_grams
-              |FROM isl GROUP BY doc_id, island""".stripMargin)),
+      Some(spanScreenOracle)),
+
+    // ---- x95: Bloom-gated bucket-partitioned span screen -------------
+    // x85 with its growth terms removed: the gram index persists
+    // partitioned by hash bucket with a Bloom sidecar; the nightly
+    // screen pre-gates the batch map-side and reads only candidate
+    // buckets (literal partition filter, the x90 pattern). The entry
+    // deliberately exercises the full index lifecycle — build on half
+    // the history, append the (overlapping) other half, compact the
+    // duplicate gram rows away — before screening; the oracle is x85's
+    // SQL verbatim because every step is output-invariant.
+    ("x95_span_screen_bloom",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val existing = docs.filter(col("source") =!= "src2")
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_gram_bidx_" + Integer.toHexString(dir.hashCode)
+        // 64 buckets at the gate scales (layout-only: the oracle is
+        // bucket-agnostic); the decade probe runs the 1024-bucket form
+        Dedup.writeGramIndexBucketed(
+          existing.filter(col("doc_id") % 2 === 0), idx, k = 8, buckets = 64)
+        Dedup.appendGramIndexBucketed(existing, idx, k = 8)
+        Dedup.compactGramIndex(s, idx)
+        Dedup.duplicateSpansAgainstIndexBloom(
+          docs.filter(col("source") === "src2"), idx, k = 8)
+      },
+      Some(spanScreenOracle)),
 
     // ---- persisted semantic screen (round 11) ------------------------
     // x84 through the x59 lifecycle: the corpus assignment persists
@@ -3279,6 +3312,153 @@ object ExtQueries {
              |       AS BIGINT) AS total_weight
              |FROM documents
              |WHERE doc_id IS NOT NULL AND source IS NOT NULL
-             |GROUP BY source""".stripMargin))
+             |GROUP BY source""".stripMargin)),
+
+    // ---- x96: budget-enforced conversion decisions (round 12) --------
+    // q20 through the guarded standard flow: convertWithBudget demotes
+    // any root whose largest priced document exceeds the budget
+    // (children hoist to referencing roots, subtrees intact) and the
+    // cascade repeats down the tree. 64 KB is chosen to exercise the
+    // cascade at the gate scales: at sf0.001 the region tree fits (no
+    // demotion, q20's table + a NULL hoisted_from column); at sf0.01
+    // region (~421 KB) then nation (~102 KB) demote and customer
+    // (~3 KB) stops the cascade. The oracle recomputes the SAME rule
+    // from x70's byte model — demotion flags d1/d2/d3 are computed
+    // from the data, so the gate verifies the rule itself at every
+    // scale, not a pinned outcome. A hoisted root's price adds its
+    // `_REF`-renamed FK field (embedded shapes drop the FK): +17 name
+    // bytes for nation/customer/supplier's `*_REF` (15 chars + 2), +4
+    // for their INT32 values.
+    ("x96_conversion_budgeted",
+      (s: SparkSession, dir: String) =>
+        MigrationPipeline.decisionsBudgeted(s, dir, budgetBytes = 65536L),
+      Some("""WITH odoc AS (
+             |  SELECT o_custkey, 5
+             |    + 12 + CASE WHEN o_orderkey IS NULL THEN 0 ELSE 8 END
+             |    + 15 + CASE WHEN o_orderstatus IS NULL THEN 0 ELSE strlen(o_orderstatus) + 5 END
+             |    + 14 + CASE WHEN o_totalprice IS NULL THEN 0 ELSE 8 END
+             |    + 13 + CASE WHEN o_orderdate IS NULL THEN 0 ELSE 8 END
+             |    + 17 + CASE WHEN o_orderpriority IS NULL THEN 0 ELSE strlen(o_orderpriority) + 5 END
+             |    AS b
+             |  FROM orders),
+             |ocontrib AS (
+             |  SELECT o_custkey AS k, 13 + sum(4 + b) AS contrib FROM odoc GROUP BY 1),
+             |cdoc AS (
+             |  SELECT c_nationkey, 5
+             |    + 11 + CASE WHEN c_custkey IS NULL THEN 0 ELSE 8 END
+             |    + 8  + CASE WHEN c_name IS NULL THEN 0 ELSE strlen(c_name) + 5 END
+             |    + 11 + CASE WHEN c_acctbal IS NULL THEN 0 ELSE 8 END
+             |    + 14 + CASE WHEN c_mktsegment IS NULL THEN 0 ELSE strlen(c_mktsegment) + 5 END
+             |    + coalesce(oc.contrib, 0) AS b
+             |  FROM customer LEFT JOIN ocontrib oc ON oc.k = c_custkey),
+             |ccontrib AS (
+             |  SELECT c_nationkey AS k, 15 + sum(4 + b) AS contrib FROM cdoc GROUP BY 1),
+             |sdoc AS (
+             |  SELECT s_nationkey, 5
+             |    + 11 + CASE WHEN s_suppkey IS NULL THEN 0 ELSE 8 END
+             |    + 8  + CASE WHEN s_name IS NULL THEN 0 ELSE strlen(s_name) + 5 END
+             |    + 11 + CASE WHEN s_acctbal IS NULL THEN 0 ELSE 8 END
+             |    AS b
+             |  FROM supplier),
+             |scontrib AS (
+             |  SELECT s_nationkey AS k, 15 + sum(4 + b) AS contrib FROM sdoc GROUP BY 1),
+             |ndoc AS (
+             |  SELECT n_regionkey, 5
+             |    + 13 + CASE WHEN n_nationkey IS NULL THEN 0 ELSE 4 END
+             |    + 8  + CASE WHEN n_name IS NULL THEN 0 ELSE strlen(n_name) + 5 END
+             |    + coalesce(cc.contrib, 0) + coalesce(sc.contrib, 0) AS b
+             |  FROM nation
+             |  LEFT JOIN ccontrib cc ON cc.k = n_nationkey
+             |  LEFT JOIN scontrib sc ON sc.k = n_nationkey),
+             |ncontrib AS (
+             |  SELECT n_regionkey AS k, 13 + sum(4 + b) AS contrib FROM ndoc GROUP BY 1),
+             |mx AS (SELECT
+             |  (SELECT max(5
+             |     + 13 + CASE WHEN r_regionkey IS NULL THEN 0 ELSE 4 END
+             |     + 8  + CASE WHEN r_name IS NULL THEN 0 ELSE strlen(r_name) + 5 END
+             |     + coalesce(nc.contrib, 0))
+             |   FROM region LEFT JOIN ncontrib nc ON nc.k = r_regionkey) AS region_max,
+             |  (SELECT max(b + 17 + CASE WHEN n_regionkey IS NULL THEN 0 ELSE 4 END)
+             |   FROM ndoc) AS nation_root_max,
+             |  (SELECT max(b + 17 + CASE WHEN c_nationkey IS NULL THEN 0 ELSE 4 END)
+             |   FROM cdoc) AS customer_root_max),
+             |f AS (SELECT
+             |  region_max > 65536 AS d1,
+             |  region_max > 65536 AND nation_root_max > 65536 AS d2,
+             |  region_max > 65536 AND nation_root_max > 65536
+             |    AND customer_root_max > 65536 AS d3
+             |  FROM mx)
+             |SELECT 'region' AS collection_name, 'root' AS kind,
+             |  CAST(NULL AS VARCHAR) AS parent_name, 0 AS depth,
+             |  CAST(NULL AS VARCHAR) AS hoisted_from FROM f
+             |UNION ALL SELECT 'part', 'root', NULL, 0, NULL FROM f
+             |UNION ALL SELECT 'lineitem', 'referencing', NULL, 0, NULL FROM f
+             |UNION ALL SELECT 'nation',
+             |  CASE WHEN d1 THEN 'referencing' ELSE 'one_way_embedded' END,
+             |  CASE WHEN d1 THEN NULL ELSE 'region' END,
+             |  CASE WHEN d1 THEN 0 ELSE 1 END,
+             |  CASE WHEN d1 THEN 'region' ELSE NULL END FROM f
+             |UNION ALL SELECT 'customer',
+             |  CASE WHEN d2 THEN 'referencing' ELSE 'one_way_embedded' END,
+             |  CASE WHEN d2 THEN NULL ELSE 'nation' END,
+             |  CASE WHEN d2 THEN 0 WHEN d1 THEN 1 ELSE 2 END,
+             |  CASE WHEN d2 THEN 'nation' ELSE NULL END FROM f
+             |UNION ALL SELECT 'supplier',
+             |  CASE WHEN d2 THEN 'referencing' ELSE 'one_way_embedded' END,
+             |  CASE WHEN d2 THEN NULL ELSE 'nation' END,
+             |  CASE WHEN d2 THEN 0 WHEN d1 THEN 1 ELSE 2 END,
+             |  CASE WHEN d2 THEN 'nation' ELSE NULL END FROM f
+             |UNION ALL SELECT 'orders',
+             |  CASE WHEN d3 THEN 'referencing' ELSE 'one_way_embedded' END,
+             |  CASE WHEN d3 THEN NULL ELSE 'customer' END,
+             |  CASE WHEN d3 THEN 0 WHEN d2 THEN 1 WHEN d1 THEN 2 ELSE 3 END,
+             |  CASE WHEN d3 THEN 'customer' ELSE NULL END FROM f""".stripMargin)),
+
+    // ---- x97: advisory-informed conversion decisions (round 12) ------
+    // The x73 → SchemaConverter loop closed: a null_heavy_fk advisory
+    // (FK null in over half the rows — embedding on it would orphan
+    // the null-keyed children) forces Referencing for that table,
+    // with the same precedence as the workload rule. The oracle
+    // recomputes the advisory flags from the same null counts; unlike
+    // x96's demotion, a forced-referencing root KEEPS its embedded
+    // children (referencing-created roots receive embedded children,
+    // the golden-file convention), so the depth/parent CASEs cascade
+    // by which ancestors were hoisted out of the tree. advisory_forced
+    // equals the bare flag because in the pinned workload fixture none
+    // of the four embeddable tables is already referencing (q20).
+    ("x97_conversion_advised",
+      (s: SparkSession, dir: String) =>
+        MigrationPipeline.decisionsAdvised(s, dir),
+      Some("""WITH f AS (SELECT
+             |  (SELECT count(*) FILTER (WHERE n_regionkey IS NULL) * 2 > count(*)
+             |   FROM nation) AS nh_n,
+             |  (SELECT count(*) FILTER (WHERE c_nationkey IS NULL) * 2 > count(*)
+             |   FROM customer) AS nh_c,
+             |  (SELECT count(*) FILTER (WHERE o_custkey IS NULL) * 2 > count(*)
+             |   FROM orders) AS nh_o,
+             |  (SELECT count(*) FILTER (WHERE s_nationkey IS NULL) * 2 > count(*)
+             |   FROM supplier) AS nh_s)
+             |SELECT 'region' AS collection_name, 'root' AS kind,
+             |  CAST(NULL AS VARCHAR) AS parent_name, 0 AS depth,
+             |  false AS advisory_forced FROM f
+             |UNION ALL SELECT 'part', 'root', NULL, 0, false FROM f
+             |UNION ALL SELECT 'lineitem', 'referencing', NULL, 0, false FROM f
+             |UNION ALL SELECT 'nation',
+             |  CASE WHEN nh_n THEN 'referencing' ELSE 'one_way_embedded' END,
+             |  CASE WHEN nh_n THEN NULL ELSE 'region' END,
+             |  CASE WHEN nh_n THEN 0 ELSE 1 END, nh_n FROM f
+             |UNION ALL SELECT 'customer',
+             |  CASE WHEN nh_c THEN 'referencing' ELSE 'one_way_embedded' END,
+             |  CASE WHEN nh_c THEN NULL ELSE 'nation' END,
+             |  CASE WHEN nh_c THEN 0 WHEN nh_n THEN 1 ELSE 2 END, nh_c FROM f
+             |UNION ALL SELECT 'supplier',
+             |  CASE WHEN nh_s THEN 'referencing' ELSE 'one_way_embedded' END,
+             |  CASE WHEN nh_s THEN NULL ELSE 'nation' END,
+             |  CASE WHEN nh_s THEN 0 WHEN nh_n THEN 1 ELSE 2 END, nh_s FROM f
+             |UNION ALL SELECT 'orders',
+             |  CASE WHEN nh_o THEN 'referencing' ELSE 'one_way_embedded' END,
+             |  CASE WHEN nh_o THEN NULL ELSE 'customer' END,
+             |  CASE WHEN nh_o THEN 0 WHEN nh_c THEN 1 WHEN nh_n THEN 2 ELSE 3 END,
+             |  nh_o FROM f""".stripMargin))
   )
 }

@@ -45,13 +45,52 @@ object MigrationPipeline {
       (db, SchemaConverter.convert(db))
     })
 
-  /** One root collection's nested DataFrame (memoized + persisted). */
+  /** One root collection's nested DataFrame (memoized + persisted).
+    * GUARDED by default since round 12: the x70 pre-flight runs before
+    * the nested fold, so a tree that would exceed MongoDB's 16 MB
+    * document limit fails in ~0.2 s with the worst offenders named
+    * instead of discovering the wall as an executor OOM minutes in
+    * (round-11 advisory: the guard existed but the registered path
+    * never ran it). At the gate scales every fixture root fits, so the
+    * registered outputs are unchanged; callers that WANT the unguarded
+    * wall (the q24 decade probe's labeled baseline) drive DataMapper
+    * directly. Schemas that trip the guard should come from
+    * [[convertedBudgeted]], which demotes instead of refusing.
+    */
   def mapRoot(spark: SparkSession, sfDir: String, rootName: String): DataFrame =
     mapped.getOrElseUpdate((spark.sparkContext.applicationId, sfDir, rootName), {
       val (db, schema) = converted(spark, sfDir)
       val root = schema.roots.find(_.name == rootName)
         .getOrElse(throw new IllegalArgumentException(s"no root $rootName"))
-      new DataMapper(spark, sfDir, db).mapRoot(root).persist()
+      new DataMapper(spark, sfDir, db).mapRootGuarded(root).persist()
+    })
+
+  private val cacheBudgeted =
+    TrieMap.empty[(String, Long), (DatabaseMeta, DocumentSchema, Seq[(String, Seq[String])])]
+
+  /** [[converted]] with the document-size budget ENFORCED — the
+    * standard production flow since round 12: the decision procedure's
+    * schema goes through [[SchemaConverter.enforceDocBudget]] wired to
+    * [[graft.map.DocSizeAudit]]'s exact per-root pricing, so an
+    * over-budget root DEMOTES (children hoist to referencing roots,
+    * subtrees intact) and the build proceeds on a schema that fits —
+    * instead of [[graft.map.DataMapper.mapRootGuarded]] refusing, or
+    * the unguarded fold dying at the 100×-scale OOM wall. Returns the
+    * adjusted schema plus the demotion log. Memoized per
+    * (sfDir, budget).
+    */
+  def convertedBudgeted(spark: SparkSession, sfDir: String,
+      budgetBytes: Long = graft.map.DocSizeAudit.MongoDocLimit)
+      : (DatabaseMeta, DocumentSchema, Seq[(String, Seq[String])]) =
+    cacheBudgeted.getOrElseUpdate((sfDir, budgetBytes), {
+      val (db, schema0) = converted(spark, sfDir)
+      val audit = new graft.map.DocSizeAudit(spark, sfDir, db)
+      val (schema, demotions) =
+        SchemaConverter.enforceDocBudget(db, schema0, audit.maxDocBytes, budgetBytes)
+      demotions.foreach { case (root, children) =>
+        System.err.println(s"[graft] doc budget: demoted root '$root', " +
+          s"hoisted ${children.mkString(", ")} to referencing roots") }
+      (db, schema, demotions)
     })
 
   /** x73 — the profile-informed conversion audit: x66's one-scan
@@ -141,5 +180,62 @@ object MigrationPipeline {
     import spark.implicits._
     schema.roots.flatMap(r => walk(r, None, 0))
       .toDF("collection_name", "kind", "parent_name", "depth")
+  }
+
+  /** x96 — [[decisions]] with the document-size budget enforced:
+    * q20's table plus `hoisted_from`, the over-budget root a
+    * collection was hoisted out of (NULL when the budget changed
+    * nothing), so the output differs from q20's precisely on the
+    * demoted subtree. The demotion responds to DATA SIZE by design —
+    * at sf0.001 the fixture region tree fits a 64 KB budget and this
+    * is q20's table with a NULL column; at sf0.01 region then nation
+    * demote and the cascade stops at customer. The oracle recomputes
+    * the same cascade from the same byte model, so the gate holds at
+    * every scale without pinning either outcome.
+    */
+  def decisionsBudgeted(spark: SparkSession, sfDir: String,
+      budgetBytes: Long): DataFrame = {
+    val (_, schema, demotions) = convertedBudgeted(spark, sfDir, budgetBytes)
+    val hoistedFrom = demotions
+      .flatMap { case (root, children) => children.map(_ -> root) }.toMap
+    def walk(n: CollectionNode, parent: Option[String], depth: Int)
+        : Seq[(String, String, Option[String], Int, Option[String])] =
+      (n.name, n.kind.label, parent, depth, hoistedFrom.get(n.name)) +:
+        n.embedded.flatMap(c => walk(c, Some(n.name), depth + 1))
+    import spark.implicits._
+    schema.roots.flatMap(r => walk(r, None, 0))
+      .toDF("collection_name", "kind", "parent_name", "depth", "hoisted_from")
+  }
+
+  /** x97 — the advisory loop closed: x73's `null_heavy_fk` audit rows
+    * feed the conversion decision ([[SchemaConverter.decide]]'s
+    * `nullHeavyFks` override — embedding on a mostly-null FK orphans
+    * the null-keyed children, so the data says "reference"). Output is
+    * q20's table plus `advisory_forced` — true exactly where the
+    * advisory CHANGED the decision procedure's choice. On a corpus
+    * with no null-heavy FKs (the fixture) this is q20's table with an
+    * all-false column — and the oracle recomputes the advisory flags
+    * from the same null counts, so a regenerated fixture that DID null
+    * out an FK would flip both sides together. Opt-in entry; the
+    * default [[converted]] keeps the reference's exact semantics.
+    */
+  def decisionsAdvised(spark: SparkSession, sfDir: String): DataFrame = {
+    val (db, _) = converted(spark, sfDir)
+    // control-plane collect: ≤ #FK-columns rows by construction
+    val nh = profileAdvisories(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("advisory") === "null_heavy_fk")
+      .select("table_name", "col_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val schema = SchemaConverter.convert(db, nh)
+    def forced(name: String): Boolean =
+      nh.exists(_._1 == name) &&
+        SchemaConverter.decide(db(name), db) != ConversionKind.Referencing
+    def walk(n: CollectionNode, parent: Option[String], depth: Int)
+        : Seq[(String, String, Option[String], Int, Boolean)] =
+      (n.name, n.kind.label, parent, depth, forced(n.name)) +:
+        n.embedded.flatMap(c => walk(c, Some(n.name), depth + 1))
+    import spark.implicits._
+    schema.roots.flatMap(r => walk(r, None, 0))
+      .toDF("collection_name", "kind", "parent_name", "depth", "advisory_forced")
   }
 }

@@ -141,6 +141,52 @@ object RecallAtScale {
         println(s"""{"scale":"$qlabel","trained_rerank_nprobe_curve":{${npCurve.mkString(",")}}}""")
       }
     }
+
+    // ---- x80: "an index of representatives has no hot clouds" —
+    // measured, not argued (round-11 verdict item 3). On the skewed
+    // corpora the raw index's HOT queries sit inside a replicated
+    // near-dup cloud: the exact top-5 is an arbitrary pick among
+    // thousands of ε-ties, so ID-recall collapses to 0 while ε-recall
+    // holds 1.0. x80 deduplicates FIRST, indexes the representatives —
+    // the cloud collapses, the rep-grain exact top-5 is stable, and
+    // ID-recall should RECOVER against rep-grain ground truth while
+    // ε-recall vs the RAW corpus's k-th score stays 1.0 (every
+    // returned representative is ε-equivalent to the raw answer).
+    // Opt-in via SPARK_GRAFT_RECALL_X80 (the dedup pass over a 20M
+    // corpus is not free); runs on the skew corpora only — the claim
+    // is specifically about hot clouds.
+    if (sys.env.contains("SPARK_GRAFT_RECALL_X80")) {
+      for ((dir, label, _, skewed) <- corpora if skewed && wanted(label)) {
+        val emb = graft.sources.Tables.load(spark, dir, "embeddings")
+        val dd = Similarity.semDedupHierarchical(emb, minCos = 0.45)
+        val reps = graft.tools.InternalCaches.persist(
+          emb.join(dd.filter(!col("is_dup")).select("vec_id"), Seq("vec_id")))
+        val nRaw = emb.count(); val nRep = reps.count()
+        val idx = s"/tmp/graft_x80_reps_idx_$label"
+        Similarity.ivfPqWriteIndex(reps, idx, trainIters = 2)
+        val qFrame = emb.filter(col("vec_id").isin(qsHot.map(Long.box): _*))
+        val gtRep = scoredRows(Similarity.bruteForceTopKAgainst(reps, qFrame, k = 5))
+        val gtRaw = scoredRows(Similarity.bruteForceTopKAgainst(emb, qFrame, k = 5))
+        val got = scoredRows(
+          Similarity.ivfPqSearchIndexReranked(emb, idx, queryIds = qsHot, k = 5))
+        val gotPairs = got.map(r => (r._1, r._2)).toSet
+        val gtRepPairs = gtRep.map(r => (r._1, r._2)).toSet
+        val idRecallRep =
+          (gtRepPairs intersect gotPairs).size.toDouble / gtRepPairs.size
+        // two ε yardsticks: vs the REP-GRAIN kth score (the honest
+        // post-dedup tolerance — distinguishes rep-grain ties from
+        // real retrieval misses) and vs the RAW kth score (≈1.0 inside
+        // a dup cloud; post-dedup at most ONE returned rep can sit
+        // that close, so a low number here is the dedup working, not
+        // the index failing — recorded to pre-empt the misreading)
+        def eps(gt: Map[Long, Double], tau: Double): Double =
+          if (got.isEmpty) 0.0
+          else got.count { case (q, _, c) => c >= gt(q) - tau }.toDouble / got.size
+        val kthRep = gtRep.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).min }
+        val kthRaw = gtRaw.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).min }
+        println(f"""{"scale":"$label-x80","vectors_raw":$nRaw,"vectors_rep":$nRep,"hotq_id_recall5_rep_gt":$idRecallRep%.2f,"hotq_eps_recall5_rep_gt":{"tau001":${eps(kthRep, 0.001)}%.2f,"tau01":${eps(kthRep, 0.01)}%.2f},"hotq_eps_recall5_vs_raw":{"tau01":${eps(kthRaw, 0.01)}%.2f}}""")
+      }
+    }
     spark.stop()
   }
 }

@@ -144,7 +144,8 @@ object ScaleDecade {
     */
   private val ProbeOnly = Seq(
     "q24_maproot_write",    // round 10: the flagship nested build + sink
-    "x14_stream_crossover") // round 10: streaming-vs-sort measurement
+    "x14_stream_crossover", // round 10: streaming-vs-sort measurement
+    "x95_span_screen_bloom") // round 12: fixed-batch screen vs index growth
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -267,6 +268,50 @@ object ScaleDecade {
             (System.nanoTime() - t1) / 1e9
           }.sorted
           println(f"""{"query":"x85_split_$label","build_sec":$build%.3f,"screen_sec":${times(1)}%.3f}""")
+      }
+    }
+
+    // ---- x95: Bloom-gated bucketed gram index — the decoupling claim.
+    // x85's screen term grows with INDEX size (the semi join scans the
+    // whole stored gram set every night). x95 pre-gates the batch
+    // through the sidecar Bloom and reads only candidate buckets, so a
+    // FIXED batch's screen cost should stay ~flat while the index
+    // grows two decades. The batch is pinned to the 1× src2 documents
+    // at every scale — the x85-probe batch grows with the corpus,
+    // which conflates batch growth with index growth; this block
+    // isolates the index term. flat_screen_sec is the same fixed batch
+    // through x85's flat index: the like-for-like baseline.
+    if (selected("x95_span_screen_bloom")) {
+      val fixedBatch = graft.sources.Tables.load(spark, src, "documents")
+        .filter(col("source") === "src2")
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val docs = graft.sources.Tables.load(spark, d, "documents")
+          val existing = docs.filter(col("source") =!= "src2")
+          val bidx = s"/tmp/graft_gram_bidx_decade_$label"
+          val t0 = System.nanoTime()
+          // 1024 buckets / fpp 1e-3: candidate buckets ≈ overlap +
+          // 0.001·|batch grams| — sized so pruning bites at every probe
+          // scale, not just at the production ratio
+          graft.ext.Dedup.writeGramIndexBucketed(
+            existing, bidx, k = 8, buckets = 1024, fpp = 0.001)
+          val build = (System.nanoTime() - t0) / 1e9
+          val flatIdx = s"/tmp/graft_gram_idx_decade_$label"
+          if (!new java.io.File(flatIdx).exists())
+            graft.ext.Dedup.writeGramIndex(existing, flatIdx, k = 8)
+          def med3(mk: => org.apache.spark.sql.DataFrame): Double = {
+            val ts = (1 to 3).map { _ =>
+              val t1 = System.nanoTime()
+              mk.queryExecution.toRdd.count()
+              (System.nanoTime() - t1) / 1e9
+            }.sorted
+            ts(1)
+          }
+          val flat = med3(graft.ext.Dedup.duplicateSpansAgainstIndex(
+            fixedBatch, flatIdx, k = 8))
+          val bloom = med3(graft.ext.Dedup.duplicateSpansAgainstIndexBloom(
+            fixedBatch, bidx, k = 8))
+          println(f"""{"query":"x95_split_$label","build_sec":$build%.3f,"flat_screen_sec":$flat%.3f,"bloom_screen_sec":$bloom%.3f}""")
       }
     }
 

@@ -636,6 +636,63 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!rows.exists(_._1 == 12L))
   }
 
+  test("bloom span screen: full lifecycle (build + overlapping appends + " +
+    "compact) screens identically to the flat index; compaction drops " +
+    "the duplicate gram rows appends accumulate") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different historical content here")
+    ).toDF("doc_id", "text")
+    val extra = Seq((3L, "an appended document with novel words")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "prefix quick brown fox tail"),
+      (11L, "an appended document suffix y z"),
+      (12L, "nothing indexed matches this one")
+    ).toDF("doc_id", "text")
+    val flat = java.nio.file.Files.createTempDirectory("graft_x95_flat").toString
+    val bidx = java.nio.file.Files.createTempDirectory("graft_x95_bkt").toString
+    Dedup.writeGramIndex(existing.unionByName(extra), flat, k = 3)
+    Dedup.writeGramIndexBucketed(existing, bidx, k = 3, buckets = 16)
+    Dedup.appendGramIndexBucketed(extra, bidx, k = 3)
+    // a fully-overlapping re-append: correctness must not change, but
+    // duplicate rows pile up until compaction
+    Dedup.appendGramIndexBucketed(existing, bidx, k = 3)
+    val preCompact = spark.read.parquet(bidx).count()
+    val distinctN = spark.read.parquet(bidx).select("g").distinct().count()
+    assert(preCompact > distinctN, "overlapping append must add duplicate rows")
+    Dedup.compactGramIndex(spark, bidx)
+    assert(spark.read.parquet(bidx).count() === distinctN,
+      "compaction must leave exactly the distinct gram set")
+    val a = Dedup.duplicateSpansAgainstIndexBloom(batch, bidx, k = 3)
+    val b = Dedup.duplicateSpansAgainstIndex(batch, flat, k = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "bloom-gated bucketed screen must equal the flat screen")
+  }
+
+  test("bloom span screen: candidate buckets reach the stored index scan " +
+    "as a partition filter, and the sidecar bloom has no false negatives") {
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val batch = Seq((10L, "xx alpha beta gamma yy")).toDF("doc_id", "text")
+    val bidx = java.nio.file.Files.createTempDirectory("graft_x95_pf").toString
+    Dedup.writeGramIndexBucketed(existing, bidx, k = 3, buckets = 16)
+    val screened = Dedup.duplicateSpansAgainstIndexBloom(batch, bidx, k = 3)
+    val rows = screened.orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // "alpha beta gamma" indexed at pos 1 of the batch doc
+    assert(rows.toSeq === Seq((10L, 1L, 4L, 3L, 1L)))
+    val plan = screened.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"index scan must prune by candidate bucket directories:\n$plan")
+    // false-negative-free: every indexed gram passes the sidecar gate
+    val (_, _, _, bf) = Dedup.readBloomSidecar(spark, bidx)
+    val missed = spark.read.parquet(bidx).select("g").as[Long]
+      .collect().filterNot(bf.mightContainLong)
+    assert(missed.isEmpty, s"bloom misses indexed grams: ${missed.take(5).toSeq}")
+  }
+
   test("benchmark span decontamination: leaked span cut, rest of doc kept, " +
     "benchmark-free docs untouched") {
     val bench = Seq((100L, "what is the capital of france")).toDF("doc_id", "text")

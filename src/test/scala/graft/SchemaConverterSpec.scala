@@ -64,6 +64,35 @@ class SchemaConverterSpec extends SparkSpec {
     assert(c1.attributes === Seq("cid", "v"))
   }
 
+  test("null-heavy-FK advisory forces referencing; the forced root still " +
+    "receives embedded children; an advisory on another column is inert") {
+    val mk = DatabaseMeta("t", Seq(
+      tm("p", 5, Seq("id", "a"), Seq("id"), refdBy = Seq("c")),
+      tm("c", 5, Seq("cid", "fk", "v"), Seq("cid"),
+        Seq(ForeignKeyMeta("fk", "p", "id")), refdBy = Seq("g")),
+      tm("g", 5, Seq("gid", "cfk", "w"), Seq("gid"),
+        Seq(ForeignKeyMeta("cfk", "c", "cid")))))
+    // without the advisory: p → c → g, one chain
+    val plain = SchemaConverter.convert(mk)
+    assert(plain.roots.map(_.name) === Seq("p"))
+    assert(plain.roots.head.embedded.head.name === "c")
+    // the advisory on c.fk flips ONLY c's decision...
+    assert(SchemaConverter.decide(mk("c"), mk) === ConversionKind.OneWayEmbedded)
+    assert(SchemaConverter.decide(mk("c"), mk, Set(("c", "fk"))) ===
+      ConversionKind.Referencing)
+    val advised = SchemaConverter.convert(mk, Set(("c", "fk")))
+    val kinds = advised.roots.map(n => (n.name, n.kind)).toMap
+    assert(kinds === Map("p" -> ConversionKind.Root,
+      "c" -> ConversionKind.Referencing))
+    // ...keeps c's FK as a _REF attribute, and c still receives g
+    val c = advised.roots.find(_.name == "c").get
+    assert(c.attributes === Seq("cid", "fk_REF", "v"))
+    assert(c.embedded.map(_.name) === Seq("g"))
+    // a flag for a different (table, column) changes nothing
+    assert(SchemaConverter.convert(mk, Set(("c", "other"), ("x", "fk"))).roots
+      .map(_.name) === Seq("p"))
+  }
+
   test("workload rule: hot table (uaf > maf) stays referencing; parent of hot child too") {
     val mk = (cUaf: Long, pUaf: Long) => DatabaseMeta("t", Seq(
       tm("p", 10, Seq("id", "a"), Seq("id"), refdBy = Seq("c"), uaf = pUaf),
