@@ -1019,6 +1019,13 @@ object Dedup {
       gramStream(newDocs, k).select("g").distinct())
     // identical sizing → numHashFunctions match → mergeInPlace is legal
     val batchBf = buildBloomOfLongs(g, "g", items, numBits)
+    bf.mergeInPlace(batchBf)
+    // sidecar FIRST: a crash between the two writes must leave the
+    // Bloom an OVER-approximation of the stored grams (extra bits die
+    // in the exact confirm join). The reverse order would leave
+    // appended grams missing from the Bloom — the gate would silently
+    // drop their true matches, an exactness break, not a slowdown.
+    writeBloomSidecar(spark, indexDir, buckets, items, numBits, bf)
     g.withColumn("bucket", pmod(col("g"), lit(buckets.toLong)).cast("int"))
       // ONE file per bucket per write: without the bucket repartition
       // every writer task opens every bucket directory (tasks x
@@ -1026,8 +1033,6 @@ object Dedup {
       // file listing alone at the probe scales)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("append").parquet(indexDir)
-    bf.mergeInPlace(batchBf)
-    writeBloomSidecar(spark, indexDir, buckets, items, numBits, bf)
   }
 
   /** Offline maintenance: rewrite every bucket to its distinct gram

@@ -370,6 +370,20 @@ object Similarity {
     * vector files via a literal partition filter. Built once at
     * ingest; the nightly screen ([[semanticScreenIndex]]) never
     * re-assigns the corpus.
+    *
+    * STALE-CENTROID HAZARD (round-12 advisory, documented by design):
+    * the stored centroids are frozen at build time, so a corpus that
+    * drifts after appends degrades the screen's pruning — new-regime
+    * vectors pile into whatever old cell is nearest, occupancy skews,
+    * and the probed-cell read grows. The screen stays CORRECT (every
+    * vector is in exactly one stored cell and the bench probes the
+    * cell it assigns to under the same frozen centroids — both sides
+    * use the index's own geometry), but the performance contract
+    * erodes. The detector is x67's retrain monitor
+    * ([[retrainMonitor]] / [[retrainMonitorPerBatch]] over the stored
+    * assignment vs a fresh one): run it on the append cadence and
+    * rebuild the index when it trips, exactly as the x67→x72
+    * lifecycle does for the ANN index.
     */
   def writeSemanticIndex(
       corpus: DataFrame,

@@ -131,6 +131,225 @@ object ExtQueries {
        |       max(pos) + 8 - min(pos) AS span_tokens,
        |       count(*) AS n_grams
        |FROM isl GROUP BY doc_id, island""".stripMargin
+
+  /** The x93 curation-v2 pipeline over an arbitrary corpus frame —
+    * shared with x98, which feeds it the media-deduplicated survivor
+    * set. Substring-cut first (corpus-relative: WHICH occurrences are
+    * redundant depends on which documents are present), then
+    * language-ID, quality, fresh near-dup clusters over the cleaned
+    * text, and the stratified sample.
+    */
+  private def curationV2(docs: DataFrame): DataFrame = {
+    val cleaned = graft.tools.InternalCaches.persist(
+      Dedup.removeDuplicateSpans(docs, k = 8)
+        .filter(length(col("clean_text")) > 0)
+        .select(col("doc_id"), col("clean_text").as("text")))
+    val lang = TextAnalysis.languageId(cleaned)
+      .select(col("doc_id"), col("lang_pred"))
+    val qual = TextAnalysis.quality(cleaned)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality_score"))
+    val keep = Dedup.resolveClusters(cleaned,
+        Dedup.ngramJaccardFromShingles(
+          graft.tools.InternalCaches.persist(
+            Dedup.hashedShingleSet(cleaned, maxShingleDf = MaxShingleDf)),
+          minJaccard = 0.8).select(col("doc_a"), col("doc_b")))
+      .filter(col("keep")).select(col("doc_id"), col("cluster_id"))
+    val gated = lang.join(qual, Seq("doc_id")).join(keep, Seq("doc_id"))
+      .filter(col("quality_score") >= 0.5)
+    graft.ext.Sampling.stratifiedByHash(gated, "lang_pred", "doc_id",
+        ratesPct = Seq("en" -> 50, "es" -> 30, "de" -> 20, "fr" -> 10),
+        defaultPct = 5)
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("quality_score"), col("cluster_id"))
+  }
+
+  /** x93/x98's oracle: the full curation-v2 CTE chain over the corpus
+    * rows satisfying `corpusWhere`, with `prefixCtes` (empty, or
+    * media-drop stacks ending in ",") prepended inside the WITH list.
+    */
+  private def curationV2Sql(prefixCtes: String, corpusWhere: String): String =
+    s"""WITH RECURSIVE ${prefixCtes}ctk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+       |           FROM documents WHERE $corpusWhere),
+       |ctoks AS (
+       |  SELECT doc_id,
+       |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)+1)]) AS pos,
+       |    unnest(t) AS tok
+       |  FROM ctk),
+       |cgrams AS (
+       |  SELECT doc_id,
+       |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
+       |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
+       |            for i in range(1, len(t)-8+2)]) AS g
+       |  FROM ctk),
+       |crg AS (SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, row_number() OVER
+       |      (PARTITION BY g ORDER BY doc_id, pos) AS rn
+       |    FROM cgrams) WHERE rn > 1),
+       |ccov AS (SELECT DISTINCT doc_id, pos + d AS pos
+       |        FROM crg, range(0, 8) r(d)),
+       |ckept AS (SELECT t.doc_id, t.pos, t.tok FROM ctoks t
+       |         ANTI JOIN ccov c
+       |           ON t.doc_id = c.doc_id AND t.pos = c.pos),
+       |cagg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
+       |        FROM ckept GROUP BY doc_id),
+       |cleaned AS (SELECT ctk.doc_id, COALESCE(cagg.ct, '') AS text
+       |            FROM ctk LEFT JOIN cagg USING (doc_id)
+       |            WHERE length(COALESCE(cagg.ct, '')) > 0),
+       |${hashedShingleCtes("cleaned")},
+       |$jaccardCtes,
+       |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
+       |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
+       |reach(n, m) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
+       |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+       |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+       |             FROM cleaned d LEFT JOIN cc USING (doc_id)),
+       |${langPredCtes("cleaned")},
+       |${qualityCtes("cleaned")}
+       |SELECT r.doc_id, lang.lang_pred, q.n_tokens, q.quality_score, r.cluster_id
+       |FROM resolved r
+       |JOIN lang USING (doc_id) JOIN q USING (doc_id)
+       |WHERE $curationGateWhere""".stripMargin
+
+  /** x98's media-dedup front: the x87/x91/x92 cluster stacks with
+    * i/a/v-prefixed CTE names (the fixture assigns one modality per
+    * document by doc_id % 3), ending in `mdrop` — the non-representative
+    * members of every image/audio/video near-dup cluster.
+    */
+  private lazy val mediaDropCtes: String =
+    s"""imgs AS (SELECT doc_id,
+       |    (doc_id % 16) * 4 + 16 AS w, (doc_id % 9) * 4 + 12 AS h,
+       |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |ipx AS (SELECT doc_id, w, h, ch,
+       |    CAST(unnest(range(w*h)) AS BIGINT) AS p FROM imgs),
+       |igray AS (SELECT doc_id, w, h,
+       |    p % w AS x, p // w AS y,
+       |    CASE WHEN ch = 3 THEN
+       |      (((doc_id + p*3) % 251) + ((doc_id + p*3 + 1) % 251)
+       |       + ((doc_id + p*3 + 2) % 251)) // 3
+       |    ELSE (doc_id + p) % 251 END AS g
+       |  FROM ipx),
+       |ibm AS (SELECT doc_id, (x*9)//w AS bx, (y*8)//h AS by,
+       |    CAST(sum(g) // count(*) AS BIGINT) AS m
+       |  FROM igray GROUP BY doc_id, (x*9)//w, (y*8)//h),
+       |ibits AS (SELECT a.doc_id, a.by, a.bx,
+       |    CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+       |  FROM ibm a JOIN ibm b ON a.doc_id = b.doc_id AND a.by = b.by
+       |    AND b.bx = a.bx + 1
+       |  WHERE a.bx < 8),
+       |idh AS (SELECT doc_id, CAST(sum(CASE WHEN by*8 + bx = 63
+       |      THEN bit * (-9223372036854775807 - 1)
+       |      ELSE bit * (CAST(1 AS BIGINT) << CAST(by*8 + bx AS INTEGER))
+       |      END) AS BIGINT) AS dhash
+       |  FROM ibits GROUP BY doc_id),
+       |icls AS (SELECT dhash, min(doc_id) AS class_rep FROM idh GROUP BY dhash),
+       |ihe AS (SELECT a.dhash AS ha, b.dhash AS hb
+       |       FROM icls a JOIN icls b ON a.dhash < b.dhash
+       |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+       |iedges AS (SELECT ha AS s, hb AS d FROM ihe UNION SELECT hb, ha FROM ihe),
+       |ireach(n, m) AS (
+       |  SELECT s, s FROM iedges
+       |  UNION
+       |  SELECT e.s, r.m FROM iedges e JOIN ireach r ON e.d = r.n),
+       |ihcc AS (SELECT n AS dhash, min(m) AS hcluster FROM ireach GROUP BY n),
+       |ihc AS (SELECT icls.dhash, coalesce(ihcc.hcluster, icls.dhash) AS hcluster,
+       |         icls.class_rep
+       |       FROM icls LEFT JOIN ihcc ON icls.dhash = ihcc.dhash),
+       |ireps AS (SELECT hcluster, min(class_rep) AS cluster_id
+       |         FROM ihc GROUP BY hcluster),
+       |idc AS (SELECT idh.doc_id, ireps.cluster_id
+       |       FROM idh JOIN ihc ON idh.dhash = ihc.dhash
+       |               JOIN ireps ON ihc.hcluster = ireps.hcluster),
+       |au AS (SELECT doc_id, (doc_id % 25 + 1) * 160 AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |asm AS (SELECT doc_id, n, CAST(unnest(range(n)) AS BIGINT) AS i FROM au),
+       |aev AS (SELECT doc_id, n, i,
+       |    abs((doc_id * 7 + i * 13) % 2003 - 1001) AS ev FROM asm),
+       |abm AS (SELECT doc_id, (i * 65) // n AS b,
+       |    CAST(sum(ev) // count(*) AS BIGINT) AS m
+       |  FROM aev GROUP BY doc_id, (i * 65) // n),
+       |abits AS (SELECT a.doc_id, a.b,
+       |    CASE WHEN a.m < c.m THEN 1 ELSE 0 END AS bit
+       |  FROM abm a JOIN abm c ON a.doc_id = c.doc_id AND c.b = a.b + 1
+       |  WHERE a.b < 64),
+       |adh AS (SELECT doc_id, CAST(sum(CASE WHEN b = 63
+       |      THEN bit * (-9223372036854775807 - 1)
+       |      ELSE bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+       |      END) AS BIGINT) AS dhash
+       |  FROM abits GROUP BY doc_id),
+       |acls AS (SELECT dhash, min(doc_id) AS class_rep FROM adh GROUP BY dhash),
+       |ahe AS (SELECT a.dhash AS ha, b.dhash AS hb
+       |       FROM acls a JOIN acls b ON a.dhash < b.dhash
+       |       WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+       |aedges AS (SELECT ha AS s, hb AS d FROM ahe UNION SELECT hb, ha FROM ahe),
+       |areach(n, m) AS (
+       |  SELECT s, s FROM aedges
+       |  UNION
+       |  SELECT e.s, r.m FROM aedges e JOIN areach r ON e.d = r.n),
+       |ahcc AS (SELECT n AS dhash, min(m) AS hcluster FROM areach GROUP BY n),
+       |ahc AS (SELECT acls.dhash, coalesce(ahcc.hcluster, acls.dhash) AS hcluster,
+       |         acls.class_rep
+       |       FROM acls LEFT JOIN ahcc ON acls.dhash = ahcc.dhash),
+       |areps AS (SELECT hcluster, min(class_rep) AS cluster_id
+       |         FROM ahc GROUP BY hcluster),
+       |adc AS (SELECT adh.doc_id, areps.cluster_id
+       |       FROM adh JOIN ahc ON adh.dhash = ahc.dhash
+       |               JOIN areps ON ahc.hcluster = areps.hcluster),
+       |vids AS (SELECT doc_id,
+       |    (doc_id % 16) * 4 + 16 AS w, (doc_id % 9) * 4 + 12 AS h,
+       |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch,
+       |    doc_id % 5 + 2 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |vfr AS (SELECT doc_id, w, h, ch, nf,
+       |    CAST(unnest(range(nf)) AS BIGINT) AS f FROM vids),
+       |vpx AS (SELECT doc_id, w, h, ch, f,
+       |    CAST(unnest(range(w*h)) AS BIGINT) AS p FROM vfr),
+       |vgray AS (SELECT doc_id, w, h, f, p % w AS x, p // w AS y,
+       |    CASE WHEN ch = 3 THEN
+       |      (((doc_id + f*w*h*3 + p*3) % 251)
+       |       + ((doc_id + f*w*h*3 + p*3 + 1) % 251)
+       |       + ((doc_id + f*w*h*3 + p*3 + 2) % 251)) // 3
+       |    ELSE (doc_id + f*w*h + p) % 251 END AS g
+       |  FROM vpx),
+       |vbm AS (SELECT doc_id, f, (x*9)//w AS bx, (y*8)//h AS by,
+       |    CAST(sum(g) // count(*) AS BIGINT) AS m
+       |  FROM vgray GROUP BY doc_id, f, (x*9)//w, (y*8)//h),
+       |vbits AS (SELECT a.doc_id, a.f, a.by, a.bx,
+       |    CASE WHEN a.m < b.m THEN 1 ELSE 0 END AS bit
+       |  FROM vbm a JOIN vbm b ON a.doc_id = b.doc_id AND a.f = b.f
+       |    AND a.by = b.by AND b.bx = a.bx + 1
+       |  WHERE a.bx < 8),
+       |vdh AS (SELECT DISTINCT doc_id, CAST(sum(CASE WHEN by*8 + bx = 63
+       |      THEN bit * (-9223372036854775807 - 1)
+       |      ELSE bit * (CAST(1 AS BIGINT) << CAST(by*8 + bx AS INTEGER))
+       |      END) AS BIGINT) AS sh
+       |  FROM vbits GROUP BY doc_id, f),
+       |vcapped AS (SELECT * FROM vdh WHERE sh NOT IN
+       |    (SELECT sh FROM vdh GROUP BY sh HAVING count(*) > 20)),
+       |vsz AS (SELECT doc_id, count(*) AS ns FROM vcapped GROUP BY doc_id),
+       |vinter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS iv
+       |  FROM vcapped a JOIN vcapped b
+       |    ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |vprs AS (SELECT da, db FROM vinter
+       |  JOIN vsz sa ON sa.doc_id = da JOIN vsz sb ON sb.doc_id = db
+       |  WHERE round(CAST(iv AS DOUBLE) / (sa.ns + sb.ns - iv), 6) >= 0.3),
+       |vedges AS (SELECT da AS s, db AS d FROM vprs UNION SELECT db, da FROM vprs),
+       |vreach(n, m) AS (
+       |  SELECT s, s FROM vedges
+       |  UNION
+       |  SELECT e.s, r.m FROM vedges e JOIN vreach r ON e.d = r.n),
+       |vcc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM vreach GROUP BY n),
+       |vvu AS (SELECT DISTINCT doc_id FROM vdh),
+       |vresolved AS (SELECT v.doc_id, coalesce(vcc.cluster_id, v.doc_id) AS cluster_id
+       |             FROM vvu v LEFT JOIN vcc USING (doc_id)),
+       |mdrop AS (
+       |  SELECT doc_id FROM idc WHERE doc_id <> cluster_id
+       |  UNION ALL SELECT doc_id FROM adc WHERE doc_id <> cluster_id
+       |  UNION ALL SELECT doc_id FROM vresolved WHERE doc_id <> cluster_id)""".stripMargin
   /** 32-bit md5-derived hash (mirrors Portable.hash32). */
   private def h32(x: String) =
     s"CAST(concat('0x', substr(md5($x),1,8)) AS BIGINT)"
@@ -2234,74 +2453,8 @@ object ExtQueries {
     // empty-doc rule at the cleaned grain). The oracle chains the
     // positional rebuild into the parameterized x27 CTE stack.
     ("x93_curation_v2",
-      (s: SparkSession, dir: String) => {
-        val cleaned = graft.tools.InternalCaches.persist(
-          Dedup.removeDuplicateSpans(t(s, dir, "documents"), k = 8)
-            .filter(length(col("clean_text")) > 0)
-            .select(col("doc_id"), col("clean_text").as("text")))
-        val lang = TextAnalysis.languageId(cleaned)
-          .select(col("doc_id"), col("lang_pred"))
-        val qual = TextAnalysis.quality(cleaned)
-          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-            col("quality_score"))
-        val keep = Dedup.resolveClusters(cleaned,
-            Dedup.ngramJaccardFromShingles(
-              graft.tools.InternalCaches.persist(
-                Dedup.hashedShingleSet(cleaned, maxShingleDf = MaxShingleDf)),
-              minJaccard = 0.8).select(col("doc_a"), col("doc_b")))
-          .filter(col("keep")).select(col("doc_id"), col("cluster_id"))
-        val gated = lang.join(qual, Seq("doc_id")).join(keep, Seq("doc_id"))
-          .filter(col("quality_score") >= 0.5)
-        graft.ext.Sampling.stratifiedByHash(gated, "lang_pred", "doc_id",
-            ratesPct = Seq("en" -> 50, "es" -> 30, "de" -> 20, "fr" -> 10),
-            defaultPct = 5)
-          .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
-            col("quality_score"), col("cluster_id"))
-      },
-      Some(s"""WITH RECURSIVE ctk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
-              |           FROM documents),
-              |ctoks AS (
-              |  SELECT doc_id,
-              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)+1)]) AS pos,
-              |    unnest(t) AS tok
-              |  FROM ctk),
-              |cgrams AS (
-              |  SELECT doc_id,
-              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
-              |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
-              |            for i in range(1, len(t)-8+2)]) AS g
-              |  FROM ctk),
-              |crg AS (SELECT doc_id, pos FROM (
-              |    SELECT doc_id, pos, row_number() OVER
-              |      (PARTITION BY g ORDER BY doc_id, pos) AS rn
-              |    FROM cgrams) WHERE rn > 1),
-              |ccov AS (SELECT DISTINCT doc_id, pos + d AS pos
-              |        FROM crg, range(0, 8) r(d)),
-              |ckept AS (SELECT t.doc_id, t.pos, t.tok FROM ctoks t
-              |         ANTI JOIN ccov c
-              |           ON t.doc_id = c.doc_id AND t.pos = c.pos),
-              |cagg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
-              |        FROM ckept GROUP BY doc_id),
-              |cleaned AS (SELECT ctk.doc_id, COALESCE(cagg.ct, '') AS text
-              |            FROM ctk LEFT JOIN cagg USING (doc_id)
-              |            WHERE length(COALESCE(cagg.ct, '')) > 0),
-              |${hashedShingleCtes("cleaned")},
-              |$jaccardCtes,
-              |prs AS (SELECT da, db FROM jac WHERE j >= 0.8),
-              |edges AS (SELECT da AS s, db AS d FROM prs UNION SELECT db, da FROM prs),
-              |reach(n, m) AS (
-              |  SELECT s, s FROM edges
-              |  UNION
-              |  SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n),
-              |cc AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
-              |resolved AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
-              |             FROM cleaned d LEFT JOIN cc USING (doc_id)),
-              |${langPredCtes("cleaned")},
-              |${qualityCtes("cleaned")}
-              |SELECT r.doc_id, lang.lang_pred, q.n_tokens, q.quality_score, r.cluster_id
-              |FROM resolved r
-              |JOIN lang USING (doc_id) JOIN q USING (doc_id)
-              |WHERE $curationGateWhere""".stripMargin)),
+      (s: SparkSession, dir: String) => curationV2(t(s, dir, "documents")),
+      Some(curationV2Sql("", "TRUE"))),
 
     // ---- capstone: dedup BEFORE indexing (the hot-cloud fix) ---------
     // Round 11's skewed-corpus recall measurement (HEADROOM: hot-query
@@ -3459,6 +3612,31 @@ object ExtQueries {
              |  CASE WHEN nh_o THEN 'referencing' ELSE 'one_way_embedded' END,
              |  CASE WHEN nh_o THEN NULL ELSE 'customer' END,
              |  CASE WHEN nh_o THEN 0 WHEN nh_c THEN 1 WHEN nh_n THEN 2 ELSE 3 END,
-             |  nh_o FROM f""".stripMargin))
+             |  nh_o FROM f""".stripMargin)),
+
+    // ---- x98: MULTIMODAL curation capstone (round 12) -----------------
+    // x93 curates text; the corpus is multimodal. The capstone chains
+    // the three perceptual cluster-dedups ahead of the curation chain:
+    // a document that is a non-representative member of an image (x87
+    // dHash), audio (x91 envelope hash) or video (x92 frame-set) near-
+    // dup cluster drops BEFORE the text pipeline runs — so the
+    // substring cut, the fresh near-dup clusters, and the budgeted
+    // sample all see the media-deduplicated corpus (corpus-relative
+    // stages change their answers when the corpus shrinks, which is
+    // why the chain must run in this order). One lazy plan; the oracle
+    // prepends the three media stacks (i/a/v-prefixed) onto the
+    // parameterized curation chain.
+    ("x98_curation_multimodal",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val drops = Multimodal.imageNearDupClusters(s, docs, maxHamming = 4)
+          .unionByName(Multimodal.audioNearDupClusters(s, docs, maxHamming = 4))
+          .unionByName(Multimodal.videoNearDupClusters(s, docs,
+            minJaccard = 0.3, maxFrameDf = 20))
+          .filter(!col("keep")).select("doc_id")
+        curationV2(docs.join(drops, Seq("doc_id"), "left_anti"))
+      },
+      Some(curationV2Sql(mediaDropCtes + ",\n",
+        "doc_id NOT IN (SELECT doc_id FROM mdrop)")))
   )
 }

@@ -173,6 +173,12 @@ object RecallAtScale {
         val gtRepPairs = gtRep.map(r => (r._1, r._2)).toSet
         val idRecallRep =
           (gtRepPairs intersect gotPairs).size.toDouble / gtRepPairs.size
+        // residual misses: ties or IVF pruning? widen the probe to see
+        val npCurveRep = Seq(2, 4, 8).map { np =>
+          val p = pairs(Similarity.ivfPqSearchIndexReranked(
+            emb, idx, queryIds = qsHot, k = 5, nprobe = np))
+          f""""np$np":${(gtRepPairs intersect p).size.toDouble / gtRepPairs.size}%.2f"""
+        }
         // two ε yardsticks: vs the REP-GRAIN kth score (the honest
         // post-dedup tolerance — distinguishes rep-grain ties from
         // real retrieval misses) and vs the RAW kth score (≈1.0 inside
@@ -184,7 +190,7 @@ object RecallAtScale {
           else got.count { case (q, _, c) => c >= gt(q) - tau }.toDouble / got.size
         val kthRep = gtRep.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).min }
         val kthRaw = gtRaw.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).min }
-        println(f"""{"scale":"$label-x80","vectors_raw":$nRaw,"vectors_rep":$nRep,"hotq_id_recall5_rep_gt":$idRecallRep%.2f,"hotq_eps_recall5_rep_gt":{"tau001":${eps(kthRep, 0.001)}%.2f,"tau01":${eps(kthRep, 0.01)}%.2f},"hotq_eps_recall5_vs_raw":{"tau01":${eps(kthRaw, 0.01)}%.2f}}""")
+        println(f"""{"scale":"$label-x80","vectors_raw":$nRaw,"vectors_rep":$nRep,"hotq_id_recall5_rep_gt":$idRecallRep%.2f,"hotq_eps_recall5_rep_gt":{"tau001":${eps(kthRep, 0.001)}%.2f,"tau01":${eps(kthRep, 0.01)}%.2f},"hotq_eps_recall5_vs_raw":{"tau01":${eps(kthRaw, 0.01)}%.2f},"hotq_id_recall5_rep_nprobe":{${npCurveRep.mkString(",")}}}""")
       }
     }
     spark.stop()
