@@ -45,6 +45,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (sys.env.contains("SPARK_GRAFT_TRACE")) e.printStackTrace()
       }
       System.err.println(f"[verify] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }

@@ -354,6 +354,17 @@ object Sampling {
     val weights = base.groupBy(col(strataCol))
       .agg(sum(weightExpr).as("__w"))
       .filter(col("__w") > 0)
+    interleaveKeysFrom(base, strataCol, idCol, weights, seed)
+  }
+
+  /** Shared stride-key tail of the interleave family: rank within
+    * strata (two-phase, no per-stratum window), broadcast-join the
+    * catalog-sized `weights` frame (strataCol, __w), emit the stride
+    * midpoint key. Factored so [[temperatureInterleave]] reuses the
+    * exact arithmetic with a different weight rule.
+    */
+  private def interleaveKeysFrom(base: DataFrame, strataCol: String,
+      idCol: String, weights: DataFrame, seed: String): DataFrame = {
     val h = hash60(concat_ws(":", lit(seed), col(idCol).cast("string")))
     val ranked = rankWithinStrata(
       base.select(col(idCol), col(strataCol), h.as("__h")), strataCol, idCol)
@@ -362,6 +373,97 @@ object Sampling {
       .select(col(idCol), col(strataCol),
         expr("cast(2 * __r - 1 as decimal(20,0)) * 1000000000000 div (2 * __w)")
           .as("ikey"))
+  }
+
+  /** x101 — temperature-smoothed interleave: [[weightedInterleave]]'s
+    * stride scheduler driven by α = 0.5 smoothed source masses
+    * (w_s' = ⌊√w_s⌋) instead of raw token mass — the XLM rescaling
+    * ([[temperatureMixWeights]], arXiv:1901.07291 §3.1) applied to the
+    * mixture READ ORDER rather than to sampling rates. Raw-weight
+    * interleaving lets one web-scale source own the stream; the
+    * smoothed stride upsamples tail sources (prefix shares ∝ √w — the
+    * standard multilingual compromise between proportional and
+    * uniform). A tail source therefore EXHAUSTS before a giant one:
+    * the smoothed schedule trades epoch-uniformity for early-prefix
+    * diversity, which is exactly the α-temperature contract.
+    *
+    * Determinism across engines: √ is IEEE-754 correctly rounded and
+    * w_s < 2^52, so ⌊√w_s⌋ is bit-identical in Spark and the oracle
+    * (the [[temperatureMixWeights]] argument); everything downstream
+    * is [[weightedInterleave]]'s integer arithmetic. Scale shape:
+    * identical — one stratum agg, the shared two-phase rank, a
+    * broadcast join.
+    */
+  def temperatureInterleave(docs: DataFrame, strataCol: String, idCol: String,
+      weightExpr: Column, seed: String = "epoch0"): DataFrame = {
+    val base = docs.filter(col(idCol).isNotNull && col(strataCol).isNotNull)
+    val weights = base.groupBy(col(strataCol))
+      .agg(sum(weightExpr).as("__raw"))
+      .filter(col("__raw") > 0)
+      .select(col(strataCol),
+        floor(sqrt(col("__raw").cast("double"))).cast("long").as("__w"))
+    interleaveKeysFrom(base, strataCol, idCol, weights, seed)
+  }
+
+  /** x100 — epoch-stream sharding: materialize the interleaved
+    * mixture's GLOBAL position and its balanced shard assignment.
+    * [[weightedInterleave]]'s Scaladoc deliberately refuses a global
+    * row_number (one task holding the corpus); this operator is the
+    * scale-correct answer for the consumers that genuinely need a
+    * position — fixed-count shard manifests, resumable readers
+    * ("continue from global step N"), and train-loader contracts that
+    * address samples by (shard, offset). The global rank is
+    * [[rankWithinStrata]] over a CONSTANT stratum: with one stratum
+    * the range exchange on (const, ikey, id) is a plain global range
+    * partition — the same machinery, zero new code, no funnel — and
+    * the prefix-sum window still runs over the #partitions-row stats
+    * frame only.
+    *
+    * Output: (id, stratum, ikey, rn, shard) with
+    * `shard = (rn−1)·nShards div N` — contiguous key-order runs,
+    * shard sizes differing by at most one, shard id monotone in rn
+    * (so concatenating shards 0..S−1 replays the exact global order).
+    * The alternative `pmod(hash)` sharding (x78) balances but
+    * DESTROYS order — the two operators are the two halves of the
+    * epoch-layout contract.
+    */
+  def interleaveShards(docs: DataFrame, strataCol: String, idCol: String,
+      weightExpr: Column, nShards: Int, seed: String = "epoch0"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val keyed = weightedInterleave(docs, strataCol, idCol, weightExpr, seed)
+    // read twice (total + output) — persist so the interleave pipeline
+    // and the global rank exchange run once
+    val ranked = graft.tools.InternalCaches.persist(rankWithinStrata(
+      keyed.select(col(idCol), col(strataCol), col("ikey"),
+        lit(0).as("__all"), col("ikey").as("__h")), "__all", idCol))
+    val tot = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col(idCol), col(strataCol), col("ikey"),
+        col("__r").as("rn"),
+        expr(s"cast(((__r - 1) * $nShards) div __n as int)").as("shard"))
+  }
+
+  /** x99 — deterministic EXACT-COUNT stratified sample: the first `n`
+    * documents of each stratum in hash order — "give me exactly 10k
+    * docs per source for the eval slice", the quota form
+    * [[stratifiedByHash]]'s rate form cannot express (a percentage
+    * keeps a BINOMIAL count; audits and eval sets want exact). Hash
+    * order makes it a pure function of row identity (stable across
+    * runs, executors, partition loss — the x21 argument), and the
+    * two-phase [[rankWithinStrata]] makes the quota scale-safe: no
+    * per-stratum window task, a giant stratum spreads across the
+    * range partitions. Output (id, stratum, rn ≤ n); strata smaller
+    * than `n` return whole.
+    */
+  def stratifiedExactN(docs: DataFrame, strataCol: String, idCol: String,
+      n: Int, seed: String = "sample0"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val base = docs.filter(col(idCol).isNotNull && col(strataCol).isNotNull)
+    val h = hash60(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    rankWithinStrata(base.select(col(idCol), col(strataCol), h.as("__h")),
+        strataCol, idCol)
+      .filter(col("__r") <= n)
+      .select(col(idCol), col(strataCol), col("__r").as("rn"))
   }
 
   /** Two-phase within-stratum rank: `__r` = row_number over

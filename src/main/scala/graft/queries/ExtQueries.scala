@@ -167,9 +167,17 @@ object ExtQueries {
   /** x93/x98's oracle: the full curation-v2 CTE chain over the corpus
     * rows satisfying `corpusWhere`, with `prefixCtes` (empty, or
     * media-drop stacks ending in ",") prepended inside the WITH list.
+    *
+    * `ctk` and `cleaned` are MATERIALIZED: DuckDB 1.0 inlines CTEs at
+    * every reference, and both are referenced by several downstream
+    * stacks — for x98 that re-expansion multiplied the whole media-drop
+    * chain inside `ctk`'s NOT IN into each reference (measured: the
+    * oracle went from ~20 min to seconds with the hints; results are
+    * unchanged — materialization is an evaluation strategy, not a
+    * semantics change).
     */
   private def curationV2Sql(prefixCtes: String, corpusWhere: String): String =
-    s"""WITH RECURSIVE ${prefixCtes}ctk AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+    s"""WITH RECURSIVE ${prefixCtes}ctk AS MATERIALIZED (SELECT doc_id, string_split(trim(text), ' ') AS t
        |           FROM documents WHERE $corpusWhere),
        |ctoks AS (
        |  SELECT doc_id,
@@ -193,7 +201,7 @@ object ExtQueries {
        |           ON t.doc_id = c.doc_id AND t.pos = c.pos),
        |cagg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
        |        FROM ckept GROUP BY doc_id),
-       |cleaned AS (SELECT ctk.doc_id, COALESCE(cagg.ct, '') AS text
+       |cleaned AS MATERIALIZED (SELECT ctk.doc_id, COALESCE(cagg.ct, '') AS text
        |            FROM ctk LEFT JOIN cagg USING (doc_id)
        |            WHERE length(COALESCE(cagg.ct, '')) > 0),
        |${hashedShingleCtes("cleaned")},
@@ -346,7 +354,7 @@ object ExtQueries {
        |vvu AS (SELECT DISTINCT doc_id FROM vdh),
        |vresolved AS (SELECT v.doc_id, coalesce(vcc.cluster_id, v.doc_id) AS cluster_id
        |             FROM vvu v LEFT JOIN vcc USING (doc_id)),
-       |mdrop AS (
+       |mdrop AS MATERIALIZED (
        |  SELECT doc_id FROM idc WHERE doc_id <> cluster_id
        |  UNION ALL SELECT doc_id FROM adc WHERE doc_id <> cluster_id
        |  UNION ALL SELECT doc_id FROM vresolved WHERE doc_id <> cluster_id)""".stripMargin
@@ -3637,6 +3645,92 @@ object ExtQueries {
         curationV2(docs.join(drops, Seq("doc_id"), "left_anti"))
       },
       Some(curationV2Sql(mediaDropCtes + ",\n",
-        "doc_id NOT IN (SELECT doc_id FROM mdrop)")))
+        "doc_id NOT IN (SELECT doc_id FROM mdrop)"))),
+
+    // ---- x99: exact-count stratified sample (round 12) ---------------
+    // The quota form x21's rate form cannot express: exactly n docs
+    // per source, deterministic in the row identity, ranked by the
+    // two-phase rank (a giant stratum spreads across partitions — no
+    // per-source window task). 17 < the 25 docs/source at sf0.001, so
+    // the quota BINDS at every gate scale.
+    ("x99_stratified_exact_n",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Sampling.stratifiedExactN(t(s, dir, "documents"),
+          strataCol = "source", idCol = "doc_id", n = 17),
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              |    ${h60("'sample0' || ':' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+              |SELECT doc_id, source, rn FROM (
+              |  SELECT doc_id, source,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn
+              |  FROM b) WHERE rn <= 17""".stripMargin)),
+
+    // ---- x100: epoch-stream sharding (round 12) ----------------------
+    // x89's key IS the order; this materializes the global position
+    // and the balanced order-preserving shard — the train-loader
+    // contract (resume from step N; address by (shard, offset)). The
+    // global rank is the SAME two-phase machinery over one constant
+    // stratum; shard = (rn-1)*S div N keeps shard id monotone in rn,
+    // so concatenating shards replays the exact global order (x78's
+    // pmod sharding balances but destroys order — the other half of
+    // the layout contract).
+    ("x100_interleave_shards",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Sampling.interleaveShards(t(s, dir, "documents"),
+          strataCol = "source", idCol = "doc_id",
+          weightExpr = size(graft.functions.Portable.tokens(col("text"))).cast("long"),
+          nShards = 8),
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt,
+              |    ${h60("'epoch0' || ':' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+              |w AS (SELECT source, sum(nt) AS tw FROM b GROUP BY source
+              |      HAVING sum(nt) > 0),
+              |r AS (SELECT doc_id, source,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn
+              |  FROM b),
+              |ik AS (SELECT r.doc_id, r.source,
+              |    CAST(CAST(2 * rn - 1 AS HUGEINT) * 1000000000000
+              |         // (2 * w.tw) AS BIGINT) AS ikey
+              |  FROM r JOIN w USING (source)),
+              |g AS (SELECT doc_id, source, ikey,
+              |    CAST(row_number() OVER (ORDER BY ikey ASC, doc_id ASC)
+              |         AS BIGINT) AS rn,
+              |    CAST(count(*) OVER () AS BIGINT) AS n
+              |  FROM ik)
+              |SELECT doc_id, source, ikey, rn,
+              |  CAST(((rn - 1) * 8) // n AS INT) AS shard
+              |FROM g""".stripMargin)),
+
+    // ---- x101: temperature-smoothed interleave (round 12) ------------
+    // x50 computes the alpha=0.5 boosts; this drives x89's stride
+    // scheduler with the smoothed masses (w' = floor(sqrt(w))) so the
+    // serialized stream itself carries the flattened mixture — tail
+    // sources surface early instead of drowning under a web-scale
+    // head. floor(sqrt) is bit-portable (IEEE-754 sqrt correctly
+    // rounded, w < 2^52 — the x50 determinism argument); the rest is
+    // x89's integer arithmetic verbatim.
+    ("x101_interleave_temperature",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Sampling.temperatureInterleave(t(s, dir, "documents"),
+          strataCol = "source", idCol = "doc_id",
+          weightExpr = size(graft.functions.Portable.tokens(col("text"))).cast("long")),
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS nt,
+              |    ${h60("'epoch0' || ':' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+              |w AS (SELECT source,
+              |    CAST(floor(sqrt(CAST(sum(nt) AS DOUBLE))) AS BIGINT) AS tw
+              |  FROM b GROUP BY source HAVING sum(nt) > 0),
+              |r AS (SELECT doc_id, source,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rn
+              |  FROM b)
+              |SELECT r.doc_id, r.source,
+              |  CAST(CAST(2 * rn - 1 AS HUGEINT) * 1000000000000
+              |       // (2 * w.tw) AS BIGINT) AS ikey
+              |FROM r JOIN w USING (source)""".stripMargin))
   )
 }

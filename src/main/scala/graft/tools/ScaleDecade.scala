@@ -131,8 +131,25 @@ object ScaleDecade {
                         // same way
     "x92_video_phash_clusters", // round 11: frame-set Jaccard over the
                         // capped frame-hash inverted index
-    "x93_curation_v2")  // round 11: the x27 chain over x81's cleaned
+    "x93_curation_v2",  // round 11: the x27 chain over x81's cleaned
                         // corpus — should track x81 + x27 combined
+    "x94_interleave_weights", // round 12: one stratum agg — scan cost
+    "x96_conversion_budgeted", // round 12: x70's byte model priced
+                        // bottom-up over every root + the demotion
+                        // cascade — control-plane joins after one
+                        // pass per table
+    "x97_conversion_advised", // round 12: profile advisories feeding
+                        // the conversion decision — catalog-sized
+    "x98_curation_multimodal", // round 12: three media cluster stacks
+                        // ahead of the x93 chain — should track
+                        // x87+x91+x92+x93 combined, nothing extra
+    "x99_stratified_exact_n", // round 12: two-phase rank + quota
+                        // filter — x89's rank shape minus the join
+    "x100_interleave_shards", // round 12: interleave + GLOBAL
+                        // two-phase rank (constant stratum) — twice
+                        // x89's exchanges, still no funnel
+    "x101_interleave_temperature") // round 12: x89 with smoothed
+                        // weights — identical shape, same decade
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

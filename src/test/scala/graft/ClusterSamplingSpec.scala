@@ -291,4 +291,98 @@ class ClusterSamplingSpec extends SparkSpec {
       9L -> ((None, false)),
       20L -> ((None, true)), 21L -> ((None, false))))
   }
+
+  test("stratifiedExactN: bit-identical to the window form; the quota " +
+    "binds per stratum; small strata return whole") {
+    import org.apache.spark.sql.expressions.Window
+    // one giant stratum (60), two bindable (20, 10), one below quota (3)
+    val d = (1L to 93L).map { id =>
+      val src = if (id <= 60) "giant" else if (id <= 80) "m" else if (id <= 90) "s" else "tiny"
+      (id, src)
+    }.toDF("doc_id", "source")
+    val got = Sampling.stratifiedExactN(d, "source", "doc_id", n = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val h = graft.functions.Portable.hash60(
+      concat_ws(":", lit("sample0"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__h").asc, col("doc_id").asc)
+    val ref = d.select(col("doc_id"), col("source"), h.as("__h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 7).drop("__h")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === ref)
+    val bySrc = got.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc === Map("giant" -> 7, "m" -> 7, "s" -> 7, "tiny" -> 3))
+  }
+
+  test("interleaveShards: dense global rank in (ikey, id) order; shard " +
+    "sizes within one; shard id monotone in rank; no single-partition " +
+    "exchange, no corpus-scale window") {
+    val d = (1L to 97L).map { id =>
+      (id, s"s${id % 5}", s"tok ${"w " * (id % 7).toInt}".trim)
+    }.toDF("doc_id", "source", "text")
+    val df = Sampling.interleaveShards(d, "source", "doc_id",
+      weightExpr = size(graft.functions.Portable.tokens(col("text"))).cast("long"),
+      nShards = 8)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // rank is dense 1..N and agrees with the (ikey, doc_id) sort order
+    val byRank = rows.sortBy(_._2)
+    assert(byRank.map(_._3).toSeq === (1L to rows.length).toSeq)
+    val sorted = rows.sortBy(t => (t._2, t._1))
+    assert(sorted.map(_._3).toSeq === (1L to rows.length).toSeq,
+      "global rank must replay the (ikey, doc_id) order")
+    // balanced: sizes differ by at most one; monotone: shard follows rank
+    val sizes = rows.groupBy(_._4).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq,
+      "shard id must be monotone in global rank")
+    // plan gates: the global rank must not funnel. The ONLY legitimate
+    // single-partition exchange is the one-row broadcast total N (each
+    // task contributes one partial count row — control-plane); every
+    // SinglePartition line must therefore feed directly from the
+    // partial_count aggregate, never from corpus rows.
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains("SinglePartition")).foreach {
+      case (_, i) =>
+        val below = lines.slice(i + 1, i + 3).mkString("\n")
+        assert(below.contains("partial_count(1)"),
+          s"corpus-scale single-partition exchange (not the one-row total) in:\n$plan")
+    }
+    assert(plan.contains("rangepartitioning"),
+      "global rank must ride a range exchange")
+    assert(!plan.contains("row_number"), "no window row_number rank")
+  }
+
+  test("temperatureInterleave: prefixes follow the SMOOTHED (sqrt) " +
+    "shares, not the raw ones") {
+    // raw masses 100:25:4 (per-doc weight 1) → smoothed strides 10:5:2
+    val d = (1L to 129L).map { id =>
+      val src = if (id <= 100) "a" else if (id <= 125) "b" else "c"
+      (id, src)
+    }.toDF("doc_id", "source")
+    val keys = Sampling.temperatureInterleave(d, "source", "doc_id", lit(1L))
+      .orderBy(col("ikey"), col("source"), col("doc_id"))
+      .select("source").as[String].collect()
+    // stride property under smoothed weights, while a source still has
+    // documents: within the first 17 emissions (tail source c exhausts
+    // at ~2/17 share x 129 > its 4 docs soon after), shares track
+    // 10:5:2 within one stride each
+    val weights = Map("a" -> 10.0, "b" -> 5.0, "c" -> 2.0)
+    val total = weights.values.sum
+    (1 to 17).foreach { n =>
+      val counts = keys.take(n).groupBy(identity).view.mapValues(_.length)
+      weights.foreach { case (s, w) =>
+        val expected = n * w / total
+        assert(math.abs(counts.getOrElse(s, 0).toDouble - expected) <= 1.0 + 1e-9,
+          s"prefix $n: source $s has ${counts.getOrElse(s, 0)}, expected ~$expected")
+      }
+    }
+    // the raw schedule would hold c to ~3% of early prefixes; smoothed
+    // gives c its 2/17 ≈ 12% — check the defining upsample actually shows
+    val first17 = keys.take(17).count(_ == "c")
+    assert(first17 >= 1, "tail source must surface in the first stride span")
+  }
 }
