@@ -48,6 +48,8 @@ object ExtQueries {
   // must re-exercise the whole stored fold), previous run's dir reaped
   private val x71Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x71Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x103Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x103Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -3731,6 +3733,104 @@ object ExtQueries {
               |SELECT r.doc_id, r.source,
               |  CAST(CAST(2 * rn - 1 AS HUGEINT) * 1000000000000
               |       // (2 * w.tw) AS BIGINT) AS ikey
-              |FROM r JOIN w USING (source)""".stripMargin))
+              |FROM r JOIN w USING (source)""".stripMargin)),
+
+    // ---- x102: curation drop ledger (round 12) -----------------------
+    // The per-document companion to x76's aggregate attrition audit:
+    // one row per document with its FIRST-failing curation stage in
+    // x27's pipeline order (neardup -> quality -> sample) or 'kept'.
+    // This is the lineage record a pipeline owner greps when a
+    // specific document went missing ("why did doc 4711 drop?") — x76
+    // answers "how much does each filter cost", x102 answers "what
+    // happened to THIS doc". Same memoized cluster frame, same gate
+    // expressions as x27, so the ledger hash-verifies the entire gate
+    // logic per document, not just the survivor set.
+    ("x102_curation_ledger",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val lang = TextAnalysis.languageId(docs)
+          .select(col("doc_id"), col("lang_pred"))
+        val qual = TextAnalysis.quality(docs)
+          .select(col("doc_id"), col("quality_score"))
+        val res = resolvedClusters(s, dir)
+          .select(col("doc_id"), col("cluster_id"))
+        val rate = when(col("lang_pred") === "en", 50)
+          .when(col("lang_pred") === "es", 30)
+          .when(col("lang_pred") === "de", 20)
+          .when(col("lang_pred") === "fr", 10).otherwise(5)
+        val sampled = pmod(graft.functions.Portable.hash32(
+          concat_ws(":", col("lang_pred"), col("doc_id"))), lit(100)) < rate
+        res.join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+          .select(col("doc_id"), col("lang_pred"),
+            when(col("doc_id") =!= col("cluster_id"), lit("neardup"))
+              .when(col("quality_score") < 0.5, lit("quality"))
+              .when(!sampled, lit("sample"))
+              .otherwise(lit("kept")).as("status"))
+      },
+      Some(s"""WITH RECURSIVE $curationCtes
+              |SELECT r.doc_id, lang.lang_pred,
+              |  CASE WHEN r.doc_id <> r.cluster_id THEN 'neardup'
+              |       WHEN q.quality_score < 0.5 THEN 'quality'
+              |       WHEN (${h32("lang.lang_pred || ':' || CAST(r.doc_id AS VARCHAR)")}) % 100 >=
+              |         CASE lang.lang_pred WHEN 'en' THEN 50 WHEN 'es' THEN 30
+              |              WHEN 'de' THEN 20 WHEN 'fr' THEN 10 ELSE 5 END THEN 'sample'
+              |       ELSE 'kept' END AS status
+              |FROM resolved r
+              |JOIN lang USING (doc_id) JOIN q USING (doc_id)""".stripMargin)),
+
+    // ---- x103: streaming ingest span screen (round 12) ---------------
+    // The events family proved the streaming plumbing (x18/x31/x39);
+    // this points it at the CORPUS side: documents arrive in
+    // deterministic micro-batches (batch = doc_id mod 4, fed in
+    // order), each batch is screened against the stored Bloom-gated
+    // gram index and then appended to it — x85's nightly loop run
+    // continuously, batch 0 bootstrapping the index. The oracle is the
+    // sequential-ingest truth: a document's spans covered by any
+    // 8-gram of a STRICTLY EARLIER batch (within-batch duplicates
+    // intentionally unscreened — they are the NEXT batch's problem,
+    // exactly as in production).
+    ("x103_stream_span_screen",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x103_${s.sparkContext.applicationId}_${x103Seq.incrementAndGet()}")
+        Option(x103Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        // bloom=false at harness scale: the Bloom build/merge/codegen
+        // is a per-batch FIXED cost (measured ~20 s/batch on the
+        // 500-doc fixture — sizing, literal codegen, sidecar I/O) that
+        // the x85 flat triple avoids; x95's gate hash-proves the two
+        // screens output-identical, so this entry exercises the
+        // STREAMING plumbing and the shared oracle while the Bloom
+        // path stays gated through x95
+        graft.streaming.DocStream.spanScreenReplay(s, t(s, dir, "documents"),
+          new java.io.File(root, "index").getPath,
+          new java.io.File(root, "out").getPath, nBatches = 4, bloom = false)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, doc_id % 4 AS b,
+              |    string_split(trim(text), ' ') AS t
+              |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+              |g AS (SELECT doc_id, b,
+              |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
+              |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
+              |            for i in range(1, len(t)-8+2)]) AS g
+              |  FROM tk),
+              |idx AS (SELECT DISTINCT b, g FROM g),
+              |hits AS (SELECT DISTINCT a.doc_id, a.pos FROM g a
+              |         JOIN idx i ON i.g = a.g AND i.b < a.b),
+              |brk AS (
+              |  SELECT doc_id, pos,
+              |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              |         THEN 0 ELSE 1 END AS b
+              |  FROM hits),
+              |isl AS (
+              |  SELECT doc_id, pos,
+              |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+              |                 ROWS UNBOUNDED PRECEDING) AS island
+              |  FROM brk)
+              |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+              |       max(pos) + 8 - min(pos) AS span_tokens,
+              |       count(*) AS n_grams
+              |FROM isl GROUP BY doc_id, island""".stripMargin))
   )
 }

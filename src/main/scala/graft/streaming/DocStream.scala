@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ext.Dedup
+
+/** Structured-Streaming ingest for the DOCUMENT pipeline — the
+  * substring contamination screen run where production runs it: on the
+  * arrival stream, against the stored gram index, with the index
+  * appended batch-by-batch as documents land.
+  *
+  * The events family proved the streaming plumbing (x18/x31/x39 parity
+  * twins, x68/x71 incremental folds); this extends it to the corpus
+  * side: `readStream` of arriving documents → `foreachBatch` { screen
+  * the batch against the [[Dedup]] bucketed Bloom-gated index → append
+  * the batch's grams }. Each batch therefore sees exactly the grams of
+  * every EARLIER batch — the sequential-ingest semantics (a duplicate
+  * of an already-ingested span is flagged; the first copy streams
+  * through clean), which is precisely x85's nightly loop without the
+  * nightly wait.
+  *
+  * Scale shape: each micro-batch pays the x95 screen (batch gram
+  * stream, map-side Bloom gate, literal-partition-filter confirm —
+  * O(batch + touched buckets), decoupled from index size) plus the
+  * O(batch) sidecar-first append ([[Dedup.appendGramIndexBucketed]]'s
+  * crash ordering: a replayed append can only OVER-approximate the
+  * Bloom and duplicate gram rows, both harmless to the screen's set
+  * semantics — at-least-once foreachBatch is safe by construction).
+  * Span outputs write to `outDir/batch=<id>` with overwrite, so a
+  * replayed batch rewrites its own directory (idempotent), mirroring
+  * x71's commit-marker discipline.
+  */
+object DocStream {
+
+  private[graft] val spanSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("span_start", LongType),
+    StructField("span_end", LongType), StructField("span_tokens", LongType),
+    StructField("n_grams", LongType)))
+
+  /** x103 — replay `docs` through the streaming ingest screen in
+    * `nBatches` deterministic micro-batches (batch b = documents with
+    * `pmod(doc_id, nBatches) = b`, fed in order — the MemoryStream
+    * transport collects the fixture to the driver, the documented
+    * parity-harness caveat shared with [[EventStream]]; the production
+    * path is `readStream` over arriving files, same query graph).
+    * Batch 0 BOOTSTRAPS the index (first ingest has nothing to screen
+    * against — no sidecar, no screen); every later batch screens then
+    * appends. Returns the accumulated span output across all batches:
+    * the spans of each document covered by any k-gram of a STRICTLY
+    * EARLIER batch.
+    */
+  def spanScreenReplay(spark: SparkSession, docs: DataFrame,
+      indexDir: String, outDir: String, nBatches: Int = 4,
+      k: Int = 8, bloom: Boolean = true, buckets: Int = 256): DataFrame = {
+    require(nBatches >= 2, s"need at least 2 batches to screen, got $nBatches")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    // `bloom` picks the index flavor per batch: the x95 Bloom-gated
+    // bucketed triple (production — screen cost decoupled from index
+    // size) or the x85 flat triple (the harness registration — the
+    // Bloom build/merge/codegen is a per-batch FIXED cost that
+    // dominates fixture-scale batches; x95's gate already hash-proves
+    // the two screens output-identical, so the oracle is shared)
+    val bootstrapped = new java.io.File(
+      indexDir, if (bloom) "_gram_bloom" else "_SUCCESS")
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$outDir/_chk")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val t0 = System.nanoTime()
+        if (!bootstrapped.exists()) {
+          if (bloom) Dedup.writeGramIndexBucketed(batch, indexDir, k, buckets)
+          else Dedup.writeGramIndex(batch, indexDir, k)
+        } else {
+          (if (bloom) Dedup.duplicateSpansAgainstIndexBloom(batch, indexDir, k)
+           else Dedup.duplicateSpansAgainstIndex(batch, indexDir, k))
+            .repartition(1)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          if (bloom) Dedup.appendGramIndexBucketed(batch, indexDir, k)
+          else Dedup.appendGramIndex(batch, indexDir, k)
+        }
+        System.err.println(
+          f"[docstream] batch $id: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      .start()
+    try {
+      (0 until nBatches).foreach { b =>
+        val t0 = System.nanoTime()
+        stream.addData(rows.filter { case (id, _) =>
+          math.floorMod(id, nBatches.toLong) == b.toLong }.toSeq)
+        q.processAllAvailable()
+        System.err.println(
+          f"[docstream] trigger $b: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+    } finally q.stop()
+    // explicit schema: a batch with no spans leaves an empty directory
+    // (or none at all), which schema inference cannot read
+    spark.read.schema(spanSchema)
+      .parquet(s"$outDir/batch=*")
+      .select(spanSchema.fieldNames.map(col).toSeq: _*)
+  }
+}

@@ -239,4 +239,57 @@ class EventsStreamingSpec extends SparkSpec {
       "streaming and batch hourly aggregates diverge")
     assert(streamed.count() === batch.count())
   }
+
+  private def docStreamRoot(tag: String): java.io.File = {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_docstream_${tag}_${System.nanoTime()}")
+    graft.tools.LocalFs.deleteRecursively(root)
+    root
+  }
+
+  // batch = doc_id mod 4: docs 0/4 -> b0, 1/5 -> b1, 2 -> b2, 3/7 -> b3
+  private lazy val screenCorpus = {
+    import spark.implicits._
+    Seq(
+      0L -> "a b c d e f g h x0 y0 z0", // b0: introduces phrase P at pos 0
+      4L -> "m a b c d e f g h n", // b0: within-batch repeat of P — UNSCREENED
+      1L -> "q1 a b c d e f g h w1", // b1: P at pos 1 — hit against b0
+      5L -> "s1 s2 s3 s4 s5 s6 s7 s8 s9", // b1: unique — clean
+      2L -> "a b c d e f g h", // b2: exactly P — hit at pos 0
+      3L -> "u v w x y z aa bb", // b3: introduces Q
+      7L -> "u v w x y z aa bb" // b3: within-batch repeat of Q — UNSCREENED
+    ).toDF("doc_id", "text")
+  }
+
+  test("streaming span screen: spans cover exactly the grams of strictly " +
+    "earlier batches; batch-0 and within-batch duplicates unscreened") {
+    val root = docStreamRoot("truth")
+    val out = graft.streaming.DocStream.spanScreenReplay(spark, screenCorpus,
+      new java.io.File(root, "idx").getPath,
+      new java.io.File(root, "out").getPath, nBatches = 4, bloom = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // doc 1: P at pos 1 (span [1, 9), 8 tokens, 1 gram)
+    // doc 2: P at pos 0 (span [0, 8))
+    // docs 0/4 (batch 0 bootstrap), 5 (clean), 3/7 (same-batch dup): none
+    assert(out === Set((1L, 1L, 9L, 8L, 1L), (2L, 0L, 8L, 8L, 1L)))
+  }
+
+  test("streaming span screen: bloom-gated bucketed triple is " +
+    "output-identical to the flat triple") {
+    val rootA = docStreamRoot("bloomA")
+    val rootB = docStreamRoot("bloomB")
+    val flat = graft.streaming.DocStream.spanScreenReplay(spark, screenCorpus,
+      new java.io.File(rootA, "idx").getPath,
+      new java.io.File(rootA, "out").getPath, nBatches = 4, bloom = false)
+      .collect().map(_.toSeq).toSet
+    val bloom = graft.streaming.DocStream.spanScreenReplay(spark, screenCorpus,
+      new java.io.File(rootB, "idx").getPath,
+      new java.io.File(rootB, "out").getPath, nBatches = 4, bloom = true,
+      buckets = 8)
+      .collect().map(_.toSeq).toSet
+    assert(flat === bloom)
+    graft.tools.LocalFs.deleteRecursively(rootA)
+    graft.tools.LocalFs.deleteRecursively(rootB)
+  }
 }
