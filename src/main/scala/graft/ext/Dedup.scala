@@ -568,6 +568,21 @@ object Dedup {
       }
     val exSizes = exSh.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
       .withColumnRenamed("doc_id", "ex_doc")
+    screenVerdict(exactFlag, inSh, exSh, exSizes, minJaccard)
+  }
+
+  /** The asymmetric probe + verdict shared by [[incrementalScreen]] and
+    * [[screenAgainstNearDupIndex]]: incoming shingles join existing
+    * shingles strictly incoming→existing, Jaccard over the (already
+    * capped) sets, best existing match per incoming doc via the heap
+    * operator (sort-free), exact gate wins over near. `exSizes` arrives
+    * precomputed — the in-memory path derives it from `exSh`, the
+    * stored path reads it from the index so the screen never aggregates
+    * over the whole shingle index.
+    */
+  private def screenVerdict(exactFlag: DataFrame, inSh: DataFrame,
+      exSh: DataFrame, exSizes: DataFrame, minJaccard: Double): DataFrame = {
+    import graft.plans.TopKPerGroup
     val inSizes = inSh.groupBy("doc_id").agg(count(lit(1)).as("n_in"))
     val inter = inSh
       .join(exSh.withColumnRenamed("doc_id", "ex_doc"), Seq("sh"))
@@ -588,6 +603,130 @@ object Dedup {
         when(col("is_exact_dup"), lit("drop_exact"))
           .when(col("near_dup_of").isNotNull, lit("drop_near"))
           .otherwise(lit("keep")).as("verdict"))
+  }
+
+  /** x104 index half — [[incrementalScreen]]'s existing-side artifacts
+    * made literal parquet: the storage lifecycle the screen family
+    * already has at the substring (x85/x95), semantic (x90), and ANN
+    * (x59/x61) grains, applied to the document-grain near-dup screen.
+    * x40's own Scaladoc calls its per-run persist "the single-job
+    * stand-in" for exactly this index; this is the production form.
+    *
+    * Layout under `indexDir`:
+    *   - `hashes/`   distinct md5(text) — the exact gate's probe set;
+    *   - `hot/`      the hot-shingle list learned AT BUILD (df >
+    *                 maxShingleDf over the build corpus) — stored so
+    *                 appends and screens cap with the SAME list;
+    *   - `shingles/` the capped (doc_id, sh) pairs;
+    *   - `sizes/`    per-doc capped shingle counts — stored so the
+    *                 screen never aggregates over the whole index.
+    *
+    * The hot list is FROZEN at build (the x90 stale-centroid analog:
+    * boilerplate learned at ingest; [[compactNearDupIndex]] or a
+    * rebuild refreshes it). Unlike the gram index's semi-join set
+    * semantics, `shingles` duplicates are NOT harmless — the
+    * intersection COUNTS them — so appends must be disjoint batches
+    * (the natural ingest contract: append exactly the batch just
+    * screened and kept); an accidental double-append is repaired by
+    * [[compactNearDupIndex]].
+    */
+  def writeNearDupIndex(existing: DataFrame, indexDir: String, n: Int = 3,
+      maxShingleDf: Int = Int.MaxValue): Unit = {
+    val spark = existing.sparkSession
+    val shRaw = graft.tools.InternalCaches.persist(hashedShingleSet(existing, n))
+    val hot =
+      if (maxShingleDf == Int.MaxValue) shRaw.select("sh").limit(0)
+      else hotShingles(shRaw, maxShingleDf)
+    hot.write.mode("overwrite").parquet(s"$indexDir/hot")
+    val hotStored = spark.read.parquet(s"$indexDir/hot")
+    shRaw.join(broadcast(hotStored), Seq("sh"), "left_anti")
+      .write.mode("overwrite").parquet(s"$indexDir/shingles")
+    // sizes from the WRITTEN files — self-consistent with the stored
+    // capped set by construction, and the read-back is cheaper than
+    // re-deriving the shingle pipeline
+    spark.read.parquet(s"$indexDir/shingles")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
+      .write.mode("overwrite").parquet(s"$indexDir/sizes")
+    existing.select(md5(col("text")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/hashes")
+  }
+
+  /** Append a (disjoint) kept batch into the stored near-dup index:
+    * batch shingles capped by the STORED hot list, batch sizes, batch
+    * hashes — all as additional files. Cost = one batch scan +
+    * batch-sized aggregates, independent of index size.
+    */
+  def appendNearDupIndex(batch: DataFrame, indexDir: String, n: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val hot = spark.read.parquet(s"$indexDir/hot")
+    val capped = graft.tools.InternalCaches.persist(
+      hashedShingleSet(batch, n).join(broadcast(hot), Seq("sh"), "left_anti"))
+    capped.write.mode("append").parquet(s"$indexDir/shingles")
+    capped.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
+      .write.mode("append").parquet(s"$indexDir/sizes")
+    batch.select(md5(col("text")).as("h")).distinct()
+      .write.mode("append").parquet(s"$indexDir/hashes")
+  }
+
+  /** Offline maintenance for the near-dup index: distinct-rewrite
+    * `shingles` and `hashes` (repairing any accidental double-append —
+    * the duplicates that would inflate intersection counts), recompute
+    * `sizes` from the compacted set, then swap each table tmp → old →
+    * live so a crash at any point leaves a readable index (the
+    * [[compactGramIndex]] discipline). The hot list is left as built —
+    * refreshing it is a REBUILD (it changes which shingles the whole
+    * index stores), not a compaction.
+    */
+  def compactNearDupIndex(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(table: String): Unit = {
+      val live = new Path(s"$indexDir/$table")
+      val old = new Path(s"$indexDir/$table.old")
+      fs.delete(old, true)
+      fs.rename(live, old)
+      fs.rename(new Path(s"$indexDir/$table.compact"), live)
+      fs.delete(old, true)
+    }
+    // local persist, not the memoized registry: the frame reads the very
+    // directory the swap replaces (the compactGramIndex argument)
+    val sh = spark.read.parquet(s"$indexDir/shingles").distinct().persist()
+    sh.write.mode("overwrite").parquet(s"$indexDir/shingles.compact")
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
+      .write.mode("overwrite").parquet(s"$indexDir/sizes.compact")
+    sh.unpersist(blocking = false)
+    spark.read.parquet(s"$indexDir/hashes").distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/hashes.compact")
+    swap("shingles"); swap("sizes"); swap("hashes")
+  }
+
+  /** x104 screen half — [[incrementalScreen]] semantics (same output
+    * contract, same verdict rules) reading ONLY the stored artifacts:
+    * no history re-scan, no history re-shingling, no whole-index size
+    * aggregate (sizes are stored). Per-batch cost is the incoming scan
+    * + the index probe; the probe join's batch side is batch-sized, so
+    * AQE broadcasts it and the index scan never shuffles — the same
+    * asymmetry as the x85 screen, with the x65 Bloom carrier the
+    * documented pre-gate if even that scan needs trimming.
+    */
+  def screenAgainstNearDupIndex(incoming: DataFrame, indexDir: String,
+      n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val spark = incoming.sparkSession
+    // distinct defends the exact gate against duplicate hash rows from
+    // appends (a duplicate here would duplicate incoming rows through
+    // the left join); the set is one 32-char string per corpus doc
+    val exHash = spark.read.parquet(s"$indexDir/hashes").distinct()
+      .withColumn("ex", lit(true))
+    val exactFlag = incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exHash, Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("ex"), lit(false)).as("is_exact_dup"))
+    val hot = spark.read.parquet(s"$indexDir/hot")
+    val inSh = graft.tools.InternalCaches.persist(
+      hashedShingleSet(incoming, n).join(broadcast(hot), Seq("sh"), "left_anti"))
+    val exSh = spark.read.parquet(s"$indexDir/shingles")
+    val exSizes = spark.read.parquet(s"$indexDir/sizes")
+      .withColumnRenamed("doc_id", "ex_doc")
+    screenVerdict(exactFlag, inSh, exSh, exSizes, minJaccard)
   }
 
   /** Cross-source overlap matrix — the provenance audit that tells a

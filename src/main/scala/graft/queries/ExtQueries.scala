@@ -3831,6 +3831,72 @@ object ExtQueries {
               |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
               |       max(pos) + 8 - min(pos) AS span_tokens,
               |       count(*) AS n_grams
-              |FROM isl GROUP BY doc_id, island""".stripMargin))
+              |FROM isl GROUP BY doc_id, island""".stripMargin)),
+
+    // ---- x104: stored near-dup ingest index (round 12) ---------------
+    // x40's existing-side artifacts made literal parquet — the storage
+    // lifecycle the screen family already has at the substring
+    // (x85/x95), semantic (x90), and ANN (x59/x61) grains, closed for
+    // the document-grain near-dup screen (x40's own Scaladoc calls its
+    // per-run persist "the single-job stand-in" for this index). The
+    // entry exercises the full lifecycle under the gate: build on the
+    // even half, append the odd half TWICE (an accidental double-append
+    // — which, unlike the gram index's set semantics, would inflate
+    // intersection counts and break the output), compact (the repair),
+    // then screen. The oracle encodes the FROZEN-hot-list semantics:
+    // the df cap is learned from the build half only and applied to
+    // both sides ever after — the x90 stale-centroid analog, refreshed
+    // by rebuild, verified (not assumed) by learning the oracle's hot
+    // CTE from the same half.
+    ("x104_near_screen_stored",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val existing = docs.filter(col("source") =!= "src2")
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_nd_idx_" + Integer.toHexString(dir.hashCode)
+        Dedup.writeNearDupIndex(existing.filter(col("doc_id") % 2 === 0),
+          idx, n = 3, maxShingleDf = MaxShingleDf)
+        Dedup.appendNearDupIndex(existing.filter(col("doc_id") % 2 =!= 0), idx, n = 3)
+        Dedup.appendNearDupIndex(existing.filter(col("doc_id") % 2 =!= 0), idx, n = 3)
+        Dedup.compactNearDupIndex(s, idx)
+        Dedup.screenAgainstNearDupIndex(docs.filter(col("source") === "src2"),
+          idx, n = 3, minJaccard = 0.8)
+      },
+      Some(s"""WITH inc AS (SELECT * FROM documents WHERE source = 'src2'),
+              |ex AS (SELECT * FROM documents WHERE source <> 'src2'),
+              |exh AS (SELECT DISTINCT md5(text) AS h FROM ex),
+              |ef AS (SELECT i.doc_id, (exh.h IS NOT NULL) AS is_exact_dup
+              |       FROM inc i LEFT JOIN exh ON md5(i.text) = exh.h),
+              |tx AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM ex),
+              |sx AS (SELECT doc_id,
+              |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+              |       FROM tx),
+              |shx0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM sx),
+              |hot AS (SELECT sh FROM shx0 WHERE doc_id % 2 = 0
+              |        GROUP BY sh HAVING count(*) > $MaxShingleDf),
+              |shx AS (SELECT * FROM shx0 WHERE sh NOT IN (SELECT sh FROM hot)),
+              |ti AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM inc),
+              |si AS (SELECT doc_id,
+              |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+              |       FROM ti),
+              |shi0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM si),
+              |shi AS (SELECT * FROM shi0 WHERE sh NOT IN (SELECT sh FROM hot)),
+              |szx AS (SELECT doc_id AS ex_doc, count(*) AS n_ex FROM shx GROUP BY 1),
+              |szi AS (SELECT doc_id, count(*) AS n_in FROM shi GROUP BY 1),
+              |ip AS (SELECT i.doc_id, e.doc_id AS ex_doc, count(*) AS inter
+              |       FROM shi i JOIN shx e USING (sh) GROUP BY 1, 2),
+              |j AS (SELECT ip.doc_id, ip.ex_doc,
+              |        round(CAST(inter AS DOUBLE) / (n_in + n_ex - inter), 6) AS jac
+              |      FROM ip JOIN szi USING (doc_id) JOIN szx USING (ex_doc)),
+              |jf AS (SELECT * FROM j WHERE jac >= 0.8),
+              |b AS (SELECT *, row_number() OVER
+              |        (PARTITION BY doc_id ORDER BY jac DESC, ex_doc) AS rn FROM jf),
+              |best AS (SELECT doc_id, ex_doc AS near_dup_of, jac AS near_jaccard
+              |         FROM b WHERE rn = 1)
+              |SELECT ef.doc_id, ef.is_exact_dup, best.near_dup_of, best.near_jaccard,
+              |  CASE WHEN ef.is_exact_dup THEN 'drop_exact'
+              |       WHEN best.near_dup_of IS NOT NULL THEN 'drop_near'
+              |       ELSE 'keep' END AS verdict
+              |FROM ef LEFT JOIN best USING (doc_id)""".stripMargin))
   )
 }

@@ -148,8 +148,15 @@ object ScaleDecade {
     "x100_interleave_shards", // round 12: interleave + GLOBAL
                         // two-phase rank (constant stratum) — twice
                         // x89's exchanges, still no funnel
-    "x101_interleave_temperature") // round 12: x89 with smoothed
+    "x101_interleave_temperature", // round 12: x89 with smoothed
                         // weights — identical shape, same decade
+    "x102_curation_ledger", // round 12: x27's memoized cluster frame +
+                        // the gate CASE chain — marginal over x27,
+                        // like x75/x82
+    "x104_near_screen_stored") // round 12: stored near-dup index —
+                        // bundled build+append+compact+screen (the
+                        // x85 honest convention); the split block
+                        // below isolates the screen term
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names
@@ -162,7 +169,10 @@ object ScaleDecade {
   private val ProbeOnly = Seq(
     "q24_maproot_write",    // round 10: the flagship nested build + sink
     "x14_stream_crossover", // round 10: streaming-vs-sort measurement
-    "x95_span_screen_bloom") // round 12: fixed-batch screen vs index growth
+    "x95_span_screen_bloom", // round 12: fixed-batch screen vs index growth
+    "x103_stream_span_screen") // round 12: replays the corpus through
+                        // foreachBatch micro-batches (the x14 cost
+                        // class — minutes at 100×)
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -329,6 +339,37 @@ object ScaleDecade {
           val bloom = med3(graft.ext.Dedup.duplicateSpansAgainstIndexBloom(
             fixedBatch, bidx, k = 8))
           println(f"""{"query":"x95_split_$label","build_sec":$build%.3f,"flat_screen_sec":$flat%.3f,"bloom_screen_sec":$bloom%.3f}""")
+      }
+    }
+
+    // ---- x104: stored near-dup index — build vs screen-only (the x85
+    // split convention). The bundled decade row pays per-run
+    // build+append+compact; the production claim is that the SCREEN is
+    // batch-sized plus one map-side index scan, with no whole-index
+    // size aggregate (sizes are stored). The batch is pinned to the 1×
+    // src2 documents at every scale so the screen's residual growth
+    // isolates the index-scan term — the same term the x95 Bloom
+    // bucketing would remove if it ever dominates.
+    if (selected("x104_near_screen_stored")) {
+      val fixedBatch = graft.sources.Tables.load(spark, src, "documents")
+        .filter(col("source") === "src2")
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val docs = graft.sources.Tables.load(spark, d, "documents")
+          val idx = s"/tmp/graft_nd_idx_decade_$label"
+          val t0 = System.nanoTime()
+          graft.ext.Dedup.writeNearDupIndex(
+            docs.filter(col("source") =!= "src2"), idx, n = 3,
+            maxShingleDf = 5)
+          val build = (System.nanoTime() - t0) / 1e9
+          val times = (1 to 3).map { _ =>
+            val t1 = System.nanoTime()
+            graft.ext.Dedup.screenAgainstNearDupIndex(
+                fixedBatch, idx, n = 3, minJaccard = 0.8)
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t1) / 1e9
+          }.sorted
+          println(f"""{"query":"x104_split_$label","build_sec":$build%.3f,"screen_sec":${times(1)}%.3f}""")
       }
     }
 

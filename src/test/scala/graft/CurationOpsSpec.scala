@@ -290,6 +290,71 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(12L).isNullAt(2) && out(12L).isNullAt(3))
   }
 
+  test("stored near-dup index: screen ≡ in-memory; double-append repaired by compact") {
+    import graft.ext.Dedup
+    import java.nio.file.Files
+    def doc(id: Long, words: String) = (id, words)
+    val existing = Seq(
+      doc(1L, "a b c d e f g h"),
+      doc(2L, "a b c d e f g z"),
+      doc(3L, "p q r s t u v w"),
+      doc(4L, "m n o m2 n2 o2 m3 n3")).toDF("doc_id", "text")
+    val incoming = Seq(
+      doc(10L, "a b c d e f g h"),  // exact copy of 1
+      doc(11L, "a b c d e f g q"),  // near 1/2
+      doc(12L, "x y z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val mem = rows(Dedup.incrementalScreen(existing, incoming, n = 3, minJaccard = 0.5))
+
+    // (1) full-corpus build: the stored screen is bit-identical to x40
+    val idx1 = Files.createTempDirectory("graft_nd_idx_spec").toString
+    Dedup.writeNearDupIndex(existing, idx1, n = 3)
+    assert(rows(Dedup.screenAgainstNearDupIndex(incoming, idx1, n = 3,
+      minJaccard = 0.5)) === mem)
+
+    // (2) build even + DOUBLE-append odd (the accidental re-append that,
+    // unlike the gram index's set semantics, inflates intersection
+    // counts) + compact: the repair restores the clean-build output
+    val idx2 = Files.createTempDirectory("graft_nd_idx_spec2").toString
+    Dedup.writeNearDupIndex(existing.filter(col("doc_id") % 2 === 0), idx2, n = 3)
+    Dedup.appendNearDupIndex(existing.filter(col("doc_id") % 2 =!= 0), idx2, n = 3)
+    Dedup.appendNearDupIndex(existing.filter(col("doc_id") % 2 =!= 0), idx2, n = 3)
+    Dedup.compactNearDupIndex(spark, idx2)
+    assert(rows(Dedup.screenAgainstNearDupIndex(incoming, idx2, n = 3,
+      minJaccard = 0.5)) === mem,
+      "compact must reap duplicate shingle rows and recompute sizes")
+  }
+
+  test("stored near-dup index: hot list frozen at build, not refreshed by append") {
+    import graft.ext.Dedup
+    import java.nio.file.Files
+    def doc(id: Long, words: String) = (id, words)
+    // shingle "h1 h2 h3" has df=2 in the BUILD set (under cap 2) but
+    // df=5 across build+appends (over cap): the frozen list keeps it
+    val buildSet = Seq(
+      doc(20L, "h1 h2 h3 h4"),
+      doc(21L, "h1 h2 h3 k4")).toDF("doc_id", "text")
+    val appendSet = Seq(
+      doc(22L, "h1 h2 h3 z1"),
+      doc(23L, "h1 h2 h3 z2"),
+      doc(24L, "h1 h2 h3 z3")).toDF("doc_id", "text")
+    val incoming = Seq(doc(30L, "h1 h2 h3 q9")).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft_nd_idx_spec3").toString
+    Dedup.writeNearDupIndex(buildSet, idx, n = 3, maxShingleDf = 2)
+    Dedup.appendNearDupIndex(appendSet, idx, n = 3)
+    val stored = Dedup.screenAgainstNearDupIndex(incoming, idx, n = 3,
+      minJaccard = 0.3).collect()
+    assert(stored.head.getString(4) === "drop_near",
+      "frozen (build-time) hot list keeps the now-common shingle usable")
+    assert(stored.head.getLong(2) === 20L, "ties break to the lowest existing id")
+    // the in-memory screen RELEARNS the cap over the merged corpus and
+    // drops the shingle — the divergence IS the frozen-hot semantics
+    val relearned = Dedup.incrementalScreen(buildSet.unionByName(appendSet),
+      incoming, n = 3, minJaccard = 0.3, maxShingleDf = 2).collect()
+    assert(relearned.head.getString(4) === "keep")
+  }
+
   test("sourceOverlap: exact pairwise shingle jaccard, disjoint pairs absent") {
     import graft.ext.Dedup
     val docs = Seq(
