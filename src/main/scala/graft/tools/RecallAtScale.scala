@@ -87,7 +87,11 @@ object RecallAtScale {
       df.select(col("query_id"), col("neighbor_id"), col("cos_sim"))
         .as[(Long, Long, Double)].collect().toSeq
 
-    for ((dir, label, _, skewed) <- corpora if wanted(label)) {
+    // SPARK_GRAFT_RECALL_SKIP_MAIN skips the (already-recorded) round-11
+    // sweep grid so an x80-only run doesn't re-pay the full-corpus
+    // re-encodes; the x80 block below has its own opt-in.
+    val skipMain = sys.env.contains("SPARK_GRAFT_RECALL_SKIP_MAIN")
+    for ((dir, label, _, skewed) <- corpora if wanted(label) && !skipMain) {
       val big = label.startsWith("1000x")
       val (slSweep, npSweep) =
         if (big) (Seq(50, 200), Seq(1, 2, 4))
