@@ -654,18 +654,32 @@ object Dedup {
   /** Append a (disjoint) kept batch into the stored near-dup index:
     * batch shingles capped by the STORED hot list, batch sizes, batch
     * hashes — all as additional files. Cost = one batch scan +
-    * batch-sized aggregates, independent of index size.
+    * batch-sized aggregates, independent of index size. Each table
+    * gains exactly ONE file per append (`repartition(1)` before the
+    * write — the payload is batch-sized, so a single writer is the
+    * right parallelism, the compute upstream of the exchange stays
+    * parallel, and the live file count equals the append count), and
+    * `maxFilesPerTable`
+    * (0 disables) bounds that count: when the `shingles` table — the
+    * largest of the three, and they grow in lockstep — exceeds the
+    * threshold, [[compactNearDupIndex]] runs inline. Screen output is
+    * invariant across the trigger (compaction is the distinct-rewrite
+    * repair; spec-gated).
     */
-  def appendNearDupIndex(batch: DataFrame, indexDir: String, n: Int = 3): Unit = {
+  def appendNearDupIndex(batch: DataFrame, indexDir: String, n: Int = 3,
+      maxFilesPerTable: Int = 64): Unit = {
     val spark = batch.sparkSession
     val hot = spark.read.parquet(s"$indexDir/hot")
     val capped = graft.tools.InternalCaches.persist(
       hashedShingleSet(batch, n).join(broadcast(hot), Seq("sh"), "left_anti"))
-    capped.write.mode("append").parquet(s"$indexDir/shingles")
+    capped.repartition(1).write.mode("append").parquet(s"$indexDir/shingles")
     capped.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
-      .write.mode("append").parquet(s"$indexDir/sizes")
+      .repartition(1).write.mode("append").parquet(s"$indexDir/sizes")
     batch.select(md5(col("text")).as("h")).distinct()
-      .write.mode("append").parquet(s"$indexDir/hashes")
+      .repartition(1).write.mode("append").parquet(s"$indexDir/hashes")
+    if (maxFilesPerTable > 0 &&
+        countDataFiles(spark, s"$indexDir/shingles") > maxFilesPerTable.toLong)
+      compactNearDupIndex(spark, indexDir)
   }
 
   /** Offline maintenance for the near-dup index: distinct-rewrite
@@ -1113,6 +1127,60 @@ object Dedup {
     finally in.close()
   }
 
+  /** Driver-side cache of deserialized sidecar state, keyed
+    * (applicationId, indexDir) — the round-12 streaming path re-read
+    * and re-deserialized the full Bloom on EVERY screen and EVERY
+    * append (an index-sized fixed cost per micro-batch). The cache is
+    * sound under the lifecycle's existing single-writer contract
+    * (concurrent appends to one index were never supported: the
+    * sidecar-first crash ordering assumes one writer); an append
+    * through this session mutates the cached filter in place, so the
+    * cache IS the authoritative post-append state. Writers that bypass
+    * this session must [[invalidateSidecarCache]] first — a stale
+    * cache after a foreign append would under-approximate the stored
+    * grams, which the exactness contract forbids.
+    */
+  private val sidecarCache =
+    scala.collection.concurrent.TrieMap.empty[
+      (String, String), (Int, Long, Long, BloomFilter)]
+
+  private def cachedSidecar(spark: SparkSession, indexDir: String,
+      cache: Boolean): (Int, Long, Long, BloomFilter) =
+    if (!cache) readBloomSidecar(spark, indexDir)
+    else sidecarCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, indexDir),
+      readBloomSidecar(spark, indexDir))
+
+  /** Drop the cached sidecar state for `indexDir` (all sessions of this
+    * JVM). Required before reading an index another process has
+    * appended to; called internally by every operation that replaces
+    * the sidecar wholesale ([[writeGramIndexBucketed]],
+    * [[compactGramIndex]]).
+    */
+  def invalidateSidecarCache(indexDir: String): Unit =
+    sidecarCache.keys.filter(_._2 == indexDir).foreach(sidecarCache.remove)
+
+  /** Count data files under `dir` (recursive, `_`/`.`-prefixed metadata
+    * excluded) — the compaction trigger's observable. One FS listing,
+    * the same order of work the parquet write just paid to commit.
+    */
+  private[graft] def countDataFiles(spark: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
   /** Build the bucket-partitioned gram index + Bloom sidecar at corpus
     * ingest. `expectedItems` sizes the Bloom (default: the measured
     * distinct-gram count — one aggregate over the frame the write
@@ -1142,23 +1210,62 @@ object Dedup {
       .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
     // after the parquet write: overwrite mode clears the directory
     writeBloomSidecar(spark, indexDir, buckets, items, numBits, bf)
+    // seed the driver cache with the state just written: the first
+    // screen/append after a build pays no sidecar re-read
+    invalidateSidecarCache(indexDir)
+    sidecarCache.put((spark.sparkContext.applicationId, indexDir),
+      (buckets, items, numBits, bf))
   }
 
   /** Append a batch's grams into the bucketed index: new files inside
     * the bucket directories (duplicates across files are harmless to
     * the screen's set semantics, and [[compactGramIndex]] reaps them)
-    * plus a Bloom merge into the sidecar. Cost = one batch scan +
+    * plus a Bloom update in the sidecar. Cost = one batch scan +
     * batch-sized distinct — independent of index size.
+    *
+    * Bloom update, size-switched (round 13 — the round-12 form built a
+    * fresh INDEX-sized filter per append across EVERY shuffle
+    * partition, a fixed cost that dominated micro-batch cadence):
+    *   - ordinary filters (≤ 64 MB of bits): ONE single-partition
+    *     executor aggregate builds one batch-populated filter and
+    *     ships one array to merge — measured the cheap direction at
+    *     fixture scale (a driver-side `toLocalIterator` stream was
+    *     tried first and lost ~8 s/batch to its per-partition
+    *     sequential jobs);
+    *   - oversized filters (> 64 MB — the multi-GB production blobs
+    *     the broadcast gate carrier exists for): shipping the array
+    *     per append is the wrong direction, so the batch's distinct
+    *     gram hashes stream to the driver (8 bytes each, batch-sized,
+    *     never index-sized) and insert into the cached filter, which
+    *     the driver already owns.
+    *
+    * After the write, `maxFilesPerBucket` (0 disables) bounds append
+    * accumulation: when the index's data-file count exceeds
+    * `maxFilesPerBucket × buckets` (each append adds one file per
+    * touched bucket), [[compactGramIndex]] runs inline — the VACUUM
+    * the round-12 verdict said nothing scheduled. Screen output is
+    * invariant across the trigger (compaction is a distinct-rewrite;
+    * spec-gated), so callers observe only bounded file counts.
     */
   def appendGramIndexBucketed(
-      newDocs: DataFrame, indexDir: String, k: Int = 8): Unit = {
+      newDocs: DataFrame, indexDir: String, k: Int = 8,
+      cacheSidecar: Boolean = true, maxFilesPerBucket: Int = 64): Unit = {
     val spark = newDocs.sparkSession
-    val (buckets, items, numBits, bf) = readBloomSidecar(spark, indexDir)
+    val (buckets, items, numBits, bf) =
+      cachedSidecar(spark, indexDir, cacheSidecar)
     val g = graft.tools.InternalCaches.persist(
       gramStream(newDocs, k).select("g").distinct())
-    // identical sizing → numHashFunctions match → mergeInPlace is legal
-    val batchBf = buildBloomOfLongs(g, "g", items, numBits)
-    bf.mergeInPlace(batchBf)
+    if (cacheSidecar && numBits / 8 > (64L << 20)) {
+      val it = g.select(col("g"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .toLocalIterator()
+      while (it.hasNext) bf.putLong(it.next())
+    } else {
+      // identical sizing → numHashFunctions match → mergeInPlace is
+      // legal; coalesce(1) so exactly one index-sized array allocates
+      val batchBf = buildBloomOfLongs(g.coalesce(1), "g", items, numBits)
+      bf.mergeInPlace(batchBf)
+    }
     // sidecar FIRST: a crash between the two writes must leave the
     // Bloom an OVER-approximation of the stored grams (extra bits die
     // in the exact confirm join). The reverse order would leave
@@ -1172,6 +1279,9 @@ object Dedup {
       // file listing alone at the probe scales)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("append").parquet(indexDir)
+    if (maxFilesPerBucket > 0 &&
+        countDataFiles(spark, indexDir) > maxFilesPerBucket.toLong * buckets)
+      compactGramIndex(spark, indexDir)
   }
 
   /** Offline maintenance: rewrite every bucket to its distinct gram
@@ -1213,6 +1323,12 @@ object Dedup {
     // the compacted frame replaced the files its cached plan reads —
     // drop the cache so later actions re-read the live directory
     g.unpersist(blocking = false)
+    // re-sizing replaced the sidecar wholesale: re-seed the driver
+    // cache with the compacted state (stale items/numBits would make
+    // the next append's merge sizing wrong)
+    invalidateSidecarCache(indexDir)
+    sidecarCache.put((spark.sparkContext.applicationId, indexDir),
+      (buckets, items, numBits, bf))
   }
 
   /** x95 screen — [[duplicateSpansAgainstIndex]] semantics (same
@@ -1224,11 +1340,22 @@ object Dedup {
     * (plan-gated in DedupSimilaritySpec).
     */
   def duplicateSpansAgainstIndexBloom(batch: DataFrame, indexDir: String,
-      k: Int = 8, maxLiteralBytes: Long = 4L << 20): DataFrame = {
+      k: Int = 8, maxLiteralBytes: Long = 4L << 20,
+      cacheSidecar: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
-    val (buckets, _, numBits, bf) = readBloomSidecar(spark, indexDir)
+    val (buckets, _, numBits, bf) =
+      cachedSidecar(spark, indexDir, cacheSidecar)
     val grams = graft.tools.InternalCaches.persist(gramStream(batch, k))
-    val gate = bloomGateColumn(spark, bf, numBits, maxLiteralBytes, col("g"))
+    // cached path: ship the filter as a broadcast variable (once per
+    // executor per call) instead of a plan literal (once per TASK —
+    // the round-12 streaming replay re-broadcast multi-MB task
+    // binaries on every micro-batch job). A later append mutates the
+    // cached filter only by ADDING bits, so a still-lazy frame that
+    // observes post-append state over-approximates and the extra
+    // candidates die in the exact confirm join — never an exactness
+    // break.
+    val gate = bloomGateColumn(spark, bf, numBits,
+      if (cacheSidecar) 0L else maxLiteralBytes, col("g"))
     val cand = graft.tools.InternalCaches.persist(
       grams.filter(gate).select("g").distinct())
     val hot = cand

@@ -123,13 +123,18 @@ object MigrationPipeline {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val (db, _) = converted(spark, sfDir)
-    val profiles = Tables.migrationTables.map { tn =>
-      val df = Tables.load(spark, sfDir, tn)
-      val numCols = df.schema.fields.collect {
-        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
-      }.toSeq
-      Catalog.profileAll(df, tn, df.columns.toSeq, numCols)
-    }.reduce(_ unionByName _)
+    // memoized through the canonical-plan registry: every advisory
+    // consumer in a session (x73's audit, x97's advised conversion, the
+    // template/key wirings) shares ONE profileAll scan per table — the
+    // round-12 verdict measured the re-paid scan at ~6 s per consumer
+    val profiles = graft.tools.InternalCaches.persist(
+      Tables.migrationTables.map { tn =>
+        val df = Tables.load(spark, sfDir, tn)
+        val numCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => f.name
+        }.toSeq
+        Catalog.profileAll(df, tn, df.columns.toSeq, numCols)
+      }.reduce(_ unionByName _))
     val m = profiles
       .filter(col("metric").isin("n_rows", "n_nulls", "n_distinct_est"))
       .groupBy("table_name", "col_name")
@@ -237,5 +242,145 @@ object MigrationPipeline {
     import spark.implicits._
     schema.roots.flatMap(r => walk(r, None, 0))
       .toDF("collection_name", "kind", "parent_name", "depth", "advisory_forced")
+  }
+
+  /** x105 — the `constant_fold` advisory wired into the MAPPING surface
+    * (round-12 advice item 5): per document field of the converted
+    * tree, where the field's bytes should live. A field whose source
+    * column x73 flags `constant_fold` (at most one distinct value)
+    * carries zero information per document — repeating it across every
+    * document wastes `n_docs × width` bytes at corpus scale, so the
+    * fold moves it to collection METADATA (one copy). Structural
+    * columns (declared PK / FK — including the `_REF` renames) never
+    * fold: a key's job is identity, not information. Output one row
+    * per (collection, attribute): (collection_name, parent_name,
+    * attribute, source_table, source_col, disposition) with
+    * disposition ∈ 'field' | 'folded_constant'. On the fixture no
+    * column is constant, so every row reads 'field' — and the oracle
+    * recomputes constancy from the data (x97's convention), so a
+    * corpus WITH a constant column flips both sides together.
+    * Driver-side walk over the tree; the only Spark work is the
+    * (memoized) profile scan.
+    */
+  def templateFolded(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val (db, schema) = converted(spark, sfDir)
+    // control-plane collect: ≤ #columns rows by construction
+    val consts = profileAdvisories(spark, sfDir)
+      .filter(c("advisory") === "constant_fold")
+      .select("table_name", "col_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    import spark.implicits._
+    templateFoldedFrom(db, schema, consts)
+      .toDF("collection_name", "parent_name", "attribute",
+        "source_table", "source_col", "disposition")
+  }
+
+  /** The fold derivation of [[templateFolded]], factored over its
+    * inputs so the source-resolution and never-fold-structural rules
+    * are testable on controlled metadata (the [[advisoriesFrom]]
+    * convention). `consts` = (table, column) pairs flagged
+    * `constant_fold`.
+    */
+  private[graft] def templateFoldedFrom(db: DatabaseMeta,
+      schema: DocumentSchema, consts: Set[(String, String)])
+      : Seq[(String, Option[String], String, String, String, String)] = {
+    def structural(table: String, column: String): Boolean = {
+      val t = db(table)
+      t.primaryKeys.contains(column) ||
+        t.foreignKeys.exists(_.columnName == column)
+    }
+    def rows(n: CollectionNode, parent: Option[String])
+        : Seq[(String, Option[String], String, String, String, String)] = {
+      val t = db(n.name)
+      val own = n.attributes.map { attr =>
+        // resolve the attribute to its source (table, column)
+        val (srcTable, srcCol) = n.embeddedAttributesFrom match {
+          case Some(otherName) =>
+            val other = db(otherName)
+            val refCol = t.foreignKeys
+              .filter(_.referencedTable == otherName)
+              .filterNot(fk => n.parentFkColumn.contains(fk.columnName))
+              .headOption.orElse(
+                t.foreignKeys.find(_.referencedTable == otherName))
+              .map(_.referencedColumn)
+            // two-way inline: the other parent's columns (minus its
+            // referenced key) win name collisions — the reference's
+            // JS-overwrite semantics (SchemaConverter.attributesFor)
+            if (other.columns.contains(attr) && !refCol.contains(attr))
+              (otherName, attr)
+            else (n.name, attr)
+          case None =>
+            if (attr.endsWith("_REF") &&
+                t.foreignKeys.exists(_.columnName == attr.stripSuffix("_REF")))
+              (n.name, attr.stripSuffix("_REF"))
+            else (n.name, attr)
+        }
+        val disposition =
+          if (consts.contains((srcTable, srcCol)) && !structural(srcTable, srcCol))
+            "folded_constant"
+          else "field"
+        (n.name, parent, attr, srcTable, srcCol, disposition)
+      }
+      own ++ n.embedded.flatMap(ch => rows(ch, Some(n.name)))
+    }
+    schema.roots.flatMap(r => rows(r, None))
+  }
+
+  /** x106 — the `key_candidate` advisory wired into the conversion's
+    * KEY surface (round-12 advice item 5): per collection, the column
+    * the document `_id` should derive from. A single-column declared
+    * PK is always the key. A COMPOSITE (or missing) PK is where the
+    * advisory earns its place: a document store wants one scalar
+    * identity, and x73's `key_candidate` (non-key, null-free, distinct
+    * ≥ 95 % of rows) names the best single-column stand-in the declared
+    * schema missed — picked by highest distinct estimate, ties to the
+    * lexicographically first column (bit-portable: the estimate is the
+    * KMV sketch both engines compute identically). No candidate →
+    * the composite key stays (key_kind 'composite'). Output:
+    * (collection_name, key_kind ∈ 'pk'|'advisory'|'composite'|'none',
+    * key_columns, advisory_key). Whether the fixture's lineitem (the
+    * one composite-key table) yields an advisory key is decided by the
+    * DATA — the oracle recomputes the same candidate scan, so both
+    * sides flip together on a regenerated fixture.
+    */
+  def documentKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val (db, schema) = converted(spark, sfDir)
+    // control-plane collect: ≤ #columns rows by construction
+    val cands = profileAdvisories(spark, sfDir)
+      .filter(c("advisory") === "key_candidate")
+      .select("table_name", "col_name", "n_distinct_est")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    import spark.implicits._
+    documentKeysFrom(db, schema, cands.toSeq)
+      .toDF("collection_name", "key_kind", "key_columns", "advisory_key")
+  }
+
+  /** The key derivation of [[documentKeys]], factored over its inputs
+    * for controlled-metadata testing. `cands` = (table, column,
+    * n_distinct_est) rows flagged `key_candidate`.
+    */
+  private[graft] def documentKeysFrom(db: DatabaseMeta,
+      schema: DocumentSchema, cands: Seq[(String, String, Long)])
+      : Seq[(String, String, String, Boolean)] = {
+    def tablesOf(n: CollectionNode): Seq[String] =
+      n.name +: n.embedded.flatMap(tablesOf)
+    val names = schema.roots.flatMap(tablesOf).distinct
+    names.map { name =>
+      val t = db(name)
+      if (t.primaryKeys.size == 1)
+        (name, "pk", t.primaryKeys.head, false)
+      else {
+        val best = cands.filter(_._1 == name)
+          .sortBy { case (_, col0, est) => (-est, col0) }.headOption
+        best match {
+          case Some((_, col0, _)) => (name, "advisory", col0, true)
+          case None if t.primaryKeys.nonEmpty =>
+            (name, "composite", t.primaryKeys.mkString(","), false)
+          case None => (name, "none", "", false)
+        }
+      }
+    }
   }
 }

@@ -53,7 +53,8 @@ object DocStream {
     */
   def spanScreenReplay(spark: SparkSession, docs: DataFrame,
       indexDir: String, outDir: String, nBatches: Int = 4,
-      k: Int = 8, bloom: Boolean = true, buckets: Int = 256): DataFrame = {
+      k: Int = 8, bloom: Boolean = true, buckets: Int = 256,
+      maxFilesPerBucket: Int = 64): DataFrame = {
     require(nBatches >= 2, s"need at least 2 batches to screen, got $nBatches")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -64,10 +65,15 @@ object DocStream {
     val stream = MemoryStream[(Long, String)]
     // `bloom` picks the index flavor per batch: the x95 Bloom-gated
     // bucketed triple (production — screen cost decoupled from index
-    // size) or the x85 flat triple (the harness registration — the
-    // Bloom build/merge/codegen is a per-batch FIXED cost that
-    // dominates fixture-scale batches; x95's gate already hash-proves
-    // the two screens output-identical, so the oracle is shared)
+    // size; the registered flavor since round 13, now that the
+    // sidecar cache + size-switched Bloom update + broadcast gate cut
+    // its per-batch fixed term from ~20 s to ~0.6 s) or the x85 flat
+    // triple (the like-for-like baseline; x95's gate hash-proves the
+    // two screens output-identical, so the oracle is shared). Size
+    // `buckets` to the INDEX, not a constant: each append commits one
+    // file per non-empty bucket, and oversized bucket counts turn
+    // into per-append file-commit overhead (256 buckets cost 3.5× the
+    // right-sized 32 at the sf0.1 gate scale).
     val bootstrapped = new java.io.File(
       indexDir, if (bloom) "_gram_bloom" else "_SUCCESS")
     val q = stream.toDF().toDF("doc_id", "text").writeStream
@@ -82,7 +88,8 @@ object DocStream {
            else Dedup.duplicateSpansAgainstIndex(batch, indexDir, k))
             .repartition(1)
             .write.mode("overwrite").parquet(s"$outDir/batch=$id")
-          if (bloom) Dedup.appendGramIndexBucketed(batch, indexDir, k)
+          if (bloom) Dedup.appendGramIndexBucketed(batch, indexDir, k,
+            maxFilesPerBucket = maxFilesPerBucket)
           else Dedup.appendGramIndex(batch, indexDir, k)
         }
         System.err.println(

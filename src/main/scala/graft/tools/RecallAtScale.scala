@@ -91,6 +91,10 @@ object RecallAtScale {
     // sweep grid so an x80-only run doesn't re-pay the full-corpus
     // re-encodes; the x80 block below has its own opt-in.
     val skipMain = sys.env.contains("SPARK_GRAFT_RECALL_SKIP_MAIN")
+    if (skipMain && !sys.env.contains("SPARK_GRAFT_RECALL_X80"))
+      System.err.println("[recall] SPARK_GRAFT_RECALL_SKIP_MAIN is set " +
+        "without SPARK_GRAFT_RECALL_X80 — every measurement block is " +
+        "disabled; this run will only generate corpora")
     for ((dir, label, _, skewed) <- corpora if wanted(label) && !skipMain) {
       val big = label.startsWith("1000x")
       val (slSweep, npSweep) =

@@ -326,6 +326,41 @@ class CurationOpsSpec extends SparkSpec {
       "compact must reap duplicate shingle rows and recompute sizes")
   }
 
+  test("stored near-dup index: the append trigger compacts when the " +
+    "shingles table exceeds the file threshold; screen invariant") {
+    import graft.ext.Dedup
+    import java.nio.file.Files
+    val existing = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f q h")).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((3L, "p q r s t u v w")), Seq((4L, "m n o m2 n2 o2 m3 n3")),
+      Seq((5L, "z1 z2 z3 z4 z5 z6 z7 z8"))).map(_.toDF("doc_id", "text"))
+    val incoming = Seq((10L, "a b c d e f g q")).toDF("doc_id", "text")
+    // disabled: one new file per table per append, never reaped
+    val off = Files.createTempDirectory("graft_nd_trig_off").toString
+    Dedup.writeNearDupIndex(existing, off, n = 3)
+    batches.foreach(b =>
+      Dedup.appendNearDupIndex(b, off, n = 3, maxFilesPerTable = 0))
+    val unbounded = Dedup.countDataFiles(spark, s"$off/shingles")
+    // threshold below the unbounded count: the trigger fires inside
+    // append and the shingles file count drops back to one compacted
+    // write's worth (<= shuffle partitions), staying bounded
+    val on = Files.createTempDirectory("graft_nd_trig_on").toString
+    Dedup.writeNearDupIndex(existing, on, n = 3)
+    batches.foreach(b =>
+      Dedup.appendNearDupIndex(b, on, n = 3, maxFilesPerTable = 2))
+    val bounded = Dedup.countDataFiles(spark, s"$on/shingles")
+    assert(bounded < unbounded,
+      s"trigger must reap append files: bounded=$bounded unbounded=$unbounded")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(Dedup.screenAgainstNearDupIndex(incoming, on, n = 3,
+        minJaccard = 0.5)) ===
+      rows(Dedup.screenAgainstNearDupIndex(incoming, off, n = 3,
+        minJaccard = 0.5)),
+      "screen output must be invariant across the compaction trigger")
+  }
+
   test("stored near-dup index: hot list frozen at build, not refreshed by append") {
     import graft.ext.Dedup
     import java.nio.file.Files

@@ -97,6 +97,101 @@ class DataMapperSpec extends SparkSpec {
       "declared key columns must never surface as key candidates")
   }
 
+  test("template folding: constants fold, structural columns never do, " +
+    "_REF and two-way inlines resolve to their source columns") {
+    import graft.model._
+    val p = TableMeta("p", 10L, Seq("id", "status", "note"), Seq("id"),
+      Seq.empty, isReferenced = true, referencingTables = Seq("ch", "j"))
+    val b = TableMeta("b", 10L, Seq("id", "bname"), Seq("id"),
+      Seq.empty, isReferenced = true, referencingTables = Seq("j"))
+    val ch = TableMeta("ch", 20L, Seq("cid", "p_id", "v"), Seq("cid"),
+      Seq(ForeignKeyMeta("p_id", "p", "id")), isReferenced = false,
+      referencingTables = Seq.empty)
+    val r = TableMeta("r", 20L, Seq("rid", "x", "y"), Seq("rid"),
+      Seq(ForeignKeyMeta("x", "p", "id")), isReferenced = false,
+      referencingTables = Seq.empty)
+    val j = TableMeta("j", 30L, Seq("jid", "a_id", "b_id"), Seq("jid"),
+      Seq(ForeignKeyMeta("a_id", "p", "id"), ForeignKeyMeta("b_id", "b", "id")),
+      isReferenced = false, referencingTables = Seq.empty)
+    val db = DatabaseMeta("t", Seq(p, b, ch, r, j))
+    val schema = DocumentSchema("t", Seq(
+      CollectionNode("p", Seq("id", "status", "note"), ConversionKind.Root,
+        embedded = Seq(
+          CollectionNode("ch", Seq("cid", "v"), ConversionKind.OneWayEmbedded,
+            parentFkColumn = Some("p_id")),
+          CollectionNode("j", Seq("jid", "bname"), ConversionKind.TwoWayEmbedded,
+            embeddedAttributesFrom = Some("b"),
+            parentFkColumn = Some("a_id")))),
+      CollectionNode("r", Seq("rid", "x_REF", "y"), ConversionKind.Referencing)))
+    // constants: a PK (never folds), an FK (never folds), and three
+    // genuinely foldable columns across own / _REF-table / inlined-other
+    val consts = Set(("p", "id"), ("p", "status"), ("ch", "p_id"),
+      ("r", "x"), ("r", "y"), ("b", "bname"))
+    val out = MigrationPipeline.templateFoldedFrom(db, schema, consts)
+    val byKey = out.map(t => (t._1, t._3) -> ((t._4, t._5, t._6))).toMap
+    assert(byKey(("p", "id")) === (("p", "id", "field")),
+      "a constant PK must never fold")
+    assert(byKey(("p", "status")) === (("p", "status", "folded_constant")))
+    assert(byKey(("p", "note")) === (("p", "note", "field")))
+    assert(byKey(("r", "x_REF")) === (("r", "x", "field")),
+      "_REF resolves to its FK source and never folds (structural)")
+    assert(byKey(("r", "y")) === (("r", "y", "folded_constant")))
+    assert(byKey(("j", "bname")) === (("b", "bname", "folded_constant")),
+      "two-way inlined attribute resolves to the OTHER parent's column")
+    assert(byKey(("j", "jid")) === (("j", "jid", "field")))
+  }
+
+  test("document keys: single PK wins, composite asks the advisory " +
+    "(max estimate, ties to first name), no candidate leaves composite") {
+    import graft.model._
+    def tm(name: String, pks: Seq[String], cols: Seq[String]) =
+      TableMeta(name, 10L, cols, pks, Seq.empty, isReferenced = false,
+        referencingTables = Seq.empty)
+    val db = DatabaseMeta("t", Seq(
+      tm("single", Seq("sk"), Seq("sk", "u")),
+      tm("comp", Seq("k1", "k2"), Seq("k1", "k2", "u1", "u2", "u3")),
+      tm("bare", Seq("b1", "b2"), Seq("b1", "b2", "w")),
+      tm("keyless", Seq.empty, Seq("z"))))
+    val schema = DocumentSchema("t", Seq(
+      CollectionNode("single", Seq("sk", "u"), ConversionKind.Root),
+      CollectionNode("comp", Seq("k1", "k2", "u1", "u2", "u3"), ConversionKind.Root),
+      CollectionNode("bare", Seq("b1", "b2", "w"), ConversionKind.Root),
+      CollectionNode("keyless", Seq("z"), ConversionKind.Root)))
+    val cands = Seq(
+      ("single", "u", 10L),          // ignored: a single PK always wins
+      ("comp", "u1", 9L), ("comp", "u3", 10L), ("comp", "u2", 10L))
+    val m = MigrationPipeline.documentKeysFrom(db, schema, cands)
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(m("single") === (("pk", "sk", false)))
+    assert(m("comp") === (("advisory", "u2", true)),
+      "tie at est=10 between u2/u3 must break to the first column name")
+    assert(m("bare") === (("composite", "b1,b2", false)))
+    assert(m("keyless") === (("none", "", false)))
+  }
+
+  test("advisory wirings on the fixture: no constants fold, the profile " +
+    "scan is shared across consumers (memoized once)") {
+    val folded = MigrationPipeline.templateFolded(spark, sf)
+    val rows = folded.collect()
+    assert(rows.length === 33, s"fixture tree has 33 fields, got ${rows.length}")
+    assert(rows.forall(_.getString(5) == "field"),
+      "the synthetic fixture has no constant columns")
+    // lineitem's _REF attributes resolve to their FK source columns
+    assert(rows.exists(r => r.getString(0) == "lineitem" &&
+      r.getString(2) == "l_orderkey_REF" && r.getString(4) == "l_orderkey"))
+    val keys = MigrationPipeline.documentKeys(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(keys("region") === "pk" && keys("orders") === "pk")
+    assert(Set("advisory", "composite").contains(keys("lineitem")),
+      "the composite-key table's outcome is decided by the data")
+    // the memoized profile frame: a second advisory consumer registers
+    // no new internal cache entry (round-12 advice item 7)
+    val lc = graft.tools.InternalCaches.liveCount(spark)
+    MigrationPipeline.decisionsAdvised(spark, sf).count()
+    assert(graft.tools.InternalCaches.liveCount(spark) === lc,
+      "x97 must reuse the profile scan templateFolded already registered")
+  }
+
   test("date-normalizing parity loader formats temporal columns as Bangkok dates") {
     val (db, schema) = MigrationPipeline.converted(spark, sf)
     val mapper = new graft.map.DataMapper(spark, sf, db,

@@ -669,6 +669,44 @@ class DedupSimilaritySpec extends SparkSpec {
       "bloom-gated bucketed screen must equal the flat screen")
   }
 
+  test("bloom span screen: the append trigger compacts when files-per-" +
+    "bucket exceeds the threshold, and the screen is invariant across it") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different historical content here")
+    ).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((3L, "an appended document with novel words")),
+      Seq((4L, "another later batch of fresh material")),
+      Seq((5L, "yet more streamed text arriving here now")))
+      .map(_.toDF("doc_id", "text"))
+    val batch = Seq(
+      (10L, "prefix quick brown fox tail"),
+      (11L, "an appended document suffix y z"),
+      (12L, "another later batch of what now")).toDF("doc_id", "text")
+    // disabled trigger: every append adds files, nothing reaps them
+    val off = java.nio.file.Files.createTempDirectory("graft_trig_off").toString
+    Dedup.writeGramIndexBucketed(existing, off, k = 3, buckets = 4)
+    batches.foreach(b =>
+      Dedup.appendGramIndexBucketed(b, off, k = 3, maxFilesPerBucket = 0))
+    val unbounded = Dedup.countDataFiles(spark, off)
+    assert(unbounded > 4,
+      s"without the trigger appends must accumulate files, got $unbounded")
+    // threshold 1 file per bucket: the trigger fires inside append and
+    // the live file count stays bounded at one file per bucket
+    val on = java.nio.file.Files.createTempDirectory("graft_trig_on").toString
+    Dedup.writeGramIndexBucketed(existing, on, k = 3, buckets = 4)
+    batches.foreach(b =>
+      Dedup.appendGramIndexBucketed(b, on, k = 3, maxFilesPerBucket = 1))
+    assert(Dedup.countDataFiles(spark, on) <= 4,
+      "the trigger must keep the index at <= maxFilesPerBucket x buckets")
+    // and the reaping changed nothing the screen can observe
+    val a = Dedup.duplicateSpansAgainstIndexBloom(batch, on, k = 3)
+    val b = Dedup.duplicateSpansAgainstIndexBloom(batch, off, k = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "screen output must be invariant across the compaction trigger")
+  }
+
   test("bloom span screen: candidate buckets reach the stored index scan " +
     "as a partition filter, and the sidecar bloom has no false negatives") {
     val existing = Seq(

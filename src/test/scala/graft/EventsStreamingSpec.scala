@@ -292,4 +292,29 @@ class EventsStreamingSpec extends SparkSpec {
     graft.tools.LocalFs.deleteRecursively(rootA)
     graft.tools.LocalFs.deleteRecursively(rootB)
   }
+
+  test("streaming span screen: the append-side compaction trigger keeps " +
+    "the index file count bounded across batches, output unchanged") {
+    val rootA = docStreamRoot("trigA")
+    val rootB = docStreamRoot("trigB")
+    // threshold 1 file/bucket: every over-threshold append compacts
+    val bounded = graft.streaming.DocStream.spanScreenReplay(spark,
+      screenCorpus, new java.io.File(rootA, "idx").getPath,
+      new java.io.File(rootA, "out").getPath, nBatches = 4, bloom = true,
+      buckets = 8, maxFilesPerBucket = 1)
+      .collect().map(_.toSeq).toSet
+    val nFiles = graft.ext.Dedup.countDataFiles(spark,
+      new java.io.File(rootA, "idx").getPath)
+    assert(nFiles <= 8,
+      s"trigger must bound the streamed index at one file per bucket, got $nFiles")
+    val unbounded = graft.streaming.DocStream.spanScreenReplay(spark,
+      screenCorpus, new java.io.File(rootB, "idx").getPath,
+      new java.io.File(rootB, "out").getPath, nBatches = 4, bloom = true,
+      buckets = 8, maxFilesPerBucket = 0)
+      .collect().map(_.toSeq).toSet
+    assert(bounded === unbounded,
+      "compaction inside the stream must not change any screened span")
+    graft.tools.LocalFs.deleteRecursively(rootA)
+    graft.tools.LocalFs.deleteRecursively(rootB)
+  }
 }
