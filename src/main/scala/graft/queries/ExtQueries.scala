@@ -4048,6 +4048,79 @@ object ExtQueries {
               |  CASE WHEN ef.is_exact_dup THEN 'drop_exact'
               |       WHEN best.near_dup_of IS NOT NULL THEN 'drop_near'
               |       ELSE 'keep' END AS verdict
-              |FROM ef LEFT JOIN best USING (doc_id)""".stripMargin))
+              |FROM ef LEFT JOIN best USING (doc_id)""".stripMargin)),
+
+    // ---- x107: per-language bigram-LM fluency scoring (round 13) ------
+    // The CCNet perplexity gate (Wenzek et al. 2020): the corpus's own
+    // per-language bigram LM (add-one smoothing, minCount=2 pruning so
+    // the oracle exercises the unseen-floor fallback) scores every
+    // document. The verified surface is libm-free across rows: each
+    // bigram's log-prob is fixed-pointed (floor(1e6·ln p) as BIGINT)
+    // BEFORE the per-doc sum, so aggregation is exact-integer and
+    // immune to float reduction order; avg_logprob is a per-row ratio
+    // of those integers. ppl = e^(−avg_logprob), left to the consumer.
+    ("x107_lm_perplexity",
+      (s: SparkSession, dir: String) =>
+        graft.ext.LanguageModel.lmScore(t(s, dir, "documents"), minCount = 2L),
+      Some(s"""WITH $lmScoreCtes
+              |SELECT doc_id, lang, count(*) AS n_bigrams,
+              |  CAST(sum(lp) AS BIGINT) AS lp_micro,
+              |  round(CAST(sum(lp) AS DOUBLE) /
+              |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_logprob
+              |FROM lp GROUP BY 1, 2""".stripMargin)),
+
+    // ---- x108: CCNet head/middle/tail fluency buckets (round 13) ------
+    // Within each language, rank most-fluent-first (highest
+    // avg_logprob; rounded-score ties broken by doc_id) and split into
+    // thirds by INTEGER arithmetic — no float quantile threshold for
+    // two engines to disagree over, and the rank rides the two-phase
+    // rankWithinStrata (no per-language single-task window).
+    ("x108_perplexity_buckets",
+      (s: SparkSession, dir: String) =>
+        graft.ext.LanguageModel.perplexityBuckets(
+          t(s, dir, "documents"), minCount = 2L),
+      Some(s"""WITH $lmScoreCtes,
+              |sc AS (SELECT doc_id, lang,
+              |         round(CAST(sum(lp) AS DOUBLE) /
+              |               (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS alp
+              |       FROM lp GROUP BY 1, 2),
+              |nl AS (SELECT lang, count(*) AS n_lang FROM sc GROUP BY 1),
+              |r AS (SELECT doc_id, lang,
+              |        row_number() OVER (PARTITION BY lang
+              |          ORDER BY -alp ASC, doc_id ASC) AS rn
+              |      FROM sc)
+              |SELECT r.doc_id, r.lang, CAST(rn AS BIGINT) AS ppl_rank,
+              |  CAST(n_lang AS BIGINT) AS n_lang,
+              |  CASE CAST(((rn - 1) * 3) // n_lang AS INT)
+              |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+              |  END AS bucket
+              |FROM r JOIN nl ON r.lang = nl.lang""".stripMargin))
   )
+
+  /** Shared CTE stack for the x107/x108 oracles: tokenize → bigrams →
+    * per-(lang,w1,w2) counts → add-one smoothed, minCount=2-pruned
+    * fixed-point log-probs per document bigram (mirrors
+    * [[graft.ext.LanguageModel.lmScore]] operation for operation).
+    */
+  private def lmScoreCtes: String =
+    """t2 AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+      |       FROM documents
+      |       WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+      |bgl AS (SELECT doc_id, lang,
+      |          unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
+      |        FROM t2),
+      |db AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bgl),
+      |c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2, 3),
+      |c1 AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1
+      |       FROM c12 GROUP BY 1, 2),
+      |vv AS (SELECT lang, count(DISTINCT w2) AS v FROM c12 GROUP BY 1),
+      |kept AS (SELECT * FROM c12 WHERE c12 >= 2),
+      |lp AS (SELECT db.doc_id, db.lang,
+      |         CAST(floor(ln(CAST(coalesce(kept.c12, 0) + 1 AS DOUBLE)
+      |                / CAST(c1.c1 + vv.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+      |       FROM db
+      |       LEFT JOIN kept ON db.lang = kept.lang AND db.w1 = kept.w1
+      |                     AND db.w2 = kept.w2
+      |       JOIN c1 ON db.lang = c1.lang AND db.w1 = c1.w1
+      |       JOIN vv ON db.lang = vv.lang)""".stripMargin
 }
