@@ -43,23 +43,54 @@ import graft.functions.Portable._
   */
 object LanguageModel {
 
-  /** Per-(lang, w1, w2) bigram counts, per-head totals and
-    * per-language continuation vocabulary — the trained model.
-    * Derived frames share ONE corpus scan: c1 and V aggregate the
-    * (persisted) bigram count table, never the corpus.
+  private def inScope(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id").isNotNull && col("lang").isNotNull)
+
+  /** The per-document bigram stream (doc_id, lang, w1, w2) — narrow,
+    * codegen'd, never materialized. */
+  private def bigramStream(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"),
+      explode(shingleStructs(tokens(col("text")), 2)).as("bg"))
+    .select(col("doc_id"), col("lang"),
+      col("bg").getField("0").as("w1"), col("bg").getField("1").as("w2"))
+
+  /** Score `scoreDocs` against a trained count table (lang, w1, w2,
+    * c12). Derived frames (head totals, continuation vocabulary, the
+    * pruned table) aggregate the — persisted, vocabulary-sized —
+    * count table, never a corpus. Bigrams whose HEAD is outside the
+    * model's vocabulary are unscorable and drop (inner c1 join);
+    * self-training (lmScore) never hits that path, held-out scoring
+    * (scoreAgainstLmIndex) does by design.
     */
-  private def counts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val bg = docs
-      .select(col("lang"),
-        explode(shingleStructs(tokens(col("text")), 2)).as("bg"))
-      .select(col("lang"),
-        col("bg").getField("0").as("w1"), col("bg").getField("1").as("w2"))
-    val c12 = graft.tools.InternalCaches.persist(
-      bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12")))
+  private def scoreWith(scoreDocs: DataFrame, c12: DataFrame,
+      minCount: Long): DataFrame = {
     val c1 = c12.groupBy("lang", "w1").agg(sum("c12").as("c1"))
     val vocab = c12.groupBy("lang").agg(countDistinct("w2").as("v"))
-    (c12, c1, vocab)
+    val kept = c12.filter(col("c12") >= minCount)
+    val p = (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+      (col("c1") + col("v")).cast("double")
+    // the pruned model broadcasts (vocabulary-sized, Zipf-bounded by
+    // minCount) so the score pass is ONE map-side stage over the
+    // corpus — the exploded bigram stream never shuffles
+    bigramStream(scoreDocs)
+      .join(broadcast(kept), Seq("lang", "w1", "w2"), "left")
+      .join(broadcast(c1), Seq("lang", "w1"))
+      .join(broadcast(vocab), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        floor(log(p) * lit(1e6)).cast("long").as("__lp"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("lp_micro"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lp_micro"),
+        round(col("lp_micro").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1e6)), 6).as("avg_logprob"))
   }
+
+  /** The trained model of a corpus: per-(lang, w1, w2) bigram counts,
+    * persisted (its three derived aggregates re-read it). */
+  private def counts(docs: DataFrame): DataFrame =
+    graft.tools.InternalCaches.persist(
+      bigramStream(docs).groupBy("lang", "w1", "w2")
+        .agg(count(lit(1)).as("c12")))
 
   /** Score every document against the corpus's own per-language
     * bigram LM (add-one smoothing; bigrams seen fewer than `minCount`
@@ -77,30 +108,8 @@ object LanguageModel {
     * of the verified surface keeps the gate libm-free).
     */
   def lmScore(docs: DataFrame, minCount: Long = 1L): DataFrame = {
-    val base = docs.filter(col("doc_id").isNotNull && col("lang").isNotNull)
-    val (c12, c1, vocab) = counts(base)
-    val kept = c12.filter(col("c12") >= minCount)
-    val docBg = base
-      .select(col("doc_id"), col("lang"),
-        explode(shingleStructs(tokens(col("text")), 2)).as("bg"))
-      .select(col("doc_id"), col("lang"),
-        col("bg").getField("0").as("w1"), col("bg").getField("1").as("w2"))
-    val p = (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
-      (col("c1") + col("v")).cast("double")
-    // the pruned model broadcasts (vocabulary-sized, Zipf-bounded by
-    // minCount) so the score pass is ONE map-side stage over the
-    // corpus — the exploded bigram stream never shuffles
-    docBg
-      .join(broadcast(kept), Seq("lang", "w1", "w2"), "left")
-      .join(broadcast(c1), Seq("lang", "w1"))
-      .join(broadcast(vocab), Seq("lang"))
-      .select(col("doc_id"), col("lang"),
-        floor(log(p) * lit(1e6)).cast("long").as("__lp"))
-      .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("lp_micro"))
-      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lp_micro"),
-        round(col("lp_micro").cast("double") /
-          (col("n_bigrams").cast("double") * lit(1e6)), 6).as("avg_logprob"))
+    val base = inScope(docs)
+    scoreWith(base, counts(base), minCount)
   }
 
   /** CCNet's head/middle/tail partition: within each language, rank
@@ -127,4 +136,101 @@ object LanguageModel {
                |  WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
                |  ELSE 'tail' END""".stripMargin).as("bucket"))
   }
+
+  // ---------------------------------------------------------------------
+  // Stored LM lifecycle — the x85/x104 storage discipline for an
+  // ADDITIVE index. Counts can't use the gram index's set semantics
+  // (a replayed append would INFLATE the model, corrupting every
+  // score), so appends are BATCH-STAMPED: each append writes its
+  // batch's deterministic per-(lang,w1,w2) counts under a caller-
+  // supplied batch_id. Replaying an append with the same batch_id
+  // reproduces byte-identical rows, so `distinct()` — at read time
+  // and in compaction — collapses the replay: exactly-once model
+  // semantics over at-least-once delivery, the same idempotence the
+  // streaming span screen gets from per-batch overwrite (x103). Two
+  // appends of the same DOCS under different batch_ids are the
+  // caller declaring them distinct corpus increments — counted twice
+  // on purpose.
+  // ---------------------------------------------------------------------
+
+  /** Build the stored model: the corpus's bigram counts as parquet
+    * under `indexDir/bigrams`, stamped batch_id='build'. */
+  def writeLmIndex(docs: DataFrame, indexDir: String): Unit =
+    counts(inScope(docs)).withColumn("batch_id", lit("build"))
+      .write.mode("overwrite").parquet(s"$indexDir/bigrams")
+
+  /** Append one corpus increment's counts (ONE file per append — the
+    * payload is vocabulary-of-the-batch-sized; upstream compute stays
+    * parallel). Cost = one batch scan + a batch-sized aggregate,
+    * independent of index size. `maxFiles` (0 disables) bounds the
+    * live file count: past the threshold [[compactLmIndex]] runs
+    * inline (the near-dup index trigger discipline).
+    */
+  def appendLmIndex(batch: DataFrame, indexDir: String, batchId: String,
+      maxFiles: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    bigramStream(inScope(batch)).groupBy("lang", "w1", "w2")
+      .agg(count(lit(1)).as("c12")).withColumn("batch_id", lit(batchId))
+      .repartition(1).write.mode("append").parquet(s"$indexDir/bigrams")
+    if (maxFiles > 0 &&
+        Dedup.countDataFiles(spark, s"$indexDir/bigrams") > maxFiles.toLong)
+      compactLmIndex(spark, indexDir)
+  }
+
+  /** Maintenance: distinct-rewrite (collapsing any replayed appends —
+    * batch-stamped rows are deterministic, so a replay is a byte-
+    * identical duplicate) then tmp → old → live swap, crash-safe at
+    * every point (the compactGramIndex discipline). Batch stamps are
+    * KEPT: compaction must stay idempotence-preserving — summing
+    * across batches here would make the next replayed append
+    * undetectable.
+    */
+  def compactLmIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // local persist, not the memoized registry: the frame reads the
+    // very directory the swap replaces
+    // one writer: the model is vocabulary-sized, and the compacted
+    // file count must land UNDER any append trigger threshold or the
+    // trigger would re-fire on every append. (repartition(1), not
+    // coalesce — the distinct upstream stays parallel.)
+    val bg = spark.read.parquet(s"$indexDir/bigrams").distinct().persist()
+    bg.repartition(1).write.mode("overwrite")
+      .parquet(s"$indexDir/bigrams.compact")
+    bg.unpersist(blocking = false)
+    val live = new Path(s"$indexDir/bigrams")
+    val old = new Path(s"$indexDir/bigrams.old")
+    fs.delete(old, true)
+    fs.rename(live, old)
+    fs.rename(new Path(s"$indexDir/bigrams.compact"), live)
+    fs.delete(old, true)
+  }
+
+  /** The stored model, merged for scoring: replayed appends collapse
+    * (distinct over batch-stamped rows), then increments sum per
+    * (lang, w1, w2). Vocabulary-sized at every step. Deliberately NOT
+    * memoized through InternalCaches: the registry keys on the plan
+    * (the path), and a model cached before an append would silently
+    * serve stale counts after it — each score re-reads the (small)
+    * stored table instead.
+    */
+  private def storedCounts(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/bigrams").distinct()
+      .groupBy("lang", "w1", "w2").agg(sum("c12").as("c12"))
+
+  /** Score a held-out batch against the STORED model — the ingest-time
+    * fluency gate: per-batch cost is the batch scan plus the
+    * (broadcast) model read; nothing rescans training corpora.
+    * Same output contract as [[lmScore]]; bigrams with an
+    * out-of-vocabulary head drop as unscorable, and a fully-OOV
+    * document drops entirely (nothing the model can say about it —
+    * route those to the heuristic filters).
+    */
+  def scoreAgainstLmIndex(batch: DataFrame, indexDir: String,
+      minCount: Long = 1L): DataFrame =
+    scoreWith(inScope(batch),
+      storedCounts(batch.sparkSession, indexDir), minCount)
 }

@@ -4094,33 +4094,77 @@ object ExtQueries {
               |  CASE CAST(((rn - 1) * 3) // n_lang AS INT)
               |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
               |  END AS bucket
-              |FROM r JOIN nl ON r.lang = nl.lang""".stripMargin))
+              |FROM r JOIN nl ON r.lang = nl.lang""".stripMargin)),
+
+    // ---- x109: stored per-language LM — the ingest fluency gate -------
+    // x107's model made a stored index (the x85/x104 storage
+    // discipline for an ADDITIVE table): counts batch-STAMPED per
+    // append so an at-least-once replay is a byte-identical duplicate
+    // that distinct() collapses — exactly-once model semantics without
+    // a transaction log. The entry pays the full lifecycle under the
+    // gate (the x104 convention): build on the even train half,
+    // append the odd half TWICE under one batch_id (the replay —
+    // which, summed naively, would inflate every count and corrupt
+    // every score), compact (makes the collapse durable), then score
+    // the HELD-OUT src2 batch against the stored model — where the
+    // pruning floor and the OOV-head drop both fire for real.
+    ("x109_lm_screen_stored",
+      (s: SparkSession, dir: String) => {
+        val docs = t(s, dir, "documents")
+        val train = docs.filter(col("source") =!= "src2")
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_lm_idx_" + Integer.toHexString(dir.hashCode)
+        graft.ext.LanguageModel.writeLmIndex(
+          train.filter(col("doc_id") % 2 === 0), idx)
+        graft.ext.LanguageModel.appendLmIndex(
+          train.filter(col("doc_id") % 2 =!= 0), idx, "b1")
+        graft.ext.LanguageModel.appendLmIndex(
+          train.filter(col("doc_id") % 2 =!= 0), idx, "b1")
+        graft.ext.LanguageModel.compactLmIndex(s, idx)
+        graft.ext.LanguageModel.scoreAgainstLmIndex(
+          docs.filter(col("source") === "src2"), idx, minCount = 2L)
+      },
+      Some(s"""WITH ${lmCtes("source <> 'src2'", "source = 'src2'")}
+              |SELECT doc_id, lang, count(*) AS n_bigrams,
+              |  CAST(sum(lp) AS BIGINT) AS lp_micro,
+              |  round(CAST(sum(lp) AS DOUBLE) /
+              |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_logprob
+              |FROM lp GROUP BY 1, 2""".stripMargin))
   )
 
-  /** Shared CTE stack for the x107/x108 oracles: tokenize → bigrams →
-    * per-(lang,w1,w2) counts → add-one smoothed, minCount=2-pruned
-    * fixed-point log-probs per document bigram (mirrors
-    * [[graft.ext.LanguageModel.lmScore]] operation for operation).
+  /** Shared CTE stack for the x107/x108 self-scoring oracles:
+    * [[lmCtes]] with train = score = the whole corpus. */
+  private def lmScoreCtes: String = lmCtes("TRUE", "TRUE")
+
+  /** Parameterized CTE stack for the LM-family oracles: tokenize →
+    * bigrams → per-(lang,w1,w2) counts over the `trainPred` slice →
+    * add-one smoothed, minCount=2-pruned fixed-point log-probs for
+    * every bigram of the `scorePred` slice (mirrors
+    * [[graft.ext.LanguageModel.lmScore]] /
+    * [[graft.ext.LanguageModel.scoreAgainstLmIndex]] operation for
+    * operation — including the OOV-head drop: the inner c1 join).
     */
-  private def lmScoreCtes: String =
-    """t2 AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS t
-      |       FROM documents
-      |       WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
-      |bgl AS (SELECT doc_id, lang,
-      |          unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
-      |        FROM t2),
-      |db AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bgl),
-      |c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2, 3),
-      |c1 AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1
-      |       FROM c12 GROUP BY 1, 2),
-      |vv AS (SELECT lang, count(DISTINCT w2) AS v FROM c12 GROUP BY 1),
-      |kept AS (SELECT * FROM c12 WHERE c12 >= 2),
-      |lp AS (SELECT db.doc_id, db.lang,
-      |         CAST(floor(ln(CAST(coalesce(kept.c12, 0) + 1 AS DOUBLE)
-      |                / CAST(c1.c1 + vv.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
-      |       FROM db
-      |       LEFT JOIN kept ON db.lang = kept.lang AND db.w1 = kept.w1
-      |                     AND db.w2 = kept.w2
-      |       JOIN c1 ON db.lang = c1.lang AND db.w1 = c1.w1
-      |       JOIN vv ON db.lang = vv.lang)""".stripMargin
+  private def lmCtes(trainPred: String, scorePred: String): String =
+    s"""t2 AS (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS t
+       |       FROM documents
+       |       WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+       |bgl AS (SELECT doc_id, lang, source,
+       |          unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
+       |        FROM t2),
+       |db AS (SELECT doc_id, lang, source, b.w1 AS w1, b.w2 AS w2 FROM bgl),
+       |c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM db
+       |        WHERE $trainPred GROUP BY 1, 2, 3),
+       |c1 AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1
+       |       FROM c12 GROUP BY 1, 2),
+       |vv AS (SELECT lang, count(DISTINCT w2) AS v FROM c12 GROUP BY 1),
+       |kept AS (SELECT * FROM c12 WHERE c12 >= 2),
+       |dbs AS (SELECT * FROM db WHERE $scorePred),
+       |lp AS (SELECT dbs.doc_id, dbs.lang,
+       |         CAST(floor(ln(CAST(coalesce(kept.c12, 0) + 1 AS DOUBLE)
+       |                / CAST(c1.c1 + vv.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+       |       FROM dbs
+       |       LEFT JOIN kept ON dbs.lang = kept.lang AND dbs.w1 = kept.w1
+       |                     AND dbs.w2 = kept.w2
+       |       JOIN c1 ON dbs.lang = c1.lang AND dbs.w1 = c1.w1
+       |       JOIN vv ON dbs.lang = vv.lang)""".stripMargin
 }

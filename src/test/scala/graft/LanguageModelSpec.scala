@@ -87,4 +87,78 @@ class LanguageModelSpec extends SparkSpec {
     // exchange anywhere in the bucket plan
     assert(!pb.contains("SinglePartition"), pb)
   }
+
+  // ---- stored lifecycle (x109) --------------------------------------
+
+  private def tmpIdx(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_lm_$tag")
+    d.toFile.deleteOnExit(); d.toString
+  }
+
+  private def scores(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "lang", "n_bigrams", "lp_micro")
+      .as[(Long, String, Long, Long)].collect().toSet
+
+  test("stored model ≡ in-memory: self-scoring through the index round-trips bit-for-bit") {
+    val idx = tmpIdx("roundtrip")
+    LanguageModel.writeLmIndex(fixture, idx)
+    assert(scores(LanguageModel.scoreAgainstLmIndex(fixture, idx, minCount = 2L))
+      === scores(LanguageModel.lmScore(fixture, minCount = 2L)))
+  }
+
+  test("replayed append collapses; a distinct batch_id counts again") {
+    val even = fixture.filter(col("doc_id") % 2 === 0)
+    val odd = fixture.filter(col("doc_id") % 2 =!= 0)
+    val once = tmpIdx("once"); val replay = tmpIdx("replay")
+    LanguageModel.writeLmIndex(even, once)
+    LanguageModel.appendLmIndex(odd, once, "b1")
+    LanguageModel.writeLmIndex(even, replay)
+    LanguageModel.appendLmIndex(odd, replay, "b1")
+    LanguageModel.appendLmIndex(odd, replay, "b1") // at-least-once redelivery
+    val s1 = scores(LanguageModel.scoreAgainstLmIndex(fixture, once, 1L))
+    assert(scores(LanguageModel.scoreAgainstLmIndex(fixture, replay, 1L)) === s1)
+    // same docs under a NEW batch_id = a declared second increment:
+    // counts double, scores move
+    LanguageModel.appendLmIndex(odd, replay, "b2")
+    assert(scores(LanguageModel.scoreAgainstLmIndex(fixture, replay, 1L)) !== s1)
+  }
+
+  test("compaction: scores invariant, replay collapsed durably, file count bounded") {
+    val idx = tmpIdx("compact")
+    LanguageModel.writeLmIndex(fixture.filter(col("doc_id") % 2 === 0), idx)
+    LanguageModel.appendLmIndex(fixture.filter(col("doc_id") % 2 =!= 0), idx, "b1")
+    LanguageModel.appendLmIndex(fixture.filter(col("doc_id") % 2 =!= 0), idx, "b1")
+    val before = scores(LanguageModel.scoreAgainstLmIndex(fixture, idx, 1L))
+    LanguageModel.compactLmIndex(spark, idx)
+    assert(scores(LanguageModel.scoreAgainstLmIndex(fixture, idx, 1L)) === before)
+    // the replayed rows are gone from STORAGE, not just merged at read
+    val stored = spark.read.parquet(s"$idx/bigrams")
+    assert(stored.count() === stored.distinct().count())
+  }
+
+  test("append-side trigger: maxFiles=1 keeps the live file count at one") {
+    val idx = tmpIdx("trigger")
+    LanguageModel.writeLmIndex(fixture.filter(col("doc_id") === 1L), idx)
+    LanguageModel.appendLmIndex(fixture.filter(col("doc_id") === 2L), idx, "b1",
+      maxFiles = 1)
+    LanguageModel.appendLmIndex(fixture.filter(col("doc_id") === 4L), idx, "b2",
+      maxFiles = 1)
+    val files = new java.io.File(s"$idx/bigrams").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files === 1, s"expected 1 live data file after inline compaction, got $files")
+  }
+
+  test("held-out scoring: OOV-head bigrams drop, fully-OOV docs drop entirely") {
+    val idx = tmpIdx("oov")
+    // train: only "a b" bigrams exist; heads = {a}
+    LanguageModel.writeLmIndex(
+      Seq((10L, "a b", "en"), (11L, "a b", "en")).toDF("doc_id", "text", "lang"), idx)
+    val held = Seq(
+      (20L, "a b c", "en"),  // (a,b) scorable; (b,c) head 'b' OOV → drops
+      (21L, "x y", "en")     // fully OOV → absent
+    ).toDF("doc_id", "text", "lang")
+    val out = LanguageModel.scoreAgainstLmIndex(held, idx, minCount = 1L)
+      .select("doc_id", "n_bigrams").as[(Long, Long)].collect().toMap
+    assert(out === Map(20L -> 1L))
+  }
 }
