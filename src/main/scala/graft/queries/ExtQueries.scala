@@ -4129,7 +4129,60 @@ object ExtQueries {
               |  CAST(sum(lp) AS BIGINT) AS lp_micro,
               |  round(CAST(sum(lp) AS DOUBLE) /
               |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_logprob
-              |FROM lp GROUP BY 1, 2""".stripMargin))
+              |FROM lp GROUP BY 1, 2""".stripMargin)),
+
+    // ---- x110: LM-gated budget curation (round 13) --------------------
+    // The CCNet gate composed into selection: drop each language's
+    // TAIL fluency bucket (x108), then spend the token budget on the
+    // survivors (x74's binned selector — bit-identical to the prefix
+    // rule, no global sort). Unscorable documents (< 2 tokens, null
+    // lang) have no fluency evidence and drop with the tail — the
+    // fluency gate is allowed to be strict because the heuristic
+    // cascade (x76) is the catch basin for short docs. Both stages are
+    // scale paths: the bucket rank is two-phase, the budget decision
+    // is bin-wholesale with only the boundary bin sorting.
+    ("x110_curation_lm",
+      (s: SparkSession, dir: String) => {
+        val keep = graft.ext.LanguageModel
+          .perplexityBuckets(t(s, dir, "documents"), minCount = 2L)
+          .filter(col("bucket") =!= "tail")
+          .select(col("doc_id"), col("lang"), col("bucket"))
+        graft.ext.Sampling.selectToBudgetBinnedFrom(
+            meritScored(s, dir).join(keep, Seq("doc_id"))
+              .select(col("doc_id"), col("merit"), col("n_tokens")),
+            budgetTokens = 9000L)
+          .join(broadcast(keep), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("bucket"),
+            col("merit"), col("n_tokens"))
+      },
+      Some(s"""WITH ${lmCtes("TRUE", "TRUE")},
+              |sc AS (SELECT doc_id, lang,
+              |         round(CAST(sum(lp) AS DOUBLE) /
+              |               (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS alp
+              |       FROM lp GROUP BY 1, 2),
+              |nl AS (SELECT lang, count(*) AS n_lang FROM sc GROUP BY 1),
+              |rk AS (SELECT doc_id, lang,
+              |         row_number() OVER (PARTITION BY lang
+              |           ORDER BY -alp ASC, doc_id ASC) AS rn
+              |       FROM sc),
+              |bk AS (SELECT rk.doc_id, rk.lang,
+              |         CASE CAST(((rn - 1) * 3) // n_lang AS INT)
+              |           WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+              |           ELSE 'tail' END AS bucket
+              |       FROM rk JOIN nl ON rk.lang = nl.lang),
+              |keep AS (SELECT * FROM bk WHERE bucket <> 'tail'),
+              |ms AS (SELECT doc_id,
+              |         least(len(string_split(trim(text), ' ')), 100) * 1000
+              |           - (len(regexp_extract_all(text, '[.,;:!?]')) * 100000
+              |              // greatest(length(text), 1)) AS merit,
+              |         CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+              |       FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+              |jj AS (SELECT ms.doc_id, keep.lang, keep.bucket, ms.merit, ms.n_tokens
+              |       FROM ms JOIN keep ON ms.doc_id = keep.doc_id),
+              |cc AS (SELECT *, sum(n_tokens) OVER (ORDER BY merit DESC, doc_id ASC
+              |         ROWS UNBOUNDED PRECEDING) AS cum FROM jj)
+              |SELECT doc_id, lang, bucket, merit, n_tokens
+              |FROM cc WHERE cum <= 9000""".stripMargin))
   )
 
   /** Shared CTE stack for the x107/x108 self-scoring oracles:

@@ -153,10 +153,23 @@ object ScaleDecade {
     "x102_curation_ledger", // round 12: x27's memoized cluster frame +
                         // the gate CASE chain — marginal over x27,
                         // like x75/x82
-    "x104_near_screen_stored") // round 12: stored near-dup index —
+    "x104_near_screen_stored", // round 12: stored near-dup index —
                         // bundled build+append+compact+screen (the
                         // x85 honest convention); the split block
                         // below isolates the screen term
+    "x107_lm_perplexity", // round 13: two corpus passes (count +
+                        // broadcast-model score) — should track the
+                        // scan; the model is vocabulary-sized and
+                        // Zipf-saturates
+    "x108_perplexity_buckets", // round 13: x107 + the two-phase rank —
+                        // x99's rank shape over the scored frame
+    "x109_lm_screen_stored", // round 13: stored LM — bundled
+                        // build+replayed-append+compact+held-out
+                        // score; the split block below isolates the
+                        // score term
+    "x110_curation_lm") // round 13: x108's buckets + x74's binned
+                        // budget — should track x108 (the budget
+                        // decision is bin-wholesale)
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names
@@ -370,6 +383,36 @@ object ScaleDecade {
             (System.nanoTime() - t1) / 1e9
           }.sorted
           println(f"""{"query":"x104_split_$label","build_sec":$build%.3f,"screen_sec":${times(1)}%.3f}""")
+      }
+    }
+
+    // ---- x109: stored LM — build vs score-only (the x85/x104 split
+    // convention). The bundled decade row pays per-run build + append
+    // + compact; the production claim is that scoring a FIXED batch
+    // costs the batch scan plus a vocabulary-sized (broadcast) model
+    // read — and the vocabulary Zipf-saturates as the corpus grows,
+    // so the score term should flatten across the decades while the
+    // build term tracks the corpus. Batch pinned to the 1× src2
+    // documents at every scale (the x95/x104 isolation trick).
+    if (selected("x109_lm_screen_stored")) {
+      val fixedBatch = graft.sources.Tables.load(spark, src, "documents")
+        .filter(col("source") === "src2")
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val docs = graft.sources.Tables.load(spark, d, "documents")
+          val idx = s"/tmp/graft_lm_idx_decade_$label"
+          val t0 = System.nanoTime()
+          graft.ext.LanguageModel.writeLmIndex(
+            docs.filter(col("source") =!= "src2"), idx)
+          val build = (System.nanoTime() - t0) / 1e9
+          val times = (1 to 3).map { _ =>
+            val t1 = System.nanoTime()
+            graft.ext.LanguageModel.scoreAgainstLmIndex(
+                fixedBatch, idx, minCount = 2L)
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t1) / 1e9
+          }.sorted
+          println(f"""{"query":"x109_split_$label","build_sec":$build%.3f,"score_sec":${times(1)}%.3f}""")
       }
     }
 

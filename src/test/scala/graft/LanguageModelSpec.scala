@@ -148,6 +148,26 @@ class LanguageModelSpec extends SparkSpec {
     assert(files === 1, s"expected 1 live data file after inline compaction, got $files")
   }
 
+  test("LM-gated curation composition: only head/middle survive, budget respected") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val keep = LanguageModel.perplexityBuckets(docs, minCount = 2L)
+      .filter(col("bucket") =!= "tail").select("doc_id", "lang", "bucket")
+    val scored = graft.ext.Sampling.meritTokens(docs)
+      .join(keep, Seq("doc_id")).select("doc_id", "merit", "n_tokens")
+    val sel = graft.ext.Sampling
+      .selectToBudgetBinnedFrom(scored, budgetTokens = 9000L).cache()
+    // every selected doc is a non-tail survivor; the budget binds
+    assert(sel.join(keep, Seq("doc_id"), "left_anti").count() === 0L)
+    val total = sel.agg(sum("n_tokens")).as[Long].head()
+    assert(total <= 9000L && total > 0L)
+    // binned ≡ prefix rule on this composed input (the x74 contract,
+    // re-pinned on the gated frame)
+    val prefix = graft.ext.Sampling.selectToBudgetFrom(scored, 9000L)
+    assert(sel.select("doc_id").as[Long].collect().toSet ===
+      prefix.select("doc_id").as[Long].collect().toSet)
+    sel.unpersist()
+  }
+
   test("held-out scoring: OOV-head bigrams drop, fully-OOV docs drop entirely") {
     val idx = tmpIdx("oov")
     // train: only "a b" bigrams exist; heads = {a}
