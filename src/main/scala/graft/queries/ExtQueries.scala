@@ -50,6 +50,8 @@ object ExtQueries {
   private val x71Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x103Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x103Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x111Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x111Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -4182,7 +4184,43 @@ object ExtQueries {
               |cc AS (SELECT *, sum(n_tokens) OVER (ORDER BY merit DESC, doc_id ASC
               |         ROWS UNBOUNDED PRECEDING) AS cum FROM jj)
               |SELECT doc_id, lang, bucket, merit, n_tokens
-              |FROM cc WHERE cum <= 9000""".stripMargin))
+              |FROM cc WHERE cum <= 9000""".stripMargin)),
+
+    // ---- x111: streaming ingest fluency gate (round 13) ---------------
+    // x109's stored LM run where an ingest gate runs it — the x103
+    // convention for the ADDITIVE index: documents replay in
+    // deterministic micro-batches (batch = doc_id mod 4, fed in
+    // order), each batch scored against the model of every STRICTLY
+    // EARLIER batch, then its batch-stamped counts append (an
+    // at-least-once redelivery writes byte-identical rows the read
+    // collapses). Batch 0 bootstraps. The oracle is three
+    // instantiations of the train/score-split CTE stack — model of
+    // batches < b scoring batch b — unioned: sequential-ingest truth,
+    // same discipline as x103's strictly-earlier-batch gram CTE.
+    ("x111_stream_lm_screen",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x111_${s.sparkContext.applicationId}_${x111Seq.incrementAndGet()}")
+        Option(x111Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        graft.streaming.DocStream.lmScoreReplay(s, t(s, dir, "documents"),
+          new java.io.File(root, "index").getPath,
+          new java.io.File(root, "out").getPath, nBatches = 4, minCount = 2L)
+      },
+      Some {
+        val blocks = (1 to 3).map { b =>
+          lmCtes(s"doc_id % 4 < $b", s"doc_id % 4 = $b", s"u$b")
+        }.mkString(",\n")
+        val selects = (1 to 3).map { b =>
+          s"""SELECT doc_id, lang, count(*) AS n_bigrams,
+             |  CAST(sum(lp) AS BIGINT) AS lp_micro,
+             |  round(CAST(sum(lp) AS DOUBLE) /
+             |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_logprob
+             |FROM u${b}lp GROUP BY 1, 2""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $blocks\n$selects"
+      })
   )
 
   /** Shared CTE stack for the x107/x108 self-scoring oracles:
@@ -4196,28 +4234,31 @@ object ExtQueries {
     * [[graft.ext.LanguageModel.lmScore]] /
     * [[graft.ext.LanguageModel.scoreAgainstLmIndex]] operation for
     * operation — including the OOV-head drop: the inner c1 join).
+    * `p` prefixes every CTE name so the stack can instantiate several
+    * times in one WITH clause (the x111 per-batch union).
     */
-  private def lmCtes(trainPred: String, scorePred: String): String =
-    s"""t2 AS (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS t
+  private def lmCtes(trainPred: String, scorePred: String,
+      p: String = ""): String =
+    s"""${p}t2 AS (SELECT doc_id, lang, source, string_split(trim(text), ' ') AS t
        |       FROM documents
        |       WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
-       |bgl AS (SELECT doc_id, lang, source,
+       |${p}bgl AS (SELECT doc_id, lang, source,
        |          unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
-       |        FROM t2),
-       |db AS (SELECT doc_id, lang, source, b.w1 AS w1, b.w2 AS w2 FROM bgl),
-       |c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM db
+       |        FROM ${p}t2),
+       |${p}db AS (SELECT doc_id, lang, source, b.w1 AS w1, b.w2 AS w2 FROM ${p}bgl),
+       |${p}c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM ${p}db
        |        WHERE $trainPred GROUP BY 1, 2, 3),
-       |c1 AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1
-       |       FROM c12 GROUP BY 1, 2),
-       |vv AS (SELECT lang, count(DISTINCT w2) AS v FROM c12 GROUP BY 1),
-       |kept AS (SELECT * FROM c12 WHERE c12 >= 2),
-       |dbs AS (SELECT * FROM db WHERE $scorePred),
-       |lp AS (SELECT dbs.doc_id, dbs.lang,
-       |         CAST(floor(ln(CAST(coalesce(kept.c12, 0) + 1 AS DOUBLE)
-       |                / CAST(c1.c1 + vv.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
-       |       FROM dbs
-       |       LEFT JOIN kept ON dbs.lang = kept.lang AND dbs.w1 = kept.w1
-       |                     AND dbs.w2 = kept.w2
-       |       JOIN c1 ON dbs.lang = c1.lang AND dbs.w1 = c1.w1
-       |       JOIN vv ON dbs.lang = vv.lang)""".stripMargin
+       |${p}c1 AS (SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1
+       |       FROM ${p}c12 GROUP BY 1, 2),
+       |${p}vv AS (SELECT lang, count(DISTINCT w2) AS v FROM ${p}c12 GROUP BY 1),
+       |${p}kept AS (SELECT * FROM ${p}c12 WHERE c12 >= 2),
+       |${p}dbs AS (SELECT * FROM ${p}db WHERE $scorePred),
+       |${p}lp AS (SELECT s.doc_id, s.lang,
+       |         CAST(floor(ln(CAST(coalesce(k.c12, 0) + 1 AS DOUBLE)
+       |                / CAST(h.c1 + w.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+       |       FROM ${p}dbs s
+       |       LEFT JOIN ${p}kept k ON s.lang = k.lang AND s.w1 = k.w1
+       |                     AND s.w2 = k.w2
+       |       JOIN ${p}c1 h ON s.lang = h.lang AND s.w1 = h.w1
+       |       JOIN ${p}vv w ON s.lang = w.lang)""".stripMargin
 }

@@ -112,4 +112,75 @@ object DocStream {
       .parquet(s"$outDir/batch=*")
       .select(spanSchema.fieldNames.map(col).toSeq: _*)
   }
+
+  private[graft] val lmScoreSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("n_bigrams", LongType), StructField("lp_micro", LongType),
+    StructField("avg_logprob", DoubleType)))
+
+  /** x111 — the stored LM ([[graft.ext.LanguageModel]]) run where an
+    * ingest gate runs it: each arriving micro-batch is fluency-scored
+    * against the model of every STRICTLY EARLIER batch, then its own
+    * counts append (batch-stamped with the micro-batch id, so an
+    * at-least-once redelivery writes byte-identical rows the read-side
+    * `distinct()` collapses — the additive-index idempotence the span
+    * screen gets from set semantics). Batch 0 bootstraps the model (an
+    * empty model can say nothing — every head would be OOV and the
+    * whole batch would drop as unscorable, which is vacuous, not
+    * informative). Per-batch scores write to `outDir/batch=<id>` with
+    * overwrite — a replayed batch rewrites its own directory.
+    *
+    * Same transport caveat as [[spanScreenReplay]]: MemoryStream
+    * collects the fixture to the driver for deterministic batch
+    * boundaries; production is `readStream` over arriving files with
+    * the identical foreachBatch body.
+    *
+    * Scale shape per batch: one batch scan + the vocabulary-sized
+    * (broadcast) stored-model read for the score, one batch scan +
+    * batch-vocabulary aggregate + ONE appended file for the update,
+    * with the inline file-count compaction trigger bounding reads.
+    */
+  def lmScoreReplay(spark: SparkSession, docs: DataFrame,
+      indexDir: String, outDir: String, nBatches: Int = 4,
+      minCount: Long = 2L, maxFiles: Int = 64): DataFrame = {
+    require(nBatches >= 2, s"need at least 2 batches to score, got $nBatches")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    val stream = MemoryStream[(Long, String, String)]
+    val bootstrapped = new java.io.File(s"$indexDir/bigrams/_SUCCESS")
+    val q = stream.toDF().toDF("doc_id", "text", "lang").writeStream
+      .option("checkpointLocation", s"$outDir/_chk")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val t0 = System.nanoTime()
+        if (!bootstrapped.exists()) {
+          graft.ext.LanguageModel.writeLmIndex(batch, indexDir)
+        } else {
+          graft.ext.LanguageModel
+            .scoreAgainstLmIndex(batch, indexDir, minCount)
+            .repartition(1)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          graft.ext.LanguageModel.appendLmIndex(batch, indexDir, s"b$id",
+            maxFiles = maxFiles)
+        }
+        System.err.println(
+          f"[docstream-lm] batch $id: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      .start()
+    try {
+      (0 until nBatches).foreach { b =>
+        stream.addData(rows.filter { case (id, _, _) =>
+          math.floorMod(id, nBatches.toLong) == b.toLong }.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.schema(lmScoreSchema)
+      .parquet(s"$outDir/batch=*")
+      .select(lmScoreSchema.fieldNames.map(col).toSeq: _*)
+  }
 }

@@ -183,9 +183,12 @@ object ScaleDecade {
     "q24_maproot_write",    // round 10: the flagship nested build + sink
     "x14_stream_crossover", // round 10: streaming-vs-sort measurement
     "x95_span_screen_bloom", // round 12: fixed-batch screen vs index growth
-    "x103_stream_span_screen") // round 12: replays the corpus through
+    "x103_stream_span_screen", // round 12: replays the corpus through
                         // foreachBatch micro-batches (the x14 cost
                         // class — minutes at 100×)
+    "x111_stream_lm_screen") // round 13: same replay cost class —
+                        // per-batch score + append against the
+                        // stored LM
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for

@@ -168,6 +168,32 @@ class LanguageModelSpec extends SparkSpec {
     sel.unpersist()
   }
 
+  test("streaming LM replay: parity with the batch form, redelivery idempotent") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val root = tmpIdx("stream")
+    val streamed = graft.streaming.DocStream.lmScoreReplay(spark, docs,
+      s"$root/index", s"$root/out", nBatches = 4, minCount = 2L)
+    // batch-form truth: for each batch b, a model built from batches
+    // < b scores batch b — the sequential-ingest semantics
+    val expected = (1 to 3).map { b =>
+      val idx = tmpIdx(s"streamtruth$b")
+      LanguageModel.writeLmIndex(
+        docs.filter(pmod(col("doc_id"), lit(4L)) < b), idx)
+      scores(LanguageModel.scoreAgainstLmIndex(
+        docs.filter(pmod(col("doc_id"), lit(4L)) === b), idx, 2L))
+    }.reduce(_ ++ _)
+    assert(scores(streamed) === expected)
+    // at-least-once redelivery: re-appending batch 3 under its own
+    // stamp leaves the stored model unchanged for any later reader
+    val before = scores(LanguageModel.scoreAgainstLmIndex(
+      docs.filter(pmod(col("doc_id"), lit(4L)) === 0), s"$root/index", 2L))
+    LanguageModel.appendLmIndex(
+      docs.filter(pmod(col("doc_id"), lit(4L)) === 3), s"$root/index", "b3")
+    assert(scores(LanguageModel.scoreAgainstLmIndex(
+      docs.filter(pmod(col("doc_id"), lit(4L)) === 0), s"$root/index", 2L))
+      === before)
+  }
+
   test("held-out scoring: OOV-head bigrams drop, fully-OOV docs drop entirely") {
     val idx = tmpIdx("oov")
     // train: only "a b" bigrams exist; heads = {a}
