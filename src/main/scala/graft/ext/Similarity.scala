@@ -268,25 +268,67 @@ object Similarity {
   def semDedup(
       emb: DataFrame,
       minCos: Double = 0.7,
-      centroidModulus: Int = 100): DataFrame = {
+      centroidModulus: Int = 100,
+      cellCap: Int = DefaultCellCap): DataFrame = {
     val all = vecs(emb)
     witnessDedup(
-      assignToCentroids(all, modulusCentroids(all, centroidModulus)), minCos)
+      assignToCentroids(all, modulusCentroids(all, centroidModulus)), minCos,
+      cellCap)
   }
 
-  /** The within-cluster witness pass shared by both semDedup variants:
-    * pairwise cosine strictly inside each cluster, a vector is a dup
-    * iff a lower-id cluster-mate scores >= minCos.
+  /** Hard per-cell bound on the witness pass. The quantizer's balance
+    * assumption FAILS on the one corpus shape a deduplicator exists
+    * for: a duplicate cloud `anchor + ε·p` has
+    * cos(v, c) = 1 − ε²/2·|p_v⊥ − q_c⊥|², whose −|q_c⊥|²/2 term is
+    * vector-independent — every cloud member prefers the centroid with
+    * the smallest perturbation norm, the cloud collapses into one
+    * mega-cell, and the within-cell join goes quadratic in the CLOUD,
+    * not the occupancy. Measured, not argued: on the 200k hot-cloud
+    * corpus the assignment put ~40k vectors in each of 4 cells
+    * (`tools.CellOccupancy`), ~3·10⁹ witness pairs; at 2M that is
+    * ~3·10¹¹ — the round-13 x80 recall run died on it.
+    *
+    * Cells above the cap sub-split by `pmod(vec_id, ceil(n/cap))`, and
+    * witnesses are found within sub-cells: cost is bounded by
+    * Σ min(occ, cap)·occ, and the error is ONE-SIDED — every flagged
+    * dup still has a real witness (soundness unchanged); a mega-cell
+    * keeps ≤ ceil(n/cap) survivors instead of exactly one (bounded
+    * recall loss, deterministic, and the survivors ARE representatives
+    * of the cloud). At sane occupancies the cap never binds and the
+    * output is bit-identical to the uncapped form (spec-gated).
     */
-  private def witnessDedup(assigned: DataFrame, minCos: Double): DataFrame = {
+  private[graft] val DefaultCellCap = 1024
+
+  /** The within-cluster witness pass shared by both semDedup variants:
+    * pairwise cosine strictly inside each cluster (sub-split past
+    * `cellCap` — see [[DefaultCellCap]]), a vector is a dup iff a
+    * lower-id (sub-)cluster-mate scores >= minCos.
+    *
+    * The assignment is registered in [[graft.tools.InternalCaches]]:
+    * the plan reads it four ways (cell sizes, both join sides, the
+    * verdict join-back), and before the cap landed each read re-ran
+    * the full quantizer.
+    */
+  private def witnessDedup(assigned0: DataFrame, minCos: Double,
+      cellCap: Int = DefaultCellCap): DataFrame = {
+    require(cellCap >= 2, s"cellCap must be >= 2, got $cellCap")
+    val assigned = graft.tools.InternalCaches.persist(assigned0)
+    val sizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__cn"))
+    val sized = assigned.join(sizes, Seq("centroid_id"))
+      .withColumn("__sub",
+        pmod(col("vec_id"),
+          ceil(col("__cn") / lit(cellCap.toDouble)).cast("long")))
     // explicit renames on the probe side: both join inputs descend from
     // the same `assigned` plan, and self-join attribute resolution would
     // otherwise be ambiguous
-    val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("centroid_id").as("centroid_b"),
-      col("vec_id").as("id_b"), col("v").as("vb"))
+    val a = sized.select(col("centroid_id"), col("__sub"),
+      col("vec_id").as("id_a"), col("v").as("va"))
+    val b = sized.select(col("centroid_id").as("centroid_b"),
+      col("__sub").as("__sub_b"), col("vec_id").as("id_b"), col("v").as("vb"))
     val witnesses = a.join(b,
-        col("centroid_id") === col("centroid_b") && col("id_a") < col("id_b"))
+        col("centroid_id") === col("centroid_b") &&
+          col("__sub") === col("__sub_b") && col("id_a") < col("id_b"))
       .select(col("id_b").as("vec_id"),
         round(cos(col("va"), col("vb")), 6).as("c_sim"))
       .filter(col("c_sim") >= minCos)
@@ -485,12 +527,26 @@ object Similarity {
       minCos: Double = 0.7,
       centroidModulus: Int = DefaultCentroidModulus,
       superFactor: Int = DefaultSuperFactor,
-      nprobe: Int = DefaultNprobe): DataFrame = {
+      nprobe: Int = DefaultNprobe,
+      cellCap: Int = DefaultCellCap): DataFrame = {
     val assigned = topKByCos(
       hierCandidates(emb, centroidModulus, superFactor, nprobe),
       Seq("vec_id"), "v", "centroid_id", "cv")
-    witnessDedup(assigned, minCos)
+    witnessDedup(assigned, minCos, cellCap)
   }
+
+  /** Per-cell occupancy of the hierarchical assignment — the
+    * [[graft.tools.CellOccupancy]] diagnostic's data half. Output:
+    * (centroid_id, n).
+    */
+  private[graft] def assignmentOccupancy(
+      emb: DataFrame,
+      centroidModulus: Int = DefaultCentroidModulus,
+      superFactor: Int = DefaultSuperFactor,
+      nprobe: Int = DefaultNprobe): DataFrame =
+    topKByCos(hierCandidates(emb, centroidModulus, superFactor, nprobe),
+        Seq("vec_id"), "v", "centroid_id", "cv")
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
 
   /** The (vector, centroid) candidate frame the hierarchical assignment
     * scores — the top-1 over it is the assignment. Factored out so the

@@ -167,8 +167,17 @@ object RecallAtScale {
       for ((dir, label, _, skewed) <- corpora if skewed && wanted(label)) {
         val emb = graft.sources.Tables.load(spark, dir, "embeddings")
         val dd = Similarity.semDedupHierarchical(emb, minCos = 0.45)
-        val reps = graft.tools.InternalCaches.persist(
-          emb.join(dd.filter(!col("is_dup")).select("vec_id"), Seq("vec_id")))
+        // Materialize the rep corpus to parquet rather than stacking a
+        // persist on semDedup's internal persist: the nested-cache plan
+        // trips Spark 4.1's CacheManager rebuild (CachedRDDBuilder.copy
+        // over a null-session physical plan → NPE on the first action),
+        // and the parquet form is the honest one anyway — the rep corpus
+        // is the index-input artifact, same discipline as the stored
+        // index lifecycles.
+        val repsDir = s"/tmp/graft_x80_reps_$label"
+        emb.join(dd.filter(!col("is_dup")).select("vec_id"), Seq("vec_id"))
+          .write.mode("overwrite").parquet(repsDir)
+        val reps = spark.read.parquet(repsDir)
         val nRaw = emb.count(); val nRep = reps.count()
         val idx = s"/tmp/graft_x80_reps_idx_$label"
         Similarity.ivfPqWriteIndex(reps, idx, trainIters = 2)
@@ -199,6 +208,9 @@ object RecallAtScale {
         val kthRep = gtRep.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).min }
         val kthRaw = gtRaw.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).min }
         println(f"""{"scale":"$label-x80","vectors_raw":$nRaw,"vectors_rep":$nRep,"hotq_id_recall5_rep_gt":$idRecallRep%.2f,"hotq_eps_recall5_rep_gt":{"tau001":${eps(kthRep, 0.001)}%.2f,"tau01":${eps(kthRep, 0.01)}%.2f},"hotq_eps_recall5_vs_raw":{"tau01":${eps(kthRaw, 0.01)}%.2f},"hotq_id_recall5_rep_nprobe":{${npCurveRep.mkString(",")}}}""")
+        // drop this corpus's internal persists (semDedup's shingle/tf
+        // frames) before the next, larger corpus claims the memory
+        graft.tools.InternalCaches.release(spark)
       }
     }
     spark.stop()

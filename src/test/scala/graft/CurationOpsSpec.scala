@@ -43,6 +43,75 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1L).getDouble(3) === 1.0, "identical vectors score cos 1")
   }
 
+  // ---- the witness cell cap (round 13) --------------------------------
+  // A dup cloud `anchor + ε·p` collapses the quantizer: cos(v, c) =
+  // 1 − ε²/2·|p_v⊥ − q_c⊥|² has a vector-independent −|q_c⊥|²/2 term,
+  // so every cloud member prefers the same centroid and the witness
+  // join goes quadratic in the cloud (measured: 4 × ~40k cells on the
+  // 200k skew corpus, tools.CellOccupancy). `cellCap` sub-splits such
+  // cells by pmod(vec_id, ceil(n/cap)); these pin the cap's contract.
+
+  /** 30-member dup cloud: one anchor + 29 tiny distinct perturbations,
+    * all mutually cos ≈ 0.9988, all assigned to centroid 0.
+    */
+  private def cloudDf = {
+    val dim = 64
+    embDf((0L to 29L).map { i =>
+      i -> Seq.tabulate(dim) { d =>
+        if (d == 0) 1.0f
+        else if (i > 0 && d == i.toInt) 0.05f
+        else 0.0f
+      }
+    })
+  }
+
+  test("cellCap: non-binding cap is bit-identical to the uncapped form") {
+    val loose = Similarity.semDedup(cloudDf, minCos = 0.45, cellCap = 1024)
+      .collect().toSet
+    val tight = Similarity.semDedup(cloudDf, minCos = 0.45, cellCap = 64)
+      .collect().toSet
+    assert(loose === tight, "cap above every cell size must not change output")
+    assert(loose.count(!_.getBoolean(4)) === 1, "uncapped cloud keeps exactly vec 0")
+  }
+
+  test("cellCap: a binding cap keeps one survivor per pmod sub-cell, error one-sided") {
+    // cap 8 over a 30-cell → ceil(30/8) = 4 sub-cells by vec_id % 4
+    val capped = Similarity.semDedup(cloudDf, minCos = 0.45, cellCap = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(capped.size === 30, "one verdict per vector")
+    val survivors = capped.values.filter(!_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(survivors === Set(0L, 1L, 2L, 3L),
+      "one survivor per sub-cell: the lowest id of each vec_id % 4 class")
+    // soundness: every flagged dup carries a real witness above threshold
+    capped.values.filter(_.getBoolean(4)).foreach { r =>
+      assert(r.getLong(2) > 0 && r.getDouble(3) >= 0.45,
+        s"dup ${r.getLong(0)} must have a genuine witness")
+    }
+    // one-sided error: capping may only ADD survivors, never new dups
+    val uncappedDups = Similarity.semDedup(cloudDf, minCos = 0.45)
+      .filter(col("is_dup")).collect().map(_.getLong(0)).toSet
+    val cappedDups = capped.values.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(cappedDups.subsetOf(uncappedDups),
+      "every capped dup must also be an uncapped dup")
+  }
+
+  test("cellCap: hierarchical and flat agree under a binding cap (shared witness)") {
+    val flat = Similarity.semDedup(cloudDf, minCos = 0.45, cellCap = 8)
+      .collect().toSet
+    val hier = Similarity.semDedupHierarchical(cloudDf, minCos = 0.45, cellCap = 8)
+      .collect().toSet
+    assert(flat === hier, "one super-cell: the capped forms must coincide")
+  }
+
+  test("cellCap: the default cap does not bind on the fixture corpus") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dflt = Similarity.semDedup(emb, minCos = 0.45).collect().toSet
+    val unbounded = Similarity.semDedup(emb, minCos = 0.45,
+      cellCap = Int.MaxValue).collect().toSet
+    assert(dflt === unbounded,
+      "registered oracles assume the cap never binds at fixture scale")
+  }
+
   test("semDedup: keep-set is closed under the witness rule on the fixture") {
     val emb = Tables.load(spark, sf, "embeddings")
     val out = Similarity.semDedup(emb, minCos = 0.45).cache()
