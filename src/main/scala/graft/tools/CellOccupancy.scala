@@ -39,9 +39,15 @@ object CellOccupancy {
     println(s"""{"corpus":"$dir","vectors":$n,"top_cells":[${
       occ.map(r => s"""{"centroid":${r.getLong(0)},"n":${r.getLong(1)}}""")
         .mkString(",")}]}""")
-    val pairs = Similarity.assignmentOccupancy(emb)
-      .agg(sum(col("n") * (col("n") - 1) / 2)).collect()(0).getLong(0)
-    println(s"""{"corpus":"$dir","witness_pairs":$pairs}""")
+    val cap = args.lift(1).map(_.toInt).getOrElse(Similarity.DefaultCellCap)
+    val row = Similarity.assignmentOccupancy(emb).select(
+      sum((col("n") * (col("n") - 1) / 2).cast("long")).as("uncapped"),
+      // per-cell sub-split estimate: s = ceil(n/cap), pairs ≈ s·(n/s)²/2
+      sum((ceil(col("n") / lit(cap.toDouble)) *
+        pow(col("n") / ceil(col("n") / lit(cap.toDouble)), 2) / 2)
+        .cast("long")).as("capped")).collect()(0)
+    println(s"""{"corpus":"$dir","cap":$cap,"witness_pairs_uncapped":${
+      row.getLong(0)},"witness_pairs_capped":${row.getLong(1)}}""")
     spark.stop()
   }
 }

@@ -157,6 +157,11 @@ object ScaleDecade {
                         // bundled build+append+compact+screen (the
                         // x85 honest convention); the split block
                         // below isolates the screen term
+    "x105_template_folded", // round 13: constant_fold advisory in the
+                        // mapping — x97's cost class (profile scan +
+                        // catalog-sized decisions)
+    "x106_document_keys", // round 13: key_candidate advisory on the
+                        // key surface — same class
     "x107_lm_perplexity", // round 13: two corpus passes (count +
                         // broadcast-model score) — should track the
                         // scan; the model is vocabulary-sized and
