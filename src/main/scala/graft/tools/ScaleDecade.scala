@@ -424,6 +424,40 @@ object ScaleDecade {
       }
     }
 
+    // ---- x111: streaming LM ingest gate at the decades. The
+    // registered entry replays the fixture corpus through 4
+    // micro-batches bootstrapping its own model; the decade axis for
+    // an ingest gate is different — a FIXED batch stream arriving at
+    // a standing model built from a corpus one and two decades
+    // larger (the x95/x104/x109 isolation trick). Each micro-batch
+    // scores against the stored model then appends its batch-stamped
+    // counts; the claim under probe: per-batch cost = batch scan +
+    // the minCount-pruned (vocabulary-sized, Zipf-saturating)
+    // broadcast model read, NOT the corpus — so the per-batch term
+    // should track x109's score split, not the build.
+    if (probeSelected("x111_stream_lm_screen")) {
+      val fixedBatch = graft.sources.Tables.load(spark, src, "documents")
+        .filter(col("source") === "src2")
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val docs = graft.sources.Tables.load(spark, d, "documents")
+          val idx = s"/tmp/graft_lm_sidx_decade_$label"
+          val out = s"/tmp/graft_x111_decade_$label"
+          Seq(idx, out).foreach(p =>
+            LocalFs.deleteRecursively(new java.io.File(p)))
+          val t0 = System.nanoTime()
+          graft.ext.LanguageModel.writeLmIndex(
+            docs.filter(col("source") =!= "src2"), idx)
+          val build = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val n = graft.streaming.DocStream.lmScoreReplay(
+            spark, fixedBatch, idx, out, nBatches = 4, minCount = 2L)
+            .count()
+          val replay = (System.nanoTime() - t1) / 1e9
+          println(f"""{"query":"x111_stream_$label","build_sec":$build%.3f,"replay_sec":$replay%.3f,"per_batch_sec":${replay / 4}%.3f,"scored_rows":$n}""")
+      }
+    }
+
     // ---- x59: persisted IVF-PQ — build vs search-only, separately.
     // x56's decade numbers bundle the per-run index rebuild; the
     // amortized production cost is the search half alone, which prunes
