@@ -137,9 +137,12 @@ class PlanQualitySpec extends SparkSpec {
     // assignment join must broadcast them. The only shuffle joins allowed
     // are the witness pass (centroid-keyed) and the final left join.
     assert(!p.contains("CartesianProduct"), p)
-    val clusterJoin = """Join \[centroid_id#\d+L?\], \[centroid_b#\d+L?\]""".r
+    // round 13: the witness join is keyed by (centroid, sub-cell) — the
+    // cellCap's pmod split rides the same exchange, never a new one
+    val clusterJoin =
+      """Join \[centroid_id#\d+L?, __sub#\d+L?\], \[centroid_b#\d+L?, __sub_b#\d+L?\]""".r
     assert(clusterJoin.findFirstIn(p).isDefined,
-      "missing the centroid-keyed pairwise join:\n" + p)
+      "missing the (centroid, sub-cell)-keyed pairwise join:\n" + p)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       "hierarchical assignment lost its broadcast joins:\n" + p)
     // multi-probe widens the candidate set (nprobe rows per vector into
@@ -208,9 +211,12 @@ class PlanQualitySpec extends SparkSpec {
     // to the non-broadcast joins.)
     assert(!p.contains("CartesianProduct"),
       "semDedup pairwise pass regressed to a cartesian product:\n" + p)
-    val clusterJoin = """Join \[centroid_id#\d+L?\], \[centroid_b#\d+L?\]""".r
+    // round 13: the witness join is keyed by (centroid, sub-cell) — the
+    // cellCap's pmod split rides the same exchange, never a new one
+    val clusterJoin =
+      """Join \[centroid_id#\d+L?, __sub#\d+L?\], \[centroid_b#\d+L?, __sub_b#\d+L?\]""".r
     assert(clusterJoin.findFirstIn(p).isDefined,
-      "missing the centroid-keyed pairwise join:\n" + p)
+      "missing the (centroid, sub-cell)-keyed pairwise join:\n" + p)
   }
 
   test("x35 session attribution co-partitions on user_id — no nested loop") {
