@@ -535,6 +535,88 @@ object Similarity {
     witnessDedup(assigned, minCos, cellCap)
   }
 
+  /** x112 — iterated capped SemDeDup: run [[semDedupHierarchical]] a
+    * fixed number of passes, each pass re-clustering only the previous
+    * pass's survivors. Why iterate: [[DefaultCellCap]] bounds the
+    * witness pass by keeping ≤ ceil(n/cap) survivors per mega-cell —
+    * ε-tied representatives of the same duplicate cloud. Pass k+1
+    * re-clusters the survivor corpus, the per-cloud survivor groups
+    * now fit inside the cap (391 ≪ 1024 at the 2M probe), and each
+    * collapses to ONE representative by the ordinary witness rule —
+    * so the composition converges to the uncapped keep-set while every
+    * individual pass stays linear. Measured in HEADROOM round 13: the
+    * 2M hot-cloud corpus goes 2M → 54k → per-cloud singletons, and
+    * the rep-index hot-query ID-recall recovers from the tie-depressed
+    * 0.40 to 1.00.
+    *
+    * Fixed `passes` (default 2) keeps the operator deterministic and
+    * oracle-expressible (the registered x112 oracle instantiates the
+    * verified hierarchical CTE stack once per pass); production
+    * callers that want the fixed point use [[semDedupConverged]].
+    *
+    * Output: (vec_id, pass_dropped, n_witnesses, max_sim, is_dup) —
+    * pass_dropped = 0 for survivors; n_witnesses/max_sim come from the
+    * pass that dropped the vector.
+    */
+  def semDedupPasses(
+      emb: DataFrame,
+      minCos: Double = 0.7,
+      passes: Int = 2,
+      centroidModulus: Int = DefaultCentroidModulus,
+      superFactor: Int = DefaultSuperFactor,
+      nprobe: Int = DefaultNprobe,
+      cellCap: Int = DefaultCellCap): DataFrame = {
+    require(passes >= 1, s"passes must be >= 1, got $passes")
+    var current = emb
+    var dropped: Option[DataFrame] = None
+    for (p <- 1 to passes) {
+      val dd = semDedupHierarchical(current, minCos, centroidModulus,
+        superFactor, nprobe, cellCap)
+      val d = dd.filter(col("is_dup"))
+        .select(col("vec_id"), lit(p.toLong).as("pass_dropped"),
+          col("n_witnesses"), col("max_sim"))
+      dropped = Some(dropped.fold(d)(_.unionByName(d)))
+      current = current.join(
+        dd.filter(!col("is_dup")).select("vec_id"), Seq("vec_id"))
+    }
+    vecs(emb).select(col("vec_id"))
+      .join(dropped.get, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("pass_dropped"), lit(0L)).as("pass_dropped"),
+        coalesce(col("n_witnesses"), lit(0L)).as("n_witnesses"),
+        col("max_sim"),
+        col("pass_dropped").isNotNull.as("is_dup"))
+  }
+
+  /** [[semDedupPasses]] run to the fixed point: passes apply until one
+    * drops nothing (each pass's drop count is a driver-side action —
+    * control-plane, one count per pass, the same convention as the
+    * conversion cascade). Returns (result, passesRun). `maxPasses`
+    * bounds the loop; convergence is typically 2 (the cap only binds
+    * on mega-cells, and their survivor groups fit the cap next pass).
+    */
+  def semDedupConverged(
+      emb: DataFrame,
+      minCos: Double = 0.7,
+      maxPasses: Int = 8,
+      centroidModulus: Int = DefaultCentroidModulus,
+      superFactor: Int = DefaultSuperFactor,
+      nprobe: Int = DefaultNprobe,
+      cellCap: Int = DefaultCellCap): (DataFrame, Int) = {
+    var p = 0
+    var done = false
+    while (!done && p < maxPasses) {
+      p += 1
+      val r = semDedupPasses(emb, minCos, p, centroidModulus, superFactor,
+        nprobe, cellCap)
+      if (r.filter(col("pass_dropped") === p).limit(1).isEmpty || p == maxPasses) {
+        done = true
+      }
+    }
+    (semDedupPasses(emb, minCos, p, centroidModulus, superFactor, nprobe,
+      cellCap), p)
+  }
+
   /** Per-cell occupancy of the hierarchical assignment — the
     * [[graft.tools.CellOccupancy]] diagnostic's data half. Output:
     * (centroid_id, n).

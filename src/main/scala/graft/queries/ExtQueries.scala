@@ -503,33 +503,41 @@ object ExtQueries {
     * vectors. CTE names are sd-prefixed where they would collide with
     * the PQ helpers (x80 composes both chains in one WITH).
     */
-  private def semDedupHierCtes(minCos: Double) =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
-       |sups AS (SELECT vec_id AS super_id, v AS sv FROM e WHERE vec_id % 1600 = 0),
-       |cs1 AS (SELECT c.centroid_id, c.cv, s.super_id,
-       |          ${cosSql("c.cv", "s.sv")} AS s_sim FROM cents c, sups s),
-       |cs2 AS (SELECT *, row_number() OVER
-       |          (PARTITION BY centroid_id ORDER BY s_sim DESC, super_id) AS rn FROM cs1),
-       |c2s AS (SELECT centroid_id, cv,
+  private def semDedupHierCtes(minCos: Double): String =
+    semDedupHierCtes(minCos, "embeddings", "")
+
+  /** Parameterized form (round 13): `src` is the vectors relation
+    * (vec_id, embedding) and `px` prefixes every CTE name, so the
+    * stack can instantiate once per pass in the x112 multi-pass
+    * oracle — the lmCtes convention.
+    */
+  private def semDedupHierCtes(minCos: Double, src: String, px: String) =
+    s"""${px}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $src),
+       |${px}cents AS (SELECT vec_id AS centroid_id, v AS cv FROM ${px}e WHERE vec_id % 100 = 0),
+       |${px}sups AS (SELECT vec_id AS super_id, v AS sv FROM ${px}e WHERE vec_id % 1600 = 0),
+       |${px}cs1 AS (SELECT c.centroid_id, c.cv, s.super_id,
+       |          ${cosSql("c.cv", "s.sv")} AS s_sim FROM ${px}cents c, ${px}sups s),
+       |${px}cs2 AS (SELECT *, row_number() OVER
+       |          (PARTITION BY centroid_id ORDER BY s_sim DESC, super_id) AS rn FROM ${px}cs1),
+       |${px}c2s AS (SELECT centroid_id, cv,
        |          CASE WHEN centroid_id % 1600 = 0 THEN centroid_id
        |               ELSE super_id END AS super_id
-       |        FROM cs2 WHERE rn = 1),
-       |vs1 AS (SELECT e.vec_id, e.v, s.super_id,
-       |          ${cosSql("e.v", "s.sv")} AS s_sim FROM e, sups s),
-       |vs2 AS (SELECT *, row_number() OVER
-       |          (PARTITION BY vec_id ORDER BY s_sim DESC, super_id) AS rn FROM vs1),
-       |v2s AS (SELECT vec_id, v, super_id FROM vs2 WHERE rn <= 2),
-       |sda1 AS (SELECT t.vec_id, t.v, m.centroid_id, ${cosSql("t.v", "m.cv")} AS c_sim
-       |       FROM v2s t JOIN c2s m ON t.super_id = m.super_id),
-       |sda2 AS (SELECT *, row_number() OVER
-       |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM sda1),
-       |sdas AS (SELECT vec_id, v, centroid_id FROM sda2 WHERE rn = 1),
-       |sdpw AS (SELECT b.vec_id, ${cosSql("a.v", "b.v")} AS c_sim
-       |       FROM sdas a JOIN sdas b
+       |        FROM ${px}cs2 WHERE rn = 1),
+       |${px}vs1 AS (SELECT e.vec_id, e.v, s.super_id,
+       |          ${cosSql("e.v", "s.sv")} AS s_sim FROM ${px}e e, ${px}sups s),
+       |${px}vs2 AS (SELECT *, row_number() OVER
+       |          (PARTITION BY vec_id ORDER BY s_sim DESC, super_id) AS rn FROM ${px}vs1),
+       |${px}v2s AS (SELECT vec_id, v, super_id FROM ${px}vs2 WHERE rn <= 2),
+       |${px}sda1 AS (SELECT t.vec_id, t.v, m.centroid_id, ${cosSql("t.v", "m.cv")} AS c_sim
+       |       FROM ${px}v2s t JOIN ${px}c2s m ON t.super_id = m.super_id),
+       |${px}sda2 AS (SELECT *, row_number() OVER
+       |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM ${px}sda1),
+       |${px}sdas AS (SELECT vec_id, v, centroid_id FROM ${px}sda2 WHERE rn = 1),
+       |${px}sdpw AS (SELECT b.vec_id, ${cosSql("a.v", "b.v")} AS c_sim
+       |       FROM ${px}sdas a JOIN ${px}sdas b
        |         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
-       |sdw AS (SELECT vec_id, count(*) AS n_witnesses, max(c_sim) AS max_sim
-       |      FROM sdpw WHERE c_sim >= $minCos GROUP BY vec_id)""".stripMargin
+       |${px}sdw AS (SELECT vec_id, count(*) AS n_witnesses, max(c_sim) AS max_sim
+       |      FROM ${px}sdpw WHERE c_sim >= $minCos GROUP BY vec_id)""".stripMargin
   // numeric-profile conventions — MUST mirror the x62/x63 query entries.
   private val QuantCols =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -4220,7 +4228,38 @@ object ExtQueries {
              |FROM u${b}lp GROUP BY 1, 2""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"WITH $blocks\n$selects"
-      })
+      }),
+
+    // ---- x112: iterated capped SemDeDup (round 13) ---------------------
+    // The cellCap (HEADROOM round 13) bounds the witness pass on
+    // mega-cells by keeping ≤ ceil(n/cap) survivors per duplicate
+    // cloud — ε-tied representatives. Pass 2 re-clusters the
+    // survivors, the per-cloud groups now fit inside the cap, and
+    // each collapses to one representative: the composition converges
+    // to the uncapped keep-set while every pass stays linear
+    // (measured: 2M hot-cloud rep-index ID-recall 0.40 → 1.00). The
+    // oracle instantiates the verified hierarchical CTE stack once
+    // per pass — pass 2 over pass 1's survivors — the lmCtes
+    // multi-instantiation convention.
+    ("x112_semdedup_converged",
+      (s: SparkSession, dir: String) =>
+        Similarity.semDedupPasses(t(s, dir, "embeddings"), minCos = 0.45,
+          passes = 2),
+      Some(s"""WITH ${semDedupHierCtes(0.45, "embeddings", "p1")},
+              |surv1 AS (SELECT vec_id, embedding FROM embeddings
+              |          WHERE vec_id NOT IN (SELECT vec_id FROM p1sdw)),
+              |${semDedupHierCtes(0.45, "surv1", "p2")}
+              |SELECT e.vec_id,
+              |  CAST(CASE WHEN w1.vec_id IS NOT NULL THEN 1
+              |            WHEN w2.vec_id IS NOT NULL THEN 2
+              |            ELSE 0 END AS BIGINT) AS pass_dropped,
+              |  CAST(COALESCE(w1.n_witnesses, w2.n_witnesses, 0) AS BIGINT)
+              |    AS n_witnesses,
+              |  COALESCE(w1.max_sim, w2.max_sim) AS max_sim,
+              |  (w1.vec_id IS NOT NULL OR w2.vec_id IS NOT NULL) AS is_dup
+              |FROM embeddings e
+              |LEFT JOIN p1sdw w1 ON e.vec_id = w1.vec_id
+              |LEFT JOIN p2sdw w2 ON e.vec_id = w2.vec_id""".stripMargin))
   )
 
   /** Shared CTE stack for the x107/x108 self-scoring oracles:

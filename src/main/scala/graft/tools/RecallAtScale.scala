@@ -208,6 +208,30 @@ object RecallAtScale {
         val kthRep = gtRep.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).min }
         val kthRaw = gtRaw.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).min }
         println(f"""{"scale":"$label-x80","vectors_raw":$nRaw,"vectors_rep":$nRep,"hotq_id_recall5_rep_gt":$idRecallRep%.2f,"hotq_eps_recall5_rep_gt":{"tau001":${eps(kthRep, 0.001)}%.2f,"tau01":${eps(kthRep, 0.01)}%.2f},"hotq_eps_recall5_vs_raw":{"tau01":${eps(kthRaw, 0.01)}%.2f},"hotq_id_recall5_rep_nprobe":{${npCurveRep.mkString(",")}}}""")
+        // ---- the converged form (x112): the cellCap keeps ≤ ceil(n/cap)
+        // ε-tied survivors per mega-cell, which re-introduces rep-grain
+        // ties at large cloud sizes (the 2M ID-recall 0.40 row). Pass 2
+        // re-clusters the survivors and collapses each cloud to one rep
+        // — ID-recall against the converged rep grain should RECOVER.
+        val dd2 = Similarity.semDedupPasses(emb, minCos = 0.45, passes = 2)
+        val reps2Dir = s"/tmp/graft_x80_reps2_$label"
+        emb.join(dd2.filter(!col("is_dup")).select("vec_id"), Seq("vec_id"))
+          .write.mode("overwrite").parquet(reps2Dir)
+        val reps2 = spark.read.parquet(reps2Dir)
+        val nRep2 = reps2.count()
+        val idx2 = s"/tmp/graft_x80_reps2_idx_$label"
+        Similarity.ivfPqWriteIndex(reps2, idx2, trainIters = 2)
+        val gtRep2 = scoredRows(Similarity.bruteForceTopKAgainst(reps2, qFrame, k = 5))
+        val got2 = scoredRows(
+          Similarity.ivfPqSearchIndexReranked(emb, idx2, queryIds = qsHot, k = 5))
+        val gtRep2Pairs = gtRep2.map(r => (r._1, r._2)).toSet
+        val idRecallRep2 = (gtRep2Pairs intersect
+          got2.map(r => (r._1, r._2)).toSet).size.toDouble / gtRep2Pairs.size
+        val kthRep2 = gtRep2.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).min }
+        def eps2(gt: Map[Long, Double], tau: Double): Double =
+          if (got2.isEmpty) 0.0
+          else got2.count { case (q, _, c) => c >= gt(q) - tau }.toDouble / got2.size
+        println(f"""{"scale":"$label-x80-converged","vectors_rep2":$nRep2,"hotq_id_recall5_rep2_gt":$idRecallRep2%.2f,"hotq_eps_recall5_rep2_gt":{"tau001":${eps2(kthRep2, 0.001)}%.2f},"hotq_eps_recall5_vs_raw":{"tau01":${eps2(kthRaw, 0.01)}%.2f}}""")
         // drop this corpus's internal persists (semDedup's shingle/tf
         // frames) before the next, larger corpus claims the memory
         graft.tools.InternalCaches.release(spark)

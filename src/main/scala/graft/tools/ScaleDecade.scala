@@ -172,9 +172,12 @@ object ScaleDecade {
                         // build+replayed-append+compact+held-out
                         // score; the split block below isolates the
                         // score term
-    "x110_curation_lm") // round 13: x108's buckets + x74's binned
+    "x110_curation_lm", // round 13: x108's buckets + x74's binned
                         // budget — should track x108 (the budget
                         // decision is bin-wholesale)
+    "x112_semdedup_converged") // round 13: two capped passes — pass 2
+                        // runs over pass-1 survivors, so the decade
+                        // should track x37's assignment, not double it
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

@@ -103,6 +103,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(flat === hier, "one super-cell: the capped forms must coincide")
   }
 
+  test("semDedupPasses: pass 2 collapses the cap's survivors to one rep") {
+    // cap 8: pass 1 keeps one survivor per vec_id % 4 sub-cell
+    // ({0,1,2,3}); pass 2 re-clusters those four — they fit the cap,
+    // the ordinary witness rule fires, and the cloud converges to {0}
+    val out = Similarity.semDedupPasses(cloudDf, minCos = 0.45, passes = 2,
+      cellCap = 8).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 30, "one verdict per vector")
+    val survivors = out.values.filter(!_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(survivors === Set(0L), "the iterated form converges to one rep")
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getLong(1) === 2L, s"$id must fall in pass 2")
+    }
+    assert((4L to 29L).forall(id => out(id).getLong(1) === 1L),
+      "pass-1 dups keep their pass stamp")
+    assert(out(0L).getLong(1) === 0L && out(0L).isNullAt(3),
+      "the survivor carries pass 0 and no max_sim")
+  }
+
+  test("semDedupConverged: fixed point on the collapsing cloud") {
+    val (res, passes) = Similarity.semDedupConverged(cloudDf, minCos = 0.45,
+      cellCap = 8)
+    assert(passes === 3, "two productive passes plus the confirming empty one")
+    val survivors = res.filter(!col("is_dup")).collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(0L))
+  }
+
+  test("semDedupPasses: one pass equals the plain hierarchical verdicts") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val one = Similarity.semDedupPasses(emb, minCos = 0.45, passes = 1)
+      .select("vec_id", "is_dup", "n_witnesses", "max_sim").collect().toSet
+    val hier = Similarity.semDedupHierarchical(emb, minCos = 0.45)
+      .select("vec_id", "is_dup", "n_witnesses", "max_sim").collect().toSet
+    assert(one === hier)
+  }
+
   test("cellCap: the default cap does not bind on the fixture corpus") {
     val emb = Tables.load(spark, sf, "embeddings")
     val dflt = Similarity.semDedup(emb, minCos = 0.45).collect().toSet
