@@ -545,9 +545,14 @@ object Similarity {
     * collapses to ONE representative by the ordinary witness rule —
     * so the composition converges to the uncapped keep-set while every
     * individual pass stays linear. Measured in HEADROOM round 13: the
-    * 2M hot-cloud corpus goes 2M → 54k → per-cloud singletons, and
-    * the rep-index hot-query ID-recall recovers from the tie-depressed
-    * 0.40 to 1.00.
+    * 2M hot-cloud corpus goes 2M → 54k → 26k (per-cloud singletons),
+    * the rep-grain ε-ties disappear, and the hot query's own
+    * representative is retrieved top-1 at every probe width. The
+    * honest fine print (also measured): a singleton rep has no
+    * density around it, so its coarse-cell assignment is arbitrary
+    * relative to the query's — post-convergence indexes want a wider
+    * nprobe (that loss RECOVERS with probes, the pruning signature,
+    * where the pre-convergence tie loss was nprobe-flat).
     *
     * Fixed `passes` (default 2) keeps the operator deterministic and
     * oracle-expressible (the registered x112 oracle instantiates the

@@ -4237,7 +4237,8 @@ object ExtQueries {
     // survivors, the per-cloud groups now fit inside the cap, and
     // each collapses to one representative: the composition converges
     // to the uncapped keep-set while every pass stays linear
-    // (measured: 2M hot-cloud rep-index ID-recall 0.40 → 1.00). The
+    // (measured: 2M hot-cloud corpus 2M → 54k → 26k; the singleton
+    // rep is retrieved top-1 at every probe width — HEADROOM r13). The
     // oracle instantiates the verified hierarchical CTE stack once
     // per pass — pass 2 over pass 1's survivors — the lmCtes
     // multi-instantiation convention.

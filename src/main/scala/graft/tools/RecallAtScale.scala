@@ -231,7 +231,23 @@ object RecallAtScale {
         def eps2(gt: Map[Long, Double], tau: Double): Double =
           if (got2.isEmpty) 0.0
           else got2.count { case (q, _, c) => c >= gt(q) - tau }.toDouble / got2.size
-        println(f"""{"scale":"$label-x80-converged","vectors_rep2":$nRep2,"hotq_id_recall5_rep2_gt":$idRecallRep2%.2f,"hotq_eps_recall5_rep2_gt":{"tau001":${eps2(kthRep2, 0.001)}%.2f},"hotq_eps_recall5_vs_raw":{"tau01":${eps2(kthRaw, 0.01)}%.2f}}""")
+        // recall@1 of the query's own cloud representative, and the
+        // nprobe curve — the diagnostics that separate the two loss
+        // modes on a converged (singleton-rep) index: ties are
+        // nprobe-FLAT, pruning misses RECOVER as probes widen. A
+        // singleton rep has no density around it, so its coarse-cell
+        // assignment is arbitrary relative to the query's — the
+        // round-13 converged measurement found exactly this.
+        val top1 = got2.groupBy(_._1).map { case (q, rs) => q -> rs.maxBy(_._3)._2 }
+        val gtTop1 = gtRep2.groupBy(_._1).map { case (q, rs) => q -> rs.maxBy(_._3)._2 }
+        val r1 = gtTop1.count { case (q, id) => top1.get(q).contains(id) }
+          .toDouble / gtTop1.size
+        val npCurve2 = Seq(2, 4, 8, 16).map { np =>
+          val p = pairs(Similarity.ivfPqSearchIndexReranked(
+            emb, idx2, queryIds = qsHot, k = 5, nprobe = np))
+          f""""np$np":${(gtRep2Pairs intersect p).size.toDouble / gtRep2Pairs.size}%.2f"""
+        }
+        println(f"""{"scale":"$label-x80-converged","vectors_rep2":$nRep2,"hotq_id_recall5_rep2_gt":$idRecallRep2%.2f,"hotq_rep_top1_recall":$r1%.2f,"hotq_eps_recall5_rep2_gt":{"tau001":${eps2(kthRep2, 0.001)}%.2f},"hotq_eps_recall5_vs_raw":{"tau01":${eps2(kthRaw, 0.01)}%.2f},"hotq_id_recall5_rep2_nprobe":{${npCurve2.mkString(",")}}}""")
         // drop this corpus's internal persists (semDedup's shingle/tf
         // frames) before the next, larger corpus claims the memory
         graft.tools.InternalCaches.release(spark)
