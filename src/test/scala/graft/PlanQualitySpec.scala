@@ -202,6 +202,25 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("x112 pass 2 reuses the memoized pass-1 assignment — no second quantizer") {
+    val p = finalPlan(q("x112_semdedup_converged"))
+    assert(!p.contains("CartesianProduct"), p)
+    // pass 1's assignment is registered in InternalCaches; pass 2's
+    // input (the survivor join) and pass 1's witness both read it as a
+    // cache scan — if the cache disappears, the full broadcast+top-1
+    // quantizer re-runs once per read and the decade row doubles
+    assert(p.contains("InMemoryTableScan"),
+      "pass-1 assignment no longer read through the cache:\n" + p)
+    // the witness joins carry the (centroid, sub-cell) key. Only pass 1
+    // is guaranteed to survive into the FINAL plan: when pass 2 drops
+    // nothing at this scale, AQE's empty-relation propagation prunes
+    // its witness join outright — which is itself the desired shape
+    val clusterJoin =
+      """Join \[centroid_id#\d+L?, __sub#\d+L?\], \[centroid_b#\d+L?, __sub_b#\d+L?\]""".r
+    assert(clusterJoin.findFirstIn(p).isDefined,
+      "missing the (centroid, sub-cell)-keyed witness join:\n" + p)
+  }
+
   test("x33 semDedup pairwise pass is cluster-keyed — never all-pairs") {
     val p = finalPlan(q("x33_semdedup"))
     // the whole point of clustering first is that the n² pass never
