@@ -635,6 +635,34 @@ object Similarity {
         Seq("vec_id"), "v", "centroid_id", "cv")
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
 
+  /** x113 — quantizer balance audit: the pre-flight that detects
+    * dup-cloud collapse BEFORE a semantic operator pays for it. The
+    * round-13 lesson (HEADROOM): a duplicate cloud collapses the
+    * nearest-centroid assignment into one mega-cell, and any
+    * within-cell pass (the semDedup witness, the per-cell screens)
+    * turns quadratic in the cloud. This is the one-scan detector —
+    * run it at ingest; `cells_over_cap > 0` means run [[semDedupPasses]]
+    * (the cap bounds the damage) and widen nprobe on the cell's
+    * queries. Cost: the shared assignment (memoized) + one
+    * centroid-keyed count — nothing pairwise anywhere.
+    *
+    * Output (one row): n_cells, max_occupancy, cells_over_cap,
+    * vectors_over_cap.
+    */
+  def cellOccupancyAudit(
+      emb: DataFrame,
+      centroidModulus: Int = DefaultCentroidModulus,
+      superFactor: Int = DefaultSuperFactor,
+      nprobe: Int = DefaultNprobe,
+      cellCap: Int = DefaultCellCap): DataFrame =
+    assignmentOccupancy(emb, centroidModulus, superFactor, nprobe)
+      .agg(count(lit(1)).as("n_cells"),
+        max(col("n")).as("max_occupancy"),
+        coalesce(sum(when(col("n") > cellCap, 1L)), lit(0L))
+          .as("cells_over_cap"),
+        coalesce(sum(when(col("n") > cellCap, col("n"))), lit(0L))
+          .as("vectors_over_cap"))
+
   /** The (vector, centroid) candidate frame the hierarchical assignment
     * scores — the top-1 over it is the assignment. Factored out so the
     * nprobe diagnostics ([[graft.tools.NprobeRecall]]) can count the

@@ -4260,7 +4260,25 @@ object ExtQueries {
               |  (w1.vec_id IS NOT NULL OR w2.vec_id IS NOT NULL) AS is_dup
               |FROM embeddings e
               |LEFT JOIN p1sdw w1 ON e.vec_id = w1.vec_id
-              |LEFT JOIN p2sdw w2 ON e.vec_id = w2.vec_id""".stripMargin))
+              |LEFT JOIN p2sdw w2 ON e.vec_id = w2.vec_id""".stripMargin)),
+
+    // ---- x113: quantizer balance audit (round 13) ----------------------
+    // The pre-flight for the round-13 dup-cloud finding: one scan +
+    // the shared assignment, grouped by cell — detects mega-cells
+    // before a within-cell pass pays for them. The oracle reuses the
+    // verified hierarchical-assignment CTE stack (only the assignment
+    // CTEs are referenced; DuckDB computes nothing downstream).
+    ("x113_cell_occupancy",
+      (s: SparkSession, dir: String) =>
+        Similarity.cellOccupancyAudit(t(s, dir, "embeddings")),
+      Some(s"""WITH ${semDedupHierCtes(0.45, "embeddings", "")}
+              |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+              |  CAST(max(n) AS BIGINT) AS max_occupancy,
+              |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN 1 END), 0) AS BIGINT)
+              |    AS cells_over_cap,
+              |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN n END), 0) AS BIGINT)
+              |    AS vectors_over_cap
+              |FROM (SELECT centroid_id, count(*) AS n FROM sdas GROUP BY 1)""".stripMargin))
   )
 
   /** Shared CTE stack for the x107/x108 self-scoring oracles:

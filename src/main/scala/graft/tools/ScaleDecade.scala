@@ -175,9 +175,12 @@ object ScaleDecade {
     "x110_curation_lm", // round 13: x108's buckets + x74's binned
                         // budget — should track x108 (the budget
                         // decision is bin-wholesale)
-    "x112_semdedup_converged") // round 13: two capped passes — pass 2
+    "x112_semdedup_converged", // round 13: two capped passes — pass 2
                         // runs over pass-1 survivors, so the decade
                         // should track x37's assignment, not double it
+    "x113_cell_occupancy") // round 13: the balance pre-flight — the
+                        // shared assignment + one centroid count;
+                        // should track x37's assignment term alone
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

@@ -138,6 +138,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(one === hier)
   }
 
+  test("cellOccupancyAudit: flags the mega-cell on the collapsing cloud") {
+    val audit = Similarity.cellOccupancyAudit(cloudDf, cellCap = 8)
+      .collect()(0)
+    assert(audit.getLong(0) === 1L, "the cloud collapses into one cell")
+    assert(audit.getLong(1) === 30L, "max occupancy is the whole cloud")
+    assert(audit.getLong(2) === 1L && audit.getLong(3) === 30L,
+      "the over-cap columns name the collapse")
+  }
+
+  test("cellOccupancyAudit: the fixture corpus is balanced at the default cap") {
+    val audit = Similarity.cellOccupancyAudit(
+      Tables.load(spark, sf, "embeddings")).collect()(0)
+    assert(audit.getLong(2) === 0L && audit.getLong(3) === 0L,
+      "no fixture cell may exceed the default cap (the oracle-stability premise)")
+    assert(audit.getLong(1) <= 1024L)
+  }
+
   test("cellCap: the default cap does not bind on the fixture corpus") {
     val emb = Tables.load(spark, sf, "embeddings")
     val dflt = Similarity.semDedup(emb, minCos = 0.45).collect().toSet
