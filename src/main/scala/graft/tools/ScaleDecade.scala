@@ -335,7 +335,7 @@ object ScaleDecade {
     // which conflates batch growth with index growth; this block
     // isolates the index term. flat_screen_sec is the same fixed batch
     // through x85's flat index: the like-for-like baseline.
-    if (selected("x95_span_screen_bloom")) {
+    if (probeSelected("x95_span_screen_bloom")) {
       val fixedBatch = graft.sources.Tables.load(spark, src, "documents")
         .filter(col("source") === "src2")
       Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
