@@ -682,6 +682,29 @@ object Dedup {
       compactNearDupIndex(spark, indexDir)
   }
 
+  /** [[appendNearDupIndex]] under an at-least-once delivery contract
+    * (the x114 streaming gate): near-dup appends are NOT replay-safe —
+    * duplicated shingle rows inflate intersection counts (the x104
+    * nuance) — so each append commits a per-batch marker
+    * (`_batch_commits/b<id>`) and a redelivered batch whose marker
+    * exists is skipped outright. The marker writes AFTER the data (a
+    * crash between them makes the redelivery double-append — the
+    * over-approximation [[compactNearDupIndex]]'s distinct-rewrite
+    * repairs, spec-gated), never before (marker-first would LOSE the
+    * batch). Returns whether the append ran.
+    */
+  def appendNearDupIndexOnce(batch: DataFrame, indexDir: String,
+      batchId: Long, n: Int = 3, maxFilesPerTable: Int = 64): Boolean = {
+    val marker = new java.io.File(s"$indexDir/_batch_commits/b$batchId")
+    if (marker.exists()) false
+    else {
+      appendNearDupIndex(batch, indexDir, n, maxFilesPerTable)
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+      true
+    }
+  }
+
   /** Offline maintenance for the near-dup index: distinct-rewrite
     * `shingles` and `hashes` (repairing any accidental double-append —
     * the duplicates that would inflate intersection counts), recompute

@@ -52,6 +52,8 @@ object ExtQueries {
   private val x103Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x111Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x111Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x114Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x114Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -4278,8 +4280,95 @@ object ExtQueries {
               |    AS cells_over_cap,
               |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN n END), 0) AS BIGINT)
               |    AS vectors_over_cap
-              |FROM (SELECT centroid_id, count(*) AS n FROM sdas GROUP BY 1)""".stripMargin))
+              |FROM (SELECT centroid_id, count(*) AS n FROM sdas GROUP BY 1)""".stripMargin)),
+
+    // ---- x114: streaming near-dup ingest gate (round 13) ---------------
+    // x104's stored index run where an ingest gate runs it — the last
+    // grain of the streaming family (substring x103, fluency x111,
+    // document near-dup here). Each micro-batch screens against the
+    // index of every STRICTLY EARLIER batch (exact md5 gate +
+    // capped-shingle Jaccard, hot list frozen at the batch-0 build),
+    // then appends through the per-batch commit marker
+    // (appendNearDupIndexOnce — near-dup appends are NOT replay-safe,
+    // so redelivered batches skip; the crash window is repaired by
+    // compaction, spec-gated). Oracle: three instantiations of the
+    // x104 verdict stack — index of batches < b screening batch b —
+    // unioned; the hot CTE is learned from batch 0 alone, mirroring
+    // the frozen-at-build contract.
+    ("x114_stream_near_screen",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x114_${s.sparkContext.applicationId}_${x114Seq.incrementAndGet()}")
+        Option(x114Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        graft.streaming.DocStream.nearDupScreenReplay(s, t(s, dir, "documents"),
+          new java.io.File(root, "index").getPath,
+          new java.io.File(root, "out").getPath,
+          nBatches = 4, n = 3, minJaccard = 0.8,
+          maxShingleDf = MaxShingleDf)
+      },
+      Some {
+        val live = "doc_id IS NOT NULL AND text IS NOT NULL"
+        val blocks = (1 to 3).map { b =>
+          ndScreenCtes(s"u$b", s"doc_id % 4 = $b AND $live",
+            s"doc_id % 4 < $b AND $live")
+        }.mkString(",\n")
+        val selects = (1 to 3).map { b =>
+          s"""SELECT doc_id, is_exact_dup, near_dup_of, near_jaccard,
+             |  CASE WHEN is_exact_dup THEN 'drop_exact'
+             |       WHEN near_dup_of IS NOT NULL THEN 'drop_near'
+             |       ELSE 'keep' END AS verdict
+             |FROM u${b}ef LEFT JOIN u${b}best USING (doc_id)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ndh0t AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+           |  FROM documents WHERE doc_id % 4 = 0 AND $live),
+           |ndh0s AS (SELECT doc_id,
+           |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+           |  FROM ndh0t),
+           |ndh0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM ndh0s),
+           |ndhot AS (SELECT sh FROM ndh0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
+           |$blocks
+           |$selects""".stripMargin
+      })
   )
+
+  /** Parameterized x104 verdict stack for the x114 per-batch oracle:
+    * documents matching `exPred` form the stored index (shingles
+    * capped by the shared batch-0 `ndhot` list), documents matching
+    * `incPred` screen against it. `px` prefixes every CTE name (the
+    * lmCtes multi-instantiation convention).
+    */
+  private def ndScreenCtes(px: String, incPred: String, exPred: String): String =
+    s"""${px}inc AS (SELECT * FROM documents WHERE $incPred),
+       |${px}ex AS (SELECT * FROM documents WHERE $exPred),
+       |${px}exh AS (SELECT DISTINCT md5(text) AS h FROM ${px}ex),
+       |${px}ef AS (SELECT i.doc_id, (e.h IS NOT NULL) AS is_exact_dup
+       |       FROM ${px}inc i LEFT JOIN ${px}exh e ON md5(i.text) = e.h),
+       |${px}tx AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM ${px}ex),
+       |${px}sx AS (SELECT doc_id,
+       |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+       |       FROM ${px}tx),
+       |${px}shx0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM ${px}sx),
+       |${px}shx AS (SELECT * FROM ${px}shx0 WHERE sh NOT IN (SELECT sh FROM ndhot)),
+       |${px}ti AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM ${px}inc),
+       |${px}si AS (SELECT doc_id,
+       |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+       |       FROM ${px}ti),
+       |${px}shi0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM ${px}si),
+       |${px}shi AS (SELECT * FROM ${px}shi0 WHERE sh NOT IN (SELECT sh FROM ndhot)),
+       |${px}szx AS (SELECT doc_id AS ex_doc, count(*) AS n_ex FROM ${px}shx GROUP BY 1),
+       |${px}szi AS (SELECT doc_id, count(*) AS n_in FROM ${px}shi GROUP BY 1),
+       |${px}ip AS (SELECT i.doc_id, e.doc_id AS ex_doc, count(*) AS inter
+       |       FROM ${px}shi i JOIN ${px}shx e USING (sh) GROUP BY 1, 2),
+       |${px}j AS (SELECT doc_id, ex_doc,
+       |        round(CAST(inter AS DOUBLE) / (n_in + n_ex - inter), 6) AS jac
+       |      FROM ${px}ip JOIN ${px}szi USING (doc_id) JOIN ${px}szx USING (ex_doc)),
+       |${px}jf AS (SELECT * FROM ${px}j WHERE jac >= 0.8),
+       |${px}b AS (SELECT *, row_number() OVER
+       |        (PARTITION BY doc_id ORDER BY jac DESC, ex_doc) AS rn FROM ${px}jf),
+       |${px}best AS (SELECT doc_id, ex_doc AS near_dup_of, jac AS near_jaccard
+       |         FROM ${px}b WHERE rn = 1)""".stripMargin
 
   /** Shared CTE stack for the x107/x108 self-scoring oracles:
     * [[lmCtes]] with train = score = the whole corpus. */

@@ -183,4 +183,72 @@ object DocStream {
       .parquet(s"$outDir/batch=*")
       .select(lmScoreSchema.fieldNames.map(col).toSeq: _*)
   }
+
+  private[graft] val ndScreenSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("is_exact_dup", BooleanType),
+    StructField("near_dup_of", LongType), StructField("near_jaccard", DoubleType),
+    StructField("verdict", StringType)))
+
+  /** x114 — the stored near-dup index ([[Dedup.writeNearDupIndex]]
+    * family) run where an ingest gate runs it: each arriving
+    * micro-batch is screened (exact md5 gate + capped-shingle Jaccard)
+    * against the index of every STRICTLY EARLIER batch, then the kept
+    * lifecycle appends the batch. This closes the streaming family at
+    * the last grain — substring (x103), fluency (x111), and now
+    * document-level near-dup all have ingest-time twins of their
+    * stored-index screens.
+    *
+    * The near-dup index is the one whose appends are NOT replay-safe
+    * (duplicate shingle rows inflate intersection counts — the x104
+    * double-append lesson), so appends go through
+    * [[Dedup.appendNearDupIndexOnce]]: a per-batch commit marker makes
+    * redelivered batches skip the append (the crash window between
+    * data and marker over-approximates and the compaction repair
+    * covers it — spec-gated). Batch 0 BOOTSTRAPS the index, learning
+    * the frozen hot-shingle list (the x104/x90 stale-list contract).
+    * Per-batch verdicts write to `outDir/batch=<id>` with overwrite.
+    *
+    * Same MemoryStream transport caveat as [[spanScreenReplay]].
+    */
+  def nearDupScreenReplay(spark: SparkSession, docs: DataFrame,
+      indexDir: String, outDir: String, nBatches: Int = 4,
+      n: Int = 3, minJaccard: Double = 0.8,
+      maxShingleDf: Int = Int.MaxValue,
+      maxFilesPerTable: Int = 64): DataFrame = {
+    require(nBatches >= 2, s"need at least 2 batches to screen, got $nBatches")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val stream = MemoryStream[(Long, String)]
+    val bootstrapped = new java.io.File(s"$indexDir/hashes/_SUCCESS")
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$outDir/_chk")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val t0 = System.nanoTime()
+        if (!bootstrapped.exists()) {
+          Dedup.writeNearDupIndex(batch, indexDir, n, maxShingleDf)
+        } else {
+          Dedup.screenAgainstNearDupIndex(batch, indexDir, n, minJaccard)
+            .repartition(1)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          Dedup.appendNearDupIndexOnce(batch, indexDir, id, n, maxFilesPerTable)
+        }
+        System.err.println(
+          f"[docstream-nd] batch $id: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      .start()
+    try {
+      (0 until nBatches).foreach { b =>
+        stream.addData(rows.filter { case (id, _) =>
+          math.floorMod(id, nBatches.toLong) == b.toLong }.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.schema(ndScreenSchema)
+      .parquet(s"$outDir/batch=*")
+      .select(ndScreenSchema.fieldNames.map(col).toSeq: _*)
+  }
 }

@@ -197,9 +197,11 @@ object ScaleDecade {
     "x103_stream_span_screen", // round 12: replays the corpus through
                         // foreachBatch micro-batches (the x14 cost
                         // class — minutes at 100×)
-    "x111_stream_lm_screen") // round 13: same replay cost class —
+    "x111_stream_lm_screen", // round 13: same replay cost class —
                         // per-batch score + append against the
                         // stored LM
+    "x114_stream_near_screen") // round 13: same class — per-batch
+                        // near-dup screen + marker-gated append
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -461,6 +463,38 @@ object ScaleDecade {
             .count()
           val replay = (System.nanoTime() - t1) / 1e9
           println(f"""{"query":"x111_stream_$label","build_sec":$build%.3f,"replay_sec":$replay%.3f,"per_batch_sec":${replay / 4}%.3f,"scored_rows":$n}""")
+      }
+    }
+
+    // ---- x114: streaming near-dup ingest gate at the decades — the
+    // x111 protocol at the document grain: a FIXED batch stream (1×
+    // src2, 4 micro-batches) arriving at a standing near-dup index
+    // built from a corpus one and two decades larger. Claim under
+    // probe: per-batch cost = batch scan + index probe (the batch side
+    // broadcasts, sizes are stored) — should track x104's screen
+    // split, not the build.
+    if (probeSelected("x114_stream_near_screen")) {
+      val fixedBatch = graft.sources.Tables.load(spark, src, "documents")
+        .filter(col("source") === "src2")
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val docs = graft.sources.Tables.load(spark, d, "documents")
+          val idx = s"/tmp/graft_nd_sidx_decade_$label"
+          val out = s"/tmp/graft_x114_decade_$label"
+          Seq(idx, out).foreach(p =>
+            LocalFs.deleteRecursively(new java.io.File(p)))
+          val t0 = System.nanoTime()
+          graft.ext.Dedup.writeNearDupIndex(
+            docs.filter(col("source") =!= "src2"), idx, n = 3,
+            maxShingleDf = 1000)
+          val build = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val nOut = graft.streaming.DocStream.nearDupScreenReplay(
+            spark, fixedBatch, idx, out, nBatches = 4, n = 3,
+            minJaccard = 0.8, maxShingleDf = 1000)
+            .count()
+          val replay = (System.nanoTime() - t1) / 1e9
+          println(f"""{"query":"x114_stream_$label","build_sec":$build%.3f,"replay_sec":$replay%.3f,"per_batch_sec":${replay / 4}%.3f,"screened_rows":$nOut}""")
       }
     }
 

@@ -447,6 +447,77 @@ class CurationOpsSpec extends SparkSpec {
       "compact must reap duplicate shingle rows and recompute sizes")
   }
 
+  test("nearDupScreenReplay: streamed ≡ strictly-earlier in-memory truth per batch") {
+    import graft.ext.Dedup
+    import java.nio.file.Files
+    // 8 docs over 4 batches (doc_id % 4); dup relations cross batches
+    val docs = Seq(
+      (0L, "a b c d e f g h"),       // batch 0 (bootstrap)
+      (4L, "p q r s t u v w"),       // batch 0
+      (1L, "a b c d e f g h"),       // batch 1: exact copy of 0
+      (5L, "x y z1 z2 z3 z4 z5 z6"), // batch 1: clean at ingest time
+      (2L, "a b c d e f g q"),       // batch 2: near 0 and 1
+      (6L, "j k l j2 k2 l2 j3 k3"),  // batch 2: clean
+      (3L, "x y z1 z2 z3 z4 z5 z6"), // batch 3: exact copy of 5
+      (7L, "p q r s t u v q2")       // batch 3: near 4
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_x114_spec").toString
+    val out = graft.streaming.DocStream.nearDupScreenReplay(spark, docs,
+      s"$root/index", s"$root/out", nBatches = 4, n = 3, minJaccard = 0.5)
+    // independent truth: the x40 in-memory screen, batch b against all
+    // strictly earlier batches — the sequential-ingest semantics
+    val expected = (1 to 3).flatMap { b =>
+      Dedup.incrementalScreen(
+        docs.filter(pmod(col("doc_id"), lit(4L)) < b),
+        docs.filter(pmod(col("doc_id"), lit(4L)) === b),
+        n = 3, minJaccard = 0.5).collect().map(_.toSeq)
+    }.toSet
+    assert(out.collect().map(_.toSeq).toSet === expected)
+    // spot the cross-batch semantics: 1 exact-dups 0; 3 exact-dups 5
+    // (clean when IT arrived); 2 nears the tied pair (0,1) → lowest id
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(4) === "drop_exact")
+    assert(byId(5L).getString(4) === "keep")
+    assert(byId(3L).getString(4) === "drop_exact")
+    assert(byId(2L).getString(4) === "drop_near" && byId(2L).getLong(2) === 0L)
+    assert(byId(7L).getString(4) === "drop_near" && byId(7L).getLong(2) === 4L)
+  }
+
+  test("appendNearDupIndexOnce: redelivery skips; the crash window repairs by compact") {
+    import graft.ext.Dedup
+    import java.nio.file.Files
+    val a = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "m n o m2 n2 o2 m3 n3")).toDF("doc_id", "text")
+    val probe = Seq((10L, "a b c d e f g q"), (11L, "m n o m2 n2 o2 m3 q"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // the clean reference: both batches built in one shot
+    val ref = Files.createTempDirectory("graft_once_ref").toString
+    Dedup.writeNearDupIndex(a.unionByName(b), ref, n = 3)
+    val want = rows(Dedup.screenAgainstNearDupIndex(probe, ref, n = 3,
+      minJaccard = 0.5))
+    val idx = Files.createTempDirectory("graft_once_idx").toString
+    Dedup.writeNearDupIndex(a, idx, n = 3)
+    assert(Dedup.appendNearDupIndexOnce(b, idx, batchId = 7L, n = 3),
+      "first delivery must append")
+    val n1 = spark.read.parquet(s"$idx/shingles").count()
+    assert(!Dedup.appendNearDupIndexOnce(b, idx, batchId = 7L, n = 3),
+      "redelivery must skip (marker committed)")
+    assert(spark.read.parquet(s"$idx/shingles").count() === n1,
+      "a skipped redelivery leaves the index unchanged")
+    assert(rows(Dedup.screenAgainstNearDupIndex(probe, idx, n = 3,
+      minJaccard = 0.5)) === want)
+    // the crash window: data landed but the marker was lost → the
+    // redelivered append double-writes; compaction repairs it
+    Dedup.appendNearDupIndex(b, idx, n = 3)
+    Dedup.compactNearDupIndex(spark, idx)
+    assert(rows(Dedup.screenAgainstNearDupIndex(probe, idx, n = 3,
+      minJaccard = 0.5)) === want,
+      "compact must repair the crash-window double-append")
+  }
+
   test("stored near-dup index: the append trigger compacts when the " +
     "shingles table exceeds the file threshold; screen invariant") {
     import graft.ext.Dedup
