@@ -1,7 +1,7 @@
 package graft.ext
 
 import java.security.MessageDigest
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Portable._
 
@@ -481,6 +481,83 @@ object Similarity {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         col("max_sim"),
         col("n_matches").isNotNull.as("contaminated"))
+  }
+
+  /** Append a vector batch into the stored semantic index under its
+    * FROZEN centroids — the lifecycle piece x90 documented as the
+    * stale-centroid hazard and round 13 makes real: batch vectors
+    * assign against the STORED centroid set (never re-learned — the
+    * x104 frozen-hot contract at the vector grain) and land in the
+    * `partitionBy(centroid_id)` layout as one file per touched cell.
+    * Cost = one batch scan + the broadcast-centroid assignment,
+    * independent of index size. Drift erodes PRUNING, not correctness
+    * (x90's documented contract); x67's retrain monitor is the
+    * detector, a rebuild the remedy. `maxFilesPerCell` (0 disables)
+    * triggers [[compactSemanticIndex]] inline when the busiest cell
+    * exceeds the threshold.
+    */
+  def appendSemanticIndex(batch: DataFrame, indexDir: String,
+      maxFilesPerCell: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    assignToCentroids(vecs(batch), cents)
+      .select(col("vec_id"), col("v"), col("centroid_id"))
+      .repartition(1)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$indexDir/vectors")
+    if (maxFilesPerCell > 0 &&
+        graft.ext.Dedup.countDataFiles(spark, s"$indexDir/vectors") >
+          maxFilesPerCell.toLong * cents.count())
+      compactSemanticIndex(spark, indexDir)
+  }
+
+  /** [[appendSemanticIndex]] under an at-least-once delivery contract
+    * (the x115 streaming gate): duplicated vector rows INFLATE the
+    * screen's n_matches (the x104/x114 rationale at the vector grain),
+    * so each append commits a per-batch marker and a redelivered batch
+    * skips. Marker AFTER data (marker-first would lose the batch); the
+    * crash window's double-append is repaired by
+    * [[compactSemanticIndex]]'s distinct rewrite. Returns whether the
+    * append ran.
+    */
+  def appendSemanticIndexOnce(batch: DataFrame, indexDir: String,
+      batchId: Long, maxFilesPerCell: Int = 64): Boolean = {
+    val marker = new java.io.File(s"$indexDir/_batch_commits/b$batchId")
+    if (marker.exists()) false
+    else {
+      appendSemanticIndex(batch, indexDir, maxFilesPerCell)
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+      true
+    }
+  }
+
+  /** Offline maintenance for the semantic index: deduplicate `vectors`
+    * by vec_id (assignment under the frozen centroids is deterministic,
+    * so replayed rows are byte-identical and any one survives), rewrite
+    * the partitioned layout, and swap tmp → old → live so a crash at
+    * any point leaves a readable index (the compactNearDupIndex
+    * discipline). Centroids are left as built — refreshing them is a
+    * REBUILD (it changes every assignment), not a compaction.
+    */
+  def compactSemanticIndex(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // local persist, not the memoized registry: the frame reads the
+    // very directory the swap replaces
+    val v = spark.read.parquet(s"$indexDir/vectors")
+      .dropDuplicates("vec_id").persist()
+    v.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/vectors.compact")
+    v.unpersist(blocking = false)
+    val live = new Path(s"$indexDir/vectors")
+    val old = new Path(s"$indexDir/vectors.old")
+    fs.delete(old, true)
+    fs.rename(live, old)
+    fs.rename(new Path(s"$indexDir/vectors.compact"), live)
+    fs.delete(old, true)
   }
 
   /** [[semDedup]] with a TWO-LEVEL quantizer — the assignment scale

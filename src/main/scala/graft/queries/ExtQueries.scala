@@ -54,6 +54,8 @@ object ExtQueries {
   private val x111Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x114Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x114Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x115Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x115Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -4328,6 +4330,64 @@ object ExtQueries {
            |  FROM ndh0t),
            |ndh0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM ndh0s),
            |ndhot AS (SELECT sh FROM ndh0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
+           |$blocks
+           |$selects""".stripMargin
+      }),
+
+    // ---- x115: streaming semantic ingest gate (round 13) ---------------
+    // x90's stored semantic index run where an ingest gate runs it —
+    // and the lifecycle piece that makes it possible: appends under
+    // the FROZEN batch-0 centroids (the x104 frozen-hot contract at
+    // the vector grain; drift erodes pruning, never correctness, with
+    // x67's retrain monitor as the documented detector). Each vector
+    // micro-batch screens against the partition-pruned index of every
+    // STRICTLY EARLIER batch, then appends through the per-batch
+    // commit marker (duplicated vector rows inflate n_matches — the
+    // x114 rationale). Oracle: three instantiations of x84's verified
+    // screen stack, all assigning under the batch-0 centroid CTE.
+    ("x115_stream_sem_screen",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x115_${s.sparkContext.applicationId}_${x115Seq.incrementAndGet()}")
+        Option(x115Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        graft.streaming.DocStream.vecScreenReplay(s, t(s, dir, "embeddings"),
+          new java.io.File(root, "index").getPath,
+          new java.io.File(root, "out").getPath,
+          nBatches = 4, minCos = 0.4)
+      },
+      Some {
+        val blocks = (1 to 3).map { b =>
+          s"""u${b}cv AS (SELECT * FROM se WHERE vec_id % 4 < $b),
+             |u${b}bv AS (SELECT * FROM se WHERE vec_id % 4 = $b),
+             |u${b}ca1 AS (SELECT cv.vec_id, cv.v, c.centroid_id,
+             |    ${cosSql("cv.v", "c.cvv")} AS cs FROM u${b}cv cv, scents c),
+             |u${b}ca AS (SELECT vec_id, v, centroid_id FROM
+             |    (SELECT *, row_number() OVER
+             |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+             |     FROM u${b}ca1) WHERE rn = 1),
+             |u${b}ba1 AS (SELECT bv.vec_id, bv.v, c.centroid_id,
+             |    ${cosSql("bv.v", "c.cvv")} AS cs FROM u${b}bv bv, scents c),
+             |u${b}ba AS (SELECT vec_id, v, centroid_id FROM
+             |    (SELECT *, row_number() OVER
+             |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+             |     FROM u${b}ba1) WHERE rn = 1),
+             |u${b}m AS (SELECT ba.vec_id AS bench_id, ${cosSql("ba.v", "ca.v")} AS c_sim
+             |    FROM u${b}ba ba JOIN u${b}ca ca ON ba.centroid_id = ca.centroid_id),
+             |u${b}w AS (SELECT bench_id, count(*) AS n_matches, max(c_sim) AS max_sim
+             |    FROM u${b}m WHERE c_sim >= 0.4 GROUP BY bench_id)""".stripMargin
+        }.mkString(",\n")
+        val selects = (1 to 3).map { b =>
+          s"""SELECT b.vec_id AS bench_id,
+             |  CAST(COALESCE(w.n_matches, 0) AS BIGINT) AS n_matches,
+             |  w.max_sim, w.n_matches IS NOT NULL AS contaminated
+             |FROM u${b}bv b LEFT JOIN u${b}w w ON w.bench_id = b.vec_id""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+           |scents AS (SELECT vec_id AS centroid_id, v AS cvv FROM se
+           |  WHERE vec_id % 4 = 0 AND vec_id % 100 = 0 AND vec_id < 102400),
            |$blocks
            |$selects""".stripMargin
       })

@@ -251,4 +251,65 @@ object DocStream {
       .parquet(s"$outDir/batch=*")
       .select(ndScreenSchema.fieldNames.map(col).toSeq: _*)
   }
+
+  private[graft] val semScreenSchema = StructType(Seq(
+    StructField("bench_id", LongType), StructField("n_matches", LongType),
+    StructField("max_sim", DoubleType), StructField("contaminated", BooleanType)))
+
+  /** x115 — the stored semantic index ([[graft.ext.Similarity]]'s x90
+    * lifecycle, completed with appends this round) run where an ingest
+    * gate runs it: each arriving VECTOR micro-batch is screened
+    * against the partition-pruned index of every STRICTLY EARLIER
+    * batch (exact within-cell cosine under the frozen batch-0
+    * centroids), then appended under those same centroids through the
+    * per-batch commit marker ([[graft.ext.Similarity.appendSemanticIndexOnce]]
+    * — duplicated vector rows inflate n_matches, the x114 rationale at
+    * the vector grain). Batch 0 bootstraps the index and freezes the
+    * centroid set; drift erodes pruning, not correctness, and x67's
+    * retrain monitor is the documented detector.
+    *
+    * Same MemoryStream transport caveat as [[spanScreenReplay]].
+    */
+  def vecScreenReplay(spark: SparkSession, emb: DataFrame,
+      indexDir: String, outDir: String, nBatches: Int = 4,
+      minCos: Double = 0.4, maxFilesPerCell: Int = 64): DataFrame = {
+    require(nBatches >= 2, s"need at least 2 batches to screen, got $nBatches")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = emb
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val stream = MemoryStream[(Long, Array[Float])]
+    val bootstrapped = new java.io.File(s"$indexDir/centroids/_SUCCESS")
+    val q = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$outDir/_chk")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val t0 = System.nanoTime()
+        if (!bootstrapped.exists()) {
+          graft.ext.Similarity.writeSemanticIndex(batch, indexDir)
+        } else {
+          graft.ext.Similarity.semanticScreenIndex(batch, indexDir, minCos)
+            .repartition(1)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          graft.ext.Similarity.appendSemanticIndexOnce(batch, indexDir, id,
+            maxFilesPerCell)
+        }
+        System.err.println(
+          f"[docstream-sem] batch $id: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      .start()
+    try {
+      (0 until nBatches).foreach { b =>
+        stream.addData(rows.filter { case (id, _) =>
+          math.floorMod(id, nBatches.toLong) == b.toLong }.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.schema(semScreenSchema)
+      .parquet(s"$outDir/batch=*")
+      .select(semScreenSchema.fieldNames.map(col).toSeq: _*)
+  }
 }

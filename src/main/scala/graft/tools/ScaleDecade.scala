@@ -200,8 +200,11 @@ object ScaleDecade {
     "x111_stream_lm_screen", // round 13: same replay cost class —
                         // per-batch score + append against the
                         // stored LM
-    "x114_stream_near_screen") // round 13: same class — per-batch
+    "x114_stream_near_screen", // round 13: same class — per-batch
                         // near-dup screen + marker-gated append
+    "x115_stream_sem_screen") // round 13: same class at the vector
+                        // grain — partition-pruned screen + frozen-
+                        // centroid append
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -495,6 +498,36 @@ object ScaleDecade {
             .count()
           val replay = (System.nanoTime() - t1) / 1e9
           println(f"""{"query":"x114_stream_$label","build_sec":$build%.3f,"replay_sec":$replay%.3f,"per_batch_sec":${replay / 4}%.3f,"screened_rows":$nOut}""")
+      }
+    }
+
+    // ---- x115: streaming semantic ingest gate at the decades — the
+    // x114 protocol at the vector grain: a FIXED vector stream (the 1×
+    // anchor slice, 4 micro-batches) against a standing semantic index
+    // built from the decaded embeddings. Claim: per-batch cost = batch
+    // scan + the partition-pruned probed-cell read (the batch probes
+    // ≤ |batch| cells of ~1024) — decoupled from index size.
+    if (probeSelected("x115_stream_sem_screen")) {
+      val fixedBatch = graft.sources.Tables
+        .load(spark, src, "embeddings")
+        .filter(col("vec_id") % 100 === 50)
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val emb = graft.sources.Tables.load(spark, d, "embeddings")
+          val idx = s"/tmp/graft_sem_sidx_decade_$label"
+          val out = s"/tmp/graft_x115_decade_$label"
+          Seq(idx, out).foreach(p =>
+            LocalFs.deleteRecursively(new java.io.File(p)))
+          val t0 = System.nanoTime()
+          graft.ext.Similarity.writeSemanticIndex(
+            emb.filter(col("vec_id") % 100 =!= 50), idx)
+          val build = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val nOut = graft.streaming.DocStream.vecScreenReplay(
+            spark, fixedBatch, idx, out, nBatches = 4, minCos = 0.4)
+            .count()
+          val replay = (System.nanoTime() - t1) / 1e9
+          println(f"""{"query":"x115_stream_$label","build_sec":$build%.3f,"replay_sec":$replay%.3f,"per_batch_sec":${replay / 4}%.3f,"screened_rows":$nOut}""")
       }
     }
 

@@ -518,6 +518,73 @@ class CurationOpsSpec extends SparkSpec {
       "compact must repair the crash-window double-append")
   }
 
+  test("appendSemanticIndexOnce: frozen-centroid appends; redelivery skips; compact repairs") {
+    import java.nio.file.Files
+    val dim = 64
+    def unit(axis: Int, eps: (Int, Float)*): Seq[Float] =
+      Seq.tabulate(dim) { d =>
+        if (d == axis) 1.0f
+        else eps.collectFirst { case (a, e) if a == d => e }.getOrElse(0.0f)
+      }
+    // id 0 is the only centroid (vec_id % 100 == 0); everything lands
+    // in its cell, so the screen's probed set is the whole index
+    val idx = Files.createTempDirectory("graft_sem_idx_spec").toString
+    Similarity.writeSemanticIndex(embDf(Seq(0L -> unit(0))), idx)
+    val batch = embDf(Seq(4L -> unit(0, 10 -> 0.1f), 8L -> unit(1)))
+    val bench = embDf(Seq(100L -> unit(0)))
+    def matches(): Long =
+      Similarity.semanticScreenIndex(bench, idx, minCos = 0.4)
+        .collect()(0).getLong(1)
+    assert(Similarity.appendSemanticIndexOnce(batch, idx, batchId = 3L),
+      "first delivery must append")
+    assert(matches() === 2L, "bench matches the centroid and the near twin")
+    assert(!Similarity.appendSemanticIndexOnce(batch, idx, batchId = 3L),
+      "redelivery must skip (marker committed)")
+    assert(matches() === 2L)
+    // the crash window: data landed, marker lost → the redelivered
+    // append double-writes and n_matches inflates; compact repairs
+    Similarity.appendSemanticIndex(batch, idx)
+    assert(matches() === 3L, "the double-append inflates the match count")
+    Similarity.compactSemanticIndex(spark, idx)
+    assert(matches() === 2L, "compact must reap duplicate vector rows")
+  }
+
+  test("vecScreenReplay: streamed ≡ strictly-earlier hand-computed truth per batch") {
+    import java.nio.file.Files
+    val dim = 64
+    def unit(axis: Int, eps: (Int, Float)*): Seq[Float] =
+      Seq.tabulate(dim) { d =>
+        if (d == axis) 1.0f
+        else eps.collectFirst { case (a, e) if a == d => e }.getOrElse(0.0f)
+      }
+    // batch = vec_id % 4; id 0 is the frozen batch-0 centroid
+    val emb = embDf(Seq(
+      0L -> unit(0),                 // batch 0: centroid
+      4L -> unit(1),                 // batch 0
+      1L -> unit(0, 10 -> 0.1f),     // batch 1: near 0
+      5L -> unit(2),                 // batch 1: clean at ingest
+      2L -> unit(1, 11 -> 0.1f),     // batch 2: near 4
+      6L -> unit(3),                 // batch 2: clean
+      3L -> unit(2, 12 -> 0.1f),     // batch 3: near 5
+      7L -> unit(0)))                // batch 3: exact copy of 0, near 1
+    val root = Files.createTempDirectory("graft_x115_spec").toString
+    val out = graft.streaming.DocStream.vecScreenReplay(spark, emb,
+      s"$root/index", s"$root/out", nBatches = 4, minCos = 0.4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 6, "batches 1-3 screen; batch 0 bootstraps")
+    def check(id: Long, n: Long, contaminated: Boolean): Unit = {
+      assert(out(id).getLong(1) === n, s"vec $id n_matches")
+      assert(out(id).getBoolean(3) === contaminated, s"vec $id verdict")
+    }
+    check(1L, 1L, contaminated = true)   // matches 0
+    check(5L, 0L, contaminated = false)
+    check(2L, 1L, contaminated = true)   // matches 4
+    check(6L, 0L, contaminated = false)
+    check(3L, 1L, contaminated = true)   // matches 5 (appended batch 1)
+    check(7L, 2L, contaminated = true)   // matches 0 AND the appended 1
+    assert(out(7L).getDouble(2) === 1.0, "the exact copy scores cos 1")
+  }
+
   test("stored near-dup index: the append trigger compacts when the " +
     "shingles table exceeds the file threshold; screen invariant") {
     import graft.ext.Dedup
