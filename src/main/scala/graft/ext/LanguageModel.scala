@@ -80,9 +80,19 @@ object LanguageModel {
         floor(log(p) * lit(1e6)).cast("long").as("__lp"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), sum("__lp").as("lp_micro"))
+      // avg_logprob rounds to 6 dp in EXACT integer arithmetic
+      // (half-away-from-zero on lp_micro/n_bigrams, which is already
+      // in micro-units): a float `round` disagrees across engines
+      // precisely at .5 boundaries — the 10× probe caught
+      // lp_micro = −115579898, n = 28 (ratio exactly −4127853.5)
+      // rounding −4.127854 in Spark and −4.127853 in DuckDB. The
+      // integer form is the same both sides; the final /1e6 is one
+      // correctly-rounded division of identical doubles.
       .select(col("doc_id"), col("lang"), col("n_bigrams"), col("lp_micro"),
-        round(col("lp_micro").cast("double") /
-          (col("n_bigrams").cast("double") * lit(1e6)), 6).as("avg_logprob"))
+        (expr("""cast(signum(lp_micro) as bigint) *
+                |((abs(lp_micro) * 2 + n_bigrams) div (n_bigrams * 2))"""
+            .stripMargin.replace("\n", " "))
+          .cast("double") / lit(1e6)).as("avg_logprob"))
   }
 
   /** The trained model of a corpus: per-(lang, w1, w2) bigram counts,

@@ -4079,8 +4079,7 @@ object ExtQueries {
       Some(s"""WITH $lmScoreCtes
               |SELECT doc_id, lang, count(*) AS n_bigrams,
               |  CAST(sum(lp) AS BIGINT) AS lp_micro,
-              |  round(CAST(sum(lp) AS DOUBLE) /
-              |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_logprob
+              |  CAST((CASE WHEN sum(lp) < 0 THEN -1 ELSE 1 END) * ((abs(CAST(sum(lp) AS BIGINT)) * 2 + count(*)) // (count(*) * 2)) AS DOUBLE) / 1000000.0 AS avg_logprob
               |FROM lp GROUP BY 1, 2""".stripMargin)),
 
     // ---- x108: CCNet head/middle/tail fluency buckets (round 13) ------
@@ -4095,8 +4094,7 @@ object ExtQueries {
           t(s, dir, "documents"), minCount = 2L),
       Some(s"""WITH $lmScoreCtes,
               |sc AS (SELECT doc_id, lang,
-              |         round(CAST(sum(lp) AS DOUBLE) /
-              |               (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS alp
+              |         CAST((CASE WHEN sum(lp) < 0 THEN -1 ELSE 1 END) * ((abs(CAST(sum(lp) AS BIGINT)) * 2 + count(*)) // (count(*) * 2)) AS DOUBLE) / 1000000.0 AS alp
               |       FROM lp GROUP BY 1, 2),
               |nl AS (SELECT lang, count(*) AS n_lang FROM sc GROUP BY 1),
               |r AS (SELECT doc_id, lang,
@@ -4141,8 +4139,7 @@ object ExtQueries {
       Some(s"""WITH ${lmCtes("source <> 'src2'", "source = 'src2'")}
               |SELECT doc_id, lang, count(*) AS n_bigrams,
               |  CAST(sum(lp) AS BIGINT) AS lp_micro,
-              |  round(CAST(sum(lp) AS DOUBLE) /
-              |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_logprob
+              |  CAST((CASE WHEN sum(lp) < 0 THEN -1 ELSE 1 END) * ((abs(CAST(sum(lp) AS BIGINT)) * 2 + count(*)) // (count(*) * 2)) AS DOUBLE) / 1000000.0 AS avg_logprob
               |FROM lp GROUP BY 1, 2""".stripMargin)),
 
     // ---- x110: LM-gated budget curation (round 13) --------------------
@@ -4171,8 +4168,7 @@ object ExtQueries {
       },
       Some(s"""WITH ${lmCtes("TRUE", "TRUE")},
               |sc AS (SELECT doc_id, lang,
-              |         round(CAST(sum(lp) AS DOUBLE) /
-              |               (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS alp
+              |         CAST((CASE WHEN sum(lp) < 0 THEN -1 ELSE 1 END) * ((abs(CAST(sum(lp) AS BIGINT)) * 2 + count(*)) // (count(*) * 2)) AS DOUBLE) / 1000000.0 AS alp
               |       FROM lp GROUP BY 1, 2),
               |nl AS (SELECT lang, count(*) AS n_lang FROM sc GROUP BY 1),
               |rk AS (SELECT doc_id, lang,
@@ -4227,8 +4223,7 @@ object ExtQueries {
         val selects = (1 to 3).map { b =>
           s"""SELECT doc_id, lang, count(*) AS n_bigrams,
              |  CAST(sum(lp) AS BIGINT) AS lp_micro,
-             |  round(CAST(sum(lp) AS DOUBLE) /
-             |        (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_logprob
+             |  CAST((CASE WHEN sum(lp) < 0 THEN -1 ELSE 1 END) * ((abs(CAST(sum(lp) AS BIGINT)) * 2 + count(*)) // (count(*) * 2)) AS DOUBLE) / 1000000.0 AS avg_logprob
              |FROM u${b}lp GROUP BY 1, 2""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"WITH $blocks\n$selects"
