@@ -669,6 +669,10 @@ object Dedup {
   def appendNearDupIndex(batch: DataFrame, indexDir: String, n: Int = 3,
       maxFilesPerTable: Int = 64): Unit = {
     val spark = batch.sparkSession
+    // heal a crashed compaction swap BEFORE appending: mode("append")
+    // into a missing live table would mint a batch-only table and fork
+    // the index away from the orphaned .compact copy
+    recoverNearDupSwap(spark, indexDir)
     val hot = spark.read.parquet(s"$indexDir/hot")
     val capped = graft.tools.InternalCaches.persist(
       hashedShingleSet(batch, n).join(broadcast(hot), Seq("sh"), "left_anti"))
@@ -691,40 +695,49 @@ object Dedup {
     * crash between them makes the redelivery double-append — the
     * over-approximation [[compactNearDupIndex]]'s distinct-rewrite
     * repairs, spec-gated), never before (marker-first would LOSE the
-    * batch). Returns whether the append ran.
+    * batch). Marker I/O goes through [[IndexFs]] (the Hadoop API), so
+    * the exactly-once contract holds on whatever filesystem `indexDir`
+    * names — hdfs/s3a index dirs included, not just local disk.
+    * Returns whether the append ran.
     */
   def appendNearDupIndexOnce(batch: DataFrame, indexDir: String,
       batchId: Long, n: Int = 3, maxFilesPerTable: Int = 64): Boolean = {
-    val marker = new java.io.File(s"$indexDir/_batch_commits/b$batchId")
-    if (marker.exists()) false
+    val spark = batch.sparkSession
+    val marker = s"$indexDir/_batch_commits/b$batchId"
+    if (IndexFs.exists(spark, marker)) false
     else {
       appendNearDupIndex(batch, indexDir, n, maxFilesPerTable)
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
+      IndexFs.touch(spark, marker)
       true
     }
   }
+
+  /** Heal any crashed tmp → old → live swap on the near-dup index's
+    * three swapped tables ([[IndexFs.recoverSwap]]); called at the top
+    * of every read/append/compact entry so "crash anywhere, re-run to
+    * finish" is true of the whole lifecycle, not just the compactor.
+    */
+  private def recoverNearDupSwap(spark: SparkSession, indexDir: String): Unit =
+    Seq("shingles", "sizes", "hashes")
+      .foreach(t => IndexFs.recoverSwap(spark, s"$indexDir/$t"))
 
   /** Offline maintenance for the near-dup index: distinct-rewrite
     * `shingles` and `hashes` (repairing any accidental double-append —
     * the duplicates that would inflate intersection counts), recompute
     * `sizes` from the compacted set, then swap each table tmp → old →
-    * live so a crash at any point leaves a readable index (the
-    * [[compactGramIndex]] discipline). The hot list is left as built —
-    * refreshing it is a REBUILD (it changes which shingles the whole
-    * index stores), not a compaction.
+    * live ([[IndexFs.swapCompact]]). Every step leaves a complete copy
+    * of each table on disk; the one step with no LIVE directory (between
+    * the two renames) is detected and completed by
+    * [[IndexFs.recoverSwap]], which every lifecycle entry point runs
+    * first — so a crash at any point is healed by the next read, append,
+    * or compaction re-run. The hot list is left as built — refreshing it
+    * is a REBUILD (it changes which shingles the whole index stores),
+    * not a compaction.
     */
   def compactNearDupIndex(spark: SparkSession, indexDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(table: String): Unit = {
-      val live = new Path(s"$indexDir/$table")
-      val old = new Path(s"$indexDir/$table.old")
-      fs.delete(old, true)
-      fs.rename(live, old)
-      fs.rename(new Path(s"$indexDir/$table.compact"), live)
-      fs.delete(old, true)
-    }
+    recoverNearDupSwap(spark, indexDir)
+    def swap(table: String): Unit =
+      IndexFs.swapCompact(spark, s"$indexDir/$table")
     // local persist, not the memoized registry: the frame reads the very
     // directory the swap replaces (the compactGramIndex argument)
     val sh = spark.read.parquet(s"$indexDir/shingles").distinct().persist()
@@ -749,6 +762,9 @@ object Dedup {
   def screenAgainstNearDupIndex(incoming: DataFrame, indexDir: String,
       n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
     val spark = incoming.sparkSession
+    // a reader after a mid-swap compactor crash self-heals (one rename)
+    // instead of failing on the missing live table
+    recoverNearDupSwap(spark, indexDir)
     // distinct defends the exact gate against duplicate hash rows from
     // appends (a duplicate here would duplicate incoming rows through
     // the left join); the set is one 32-char string per corpus doc
@@ -1204,27 +1220,61 @@ object Dedup {
     }
   }
 
+  /** Target distinct grams per bucket for [[autoBucketCount]],
+    * calibrated by measurement, not convention (HEADROOM "x103
+    * amortized"): at the sf0.1 gate corpus (224,694 distinct 8-grams)
+    * the 256-bucket default cost 3.5× the right-sized 32 — each append
+    * commits one file per non-empty bucket, so oversizing turns
+    * directly into per-append file-commit overhead — and 224,694 / 32
+    * ≈ 7k grams per bucket. 8192 reproduces that choice and scales it:
+    * the bucket count decades with the corpus until the cap.
+    */
+  private[graft] val GramsPerBucketTarget = 8192L
+
+  /** Derive the bucketed gram index's bucket count from its measured
+    * cardinality: the next power of two of items / [[GramsPerBucketTarget]],
+    * clamped to [8, 4096]. Power of two only for stable decade steps;
+    * pmod needs no alignment. The 4096 cap is the production posture:
+    * past it, buckets grow in SIZE (still a few file-scan tasks each —
+    * at 10¹² grams ≈ 2 GB/bucket) rather than in count, because
+    * per-append cost is one file commit per touched bucket and a
+    * micro-batch's grams touch nearly every bucket once counts exceed
+    * the batch's gram count.
+    */
+  private[graft] def autoBucketCount(items: Long): Int = {
+    val raw = math.max(1L, (items + GramsPerBucketTarget - 1) / GramsPerBucketTarget)
+    val pow2 = java.lang.Long.highestOneBit(raw) match {
+      case h if h == raw => raw
+      case h => h << 1
+    }
+    math.min(4096L, math.max(8L, pow2)).toInt
+  }
+
   /** Build the bucket-partitioned gram index + Bloom sidecar at corpus
     * ingest. `expectedItems` sizes the Bloom (default: the measured
     * distinct-gram count — one aggregate over the frame the write
     * materializes anyway); appends past the sizing only raise fpp
     * (weaker pruning, still-exact output) until [[compactGramIndex]]
     * re-sizes. `buckets` fixes the partitioning scheme for the index's
-    * lifetime (recorded in the sidecar); size it so one bucket ≈ a few
-    * file-scan tasks at the target corpus.
+    * lifetime (recorded in the sidecar); the default 0 derives it from
+    * the measured cardinality ([[autoBucketCount]] — the round-13
+    * finding that a mis-sized count is a 3.5× per-append foot-gun,
+    * now impossible by default), and an explicit positive value
+    * overrides for callers who know their append cadence.
     */
   def writeGramIndexBucketed(docs: DataFrame, indexDir: String, k: Int = 8,
-      buckets: Int = 256, expectedItems: Option[Long] = None,
+      buckets: Int = 0, expectedItems: Option[Long] = None,
       fpp: Double = 0.01): Unit = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(buckets >= 0, s"buckets must be positive (0 = auto), got $buckets")
     require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
     val spark = docs.sparkSession
     val g = graft.tools.InternalCaches.persist(
       gramStream(docs, k).select("g").distinct())
     val items = math.max(expectedItems.getOrElse(g.count()), 64L)
+    val nBuckets = if (buckets > 0) buckets else autoBucketCount(items)
     val numBits = BloomFilter.optimalNumOfBits(items, fpp)
     val bf = buildBloomOfLongs(g, "g", items, numBits)
-    g.withColumn("bucket", pmod(col("g"), lit(buckets.toLong)).cast("int"))
+    g.withColumn("bucket", pmod(col("g"), lit(nBuckets.toLong)).cast("int"))
       // ONE file per bucket per write: without the bucket repartition
       // every writer task opens every bucket directory (tasks x
       // buckets tiny files — measured 10x screen-cost overhead from
@@ -1232,12 +1282,12 @@ object Dedup {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
     // after the parquet write: overwrite mode clears the directory
-    writeBloomSidecar(spark, indexDir, buckets, items, numBits, bf)
+    writeBloomSidecar(spark, indexDir, nBuckets, items, numBits, bf)
     // seed the driver cache with the state just written: the first
     // screen/append after a build pays no sidecar re-read
     invalidateSidecarCache(indexDir)
     sidecarCache.put((spark.sparkContext.applicationId, indexDir),
-      (buckets, items, numBits, bf))
+      (nBuckets, items, numBits, bf))
   }
 
   /** Append a batch's grams into the bucketed index: new files inside
@@ -1274,6 +1324,9 @@ object Dedup {
       newDocs: DataFrame, indexDir: String, k: Int = 8,
       cacheSidecar: Boolean = true, maxFilesPerBucket: Int = 64): Unit = {
     val spark = newDocs.sparkSession
+    // heal a crashed compaction swap BEFORE appending (an append into a
+    // missing live dir would fork the index away from the .compact copy)
+    IndexFs.recoverSwap(spark, indexDir)
     val (buckets, items, numBits, bf) =
       cachedSidecar(spark, indexDir, cacheSidecar)
     val g = graft.tools.InternalCaches.persist(
@@ -1312,12 +1365,14 @@ object Dedup {
     * re-size the Bloom to the measured cardinality. Both read actions
     * (the compacted write and the Bloom rebuild) complete BEFORE any
     * directory mutation; the swap then keeps a complete copy on disk
-    * at every step (tmp → old → live), so a crash at any point leaves
-    * a readable index — re-run to finish.
+    * at every step (tmp → old → live). The one step with no LIVE
+    * directory (between the two renames) is detected and completed by
+    * [[IndexFs.recoverSwap]], run first here and by every screen/append
+    * entry — a crash at any point is healed by the next touch.
     */
   def compactGramIndex(spark: SparkSession, indexDir: String,
       fpp: Double = 0.01): Unit = {
-    import org.apache.hadoop.fs.Path
+    IndexFs.recoverSwap(spark, indexDir)
     val (buckets, _, _, _) = readBloomSidecar(spark, indexDir)
     // NOT the memoized registry: this frame reads the very directory
     // the swap below replaces — a registry entry keyed on its plan
@@ -1337,12 +1392,7 @@ object Dedup {
       .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
     writeBloomSidecar(spark, tmp, buckets, items, numBits, bf)
     // swap: every step leaves a complete index on disk somewhere
-    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(indexDir + ".old")
-    fs.delete(old, true)
-    fs.rename(new Path(indexDir), old)
-    fs.rename(new Path(tmp), new Path(indexDir))
-    fs.delete(old, true)
+    IndexFs.swapCompact(spark, indexDir)
     // the compacted frame replaced the files its cached plan reads —
     // drop the cache so later actions re-read the live directory
     g.unpersist(blocking = false)
@@ -1366,6 +1416,8 @@ object Dedup {
       k: Int = 8, maxLiteralBytes: Long = 4L << 20,
       cacheSidecar: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
+    // a reader after a mid-swap compactor crash self-heals (one rename)
+    IndexFs.recoverSwap(spark, indexDir)
     val (buckets, _, numBits, bf) =
       cachedSidecar(spark, indexDir, cacheSidecar)
     val grams = graft.tools.InternalCaches.persist(gramStream(batch, k))

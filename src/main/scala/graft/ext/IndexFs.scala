@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem plumbing shared by the stored-index lifecycles (gram,
+  * near-dup, LM, semantic): commit markers and the tmp → old → live
+  * compaction swap, all through the Hadoop [[FileSystem]] API so the
+  * same code runs against `file:`, `hdfs:`, or `s3a:` index
+  * directories. The round-13 `*Once` appends proved their exactly-once
+  * semantics with `java.io.File` markers — correct on a laptop, and
+  * silently broken the moment `indexDir` is an HDFS/S3 URI (the marker
+  * lands on one node's local disk, `exists()` is always false, and
+  * every redelivered batch double-appends). This object is the fix:
+  * resolve every control-plane path through the directory's own
+  * filesystem, exactly like the parquet/sidecar I/O beside it.
+  *
+  * Everything here is driver-side control-plane: one RPC per call,
+  * never a Spark job.
+  */
+object IndexFs {
+
+  /** The filesystem owning `path` (scheme-resolved: file/hdfs/s3a/...). */
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** Create a zero-byte marker file, parents included. The marker's
+    * content is its existence; overwrite is fine (a re-touch of a
+    * marker that already exists changes nothing observable).
+    */
+  def touch(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    f.mkdirs(p.getParent)
+    f.create(p, true).close()
+  }
+
+  /** Complete a compaction swap that crashed between `rename(live, old)`
+    * and `rename(live.compact, live)` — the one window in the
+    * tmp → old → live discipline where no live directory exists. The
+    * signature of that crash is unambiguous (live missing, a complete
+    * `.compact` copy present), so recovery is one rename. Called at the
+    * top of every lifecycle entry point that reads or appends a swapped
+    * table: a reader after the crash self-heals instead of failing on
+    * the missing path, and an APPEND after the crash must heal first or
+    * its `mode("append")` write would mint a fresh table containing
+    * only the batch — forking the index away from the orphaned
+    * `.compact` copy. Returns whether a recovery ran. A stale `.old`
+    * left by the same crash is harmless and is deleted by the next
+    * swap's first step.
+    */
+  def recoverSwap(spark: SparkSession, liveDir: String): Boolean = {
+    val f = fs(spark, liveDir)
+    val live = new Path(liveDir)
+    val compact = new Path(liveDir + ".compact")
+    if (!f.exists(live) && f.exists(compact)) f.rename(compact, live)
+    else false
+  }
+
+  /** The compaction swap: demote live to `.old`, promote `.compact` to
+    * live, drop `.old`. Every step leaves a complete copy of the table
+    * on disk; the only step with no LIVE path is the window
+    * [[recoverSwap]] repairs, so "crash anywhere, re-run (or just read)
+    * to finish" is the real guarantee. Callers must have finished
+    * writing `liveDir.compact` before calling.
+    */
+  def swapCompact(spark: SparkSession, liveDir: String): Unit = {
+    val f = fs(spark, liveDir)
+    val live = new Path(liveDir)
+    val old = new Path(liveDir + ".old")
+    f.delete(old, true)
+    f.rename(live, old)
+    f.rename(new Path(liveDir + ".compact"), live)
+    f.delete(old, true)
+  }
+}

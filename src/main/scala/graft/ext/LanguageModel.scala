@@ -179,6 +179,9 @@ object LanguageModel {
   def appendLmIndex(batch: DataFrame, indexDir: String, batchId: String,
       maxFiles: Int = 64): Unit = {
     val spark = batch.sparkSession
+    // heal a crashed compaction swap BEFORE appending (an append into a
+    // missing live dir would mint a batch-only model and orphan .compact)
+    IndexFs.recoverSwap(spark, s"$indexDir/bigrams")
     bigramStream(inScope(batch)).groupBy("lang", "w1", "w2")
       .agg(count(lit(1)).as("c12")).withColumn("batch_id", lit(batchId))
       .repartition(1).write.mode("append").parquet(s"$indexDir/bigrams")
@@ -189,17 +192,19 @@ object LanguageModel {
 
   /** Maintenance: distinct-rewrite (collapsing any replayed appends —
     * batch-stamped rows are deterministic, so a replay is a byte-
-    * identical duplicate) then tmp → old → live swap, crash-safe at
-    * every point (the compactGramIndex discipline). Batch stamps are
-    * KEPT: compaction must stay idempotence-preserving — summing
-    * across batches here would make the next replayed append
-    * undetectable.
+    * identical duplicate) then tmp → old → live swap
+    * ([[graft.ext.IndexFs.swapCompact]]). Every step leaves a complete
+    * copy of the model on disk; the one step with no LIVE directory
+    * (between the two renames) is detected and completed by
+    * [[graft.ext.IndexFs.recoverSwap]], run first here and by every
+    * score/append entry — a crash at any point is healed by the next
+    * touch. Batch stamps are KEPT: compaction must stay
+    * idempotence-preserving — summing across batches here would make
+    * the next replayed append undetectable.
     */
   def compactLmIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexFs.recoverSwap(spark, s"$indexDir/bigrams")
     // local persist, not the memoized registry: the frame reads the
     // very directory the swap replaces
     // one writer: the model is vocabulary-sized, and the compacted
@@ -210,12 +215,7 @@ object LanguageModel {
     bg.repartition(1).write.mode("overwrite")
       .parquet(s"$indexDir/bigrams.compact")
     bg.unpersist(blocking = false)
-    val live = new Path(s"$indexDir/bigrams")
-    val old = new Path(s"$indexDir/bigrams.old")
-    fs.delete(old, true)
-    fs.rename(live, old)
-    fs.rename(new Path(s"$indexDir/bigrams.compact"), live)
-    fs.delete(old, true)
+    IndexFs.swapCompact(spark, s"$indexDir/bigrams")
   }
 
   /** The stored model, merged for scoring: replayed appends collapse
@@ -227,9 +227,12 @@ object LanguageModel {
     * stored table instead.
     */
   private def storedCounts(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): DataFrame =
+      indexDir: String): DataFrame = {
+    // a reader after a mid-swap compactor crash self-heals (one rename)
+    IndexFs.recoverSwap(spark, s"$indexDir/bigrams")
     spark.read.parquet(s"$indexDir/bigrams").distinct()
       .groupBy("lang", "w1", "w2").agg(sum("c12").as("c12"))
+  }
 
   /** Score a held-out batch against the STORED model — the ingest-time
     * fluency gate: per-batch cost is the batch scan plus the

@@ -56,6 +56,8 @@ object ExtQueries {
   private val x114Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x115Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x115Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x116Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x116Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -3967,10 +3969,12 @@ object ExtQueries {
         // of the screen that stays flat while the index decades
         // (HEADROOM x95 split: +1 s/decade vs the flat screen's
         // ×4/decade).
+        // buckets auto-derived from the bootstrap batch's cardinality
+        // (round 14; was a manual 32 — the auto pick at this scale is 8,
+        // fewer file commits per append, same hash-gated output)
         graft.streaming.DocStream.spanScreenReplay(s, t(s, dir, "documents"),
           new java.io.File(root, "index").getPath,
-          new java.io.File(root, "out").getPath, nBatches = 4, bloom = true,
-          buckets = 32)
+          new java.io.File(root, "out").getPath, nBatches = 4, bloom = true)
       },
       Some(s"""WITH tk AS (SELECT doc_id, doc_id % 4 AS b,
               |    string_split(trim(text), ' ') AS t
@@ -4385,6 +4389,86 @@ object ExtQueries {
            |  WHERE vec_id % 4 = 0 AND vec_id % 100 = 0 AND vec_id < 102400),
            |$blocks
            |$selects""".stripMargin
+      }),
+
+    // ---- x116: semantic index rebuild — retrain-and-migrate (round 14) --
+    // The wired response to x67's drift alarm the round-13 verdict
+    // listed as the open remediation: build the stored index from a
+    // THIRD of the corpus (vec_id % 3 = 0 — chosen so the frozen
+    // centroid set, multiples of 300, is a strict subset of the full
+    // corpus's multiples of 100), append the other two thirds under
+    // the frozen centroids, screen a bench set, then
+    // rebuildSemanticIndex (retrain centroids over the LIVE vector
+    // set, re-assign everything, swap the whole directory tmp → old →
+    // live with the markers carried across), and screen again. Output
+    // = both screens phase-labeled, so the oracle hash-gates BOTH
+    // geometries: the frozen phase proves appends assign under stored
+    // centroids, the rebuilt phase proves the retrain reproduces the
+    // from-scratch assignment over the migrated corpus.
+    ("x116_sem_index_rebuild",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x116_${s.sparkContext.applicationId}_${x116Seq.incrementAndGet()}")
+        Option(x116Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val emb = t(s, dir, "embeddings")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        Similarity.writeSemanticIndex(
+          emb.filter(pmod(col("vec_id"), lit(3L)) === 0L), idx)
+        Similarity.appendSemanticIndexOnce(
+          emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0L), idx, batchId = 1L)
+        val bench = emb.filter(pmod(col("vec_id"), lit(50L)) === 7L)
+        // materialize the frozen-phase screen BEFORE the swap replaces
+        // the directory its lazy plan reads
+        Similarity.semanticScreenIndex(bench, idx, minCos = 0.4)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/frozen")
+        Similarity.rebuildSemanticIndex(s, idx)
+        Similarity.semanticScreenIndex(bench, idx, minCos = 0.4)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/rebuilt")
+        s.read.parquet(s"$root/frozen").withColumn("phase", lit("frozen"))
+          .unionByName(s.read.parquet(s"$root/rebuilt")
+            .withColumn("phase", lit("rebuilt")))
+      },
+      Some {
+        // the x84/x115 verified screen stack, instantiated once per
+        // centroid geometry; corpus = ALL vectors in both phases (the
+        // appends landed before either screen)
+        def screen(px: String) =
+          s"""${px}ca1 AS (SELECT cv.vec_id, cv.v, c.centroid_id,
+             |    ${cosSql("cv.v", "c.cvv")} AS cs FROM se cv, ${px}cents c),
+             |${px}ca AS (SELECT vec_id, v, centroid_id FROM
+             |    (SELECT *, row_number() OVER
+             |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+             |     FROM ${px}ca1) WHERE rn = 1),
+             |${px}ba1 AS (SELECT bv.vec_id, bv.v, c.centroid_id,
+             |    ${cosSql("bv.v", "c.cvv")} AS cs FROM bench bv, ${px}cents c),
+             |${px}ba AS (SELECT vec_id, v, centroid_id FROM
+             |    (SELECT *, row_number() OVER
+             |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+             |     FROM ${px}ba1) WHERE rn = 1),
+             |${px}m AS (SELECT ba.vec_id AS bench_id, ${cosSql("ba.v", "ca.v")} AS c_sim
+             |    FROM ${px}ba ba JOIN ${px}ca ca ON ba.centroid_id = ca.centroid_id),
+             |${px}w AS (SELECT bench_id, count(*) AS n_matches, max(c_sim) AS max_sim
+             |    FROM ${px}m WHERE c_sim >= 0.4 GROUP BY bench_id)""".stripMargin
+        def phaseSelect(phase: String, px: String) =
+          s"""SELECT '$phase' AS phase, b.vec_id AS bench_id,
+             |  CAST(COALESCE(w.n_matches, 0) AS BIGINT) AS n_matches,
+             |  w.max_sim, w.n_matches IS NOT NULL AS contaminated
+             |FROM bench b LEFT JOIN ${px}w w ON w.bench_id = b.vec_id""".stripMargin
+        s"""WITH se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+           |bench AS (SELECT * FROM se WHERE vec_id % 50 = 7),
+           |fcents AS (SELECT vec_id AS centroid_id, v AS cvv FROM se
+           |  WHERE vec_id % 3 = 0 AND vec_id % 100 = 0 AND vec_id < 102400),
+           |rcents AS (SELECT vec_id AS centroid_id, v AS cvv FROM se
+           |  WHERE vec_id % 100 = 0 AND vec_id < 102400),
+           |${screen("f")},
+           |${screen("r")}
+           |${phaseSelect("frozen", "f")}
+           |UNION ALL
+           |${phaseSelect("rebuilt", "r")}""".stripMargin
       })
   )
 

@@ -53,7 +53,7 @@ object DocStream {
     */
   def spanScreenReplay(spark: SparkSession, docs: DataFrame,
       indexDir: String, outDir: String, nBatches: Int = 4,
-      k: Int = 8, bloom: Boolean = true, buckets: Int = 256,
+      k: Int = 8, bloom: Boolean = true, buckets: Int = 0,
       maxFilesPerBucket: Int = 64): DataFrame = {
     require(nBatches >= 2, s"need at least 2 batches to screen, got $nBatches")
     import spark.implicits._
@@ -69,18 +69,23 @@ object DocStream {
     // sidecar cache + size-switched Bloom update + broadcast gate cut
     // its per-batch fixed term from ~20 s to ~0.6 s) or the x85 flat
     // triple (the like-for-like baseline; x95's gate hash-proves the
-    // two screens output-identical, so the oracle is shared). Size
-    // `buckets` to the INDEX, not a constant: each append commits one
-    // file per non-empty bucket, and oversized bucket counts turn
-    // into per-append file-commit overhead (256 buckets cost 3.5× the
-    // right-sized 32 at the sf0.1 gate scale).
-    val bootstrapped = new java.io.File(
-      indexDir, if (bloom) "_gram_bloom" else "_SUCCESS")
+    // two screens output-identical, so the oracle is shared).
+    // buckets = 0 (default) lets the build derive the count from the
+    // bootstrap batch's measured gram cardinality
+    // (Dedup.autoBucketCount — the round-13 3.5× mis-sizing foot-gun,
+    // closed by default). The bootstrap batch undersells a long append
+    // horizon by ~nBatches; callers sizing for one pass an explicit
+    // count (or expectedItems on the build) as before.
+    // Hadoop-API probe (not java.io.File): the bootstrap decision must
+    // see the same filesystem the index writes to, or a remote indexDir
+    // would re-bootstrap (and overwrite the index) on every batch
+    def bootstrapped: Boolean = graft.ext.IndexFs.exists(spark,
+      s"$indexDir/${if (bloom) "_gram_bloom" else "_SUCCESS"}")
     val q = stream.toDF().toDF("doc_id", "text").writeStream
       .option("checkpointLocation", s"$outDir/_chk")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val t0 = System.nanoTime()
-        if (!bootstrapped.exists()) {
+        if (!bootstrapped) {
           if (bloom) Dedup.writeGramIndexBucketed(batch, indexDir, k, buckets)
           else Dedup.writeGramIndex(batch, indexDir, k)
         } else {
@@ -153,12 +158,13 @@ object DocStream {
       .select(col("doc_id").cast("long"), col("text"), col("lang"))
       .as[(Long, String, String)].collect()
     val stream = MemoryStream[(Long, String, String)]
-    val bootstrapped = new java.io.File(s"$indexDir/bigrams/_SUCCESS")
+    def bootstrapped: Boolean =
+      graft.ext.IndexFs.exists(spark, s"$indexDir/bigrams/_SUCCESS")
     val q = stream.toDF().toDF("doc_id", "text", "lang").writeStream
       .option("checkpointLocation", s"$outDir/_chk")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val t0 = System.nanoTime()
-        if (!bootstrapped.exists()) {
+        if (!bootstrapped) {
           graft.ext.LanguageModel.writeLmIndex(batch, indexDir)
         } else {
           graft.ext.LanguageModel
@@ -223,12 +229,13 @@ object DocStream {
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect()
     val stream = MemoryStream[(Long, String)]
-    val bootstrapped = new java.io.File(s"$indexDir/hashes/_SUCCESS")
+    def bootstrapped: Boolean =
+      graft.ext.IndexFs.exists(spark, s"$indexDir/hashes/_SUCCESS")
     val q = stream.toDF().toDF("doc_id", "text").writeStream
       .option("checkpointLocation", s"$outDir/_chk")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val t0 = System.nanoTime()
-        if (!bootstrapped.exists()) {
+        if (!bootstrapped) {
           Dedup.writeNearDupIndex(batch, indexDir, n, maxShingleDf)
         } else {
           Dedup.screenAgainstNearDupIndex(batch, indexDir, n, minJaccard)
@@ -283,12 +290,13 @@ object DocStream {
         col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])].collect()
     val stream = MemoryStream[(Long, Array[Float])]
-    val bootstrapped = new java.io.File(s"$indexDir/centroids/_SUCCESS")
+    def bootstrapped: Boolean =
+      graft.ext.IndexFs.exists(spark, s"$indexDir/centroids/_SUCCESS")
     val q = stream.toDF().toDF("vec_id", "embedding").writeStream
       .option("checkpointLocation", s"$outDir/_chk")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val t0 = System.nanoTime()
-        if (!bootstrapped.exists()) {
+        if (!bootstrapped) {
           graft.ext.Similarity.writeSemanticIndex(batch, indexDir)
         } else {
           graft.ext.Similarity.semanticScreenIndex(batch, indexDir, minCos)

@@ -25,7 +25,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object InternalCaches {
 
-  private val entries = TrieMap.empty[(String, Int), DataFrame]
+  /** Registered frame plus the input files its plan read, snapshotted
+    * AT REGISTRATION: once the frame is cached, `Dataset.inputFiles`
+    * walks the cache-substituted optimized plan — an `InMemoryRelation`
+    * leaf with no file relations — and returns empty, so the file list
+    * must be taken before the persist makes it unobservable. None =
+    * the enumeration failed; [[releaseByPath]] treats that as "might
+    * read anything" and drops the entry.
+    */
+  private final case class Entry(df: DataFrame, files: Option[Seq[String]])
+
+  private val entries = TrieMap.empty[(String, Int), Entry]
 
   /** Persist `df` (idempotent per canonical plan per session) and
     * return the cached frame. MEMORY_AND_DISK by default: internal
@@ -37,7 +47,12 @@ object InternalCaches {
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val key = (df.sparkSession.sparkContext.applicationId,
       df.queryExecution.analyzed.semanticHash())
-    entries.getOrElseUpdate(key, df.persist(level))
+    entries.getOrElseUpdate(key, {
+      val files =
+        try Some(df.inputFiles.toSeq)
+        catch { case scala.util.control.NonFatal(_) => None }
+      Entry(df.persist(level), files)
+    }).df
   }
 
   private val broadcasts = TrieMap.empty[(String, Long), Broadcast[_]]
@@ -56,6 +71,32 @@ object InternalCaches {
     b
   }
 
+  /** Unpersist and deregister every internal cache of this session
+    * whose plan reads files under `pathPrefix` — the invalidation hook
+    * for index REBUILDS: the registry keys on the canonical plan, and
+    * a plan reading "parquet at path P" hashes the same before and
+    * after P's contents are replaced wholesale, so a memoized frame
+    * (e.g. the screen's bench-assignment against stored centroids)
+    * would silently serve the OLD geometry after a retrain-and-swap.
+    * Appends don't need this (the memoized frames read only the frozen
+    * artifacts); rebuilds replace the frozen artifacts themselves.
+    * A frame whose input files cannot be enumerated is dropped too —
+    * losing a cache costs a recompute, keeping a stale one costs
+    * correctness.
+    */
+  def releaseByPath(spark: SparkSession, pathPrefix: String): Unit = {
+    val appId = spark.sparkContext.applicationId
+    val norm = new org.apache.hadoop.fs.Path(pathPrefix).toUri.getPath
+    entries.keys.filter(_._1 == appId).foreach { k =>
+      entries.get(k).foreach { e =>
+        val reads = e.files.forall(_.exists(f =>
+          new org.apache.hadoop.fs.Path(f).toUri.getPath.startsWith(norm)))
+        if (reads)
+          entries.remove(k).foreach(_.df.unpersist(blocking = false))
+      }
+    }
+  }
+
   /** Unpersist every internal cache and tracked broadcast registered by
     * this session. Call after the consuming actions complete (e.g. end
     * of a verify/bench pass).
@@ -71,7 +112,7 @@ object InternalCaches {
   def release(spark: SparkSession): Unit = {
     val appId = spark.sparkContext.applicationId
     entries.keys.filter(_._1 == appId).foreach { k =>
-      entries.remove(k).foreach(_.unpersist(blocking = false))
+      entries.remove(k).foreach(_.df.unpersist(blocking = false))
     }
     broadcasts.keys.filter(_._1 == appId).foreach { k =>
       broadcasts.remove(k).foreach(_.unpersist(blocking = false))
@@ -86,7 +127,7 @@ object InternalCaches {
   def teardown(spark: SparkSession): Unit = {
     val appId = spark.sparkContext.applicationId
     entries.keys.filter(_._1 == appId).foreach { k =>
-      entries.remove(k).foreach(_.unpersist(blocking = false))
+      entries.remove(k).foreach(_.df.unpersist(blocking = false))
     }
     broadcasts.keys.filter(_._1 == appId).foreach { k =>
       broadcasts.remove(k).foreach(_.destroy())

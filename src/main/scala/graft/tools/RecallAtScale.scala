@@ -42,6 +42,17 @@ import graft.ext.Similarity
 object RecallAtScale {
 
   def main(args: Array[String]): Unit = {
+    // fail fast on the do-nothing configuration BEFORE any Spark work:
+    // SKIP_MAIN without the x80 opt-in disables every measurement
+    // block, and the only effect of the run would be (possibly hours
+    // of) corpus generation with nothing measured against it
+    if (sys.env.contains("SPARK_GRAFT_RECALL_SKIP_MAIN") &&
+        !sys.env.contains("SPARK_GRAFT_RECALL_X80")) {
+      System.err.println("[recall] SPARK_GRAFT_RECALL_SKIP_MAIN is set " +
+        "without SPARK_GRAFT_RECALL_X80 — every measurement block would " +
+        "be disabled. Set SPARK_GRAFT_RECALL_X80, or unset SKIP_MAIN.")
+      sys.exit(2)
+    }
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out10 = args.lift(1).getOrElse("/tmp/graft_sf1")
     val out100 = args.lift(2).getOrElse("/tmp/graft_sf10")
@@ -89,12 +100,9 @@ object RecallAtScale {
 
     // SPARK_GRAFT_RECALL_SKIP_MAIN skips the (already-recorded) round-11
     // sweep grid so an x80-only run doesn't re-pay the full-corpus
-    // re-encodes; the x80 block below has its own opt-in.
+    // re-encodes; the x80 block below has its own opt-in (and main()
+    // fails fast above when BOTH blocks would be disabled).
     val skipMain = sys.env.contains("SPARK_GRAFT_RECALL_SKIP_MAIN")
-    if (skipMain && !sys.env.contains("SPARK_GRAFT_RECALL_X80"))
-      System.err.println("[recall] SPARK_GRAFT_RECALL_SKIP_MAIN is set " +
-        "without SPARK_GRAFT_RECALL_X80 — every measurement block is " +
-        "disabled; this run will only generate corpora")
     for ((dir, label, _, skewed) <- corpora if wanted(label) && !skipMain) {
       val big = label.startsWith("1000x")
       val (slSweep, npSweep) =

@@ -202,9 +202,12 @@ object ScaleDecade {
                         // stored LM
     "x114_stream_near_screen", // round 13: same class — per-batch
                         // near-dup screen + marker-gated append
-    "x115_stream_sem_screen") // round 13: same class at the vector
+    "x115_stream_sem_screen", // round 13: same class at the vector
                         // grain — partition-pruned screen + frozen-
                         // centroid append
+    "x116_sem_rebuild") // round 14: retrain-and-migrate pricing —
+                        // rebuild (corpus-sized, paid on alarm) vs
+                        // the appends it replaces (batch-sized)
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -528,6 +531,43 @@ object ScaleDecade {
             .count()
           val replay = (System.nanoTime() - t1) / 1e9
           println(f"""{"query":"x115_stream_$label","build_sec":$build%.3f,"replay_sec":$replay%.3f,"per_batch_sec":${replay / 4}%.3f,"screened_rows":$nOut}""")
+      }
+    }
+
+    // ---- x116: semantic-index rebuild — retrain-and-migrate pricing.
+    // The claim under probe (round-13 verdict item 4): the rebuild is
+    // the BUILD's cost class (one corpus scan + the corpus-sized
+    // assignment), paid only when the drift monitor trips, while the
+    // append stream it replaces stays batch-sized; and the screen term
+    // is unchanged across the swap. Expect rebuild_sec ≈ build_sec at
+    // every decade, append_sec and screen_sec flat.
+    if (probeSelected("x116_sem_rebuild")) {
+      val fixedBatch = graft.sources.Tables
+        .load(spark, src, "embeddings")
+        .filter(col("vec_id") % 100 === 50)
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val emb = graft.sources.Tables.load(spark, d, "embeddings")
+          val idx = s"/tmp/graft_sem_rbld_decade_$label"
+          LocalFs.deleteRecursively(new java.io.File(idx))
+          val t0 = System.nanoTime()
+          graft.ext.Similarity.writeSemanticIndex(
+            emb.filter(col("vec_id") % 100 =!= 50), idx)
+          val build = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          graft.ext.Similarity.appendSemanticIndexOnce(fixedBatch, idx, 1L)
+          val append = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          graft.ext.Similarity.rebuildSemanticIndex(spark, idx)
+          val rebuild = (System.nanoTime() - t2) / 1e9
+          val times = (1 to 3).map { _ =>
+            val t3 = System.nanoTime()
+            graft.ext.Similarity
+              .semanticScreenIndex(fixedBatch, idx, minCos = 0.4)
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t3) / 1e9
+          }.sorted
+          println(f"""{"query":"x116_rebuild_$label","build_sec":$build%.3f,"append_sec":$append%.3f,"rebuild_sec":$rebuild%.3f,"screen_sec":${times(1)}%.3f}""")
       }
     }
 

@@ -1,0 +1,228 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, IndexFs, LanguageModel, Similarity}
+
+/** Round-14 lifecycle plumbing: Hadoop-API commit markers (the
+  * round-13 verdict's top item — java.io.File markers silently break
+  * exactly-once on hdfs/s3a index dirs), the crash-recoverable
+  * tmp → old → live swap, the auto-derived gram bucket count, and the
+  * semantic-index rebuild (retrain-and-migrate).
+  */
+class IndexFsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- markers through the Hadoop API --------------------------------
+
+  test("marker round-trips through the Hadoop FileSystem API on the local FS") {
+    val dir = Files.createTempDirectory("graft_idxfs").toString
+    val marker = s"$dir/_batch_commits/b42"
+    assert(!IndexFs.exists(spark, marker))
+    IndexFs.touch(spark, marker)
+    assert(IndexFs.exists(spark, marker), "touched marker must exist")
+    // idempotent: a re-touch of an existing marker is harmless
+    IndexFs.touch(spark, marker)
+    assert(IndexFs.exists(spark, marker))
+    // the marker resolves on the directory's own filesystem — on the
+    // local FS that means a plain file at the same path
+    assert(new java.io.File(dir, "_batch_commits/b42").exists())
+  }
+
+  // ---- the swap discipline and its crash window -----------------------
+
+  test("recoverSwap completes a swap crashed between the two renames") {
+    val root = Files.createTempDirectory("graft_swap").toString
+    val live = s"$root/table"
+    Seq(1L, 2L).toDF("v").write.parquet(live)
+    Seq(1L).toDF("v").write.parquet(s"$live.compact")
+    // healthy state: recovery is a no-op
+    assert(!IndexFs.recoverSwap(spark, live))
+    assert(spark.read.parquet(live).count() === 2)
+    // simulate the crash: live was renamed to .old, .compact not yet
+    // promoted — the one step of swapCompact with no live directory
+    val fs = IndexFs.fs(spark, live)
+    fs.rename(new org.apache.hadoop.fs.Path(live),
+      new org.apache.hadoop.fs.Path(s"$live.old"))
+    assert(IndexFs.recoverSwap(spark, live), "crash state must recover")
+    assert(spark.read.parquet(live).count() === 1,
+      "recovery promotes the complete .compact copy")
+    assert(!IndexFs.recoverSwap(spark, live), "recovery is one-shot")
+  }
+
+  test("swapCompact promotes .compact and drops .old") {
+    val root = Files.createTempDirectory("graft_swap2").toString
+    val live = s"$root/table"
+    Seq(1L, 2L, 3L).toDF("v").write.parquet(live)
+    Seq(9L).toDF("v").write.parquet(s"$live.compact")
+    IndexFs.swapCompact(spark, live)
+    assert(spark.read.parquet(live).collect().map(_.getLong(0)).toSeq === Seq(9L))
+    assert(!IndexFs.exists(spark, s"$live.old"))
+    assert(!IndexFs.exists(spark, s"$live.compact"))
+  }
+
+  test("LM score self-heals after a compaction crash mid-swap") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the dog sat on the mat", "en")).toDF("doc_id", "text", "lang")
+    val idx = Files.createTempDirectory("graft_lm_crash").toString
+    LanguageModel.writeLmIndex(docs, idx)
+    val want = LanguageModel.scoreAgainstLmIndex(docs, idx, minCount = 1L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // stage a compacted copy, then simulate the mid-swap crash
+    spark.read.parquet(s"$idx/bigrams").distinct().repartition(1)
+      .write.mode("overwrite").parquet(s"$idx/bigrams.compact")
+    val fs = IndexFs.fs(spark, idx)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/bigrams"),
+      new org.apache.hadoop.fs.Path(s"$idx/bigrams.old"))
+    val healed = LanguageModel.scoreAgainstLmIndex(docs, idx, minCount = 1L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(healed === want, "reader must recover the swap and score identically")
+    // and a compaction re-run after the crash completes instead of throwing
+    LanguageModel.compactLmIndex(spark, idx)
+    assert(LanguageModel.scoreAgainstLmIndex(docs, idx, minCount = 1L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq === want)
+  }
+
+  test("near-dup screen and append self-heal after a compaction crash mid-swap") {
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val probe = Seq((10L, "a b c d e f g q")).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft_nd_crash").toString
+    Dedup.writeNearDupIndex(corpus, idx, n = 3)
+    val want = Dedup.screenAgainstNearDupIndex(probe, idx, n = 3, minJaccard = 0.5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // stage compacted copies of all three tables, crash mid-swap on one
+    Seq("shingles", "hashes").foreach { t =>
+      spark.read.parquet(s"$idx/$t").distinct()
+        .write.mode("overwrite").parquet(s"$idx/$t.compact")
+    }
+    spark.read.parquet(s"$idx/shingles").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
+      .write.mode("overwrite").parquet(s"$idx/sizes.compact")
+    val fs = IndexFs.fs(spark, idx)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/shingles"),
+      new org.apache.hadoop.fs.Path(s"$idx/shingles.old"))
+    assert(Dedup.screenAgainstNearDupIndex(probe, idx, n = 3, minJaccard = 0.5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq === want,
+      "screen must recover the crashed swap and verdict identically")
+    // append after the same crash must heal first, not fork the index
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/sizes"),
+      new org.apache.hadoop.fs.Path(s"$idx/sizes.old"))
+    Dedup.appendNearDupIndex(Seq((3L, "m n o m2 n2 o2 m3 n3"))
+      .toDF("doc_id", "text"), idx, n = 3)
+    assert(spark.read.parquet(s"$idx/sizes").count() >= 3,
+      "append healed the missing table instead of minting a batch-only one")
+  }
+
+  // ---- auto-derived gram bucket count ---------------------------------
+
+  test("autoBucketCount: measured sf0.1 cardinality picks 32; 100x picks 256+") {
+    // 224,694 distinct 8-grams measured on the sf0.1 documents table —
+    // the corpus where 32 was the measured right size (HEADROOM x103)
+    assert(Dedup.autoBucketCount(224694L) === 32)
+    // one decade up (the decade corpora perturb replica text, so
+    // distinct grams scale with the replica count)
+    assert(Dedup.autoBucketCount(2246940L) === 512)
+    // two decades up: past the 256 floor the verdict asked for, capped
+    assert(Dedup.autoBucketCount(22469400L) === 4096)
+    assert(Dedup.autoBucketCount(22469400L) >= 256)
+    // clamps: tiny corpora floor at 8, planet-scale caps at 4096
+    assert(Dedup.autoBucketCount(1L) === 8)
+    assert(Dedup.autoBucketCount(Long.MaxValue / 2) === 4096)
+    // exact power-of-two boundary stays put (no off-by-one doubling)
+    assert(Dedup.autoBucketCount(8192L * 64) === 64)
+  }
+
+  test("bucketed build with buckets=0 derives the count and screens identically") {
+    val existing = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "x a b c d e f g h y")).toDF("doc_id", "text")
+    val auto = Files.createTempDirectory("graft_autobkt").toString
+    val manual = Files.createTempDirectory("graft_manbkt").toString
+    Dedup.writeGramIndexBucketed(existing, auto, k = 3) // buckets = 0 → auto
+    Dedup.writeGramIndexBucketed(existing, manual, k = 3, buckets = 16)
+    def spans(idx: String) =
+      Dedup.duplicateSpansAgainstIndexBloom(batch, idx, k = 3)
+        .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    assert(spans(auto) === spans(manual),
+      "bucket count is a layout choice — screen output must not move")
+    // the derived count is the documented floor at fixture scale
+    val buckets = spark.read.parquet(auto)
+      .select("bucket").distinct().count()
+    assert(buckets <= 8, "fixture-scale cardinality derives the 8-bucket floor")
+  }
+
+  // ---- semantic rebuild: retrain-and-migrate --------------------------
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("rebuildSemanticIndex: retrains centroids, screen verdicts invariant, occupancy alarm clears") {
+    val dim = 64
+    def unit(axis: Int, eps: (Int, Float)*): Seq[Float] =
+      Seq.tabulate(dim) { d =>
+        if (d == axis) 1.0f
+        else eps.collectFirst { case (a, e) if a == d => e }.getOrElse(0.0f)
+      }
+    val idx = Files.createTempDirectory("graft_sem_rebuild").toString
+    // regime A: centroid candidate 0 (vec_id % 100 == 0) plus a mate
+    Similarity.writeSemanticIndex(
+      embDf(Seq(0L -> unit(0), 7L -> unit(0, 10 -> 0.1f))), idx)
+    // regime B drifts in via appends: an axis-1 cloud with NO id ≡ 0
+    // (mod 100) member — under the frozen batch-0 centroids every one
+    // of them piles into the single old cell
+    val regimeB = embDf(Seq(201L -> unit(1), 202L -> unit(1, 11 -> 0.1f),
+      203L -> unit(1, 12 -> 0.1f), 300L -> unit(1, 13 -> 0.1f)))
+    assert(Similarity.appendSemanticIndexOnce(regimeB, idx, batchId = 1L))
+    val before = Similarity.storedSemanticOccupancy(spark, idx, cellCap = 4)
+      .collect()(0)
+    assert(before.getLong(0) === 1L, "one mega-cell under frozen centroids")
+    assert(before.getLong(2) === 1L, "occupancy alarm fires (cells_over_cap)")
+    // the screen's verdicts before the rebuild
+    val bench = embDf(Seq(1000L -> unit(1), 1001L -> unit(5)))
+    def verdicts() = Similarity.semanticScreenIndex(bench, idx, minCos = 0.7)
+      .select("bench_id", "n_matches", "contaminated")
+      .orderBy("bench_id").collect().map(_.toSeq).toSeq
+    val want = verdicts()
+    Similarity.rebuildSemanticIndex(spark, idx)
+    // retrained: id 300 (≡ 0 mod 100, appended) is now a centroid, the
+    // regime-B cloud gets its own cell and the alarm clears
+    val after = Similarity.storedSemanticOccupancy(spark, idx, cellCap = 4)
+      .collect()(0)
+    assert(after.getLong(0) === 2L, "retrain splits the mega-cell")
+    assert(after.getLong(2) === 0L, "occupancy alarm clears after rebuild")
+    assert(verdicts() === want,
+      "screen verdicts over the same vectors are invariant across the swap")
+    // the whole live set survived the migration
+    assert(spark.read.parquet(s"$idx/vectors").count() === 6L)
+    // commit markers moved with the index: the redelivered batch skips
+    assert(!Similarity.appendSemanticIndexOnce(regimeB, idx, batchId = 1L),
+      "markers must survive the rebuild or redeliveries double-append")
+    assert(spark.read.parquet(s"$idx/vectors").count() === 6L)
+  }
+
+  test("semantic screen self-heals after a rebuild crash mid whole-index swap") {
+    val dim = 64
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => if (d == axis) 1.0f else 0.0f)
+    val idx0 = Files.createTempDirectory("graft_sem_crash").toString
+    val idx = s"$idx0/index"
+    Similarity.writeSemanticIndex(
+      embDf(Seq(0L -> unit(0), 3L -> unit(1))), idx)
+    val bench = embDf(Seq(1000L -> unit(0)))
+    def matches(): Long =
+      Similarity.semanticScreenIndex(bench, idx, minCos = 0.7)
+        .collect()(0).getLong(1)
+    val want = matches()
+    // stage the rebuilt copy, crash between rename(live, old) and
+    // rename(compact, live) — the whole-index analog of the table swap
+    val fs = IndexFs.fs(spark, idx)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(idx),
+      fs, new org.apache.hadoop.fs.Path(s"$idx.compact"), false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(s"$idx.old"))
+    assert(matches() === want, "screen recovers the whole-index swap")
+  }
+}
