@@ -703,6 +703,9 @@ object Dedup {
   def appendNearDupIndexOnce(batch: DataFrame, indexDir: String,
       batchId: Long, n: Int = 3, maxFilesPerTable: Int = 64): Boolean = {
     val spark = batch.sparkSession
+    // heal a crashed whole-index rebuild swap BEFORE the marker probe:
+    // the markers live inside the swapped directory
+    IndexFs.recoverSwap(spark, indexDir)
     val marker = s"$indexDir/_batch_commits/b$batchId"
     if (IndexFs.exists(spark, marker)) false
     else {
@@ -712,14 +715,55 @@ object Dedup {
     }
   }
 
-  /** Heal any crashed tmp → old → live swap on the near-dup index's
-    * three swapped tables ([[IndexFs.recoverSwap]]); called at the top
-    * of every read/append/compact entry so "crash anywhere, re-run to
-    * finish" is true of the whole lifecycle, not just the compactor.
+  /** Heal any crashed tmp → old → live swap on the near-dup index —
+    * the whole-directory rebuild swap first ([[rebuildNearDupIndex]]),
+    * then the three per-table compaction swaps
+    * ([[IndexFs.recoverSwap]]); called at the top of every
+    * read/append/compact entry so "crash anywhere, re-run to finish"
+    * is true of the whole lifecycle, not just the compactor.
     */
-  private def recoverNearDupSwap(spark: SparkSession, indexDir: String): Unit =
+  private def recoverNearDupSwap(spark: SparkSession, indexDir: String): Unit = {
+    IndexFs.recoverSwap(spark, indexDir)
     Seq("shingles", "sizes", "hashes")
       .foreach(t => IndexFs.recoverSwap(spark, s"$indexDir/$t"))
+  }
+
+  /** Retrain-and-migrate for the near-dup index's FROZEN hot-shingle
+    * list — the x116 discipline at the document grain: the hot list is
+    * learned at build and never refreshed by appends (boilerplate that
+    * emerges AFTER ingest keeps generating candidate pairs the cap
+    * exists to kill), so the drifted-corpus remedy is a rebuild. Takes
+    * the live CORPUS as input — unlike the semantic index, the stored
+    * artifacts cannot seed the retrain (shingles were CAPPED at write;
+    * the dropped-hot rows and the raw text are gone), so the caller
+    * hands back the document set, re-learns the hot list over all of
+    * it, re-caps every shingle set under the new list, and swaps the
+    * WHOLE index directory as one unit (hot and shingles must change
+    * together: a screen capping the incoming batch under one list
+    * against stored shingles capped under another would systematically
+    * under-count intersections). `_batch_commits` markers move into
+    * the new directory before the swap so post-rebuild redeliveries
+    * still skip; the memoized screens reading the old directory are
+    * invalidated ([[graft.tools.InternalCaches.releaseByPath]] — the
+    * x116 stale-geometry lesson). Cost = the build's (one corpus
+    * shingle pass + the df aggregate), paid only when boilerplate
+    * drift warrants a fresh cap.
+    */
+  def rebuildNearDupIndex(corpus: DataFrame, indexDir: String, n: Int = 3,
+      maxShingleDf: Int = Int.MaxValue): Unit = {
+    val spark = corpus.sparkSession
+    recoverNearDupSwap(spark, indexDir)
+    val tmp = s"$indexDir.compact"
+    IndexFs.fs(spark, tmp).delete(new org.apache.hadoop.fs.Path(tmp), true)
+    writeNearDupIndex(corpus, tmp, n, maxShingleDf)
+    val fs = IndexFs.fs(spark, indexDir)
+    val markers = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_commits")
+    if (fs.exists(markers))
+      fs.rename(markers,
+        new org.apache.hadoop.fs.Path(s"$tmp/_batch_commits"))
+    IndexFs.swapCompact(spark, indexDir)
+    graft.tools.InternalCaches.releaseByPath(spark, indexDir)
+  }
 
   /** Offline maintenance for the near-dup index: distinct-rewrite
     * `shingles` and `hashes` (repairing any accidental double-append —

@@ -58,6 +58,8 @@ object ExtQueries {
   private val x115Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x116Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x116Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x117Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x117Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -4469,16 +4471,88 @@ object ExtQueries {
            |${phaseSelect("frozen", "f")}
            |UNION ALL
            |${phaseSelect("rebuilt", "r")}""".stripMargin
+      }),
+
+    // ---- x117: near-dup index rebuild — hot-list retrain (round 14) ----
+    // x116's retrain-and-migrate discipline at the document grain: the
+    // near-dup index's hot-shingle list is FROZEN at build (x104's
+    // stale-list contract — boilerplate that emerges after ingest is
+    // never capped), and the remedy is a rebuild that re-learns the
+    // list over the LIVE corpus (handed back by the caller — the
+    // stored shingles were capped at write, so the retrain cannot seed
+    // from artifacts alone), re-caps every shingle set, and swaps the
+    // whole directory with markers carried across. Build from a third
+    // of the corpus (frozen hot = df > cap within the third), append
+    // the rest under that frozen list, screen; rebuild over the full
+    // corpus (hot = df > cap over everything), screen again. Oracle:
+    // the x104 verdict stack instantiated once per hot-list geometry,
+    // phase-labeled — BOTH cap regimes hash-gate.
+    ("x117_near_index_rebuild",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x117_${s.sparkContext.applicationId}_${x117Seq.incrementAndGet()}")
+        Option(x117Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        Dedup.writeNearDupIndex(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), idx, n = 3,
+          maxShingleDf = MaxShingleDf)
+        Dedup.appendNearDupIndexOnce(
+          docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), idx,
+          batchId = 1L, n = 3)
+        val probe = docs.filter(pmod(col("doc_id"), lit(50L)) === 7L)
+        // materialize the frozen-phase screen BEFORE the swap replaces
+        // the directory its lazy plan reads
+        Dedup.screenAgainstNearDupIndex(probe, idx, n = 3, minJaccard = 0.8)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/frozen")
+        Dedup.rebuildNearDupIndex(docs, idx, n = 3,
+          maxShingleDf = MaxShingleDf)
+        Dedup.screenAgainstNearDupIndex(probe, idx, n = 3, minJaccard = 0.8)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/rebuilt")
+        s.read.parquet(s"$root/frozen").withColumn("phase", lit("frozen"))
+          .unionByName(s.read.parquet(s"$root/rebuilt")
+            .withColumn("phase", lit("rebuilt")))
+      },
+      Some {
+        val live = "doc_id IS NOT NULL AND text IS NOT NULL"
+        def hotCtes(px: String, pred: String) =
+          s"""${px}h0t AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents WHERE $pred),
+             |${px}h0s AS (SELECT doc_id,
+             |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+             |  FROM ${px}h0t),
+             |${px}h0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM ${px}h0s),
+             |${px}hot AS (SELECT sh FROM ${px}h0 GROUP BY sh
+             |  HAVING count(*) > $MaxShingleDf)""".stripMargin
+        def phaseSelect(phase: String, px: String) =
+          s"""SELECT '$phase' AS phase, doc_id, is_exact_dup, near_dup_of,
+             |  near_jaccard,
+             |  CASE WHEN is_exact_dup THEN 'drop_exact'
+             |       WHEN near_dup_of IS NOT NULL THEN 'drop_near'
+             |       ELSE 'keep' END AS verdict
+             |FROM ${px}ef LEFT JOIN ${px}best USING (doc_id)""".stripMargin
+        s"""WITH ${hotCtes("f", s"doc_id % 3 = 0 AND $live")},
+           |${hotCtes("r", live)},
+           |${ndScreenCtes("f", s"doc_id % 50 = 7 AND $live", live, "fhot")},
+           |${ndScreenCtes("r", s"doc_id % 50 = 7 AND $live", live, "rhot")}
+           |${phaseSelect("frozen", "f")}
+           |UNION ALL
+           |${phaseSelect("rebuilt", "r")}""".stripMargin
       })
   )
 
-  /** Parameterized x104 verdict stack for the x114 per-batch oracle:
+  /** Parameterized x104 verdict stack for the x114/x117 oracles:
     * documents matching `exPred` form the stored index (shingles
-    * capped by the shared batch-0 `ndhot` list), documents matching
+    * capped by the `hotCte` list — x114 shares one batch-0 `ndhot`,
+    * x117 instantiates one per hot-list geometry), documents matching
     * `incPred` screen against it. `px` prefixes every CTE name (the
     * lmCtes multi-instantiation convention).
     */
-  private def ndScreenCtes(px: String, incPred: String, exPred: String): String =
+  private def ndScreenCtes(px: String, incPred: String, exPred: String,
+      hotCte: String = "ndhot"): String =
     s"""${px}inc AS (SELECT * FROM documents WHERE $incPred),
        |${px}ex AS (SELECT * FROM documents WHERE $exPred),
        |${px}exh AS (SELECT DISTINCT md5(text) AS h FROM ${px}ex),
@@ -4489,13 +4563,13 @@ object ExtQueries {
        |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
        |       FROM ${px}tx),
        |${px}shx0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM ${px}sx),
-       |${px}shx AS (SELECT * FROM ${px}shx0 WHERE sh NOT IN (SELECT sh FROM ndhot)),
+       |${px}shx AS (SELECT * FROM ${px}shx0 WHERE sh NOT IN (SELECT sh FROM $hotCte)),
        |${px}ti AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM ${px}inc),
        |${px}si AS (SELECT doc_id,
        |         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
        |       FROM ${px}ti),
        |${px}shi0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM ${px}si),
-       |${px}shi AS (SELECT * FROM ${px}shi0 WHERE sh NOT IN (SELECT sh FROM ndhot)),
+       |${px}shi AS (SELECT * FROM ${px}shi0 WHERE sh NOT IN (SELECT sh FROM $hotCte)),
        |${px}szx AS (SELECT doc_id AS ex_doc, count(*) AS n_ex FROM ${px}shx GROUP BY 1),
        |${px}szi AS (SELECT doc_id, count(*) AS n_in FROM ${px}shi GROUP BY 1),
        |${px}ip AS (SELECT i.doc_id, e.doc_id AS ex_doc, count(*) AS inter

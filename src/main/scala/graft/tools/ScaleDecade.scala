@@ -205,9 +205,12 @@ object ScaleDecade {
     "x115_stream_sem_screen", // round 13: same class at the vector
                         // grain — partition-pruned screen + frozen-
                         // centroid append
-    "x116_sem_rebuild") // round 14: retrain-and-migrate pricing —
+    "x116_sem_rebuild", // round 14: retrain-and-migrate pricing —
                         // rebuild (corpus-sized, paid on alarm) vs
                         // the appends it replaces (batch-sized)
+    "x117_near_rebuild") // round 14: the same pricing at the document
+                        // grain — hot-list retrain over the live
+                        // corpus vs the batch-sized append
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -568,6 +571,46 @@ object ScaleDecade {
             (System.nanoTime() - t3) / 1e9
           }.sorted
           println(f"""{"query":"x116_rebuild_$label","build_sec":$build%.3f,"append_sec":$append%.3f,"rebuild_sec":$rebuild%.3f,"screen_sec":${times(1)}%.3f}""")
+      }
+    }
+
+    // ---- x117: near-dup index rebuild — hot-list retrain pricing.
+    // Same claim as x116 at the document grain: the rebuild re-learns
+    // the hot list over the LIVE corpus (the build's cost class — one
+    // corpus shingle pass + the df aggregate, paid when boilerplate
+    // drift warrants a fresh cap), while the append it replaces and
+    // the screen stay batch-sized. Expect rebuild_sec ≈ build_sec at
+    // every decade, append_sec and screen_sec flat.
+    if (probeSelected("x117_near_rebuild")) {
+      val fixedBatch = graft.sources.Tables
+        .load(spark, src, "documents")
+        .filter(col("doc_id") % 100 === 50)
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val docs = graft.sources.Tables.load(spark, d, "documents")
+          val idx = s"/tmp/graft_nd_rbld_decade_$label"
+          LocalFs.deleteRecursively(new java.io.File(idx))
+          val t0 = System.nanoTime()
+          graft.ext.Dedup.writeNearDupIndex(
+            docs.filter(col("doc_id") % 100 =!= 50), idx, n = 3,
+            maxShingleDf = 5)
+          val build = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          graft.ext.Dedup.appendNearDupIndexOnce(fixedBatch, idx, 1L, n = 3)
+          val append = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          graft.ext.Dedup.rebuildNearDupIndex(docs, idx, n = 3,
+            maxShingleDf = 5)
+          val rebuild = (System.nanoTime() - t2) / 1e9
+          val times = (1 to 3).map { _ =>
+            val t3 = System.nanoTime()
+            graft.ext.Dedup
+              .screenAgainstNearDupIndex(fixedBatch, idx, n = 3,
+                minJaccard = 0.8)
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t3) / 1e9
+          }.sorted
+          println(f"""{"query":"x117_rebuild_$label","build_sec":$build%.3f,"append_sec":$append%.3f,"rebuild_sec":$rebuild%.3f,"screen_sec":${times(1)}%.3f}""")
       }
     }
 

@@ -202,6 +202,53 @@ class IndexFsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/vectors").count() === 6L)
   }
 
+  test("rebuildNearDupIndex: re-learned hot list caps post-build boilerplate; markers survive") {
+    import graft.ext.Dedup
+    // build corpus: two clean docs, no shingle df > 2 anywhere
+    val build = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    // appended regime: a boilerplate footer shared by all four docs —
+    // df 4 over the live corpus, but ZERO at build time, so the frozen
+    // hot list never caps it
+    def footer(uniq: String) =
+      s"copy right footer legal notice all rights reserved $uniq"
+    val batch = Seq(3L -> footer("z3"), 4L -> footer("z4"),
+      5L -> footer("z5"), 6L -> footer("z6")).toDF("doc_id", "text")
+    val probe = Seq(
+      (100L, footer("m9")),          // boilerplate-dominated: 6 of its 7
+                                     // shingles are the footer
+      (101L, "j k l j2 k2 l2 j3 k3") // genuinely clean either way
+    ).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft_nd_rebuild").toString
+    Dedup.writeNearDupIndex(build, idx, n = 3, maxShingleDf = 2)
+    assert(Dedup.appendNearDupIndexOnce(batch, idx, batchId = 9L, n = 3))
+    def verdicts() =
+      Dedup.screenAgainstNearDupIndex(probe, idx, n = 3, minJaccard = 0.5)
+        .select("doc_id", "verdict").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // frozen hot list: the footer shingles stored UNCAPPED, so the
+    // probe jaccards 6/8 = 0.75 against every appended doc — the
+    // false-positive shape the cap exists to kill
+    val frozen = verdicts()
+    assert(frozen(100L) === "drop_near",
+      "under the stale hot list the boilerplate probe is flagged")
+    assert(frozen(101L) === "keep")
+    Dedup.rebuildNearDupIndex(build.unionByName(batch), idx, n = 3,
+      maxShingleDf = 2)
+    // re-learned hot list: footer df = 4 > 2 → capped everywhere; the
+    // probe's one unique shingle intersects nothing
+    val rebuilt = verdicts()
+    assert(rebuilt(100L) === "keep",
+      "the rebuild's re-learned cap kills the boilerplate false positive")
+    assert(rebuilt(101L) === "keep",
+      "clean-doc verdict invariant across the swap")
+    // markers moved with the index: the redelivered batch skips
+    val n1 = spark.read.parquet(s"$idx/shingles").count()
+    assert(!Dedup.appendNearDupIndexOnce(batch, idx, batchId = 9L, n = 3),
+      "markers must survive the rebuild or redeliveries double-append")
+    assert(spark.read.parquet(s"$idx/shingles").count() === n1)
+  }
+
   test("semantic screen self-heals after a rebuild crash mid whole-index swap") {
     val dim = 64
     def unit(axis: Int): Seq[Float] =
