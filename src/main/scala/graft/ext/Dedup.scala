@@ -1299,12 +1299,13 @@ object Dedup {
     * distinct-gram count — one aggregate over the frame the write
     * materializes anyway); appends past the sizing only raise fpp
     * (weaker pruning, still-exact output) until [[compactGramIndex]]
-    * re-sizes. `buckets` fixes the partitioning scheme for the index's
-    * lifetime (recorded in the sidecar); the default 0 derives it from
-    * the measured cardinality ([[autoBucketCount]] — the round-13
-    * finding that a mis-sized count is a 3.5× per-append foot-gun,
-    * now impossible by default), and an explicit positive value
-    * overrides for callers who know their append cadence.
+    * re-sizes. `buckets` fixes the partitioning scheme until the next
+    * [[compactGramIndex]] re-derives it (recorded in the sidecar, which
+    * every screen/append reads); the default 0 derives it from the
+    * measured cardinality ([[autoBucketCount]] — the round-13 finding
+    * that a mis-sized count is a 3.5× per-append foot-gun, now
+    * impossible by default), and an explicit positive value overrides
+    * for callers who know their append cadence.
     */
   def writeGramIndexBucketed(docs: DataFrame, indexDir: String, k: Int = 8,
       buckets: Int = 0, expectedItems: Option[Long] = None,
@@ -1413,28 +1414,40 @@ object Dedup {
     * directory (between the two renames) is detected and completed by
     * [[IndexFs.recoverSwap]], run first here and by every screen/append
     * entry — a crash at any point is healed by the next touch.
+    *
+    * `buckets` = 0 (default, round 14) RE-DERIVES the bucket count from
+    * the measured cardinality ([[autoBucketCount]]) — the compaction
+    * rewrites every bucket directory anyway, so re-bucketing is free
+    * here, and it lifts the old scheme-fixed-for-lifetime restriction:
+    * an index built small (the streaming bootstrap sizes to its first
+    * batch) grows its bucket count at the compaction the append
+    * trigger already schedules, instead of carrying an undersized
+    * scheme through the decades. Screens and appends read the count
+    * from the sidecar on every call, so the re-bucket is invisible to
+    * them (spec-gated output-invariant). Pass an explicit count to pin
+    * the scheme.
     */
   def compactGramIndex(spark: SparkSession, indexDir: String,
-      fpp: Double = 0.01): Unit = {
+      fpp: Double = 0.01, buckets: Int = 0): Unit = {
     IndexFs.recoverSwap(spark, indexDir)
-    val (buckets, _, _, _) = readBloomSidecar(spark, indexDir)
     // NOT the memoized registry: this frame reads the very directory
     // the swap below replaces — a registry entry keyed on its plan
     // would hand a later caller a cached plan over deleted files. A
     // local persist scoped to this call, released before return.
     val g = spark.read.parquet(indexDir).select("g").distinct().persist()
     val items = math.max(g.count(), 64L)
+    val nBuckets = if (buckets > 0) buckets else autoBucketCount(items)
     val numBits = BloomFilter.optimalNumOfBits(items, fpp)
     val bf = buildBloomOfLongs(g, "g", items, numBits)
     val tmp = indexDir + ".compact"
-    g.withColumn("bucket", pmod(col("g"), lit(buckets.toLong)).cast("int"))
+    g.withColumn("bucket", pmod(col("g"), lit(nBuckets.toLong)).cast("int"))
       // ONE file per bucket per write: without the bucket repartition
       // every writer task opens every bucket directory (tasks x
       // buckets tiny files — measured 10x screen-cost overhead from
       // file listing alone at the probe scales)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-    writeBloomSidecar(spark, tmp, buckets, items, numBits, bf)
+    writeBloomSidecar(spark, tmp, nBuckets, items, numBits, bf)
     // swap: every step leaves a complete index on disk somewhere
     IndexFs.swapCompact(spark, indexDir)
     // the compacted frame replaced the files its cached plan reads —
@@ -1442,10 +1455,11 @@ object Dedup {
     g.unpersist(blocking = false)
     // re-sizing replaced the sidecar wholesale: re-seed the driver
     // cache with the compacted state (stale items/numBits would make
-    // the next append's merge sizing wrong)
+    // the next append's merge sizing wrong; a re-bucket with a stale
+    // count would route every appended gram to the wrong directory)
     invalidateSidecarCache(indexDir)
     sidecarCache.put((spark.sparkContext.applicationId, indexDir),
-      (buckets, items, numBits, bf))
+      (nBuckets, items, numBits, bf))
   }
 
   /** x95 screen — [[duplicateSpansAgainstIndex]] semantics (same

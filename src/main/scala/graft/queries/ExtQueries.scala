@@ -2380,8 +2380,12 @@ object ExtQueries {
         val existing = docs.filter(col("source") =!= "src2")
         val idx = System.getProperty("java.io.tmpdir") +
           "/graft_gram_bidx_" + Integer.toHexString(dir.hashCode)
-        // 64 buckets at the gate scales (layout-only: the oracle is
-        // bucket-agnostic); the decade probe runs the 1024-bucket form
+        // 64 buckets pinned at build (layout-only: the oracle is
+        // bucket-agnostic); the compaction below re-derives the count
+        // from measured cardinality (round 14 — the lifecycle entry now
+        // exercises build → append → RE-BUCKETING compact → screen,
+        // hash-gated end to end); the decade probe runs the
+        // 1024-bucket form
         Dedup.writeGramIndexBucketed(
           existing.filter(col("doc_id") % 2 === 0), idx, k = 8, buckets = 64)
         Dedup.appendGramIndexBucketed(existing, idx, k = 8)

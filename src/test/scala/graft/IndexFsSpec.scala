@@ -153,6 +153,29 @@ class IndexFsSpec extends SparkSpec {
     assert(buckets <= 8, "fixture-scale cardinality derives the 8-bucket floor")
   }
 
+  test("compactGramIndex re-derives an undersized bucket count; screen invariant") {
+    val existing = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "x a b c d e f g h y")).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft_rebkt").toString
+    // pin an undersized scheme at build (the streaming bootstrap shape:
+    // sized to the first batch, then the index decades past it)
+    Dedup.writeGramIndexBucketed(existing, idx, k = 3, buckets = 2)
+    Dedup.appendGramIndexBucketed(batch, idx, k = 3)
+    def spans() = Dedup.duplicateSpansAgainstIndexBloom(batch, idx, k = 3)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val want = spans()
+    Dedup.compactGramIndex(spark, idx) // buckets = 0 → re-derive
+    assert(spans() === want, "re-bucketing must not move the screen output")
+    val after = spark.read.parquet(idx).select("bucket").distinct().count()
+    assert(after > 2 && after <= 8,
+      s"compaction re-derives the count (floor 8 at fixture scale), got $after")
+    // an explicit count still pins the scheme
+    Dedup.compactGramIndex(spark, idx, buckets = 4)
+    assert(spans() === want)
+    assert(spark.read.parquet(idx).select("bucket").distinct().count() <= 4)
+  }
+
   // ---- semantic rebuild: retrain-and-migrate --------------------------
 
   private def embDf(rows: Seq[(Long, Seq[Float])]) =
