@@ -147,6 +147,61 @@ object LanguageModel {
                |  ELSE 'tail' END""".stripMargin).as("bucket"))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169
+    * §2 — Data Selection with Importance Resampling): score every
+    * document under TWO per-language bigram LMs — one trained on the
+    * `isTarget` slice (the distribution you want more of: a trusted
+    * source, a curated domain) and one on the whole corpus — and rank
+    * by the log-likelihood RATIO, the importance weight
+    * log p_target(x) − log p_raw(x) per bigram. Positive importance =
+    * the target model explains the document better than the corpus
+    * average — the resampling keep-set. DSIR's Gumbel-noise sampling
+    * step is deliberately NOT included: the deterministic importance
+    * surface is the verifiable part, and the sampling composes
+    * downstream via [[Sampling]]'s seeded machinery exactly like the
+    * x110 fluency gate.
+    *
+    * Per-bigram log-probs ride the house fixed-point rule (BIGINT
+    * micro-units end to end), and the importance is computed as a
+    * DIFFERENCE OF INTEGERS — the two per-doc averages round
+    * half-away-from-zero in exact integer arithmetic first (the
+    * round-13 .5-boundary lesson), so the only double in the output
+    * is one division by 1e6 of an exact BIGINT.
+    *
+    * Documents unscorable under the TARGET model (every bigram head
+    * OOV — the target vocabulary is the smaller one) drop: there is
+    * no importance estimate for them, and routing them is the
+    * heuristic cascade's job (the x109 OOV convention). Scale shape:
+    * two train passes (each vocabulary-sized output, broadcast) + one
+    * score pass per model over the corpus — both score passes are
+    * map-side joins against broadcast models, no corpus-keyed
+    * exchange beyond the per-doc aggregate.
+    *
+    * Output: (doc_id, lang, n_bigrams_target, lp_target_micro,
+    * n_bigrams_raw, lp_raw_micro, importance).
+    */
+  def dsirImportance(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      minCount: Long = 2L): DataFrame = {
+    val base = inScope(docs)
+    def avgMicro(lp: String, n: String) =
+      expr(s"cast(signum($lp) as bigint) * ((abs($lp) * 2 + $n) div ($n * 2))")
+    val t = scoreWith(base, counts(base.filter(isTarget)), minCount)
+      .select(col("doc_id"), col("lang"),
+        col("n_bigrams").as("n_bigrams_target"),
+        col("lp_micro").as("lp_target_micro"))
+    val r = scoreWith(base, counts(base), minCount)
+      .select(col("doc_id"), col("lang"),
+        col("n_bigrams").as("n_bigrams_raw"),
+        col("lp_micro").as("lp_raw_micro"))
+    t.join(r, Seq("doc_id", "lang"))
+      .select(col("doc_id"), col("lang"),
+        col("n_bigrams_target"), col("lp_target_micro"),
+        col("n_bigrams_raw"), col("lp_raw_micro"),
+        ((avgMicro("lp_target_micro", "n_bigrams_target") -
+          avgMicro("lp_raw_micro", "n_bigrams_raw")).cast("double") /
+          lit(1e6)).as("importance"))
+  }
+
   // ---------------------------------------------------------------------
   // Stored LM lifecycle — the x85/x104 storage discipline for an
   // ADDITIVE index. Counts can't use the gram index's set semantics

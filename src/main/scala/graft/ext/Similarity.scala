@@ -86,6 +86,42 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training data (the DPR
+    * arrangement — Karpukhin et al. 2020, arXiv:2004.04906 §3.2: the
+    * strongest negatives are the retriever's own near-misses): for
+    * each anchor vector, the `k` highest-cosine corpus vectors BELOW
+    * the near-dup ceiling `dupCos`. The ceiling is the false-negative
+    * guard — a candidate at cosine ≥ dupCos is a duplicate/paraphrase
+    * of the anchor (the x33 grain), and training against it as a
+    * negative teaches the model to separate copies of the same thing;
+    * everything under it, ranked descending, is "hard" by
+    * construction. Anchors are the modulus convention (vec_id %
+    * queryModulus == 0), overridable with explicit `queryIds` for
+    * fixed-anchor harnesses (the [[bruteForceTopK]] rationale: the
+    * modulus family grows with the corpus).
+    *
+    * Plan shape is [[bruteForceTopK]]'s exactly — broadcast anchors,
+    * one streamed corpus scan, the map-side heap top-k — plus one
+    * codegen'd filter between them; the decade story is x54/x55's.
+    * The scale path at production anchor counts swaps the scored-pair
+    * source for the IVF shortlist (x56) widened past `k` so the
+    * post-filter still fills; the ranking tail is shared either way.
+    * Output: (query_id, rank, neighbor_id, cos_sim).
+    */
+  def hardNegatives(emb: DataFrame, k: Int = 5, queryModulus: Int = 100,
+      dupCos: Double = 0.9, queryIds: Seq[Long] = Nil): DataFrame = {
+    val all = vecs(emb)
+    val anchors = (if (queryIds.nonEmpty)
+        all.filter(col("vec_id").isin(queryIds: _*))
+      else all.filter(col("vec_id") % queryModulus === 0))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(anchors), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") < dupCos)
+    rankTopK(scored, k)
+  }
+
   /** Shared ranking tail: best `k` rows per query_id by (cos_sim desc,
     * neighbor_id asc) with a 1-based `rank`, via the heap operator.
     */

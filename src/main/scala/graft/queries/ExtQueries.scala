@@ -4545,7 +4545,69 @@ object ExtQueries {
            |${phaseSelect("frozen", "f")}
            |UNION ALL
            |${phaseSelect("rebuilt", "r")}""".stripMargin
-      })
+      }),
+
+    // ---- x118: DSIR importance resampling scores (round 14) -----------
+    // Data Selection with Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169 §2): every document scored under a TARGET
+    // per-language bigram LM (trained on the src1 slice — the trusted
+    // domain) and the RAW corpus LM; importance = the per-bigram
+    // log-likelihood ratio, computed as a difference of exact BIGINT
+    // micro-unit averages (the house fixed-point rule — the only
+    // double is one division by 1e6). Positive importance = the
+    // target distribution explains the document better than the
+    // corpus average — the resampling keep-set. DSIR's Gumbel-noise
+    // draw is deliberately excluded (the deterministic importance
+    // surface is the verifiable part; seeded sampling composes
+    // downstream like the x110 gate). Oracle: two instantiations of
+    // the verified LM CTE stack (target-train and raw-train), joined
+    // per document.
+    ("x118_dsir_importance",
+      (s: SparkSession, dir: String) =>
+        graft.ext.LanguageModel.dsirImportance(
+          t(s, dir, "documents"), col("source") === "src1", minCount = 2L),
+      Some {
+        def avgMicro(lp: String, n: String) =
+          s"CAST((CASE WHEN $lp < 0 THEN -1 ELSE 1 END) * ((abs($lp) * 2 + $n) // ($n * 2)) AS BIGINT)"
+        s"""WITH ${lmCtes("source = 'src1'", "TRUE", "dt")},
+           |${lmCtes("TRUE", "TRUE", "dr")},
+           |dtagg AS (SELECT doc_id, lang, count(*) AS n_t,
+           |    CAST(sum(lp) AS BIGINT) AS lp_t FROM dtlp GROUP BY 1, 2),
+           |dragg AS (SELECT doc_id, lang, count(*) AS n_r,
+           |    CAST(sum(lp) AS BIGINT) AS lp_r FROM drlp GROUP BY 1, 2)
+           |SELECT doc_id, lang,
+           |  n_t AS n_bigrams_target, lp_t AS lp_target_micro,
+           |  n_r AS n_bigrams_raw, lp_r AS lp_raw_micro,
+           |  CAST(${avgMicro("lp_t", "n_t")} - ${avgMicro("lp_r", "n_r")}
+           |    AS DOUBLE) / 1000000.0 AS importance
+           |FROM dtagg JOIN dragg USING (doc_id, lang)""".stripMargin
+      }),
+
+    // ---- x119: hard-negative mining (round 14) -------------------------
+    // Contrastive-training negatives, the DPR arrangement (Karpukhin
+    // et al. 2020, arXiv:2004.04906 §3.2): per anchor, the k
+    // highest-cosine corpus vectors BELOW the near-dup ceiling — a
+    // candidate at cosine ≥ dupCos is a copy/paraphrase of the anchor
+    // and training against it as a negative is a false negative, so
+    // the ceiling guards it out and everything under it, ranked
+    // descending, is "hard" by construction. Plan shape is x07's
+    // (broadcast anchors + streamed scan + map-side heap top-k) plus
+    // one codegen'd filter; the oracle is x07's with the same filter.
+    ("x119_hard_negatives",
+      (s: SparkSession, dir: String) =>
+        Similarity.hardNegatives(t(s, dir, "embeddings"), k = 5,
+          queryModulus = 100, dupCos = 0.9),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+              |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+              |             ${cosSql("qv", "e.v")} AS cos_sim
+              |           FROM e, q WHERE e.vec_id != q.query_id),
+              |hard AS (SELECT * FROM scored WHERE cos_sim < 0.9),
+              |ranked AS (SELECT *, row_number() OVER
+              |             (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              |           FROM hard)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, cos_sim
+              |FROM ranked WHERE rnk <= 5""".stripMargin))
   )
 
   /** Parameterized x104 verdict stack for the x114/x117 oracles:

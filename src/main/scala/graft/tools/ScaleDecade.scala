@@ -178,9 +178,13 @@ object ScaleDecade {
     "x112_semdedup_converged", // round 13: two capped passes — pass 2
                         // runs over pass-1 survivors, so the decade
                         // should track x37's assignment, not double it
-    "x113_cell_occupancy") // round 13: the balance pre-flight — the
+    "x113_cell_occupancy", // round 13: the balance pre-flight — the
                         // shared assignment + one centroid count;
                         // should track x37's assignment term alone
+    "x118_dsir_importance") // round 14: two train passes + two
+                        // broadcast-model score passes — should track
+                        // ~2× x107's shape (both models are
+                        // vocabulary-sized and Zipf-saturate)
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names

@@ -780,4 +780,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(docExchanges == 1,
       s"expected one doc_id exchange (window+agg shared), got $docExchanges")
   }
+
+  test("hardNegatives: the dup ceiling guards out copies; ranking and override hold") {
+    val dim = 64
+    // cos(anchor, (a, b)-mix) = a/sqrt(a^2+b^2): (4,3) -> 0.8, (3,4) -> 0.6
+    def mix(a: Float, b: Float): Seq[Float] =
+      Seq.tabulate(dim)(d => if (d == 0) a else if (d == 1) b else 0.0f)
+    val emb = Seq(
+      0L -> mix(1, 0),   // the anchor (vec_id % 100 == 0)
+      1L -> mix(1, 0),   // exact copy: cos 1.0 >= 0.9 -> a FALSE negative,
+                         // must never surface
+      2L -> mix(4, 3),   // cos 0.8 -> the hardest admissible negative
+      3L -> mix(3, 4),   // cos 0.6
+      4L -> mix(0, 1)    // cos 0.0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(emb, k = 2, queryModulus = 100,
+      dupCos = 0.9).collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out === Seq((0L, 1, 2L, 0.8), (0L, 2, 3L, 0.6)),
+      "hardest-first below the ceiling; the copy excluded")
+    // widening k admits the weaker negatives but never the copy
+    val all = Similarity.hardNegatives(emb, k = 5, queryModulus = 100,
+      dupCos = 0.9).select("neighbor_id").as[Long].collect().toSet
+    assert(all === Set(2L, 3L, 4L))
+    // explicit anchor override (the fixed-anchor harness path)
+    val byId = Similarity.hardNegatives(emb, k = 1, dupCos = 0.9,
+      queryIds = Seq(4L)).collect()
+    assert(byId.length === 1 && byId(0).getLong(0) === 4L &&
+      byId(0).getLong(2) === 3L, "anchor 4's hardest negative is the 0.8-mix 3")
+  }
 }

@@ -207,4 +207,37 @@ class LanguageModelSpec extends SparkSpec {
       .select("doc_id", "n_bigrams").as[(Long, Long)].collect().toMap
     assert(out === Map(20L -> 1L))
   }
+
+  test("dsirImportance: target-like docs outrank off-target; target-OOV docs drop; integer-exact") {
+    val docs = Seq(
+      // the target slice: a tight phrase distribution
+      (1L, "the cat sat on the mat", "en", "t"),
+      (2L, "the dog sat on the mat", "en", "t"),
+      // off-target but scorable: every head is in the target vocabulary,
+      // the continuations are not
+      (3L, "the mat dog on sat cat", "en", "o"),
+      // off-target and target-unscorable: no bigram head in the target
+      // vocabulary — no importance estimate exists, the doc must drop
+      (4L, "zz1 zz2 zz3 zz4", "en", "o")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = LanguageModel.dsirImportance(docs, col("source") === "t",
+      minCount = 1L)
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L),
+      "target-OOV docs carry no importance estimate and drop")
+    val imp = rows.view.mapValues(_.getDouble(6)).toMap
+    assert(imp(1L) > imp(3L) && imp(2L) > imp(3L),
+      "the target model must prefer its own distribution")
+    assert(imp(1L) > 0.0,
+      "a verbatim target doc is better explained by the target model")
+    // importance is the difference of the exact integer micro-averages
+    // of the columns beside it — no float path anywhere
+    rows.values.foreach { r =>
+      def avgMicro(lp: Long, n: Long): Long =
+        java.lang.Long.signum(lp) * ((math.abs(lp) * 2 + n) / (n * 2))
+      val expect = (avgMicro(r.getLong(3), r.getLong(2)) -
+        avgMicro(r.getLong(5), r.getLong(4))).toDouble / 1e6
+      assert(r.getDouble(6) === expect)
+    }
+  }
 }
