@@ -212,9 +212,13 @@ object ScaleDecade {
     "x116_sem_rebuild", // round 14: retrain-and-migrate pricing —
                         // rebuild (corpus-sized, paid on alarm) vs
                         // the appends it replaces (batch-sized)
-    "x117_near_rebuild") // round 14: the same pricing at the document
+    "x117_near_rebuild", // round 14: the same pricing at the document
                         // grain — hot-list retrain over the live
                         // corpus vs the batch-sized append
+    "x119_hard_negatives_fixed") // round 14: fixed-anchor form (the
+                        // registered modulus form's anchor set grows
+                        // with the corpus — the bruteForceTopK
+                        // rationale); expect the x54 scan shape
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -615,6 +619,27 @@ object ScaleDecade {
             (System.nanoTime() - t3) / 1e9
           }.sorted
           println(f"""{"query":"x117_rebuild_$label","build_sec":$build%.3f,"append_sec":$append%.3f,"rebuild_sec":$rebuild%.3f,"screen_sec":${times(1)}%.3f}""")
+      }
+    }
+
+    // ---- x119: hard negatives, fixed-anchor decade form. The
+    // registered entry's modulus anchors grow with the corpus (its
+    // decade would conflate anchor growth with corpus growth); this
+    // pins 5 anchors and measures the per-anchor claim: one streamed
+    // corpus scan against broadcast anchors + the map-side heap —
+    // the x54 cost class, linear in the scan.
+    if (probeSelected("x119_hard_negatives_fixed")) {
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val emb = graft.sources.Tables.load(spark, d, "embeddings")
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            graft.ext.Similarity.hardNegatives(emb, k = 5, dupCos = 0.9,
+                queryIds = Seq(0L, 100L, 200L, 300L, 400L))
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"""{"query":"x119_fixed_$label","sec":${times(1)}%.3f}""")
       }
     }
 
