@@ -451,4 +451,34 @@ class PlanQualitySpec extends SparkSpec {
     assert(pw.contains("Window") || pw.contains("WindowGroupLimit"), pw)
     assert(!pc.contains("Sort "), pc)
   }
+
+  test("x119 hard negatives: anchors broadcast, ranking sort-free heap") {
+    val p = finalPlan(q("x119_hard_negatives"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchor join must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Sort "), p)
+    assert(p.contains("TopKPartial"), s"missing map-side partial top-k:\n$p")
+  }
+
+  test("x118 DSIR: both model joins broadcast — the corpus bigram stream never shuffles pre-aggregate") {
+    val p = finalPlan(q("x118_dsir_importance"))
+    // two score passes, each joining the exploded bigram stream against
+    // broadcast (kept, c1, vocab) — at least 6 broadcast joins total;
+    // the only corpus-keyed exchanges are the per-doc aggregates and
+    // the final doc-keyed join of the two score frames
+    // assert over the FINAL plan only: AQE's Initial Plan section may
+    // carry a pre-runtime SortMergeJoin that the final plan demotes to
+    // broadcast (it does here — the doc-keyed join of the two score
+    // frames), and that demotion is exactly the behavior we want
+    val fin = p.split("== Initial Plan ==")(0)
+    // >= 4 visible: the final doc-keyed join + one full score pass's
+    // (kept, c1, vocab) triple — AQE prints the sibling pass's subtree
+    // behind a query-stage reference, so its joins don't string-count;
+    // the no-shuffle-join assertion below covers the whole tree
+    val n = "BroadcastHashJoin".r.findAllIn(fin).size
+    assert(n >= 4,
+      s"model joins must broadcast (vocabulary-sized by design), got $n:\n$fin")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
+      fin)
+  }
 }
