@@ -4607,7 +4607,69 @@ object ExtQueries {
               |             (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
               |           FROM hard)
               |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, cos_sim
-              |FROM ranked WHERE rnk <= 5""".stripMargin))
+              |FROM ranked WHERE rnk <= 5""".stripMargin)),
+
+    // ---- x120: DSIR-gated budget curation (round 14) -------------------
+    // x118's importance surface composed into selection — the x110
+    // shape with the DSIR log-likelihood ratio as the merit: keep only
+    // positive-importance documents (the target model explains them
+    // better than the corpus average), then spend the token budget
+    // importance-first through x74's binned selector. The merit is the
+    // exact integer micro-importance COARSENED to a 0.01-nat grid
+    // (imp_micro div 10000): near-unique merits would make every bin a
+    // singleton and the selector's bin aggregate degenerate to a
+    // corpus-sized single-task window — the grid restores fat bins, so
+    // the budget decision stays bin-wholesale with only the boundary
+    // bin sorting (the x74 scale contract). Oracle: x118's CTE stack +
+    // the prefix-cumsum replay the binned selector is spec-proven
+    // equivalent to.
+    ("x120_curation_dsir",
+      (s: SparkSession, dir: String) => {
+        val imp = graft.ext.LanguageModel.dsirImportance(
+          t(s, dir, "documents"), col("source") === "src1", minCount = 2L)
+        val pos = imp.select(col("doc_id"), col("lang"),
+            (expr("""cast(signum(lp_target_micro) as bigint) *
+                    |((abs(lp_target_micro) * 2 + n_bigrams_target)
+                    | div (n_bigrams_target * 2))"""
+                .stripMargin.replace("\n", " ")) -
+             expr("""cast(signum(lp_raw_micro) as bigint) *
+                    |((abs(lp_raw_micro) * 2 + n_bigrams_raw)
+                    | div (n_bigrams_raw * 2))"""
+                .stripMargin.replace("\n", " "))).as("imp_micro"))
+          .filter(col("imp_micro") > 0)
+          .select(col("doc_id"), col("lang"),
+            expr("imp_micro div 10000").as("merit"))
+        graft.ext.Sampling.selectToBudgetBinnedFrom(
+            pos.join(meritScored(s, dir)
+                .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+              .select(col("doc_id"), col("merit"), col("n_tokens")),
+            budgetTokens = 9000L)
+          .join(pos.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("merit"), col("n_tokens"))
+      },
+      Some {
+        def avgMicro(lp: String, n: String) =
+          s"CAST((CASE WHEN $lp < 0 THEN -1 ELSE 1 END) * ((abs($lp) * 2 + $n) // ($n * 2)) AS BIGINT)"
+        s"""WITH ${lmCtes("source = 'src1'", "TRUE", "dt")},
+           |${lmCtes("TRUE", "TRUE", "dr")},
+           |dtagg AS (SELECT doc_id, lang, count(*) AS n_t,
+           |    CAST(sum(lp) AS BIGINT) AS lp_t FROM dtlp GROUP BY 1, 2),
+           |dragg AS (SELECT doc_id, lang, count(*) AS n_r,
+           |    CAST(sum(lp) AS BIGINT) AS lp_r FROM drlp GROUP BY 1, 2),
+           |impp AS (SELECT doc_id, lang,
+           |    ${avgMicro("lp_t", "n_t")} - ${avgMicro("lp_r", "n_r")} AS im
+           |  FROM dtagg JOIN dragg USING (doc_id, lang)),
+           |pos AS (SELECT doc_id, lang, im // 10000 AS merit
+           |  FROM impp WHERE im > 0),
+           |mst AS (SELECT doc_id,
+           |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+           |jj AS (SELECT pos.doc_id, pos.lang, pos.merit, mst.n_tokens
+           |  FROM pos JOIN mst ON pos.doc_id = mst.doc_id),
+           |cc AS (SELECT *, sum(n_tokens) OVER (ORDER BY merit DESC,
+           |    doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum FROM jj)
+           |SELECT doc_id, lang, merit, n_tokens FROM cc WHERE cum <= 9000""".stripMargin
+      })
   )
 
   /** Parameterized x104 verdict stack for the x114/x117 oracles:
