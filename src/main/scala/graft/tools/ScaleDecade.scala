@@ -181,10 +181,14 @@ object ScaleDecade {
     "x113_cell_occupancy", // round 13: the balance pre-flight — the
                         // shared assignment + one centroid count;
                         // should track x37's assignment term alone
-    "x118_dsir_importance") // round 14: two train passes + two
+    "x118_dsir_importance", // round 14: two train passes + two
                         // broadcast-model score passes — should track
                         // ~2× x107's shape (both models are
                         // vocabulary-sized and Zipf-saturate)
+    "x120_curation_dsir") // round 14: x118 + the binned budget
+                        // selector — should track x118 (the importance
+                        // frame is the cost; selection is
+                        // bin-wholesale on the 0.01-nat grid)
 
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names
