@@ -183,16 +183,44 @@ object LanguageModel {
   def dsirImportance(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
       minCount: Long = 2L): DataFrame = {
     val base = inScope(docs)
+    importanceJoin(
+      scoreWith(base, counts(base.filter(isTarget)), minCount),
+      scoreWith(base, counts(base), minCount))
+  }
+
+  /** [[dsirImportance]] against STORED models — the ingest-gate form
+    * (the x121 streaming twin): the batch scores under a FIXED target
+    * model (built once from the trusted corpus — the distribution is
+    * given a priori, it does not learn from the stream) and the
+    * growing raw model of every batch ingested so far, both read from
+    * their stored-LM lifecycles ([[writeLmIndex]]/[[appendLmIndex]]).
+    * Per-batch cost = two batch scans + two broadcast model reads —
+    * nothing rescans history. Same output contract as
+    * [[dsirImportance]].
+    */
+  def dsirAgainstLmIndexes(batch: DataFrame, targetIndexDir: String,
+      rawIndexDir: String, minCount: Long = 2L): DataFrame = {
+    val spark = batch.sparkSession
+    val base = inScope(batch)
+    importanceJoin(
+      scoreWith(base, storedCounts(spark, targetIndexDir), minCount),
+      scoreWith(base, storedCounts(spark, rawIndexDir), minCount))
+  }
+
+  /** The shared importance tail: inner-join the target and raw score
+    * frames per document (target-unscorable docs drop — no estimate
+    * exists) and compute the log-likelihood-ratio importance as a
+    * difference of exact BIGINT micro-unit averages.
+    */
+  private def importanceJoin(target: DataFrame, raw: DataFrame): DataFrame = {
     def avgMicro(lp: String, n: String) =
       expr(s"cast(signum($lp) as bigint) * ((abs($lp) * 2 + $n) div ($n * 2))")
-    val t = scoreWith(base, counts(base.filter(isTarget)), minCount)
-      .select(col("doc_id"), col("lang"),
-        col("n_bigrams").as("n_bigrams_target"),
-        col("lp_micro").as("lp_target_micro"))
-    val r = scoreWith(base, counts(base), minCount)
-      .select(col("doc_id"), col("lang"),
-        col("n_bigrams").as("n_bigrams_raw"),
-        col("lp_micro").as("lp_raw_micro"))
+    val t = target.select(col("doc_id"), col("lang"),
+      col("n_bigrams").as("n_bigrams_target"),
+      col("lp_micro").as("lp_target_micro"))
+    val r = raw.select(col("doc_id"), col("lang"),
+      col("n_bigrams").as("n_bigrams_raw"),
+      col("lp_micro").as("lp_raw_micro"))
     t.join(r, Seq("doc_id", "lang"))
       .select(col("doc_id"), col("lang"),
         col("n_bigrams_target"), col("lp_target_micro"),

@@ -60,6 +60,8 @@ object ExtQueries {
   private val x116Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x117Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x117Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x121Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x121Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -4669,6 +4671,54 @@ object ExtQueries {
            |cc AS (SELECT *, sum(n_tokens) OVER (ORDER BY merit DESC,
            |    doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum FROM jj)
            |SELECT doc_id, lang, merit, n_tokens FROM cc WHERE cum <= 9000""".stripMargin
+      }),
+
+    // ---- x121: streaming DSIR gate (round 14) ---------------------------
+    // x118's importance surface run where an ingest gate runs it — the
+    // x111 discipline with TWO stored models: each micro-batch scores
+    // against a FIXED target model (built once from the trusted src1
+    // corpus BEFORE the stream — the target distribution is given a
+    // priori and never learns from arrivals) and the growing raw model
+    // of every STRICTLY EARLIER batch, then its batch-stamped counts
+    // append to the raw model (replay-idempotent). Batch 0 bootstraps
+    // the raw model. Oracle: one target-model CTE block scoring all
+    // non-bootstrap docs + three raw blocks (model of batches < b
+    // scoring batch b) unioned, joined per document.
+    ("x121_stream_dsir_gate",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x121_${s.sparkContext.applicationId}_${x121Seq.incrementAndGet()}")
+        Option(x121Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val docs = t(s, dir, "documents")
+        graft.streaming.DocStream.dsirReplay(s, docs,
+          docs.filter(col("source") === "src1"),
+          new java.io.File(root, "index").getPath,
+          new java.io.File(root, "out").getPath,
+          nBatches = 4, minCount = 2L)
+      },
+      Some {
+        def avgMicro(lp: String, n: String) =
+          s"CAST((CASE WHEN $lp < 0 THEN -1 ELSE 1 END) * ((abs($lp) * 2 + $n) // ($n * 2)) AS BIGINT)"
+        val rawBlocks = (1 to 3).map(b =>
+          lmCtes(s"doc_id % 4 < $b", s"doc_id % 4 = $b", s"rb$b"))
+          .mkString(",\n")
+        val rawAggs = (1 to 3).map(b =>
+          s"""SELECT doc_id, lang, count(*) AS n_r,
+             |  CAST(sum(lp) AS BIGINT) AS lp_r FROM rb${b}lp
+             |GROUP BY 1, 2""".stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH ${lmCtes("source = 'src1'", "doc_id % 4 <> 0", "tt")},
+           |$rawBlocks,
+           |ttagg AS (SELECT doc_id, lang, count(*) AS n_t,
+           |    CAST(sum(lp) AS BIGINT) AS lp_t FROM ttlp GROUP BY 1, 2),
+           |rall AS ($rawAggs)
+           |SELECT doc_id, lang,
+           |  n_t AS n_bigrams_target, lp_t AS lp_target_micro,
+           |  n_r AS n_bigrams_raw, lp_r AS lp_raw_micro,
+           |  CAST(${avgMicro("lp_t", "n_t")} - ${avgMicro("lp_r", "n_r")}
+           |    AS DOUBLE) / 1000000.0 AS importance
+           |FROM ttagg JOIN rall USING (doc_id, lang)""".stripMargin
       })
   )
 

@@ -190,6 +190,84 @@ object DocStream {
       .select(lmScoreSchema.fieldNames.map(col).toSeq: _*)
   }
 
+  private[graft] val dsirSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("n_bigrams_target", LongType),
+    StructField("lp_target_micro", LongType),
+    StructField("n_bigrams_raw", LongType),
+    StructField("lp_raw_micro", LongType),
+    StructField("importance", DoubleType)))
+
+  /** x121 — the DSIR gate ([[graft.ext.LanguageModel.dsirImportance]])
+    * run where an ingest gate runs it: each arriving micro-batch is
+    * importance-scored against a FIXED stored target model (built once
+    * from the trusted corpus BEFORE the stream — the target
+    * distribution is given a priori, it never learns from arrivals)
+    * and the stored RAW model of every STRICTLY EARLIER batch; the
+    * batch's own counts then append to the raw model (batch-stamped —
+    * the x111 additive-index idempotence). Batch 0 bootstraps the raw
+    * model (an empty raw model can say nothing). Per-batch scores
+    * write to `outDir/batch=<id>` with overwrite.
+    *
+    * Same MemoryStream transport caveat as [[spanScreenReplay]].
+    *
+    * Scale shape per batch: two batch scans + two broadcast
+    * (vocabulary-sized) stored-model reads for the score, one
+    * batch-vocabulary aggregate + ONE appended file for the raw-model
+    * update, with the inline file-count compaction trigger bounding
+    * reads — the x111 bill paid twice, history never rescanned.
+    */
+  def dsirReplay(spark: SparkSession, docs: DataFrame, target: DataFrame,
+      indexRoot: String, outDir: String, nBatches: Int = 4,
+      minCount: Long = 2L, maxFiles: Int = 64): DataFrame = {
+    require(nBatches >= 2, s"need at least 2 batches to score, got $nBatches")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val targetIdx = s"$indexRoot/target"
+    val rawIdx = s"$indexRoot/raw"
+    // the trusted corpus's model, built once before any arrival;
+    // idempotent — a restart (or a caller that pre-built it) skips
+    if (!graft.ext.IndexFs.exists(spark, s"$targetIdx/bigrams/_SUCCESS"))
+      graft.ext.LanguageModel.writeLmIndex(target, targetIdx)
+    val rows = docs
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    val stream = MemoryStream[(Long, String, String)]
+    def bootstrapped: Boolean =
+      graft.ext.IndexFs.exists(spark, s"$rawIdx/bigrams/_SUCCESS")
+    val q = stream.toDF().toDF("doc_id", "text", "lang").writeStream
+      .option("checkpointLocation", s"$outDir/_chk")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val t0 = System.nanoTime()
+        if (!bootstrapped) {
+          graft.ext.LanguageModel.writeLmIndex(batch, rawIdx)
+        } else {
+          graft.ext.LanguageModel
+            .dsirAgainstLmIndexes(batch, targetIdx, rawIdx, minCount)
+            .repartition(1)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          graft.ext.LanguageModel.appendLmIndex(batch, rawIdx, s"b$id",
+            maxFiles = maxFiles)
+        }
+        System.err.println(
+          f"[docstream-dsir] batch $id: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      .start()
+    try {
+      (0 until nBatches).foreach { b =>
+        stream.addData(rows.filter { case (id, _, _) =>
+          math.floorMod(id, nBatches.toLong) == b.toLong }.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.read.schema(dsirSchema)
+      .parquet(s"$outDir/batch=*")
+      .select(dsirSchema.fieldNames.map(col).toSeq: _*)
+  }
+
   private[graft] val ndScreenSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("is_exact_dup", BooleanType),
     StructField("near_dup_of", LongType), StructField("near_jaccard", DoubleType),

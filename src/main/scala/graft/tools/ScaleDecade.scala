@@ -190,6 +190,8 @@ object ScaleDecade {
                         // frame is the cost; selection is
                         // bin-wholesale on the 0.01-nat grid)
 
+  // (x121_stream_dsir is ProbeOnly — see below)
+
   /** Probe-only names: accepted by the filter, skipped by the generic
     * timing loop, and — unlike Targets — run ONLY when a filter names
     * them explicitly. They carry costs a default full run must not pay
@@ -219,10 +221,14 @@ object ScaleDecade {
     "x117_near_rebuild", // round 14: the same pricing at the document
                         // grain — hot-list retrain over the live
                         // corpus vs the batch-sized append
-    "x119_hard_negatives_fixed") // round 14: fixed-anchor form (the
+    "x119_hard_negatives_fixed", // round 14: fixed-anchor form (the
                         // registered modulus form's anchor set grows
                         // with the corpus — the bruteForceTopK
                         // rationale); expect the x54 scan shape
+    "x121_stream_dsir") // round 14: the x111 replay class with TWO
+                        // stored models — per-batch = two broadcast
+                        // model reads + one append, decoupled from
+                        // history size
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -484,6 +490,39 @@ object ScaleDecade {
             .count()
           val replay = (System.nanoTime() - t1) / 1e9
           println(f"""{"query":"x111_stream_$label","build_sec":$build%.3f,"replay_sec":$replay%.3f,"per_batch_sec":${replay / 4}%.3f,"scored_rows":$n}""")
+      }
+    }
+
+    // ---- x121: streaming DSIR gate at the decades — the x111
+    // protocol with TWO stored models: a FIXED batch stream (1× src2,
+    // 4 micro-batches) scored against a standing decaded RAW model
+    // plus a decaded TARGET model (both pre-built; dsirReplay's
+    // idempotent target build skips). Claim: per-batch cost = two
+    // broadcast model reads + batch scans + one appended file —
+    // decoupled from history size (the x111 claim paid twice).
+    if (probeSelected("x121_stream_dsir")) {
+      val fixedBatch = graft.sources.Tables.load(spark, src, "documents")
+        .filter(col("source") === "src2")
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val docs = graft.sources.Tables.load(spark, d, "documents")
+          val root = s"/tmp/graft_dsir_decade_$label"
+          val out = s"/tmp/graft_x121_decade_$label"
+          Seq(root, out).foreach(p =>
+            LocalFs.deleteRecursively(new java.io.File(p)))
+          val t0 = System.nanoTime()
+          graft.ext.LanguageModel.writeLmIndex(
+            docs.filter(col("source") =!= "src2"), s"$root/raw")
+          graft.ext.LanguageModel.writeLmIndex(
+            docs.filter(col("source") === "src1"), s"$root/target")
+          val build = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val n = graft.streaming.DocStream.dsirReplay(
+            spark, fixedBatch, docs.filter(col("source") === "src1"),
+            root, out, nBatches = 4, minCount = 2L)
+            .count()
+          val replay = (System.nanoTime() - t1) / 1e9
+          println(f"""{"query":"x121_stream_$label","build_sec":$build%.3f,"replay_sec":$replay%.3f,"per_batch_sec":${replay / 4}%.3f,"scored_rows":$n}""")
       }
     }
 

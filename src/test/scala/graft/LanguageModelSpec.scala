@@ -208,6 +208,33 @@ class LanguageModelSpec extends SparkSpec {
     assert(out === Map(20L -> 1L))
   }
 
+  test("dsirReplay: streamed ≡ fixed-target + strictly-earlier-raw batch truth") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val target = docs.filter(col("source") === "src1")
+    val root = tmpIdx("dsirstream")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.DocStream.dsirReplay(spark, docs, target,
+      s"$root/index", s"$root/out", nBatches = 4, minCount = 2L)
+    // batch-form truth: a FIXED target model + per-batch raw models of
+    // strictly earlier batches, through the same stored lifecycle
+    val tIdx = tmpIdx("dsirstreamT")
+    LanguageModel.writeLmIndex(target, tIdx)
+    val expected = (1 to 3).map { b =>
+      val rIdx = tmpIdx(s"dsirstreamR$b")
+      LanguageModel.writeLmIndex(
+        docs.filter(pmod(col("doc_id"), lit(4L)) < b), rIdx)
+      rows(LanguageModel.dsirAgainstLmIndexes(
+        docs.filter(pmod(col("doc_id"), lit(4L)) === b), tIdx, rIdx, 2L))
+    }.reduce(_ ++ _)
+    assert(rows(streamed) === expected)
+    // the target model never learned from the stream: its stored
+    // bigrams still carry only the pre-stream 'build' stamp
+    assert(spark.read.parquet(s"$root/index/target/bigrams")
+      .select("batch_id").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("build"))
+  }
+
   test("dsirImportance: target-like docs outrank off-target; target-OOV docs drop; integer-exact") {
     val docs = Seq(
       // the target slice: a tight phrase distribution
