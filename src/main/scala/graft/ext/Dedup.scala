@@ -754,13 +754,22 @@ object Dedup {
     val spark = corpus.sparkSession
     recoverNearDupSwap(spark, indexDir)
     val tmp = s"$indexDir.compact"
+    // a PRIOR rebuild may have crashed after moving the live markers
+    // into tmp but before the swap — tmp then holds the ONLY copy, and
+    // the wholesale delete below would degrade every committed batch
+    // to at-least-once (double-appended intersection counts until the
+    // next compaction). Rescue them back into the live directory first
+    // (the round-14 advisory: the two rebuild lifecycles' recovery
+    // guarantees must be symmetric).
+    IndexFs.mergeMarkers(spark, s"$tmp/_batch_commits",
+      s"$indexDir/_batch_commits")
     IndexFs.fs(spark, tmp).delete(new org.apache.hadoop.fs.Path(tmp), true)
     writeNearDupIndex(corpus, tmp, n, maxShingleDf)
-    val fs = IndexFs.fs(spark, indexDir)
-    val markers = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_commits")
-    if (fs.exists(markers))
-      fs.rename(markers,
-        new org.apache.hadoop.fs.Path(s"$tmp/_batch_commits"))
+    // per-file move with asserted renames, not a directory rename: see
+    // [[IndexFs.mergeMarkers]] for the two silent-degrade shapes a bare
+    // rename has here
+    IndexFs.mergeMarkers(spark, s"$indexDir/_batch_commits",
+      s"$tmp/_batch_commits")
     IndexFs.swapCompact(spark, indexDir)
     graft.tools.InternalCaches.releaseByPath(spark, indexDir)
   }

@@ -60,6 +60,42 @@ object IndexFs {
     else false
   }
 
+  /** Merge the zero-byte batch markers under `fromDir` into `toDir`,
+    * file by file, then drop the emptied `fromDir`. A marker already
+    * present on both sides collapses to one (its content is its
+    * existence); any other rename must succeed or the caller's
+    * exactly-once bookkeeping is silently losing markers, so failure
+    * throws instead of proceeding. No-op when `fromDir` is absent.
+    *
+    * This is the rebuild lifecycles' marker transport in BOTH
+    * directions. Forward (live → `.compact`) it replaces a bare
+    * directory rename, whose two failure shapes each degrade committed
+    * batches to at-least-once: a stale `.compact/_batch_commits` left
+    * by a crashed earlier rebuild makes Hadoop `rename` silently
+    * return false (dest exists), and the swap then promotes the STALE
+    * marker set over the newer live one. Backward
+    * (`.compact` → live, at rebuild entry) it rescues the markers a
+    * crashed prior rebuild moved into the tmp directory before the
+    * re-run destroys or overwrites it — without the rescue, every
+    * batch committed before the crash redelivers as a double-append.
+    */
+  def mergeMarkers(spark: SparkSession, fromDir: String, toDir: String): Unit = {
+    val f = fs(spark, fromDir)
+    val from = new Path(fromDir)
+    if (f.exists(from)) {
+      val to = new Path(toDir)
+      f.mkdirs(to)
+      f.listStatus(from).foreach { st =>
+        val dst = new Path(to, st.getPath.getName)
+        if (f.exists(dst)) f.delete(st.getPath, false)
+        else if (!f.rename(st.getPath, dst))
+          throw new IllegalStateException(
+            s"marker move failed: ${st.getPath} -> $dst")
+      }
+      f.delete(from, true)
+    }
+  }
+
   /** The compaction swap: demote live to `.old`, promote `.compact` to
     * live, drop `.old`. Every step leaves a complete copy of the table
     * on disk; the only step with no LIVE path is the window

@@ -508,6 +508,15 @@ object Similarity {
       centroidModulus: Int = 100, maxCentroids: Int = 1024): Unit = {
     IndexFs.recoverSwap(spark, indexDir)
     IndexFs.recoverSwap(spark, s"$indexDir/vectors")
+    // a PRIOR rebuild may have crashed after moving the live markers
+    // into `.compact` — merge them back NOW (restoring the committed
+    // set and clearing the stale destination): left in place, they
+    // would make the forward move below silently fail (Hadoop rename
+    // returns false when the destination exists) and the swap would
+    // promote the STALE marker set over any markers appends have since
+    // re-created — those batches would redeliver as double-appends.
+    IndexFs.mergeMarkers(spark, s"$indexDir.compact/_batch_commits",
+      s"$indexDir/_batch_commits")
     // local persist, not the memoized registry: the frame reads the
     // very directory the swap replaces
     val v = spark.read.parquet(s"$indexDir/vectors")
@@ -521,11 +530,11 @@ object Similarity {
       .parquet(s"$indexDir.compact/vectors")
     cents.write.mode("overwrite").parquet(s"$indexDir.compact/centroids")
     v.unpersist(blocking = false)
-    val fs = IndexFs.fs(spark, indexDir)
-    val markers = new org.apache.hadoop.fs.Path(s"$indexDir/_batch_commits")
-    if (fs.exists(markers))
-      fs.rename(markers,
-        new org.apache.hadoop.fs.Path(s"$indexDir.compact/_batch_commits"))
+    // per-file move with asserted renames (the merge also tolerates a
+    // marker racing in on both sides); the entry-time merge above
+    // guaranteed the destination is clear of stale copies
+    IndexFs.mergeMarkers(spark, s"$indexDir/_batch_commits",
+      s"$indexDir.compact/_batch_commits")
     IndexFs.swapCompact(spark, indexDir)
     invalidateCentroidCount(spark, indexDir)
     // the rebuild replaced the FROZEN artifacts a screen is allowed to

@@ -272,6 +272,61 @@ class IndexFsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/shingles").count() === n1)
   }
 
+  test("rebuildNearDupIndex re-run after a marker-move crash preserves committed markers") {
+    import graft.ext.Dedup
+    val build = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "m n o m2 n2 o2 m3 n3")).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft_nd_markercrash").toString
+    Dedup.writeNearDupIndex(build, idx, n = 3)
+    assert(Dedup.appendNearDupIndexOnce(batch, idx, batchId = 9L, n = 3))
+    // simulate a rebuild that crashed AFTER moving the live markers
+    // into the tmp directory but BEFORE the swap: tmp holds the only
+    // copy of b9, the live index is intact but marker-less
+    val fs = IndexFs.fs(spark, idx)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx.compact"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/_batch_commits"),
+      new org.apache.hadoop.fs.Path(s"$idx.compact/_batch_commits"))
+    // the re-run must rescue the markers before destroying tmp — the
+    // round-14 advisory: a wholesale tmp delete here silently degraded
+    // every committed batch to at-least-once
+    Dedup.rebuildNearDupIndex(build.unionByName(batch), idx, n = 3)
+    val n1 = spark.read.parquet(s"$idx/shingles").count()
+    assert(!Dedup.appendNearDupIndexOnce(batch, idx, batchId = 9L, n = 3),
+      "the rescued marker must survive the re-run rebuild")
+    assert(spark.read.parquet(s"$idx/shingles").count() === n1,
+      "the redelivered batch must not double-append")
+  }
+
+  test("rebuildSemanticIndex merges stale .compact markers instead of promoting them") {
+    val dim = 64
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => if (d == axis) 1.0f else 0.0f)
+    val idx = Files.createTempDirectory("graft_sem_markercrash").toString
+    Similarity.writeSemanticIndex(embDf(Seq(0L -> unit(0))), idx)
+    val b1 = embDf(Seq(201L -> unit(1)))
+    val b2 = embDf(Seq(301L -> unit(2)))
+    assert(Similarity.appendSemanticIndexOnce(b1, idx, batchId = 1L))
+    // crashed earlier rebuild: live markers ({b1}) were moved into
+    // .compact, then the crash; a later append re-created live markers
+    val fs = IndexFs.fs(spark, idx)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx.compact"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$idx/_batch_commits"),
+      new org.apache.hadoop.fs.Path(s"$idx.compact/_batch_commits"))
+    assert(Similarity.appendSemanticIndexOnce(b2, idx, batchId = 2L),
+      "b2 re-commits after the crash (b1's redelivery window is the " +
+        "documented at-least-once degrade)")
+    // pre-fix: the forward marker rename silently failed (destination
+    // exists) and the swap promoted the STALE set — b2's marker died
+    Similarity.rebuildSemanticIndex(spark, idx)
+    val n = spark.read.parquet(s"$idx/vectors").count()
+    assert(!Similarity.appendSemanticIndexOnce(b1, idx, batchId = 1L),
+      "the stale .compact marker is merged, not lost")
+    assert(!Similarity.appendSemanticIndexOnce(b2, idx, batchId = 2L),
+      "the newer live marker survives the rebuild — not the stale set")
+    assert(spark.read.parquet(s"$idx/vectors").count() === n)
+  }
+
   test("semantic screen self-heals after a rebuild crash mid whole-index swap") {
     val dim = 64
     def unit(axis: Int): Seq[Float] =
