@@ -1192,62 +1192,103 @@ object Dedup {
   // semi join against the pruned buckets (false negatives don't
   // exist), so the oracle is x85's SQL verbatim.
 
+  /** The gram index's sidecar state: the bucket count (partitioning
+    * scheme), the Bloom sizing (mergeInPlace requires identical
+    * numBits/numHashFunctions, both derived from (items, numBits)),
+    * the deserialized filter, and a per-write `stamp` — unique per
+    * sidecar write (driver nanotime; uniqueness is all that matters,
+    * nothing downstream reads it as a time) — that lets a cached copy
+    * cheaply prove it still matches the stored file.
+    */
+  private[graft] final case class GramSidecar(
+      buckets: Int, items: Long, numBits: Long, stamp: Long, bf: BloomFilter)
+
   /** Sidecar layout: `<indexDir>/_gram_bloom` — underscore-prefixed,
-    * so parquet readers of the index ignore it. Header pins the
-    * parameters appends must replay: bucket count (partitioning
-    * scheme) and the Bloom sizing (mergeInPlace requires identical
-    * numBits/numHashFunctions, both derived from (items, numBits)).
+    * so parquet readers of the index ignore it. Fixed-width header
+    * (buckets, items, numBits, stamp) then the serialized filter, so
+    * [[readSidecarStamp]] can validate without deserializing the blob.
     */
   private def bloomSidecarPath(indexDir: String) =
     new org.apache.hadoop.fs.Path(indexDir, "_gram_bloom")
 
   private def writeBloomSidecar(spark: SparkSession, indexDir: String,
-      buckets: Int, items: Long, numBits: Long, bf: BloomFilter): Unit = {
+      sc: GramSidecar): Unit = {
     val p = bloomSidecarPath(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new java.io.DataOutputStream(fs.create(p, true))
-    try { out.writeInt(buckets); out.writeLong(items); out.writeLong(numBits); bf.writeTo(out) }
-    finally out.close()
+    try {
+      out.writeInt(sc.buckets); out.writeLong(sc.items)
+      out.writeLong(sc.numBits); out.writeLong(sc.stamp)
+      sc.bf.writeTo(out)
+    } finally out.close()
   }
 
   private[graft] def readBloomSidecar(
-      spark: SparkSession, indexDir: String): (Int, Long, Long, BloomFilter) = {
+      spark: SparkSession, indexDir: String): GramSidecar = {
     val p = bloomSidecarPath(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = new java.io.DataInputStream(fs.open(p))
-    try (in.readInt(), in.readLong(), in.readLong(), BloomFilter.readFrom(in))
+    try GramSidecar(in.readInt(), in.readLong(), in.readLong(), in.readLong(),
+      BloomFilter.readFrom(in))
+    finally in.close()
+  }
+
+  /** The stored sidecar's write stamp alone: one open + 28-byte header
+    * read, never the (potentially multi-GB) filter blob. This is the
+    * cached sidecar's per-call validity probe.
+    */
+  private def readSidecarStamp(spark: SparkSession, indexDir: String): Long = {
+    val p = bloomSidecarPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(fs.open(p))
+    try { in.skipBytes(4 + 8 + 8); in.readLong() }
     finally in.close()
   }
 
   /** Driver-side cache of deserialized sidecar state, keyed
     * (applicationId, indexDir) — the round-12 streaming path re-read
     * and re-deserialized the full Bloom on EVERY screen and EVERY
-    * append (an index-sized fixed cost per micro-batch). The cache is
-    * sound under the lifecycle's existing single-writer contract
-    * (concurrent appends to one index were never supported: the
-    * sidecar-first crash ordering assumes one writer); an append
-    * through this session mutates the cached filter in place, so the
-    * cache IS the authoritative post-append state. Writers that bypass
-    * this session must [[invalidateSidecarCache]] first — a stale
-    * cache after a foreign append would under-approximate the stored
-    * grams, which the exactness contract forbids.
+    * append (an index-sized fixed cost per micro-batch). An append
+    * through this session mutates the cached filter in place and
+    * re-stamps the entry, so the cache IS the authoritative
+    * post-append state.
+    *
+    * Validity is CHECKED per use, not assumed (round-14 advisory: the
+    * re-bucketing compaction made a stale cached bucket count a
+    * cross-process correctness hazard — appended grams routed to wrong
+    * bucket directories, screens probing wrong buckets): every cached
+    * read compares the entry's stamp against the stored header
+    * ([[readSidecarStamp]] — 28 bytes, one RPC, amortized against the
+    * Spark job every screen/append runs) and re-reads on mismatch, so
+    * a foreign process's compact/re-bucket/append is picked up at the
+    * next touch. What the stamp does NOT license is CONCURRENT
+    * writers: two appends racing the same index can still interleave
+    * their sidecar/data writes (the sidecar-first crash ordering
+    * assumes one writer at a time) — the single-writer contract is per
+    * WRITE, the stamp closes the staleness between writes.
     */
   private val sidecarCache =
-    scala.collection.concurrent.TrieMap.empty[
-      (String, String), (Int, Long, Long, BloomFilter)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), GramSidecar]
 
   private def cachedSidecar(spark: SparkSession, indexDir: String,
-      cache: Boolean): (Int, Long, Long, BloomFilter) =
+      cache: Boolean): GramSidecar =
     if (!cache) readBloomSidecar(spark, indexDir)
-    else sidecarCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, indexDir),
-      readBloomSidecar(spark, indexDir))
+    else {
+      val key = (spark.sparkContext.applicationId, indexDir)
+      val stored = readSidecarStamp(spark, indexDir)
+      sidecarCache.get(key) match {
+        case Some(sc) if sc.stamp == stored => sc
+        case _ =>
+          val sc = readBloomSidecar(spark, indexDir)
+          sidecarCache.put(key, sc)
+          sc
+      }
+    }
 
   /** Drop the cached sidecar state for `indexDir` (all sessions of this
-    * JVM). Required before reading an index another process has
-    * appended to; called internally by every operation that replaces
-    * the sidecar wholesale ([[writeGramIndexBucketed]],
-    * [[compactGramIndex]]).
+    * JVM). The per-use stamp check already detects foreign writes; this
+    * remains as the explicit handle (and is called internally by every
+    * operation that replaces the sidecar wholesale).
     */
   def invalidateSidecarCache(indexDir: String): Unit =
     sidecarCache.keys.filter(_._2 == indexDir).foreach(sidecarCache.remove)
@@ -1336,12 +1377,11 @@ object Dedup {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
     // after the parquet write: overwrite mode clears the directory
-    writeBloomSidecar(spark, indexDir, nBuckets, items, numBits, bf)
+    val sc = GramSidecar(nBuckets, items, numBits, System.nanoTime(), bf)
+    writeBloomSidecar(spark, indexDir, sc)
     // seed the driver cache with the state just written: the first
     // screen/append after a build pays no sidecar re-read
-    invalidateSidecarCache(indexDir)
-    sidecarCache.put((spark.sparkContext.applicationId, indexDir),
-      (nBuckets, items, numBits, bf))
+    sidecarCache.put((spark.sparkContext.applicationId, indexDir), sc)
   }
 
   /** Append a batch's grams into the bucketed index: new files inside
@@ -1381,8 +1421,8 @@ object Dedup {
     // heal a crashed compaction swap BEFORE appending (an append into a
     // missing live dir would fork the index away from the .compact copy)
     IndexFs.recoverSwap(spark, indexDir)
-    val (buckets, items, numBits, bf) =
-      cachedSidecar(spark, indexDir, cacheSidecar)
+    val sc0 = cachedSidecar(spark, indexDir, cacheSidecar)
+    val (buckets, items, numBits, bf) = (sc0.buckets, sc0.items, sc0.numBits, sc0.bf)
     val g = graft.tools.InternalCaches.persist(
       gramStream(newDocs, k).select("g").distinct())
     if (cacheSidecar && numBits / 8 > (64L << 20)) {
@@ -1401,7 +1441,12 @@ object Dedup {
     // in the exact confirm join). The reverse order would leave
     // appended grams missing from the Bloom — the gate would silently
     // drop their true matches, an exactness break, not a slowdown.
-    writeBloomSidecar(spark, indexDir, buckets, items, numBits, bf)
+    val sc1 = sc0.copy(stamp = System.nanoTime())
+    writeBloomSidecar(spark, indexDir, sc1)
+    // re-stamp the cached entry to match the file just written (same
+    // mutated filter object — only the validity probe moves)
+    if (cacheSidecar)
+      sidecarCache.put((spark.sparkContext.applicationId, indexDir), sc1)
     g.withColumn("bucket", pmod(col("g"), lit(buckets.toLong)).cast("int"))
       // ONE file per bucket per write: without the bucket repartition
       // every writer task opens every bucket directory (tasks x
@@ -1456,7 +1501,8 @@ object Dedup {
       // file listing alone at the probe scales)
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-    writeBloomSidecar(spark, tmp, nBuckets, items, numBits, bf)
+    val sc = GramSidecar(nBuckets, items, numBits, System.nanoTime(), bf)
+    writeBloomSidecar(spark, tmp, sc)
     // swap: every step leaves a complete index on disk somewhere
     IndexFs.swapCompact(spark, indexDir)
     // the compacted frame replaced the files its cached plan reads —
@@ -1465,10 +1511,10 @@ object Dedup {
     // re-sizing replaced the sidecar wholesale: re-seed the driver
     // cache with the compacted state (stale items/numBits would make
     // the next append's merge sizing wrong; a re-bucket with a stale
-    // count would route every appended gram to the wrong directory)
-    invalidateSidecarCache(indexDir)
-    sidecarCache.put((spark.sparkContext.applicationId, indexDir),
-      (nBuckets, items, numBits, bf))
+    // count would route every appended gram to the wrong directory —
+    // and the fresh stamp is what lets OTHER processes' caches catch
+    // this re-bucket at their next touch)
+    sidecarCache.put((spark.sparkContext.applicationId, indexDir), sc)
   }
 
   /** x95 screen — [[duplicateSpansAgainstIndex]] semantics (same
@@ -1485,8 +1531,8 @@ object Dedup {
     val spark = batch.sparkSession
     // a reader after a mid-swap compactor crash self-heals (one rename)
     IndexFs.recoverSwap(spark, indexDir)
-    val (buckets, _, numBits, bf) =
-      cachedSidecar(spark, indexDir, cacheSidecar)
+    val sc = cachedSidecar(spark, indexDir, cacheSidecar)
+    val (buckets, numBits, bf) = (sc.buckets, sc.numBits, sc.bf)
     val grams = graft.tools.InternalCaches.persist(gramStream(batch, k))
     // cached path: ship the filter as a broadcast variable (once per
     // executor per call) instead of a plan literal (once per TASK —

@@ -731,7 +731,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
       s"index scan must prune by candidate bucket directories:\n$plan")
     // false-negative-free: every indexed gram passes the sidecar gate
-    val (_, _, _, bf) = Dedup.readBloomSidecar(spark, bidx)
+    val bf = Dedup.readBloomSidecar(spark, bidx).bf
     val missed = spark.read.parquet(bidx).select("g").as[Long]
       .collect().filterNot(bf.mightContainLong)
     assert(missed.isEmpty, s"bloom misses indexed grams: ${missed.take(5).toSeq}")

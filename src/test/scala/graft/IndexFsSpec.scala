@@ -176,6 +176,39 @@ class IndexFsSpec extends SparkSpec {
     assert(spark.read.parquet(idx).select("bucket").distinct().count() <= 4)
   }
 
+  test("cached sidecar detects a foreign re-bucket/replace via the write stamp") {
+    // Two indexes with DIFFERENT bucket schemes and different contents;
+    // a "foreign process" replaces one with the other on disk while
+    // this session holds a cached sidecar for the path. Pre-fix, the
+    // stale cache kept the old bucket count (probing wrong partition
+    // dirs) and the old Bloom (gating out every new gram) — silently
+    // missed duplicates, the round-14 advisory's cross-process hazard.
+    val dirA = Files.createTempDirectory("graft_stampA").toString + "/idx"
+    val dirB = Files.createTempDirectory("graft_stampB").toString + "/idx"
+    val docsA = Seq((1L, "p q r s t u v w")).toDF("doc_id", "text")
+    val docsB = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val batch = Seq((10L, "x a b c d e f g h y")).toDF("doc_id", "text")
+    Dedup.writeGramIndexBucketed(docsA, dirA, k = 3, buckets = 2)
+    Dedup.writeGramIndexBucketed(docsB, dirB, k = 3, buckets = 8)
+    def spans() = Dedup.duplicateSpansAgainstIndexBloom(batch, dirA, k = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(spans().isEmpty, "A shares no grams with the batch") // seeds the cache
+    // the foreign replace: B's index (8 buckets) lands at A's path
+    val fs = IndexFs.fs(spark, dirA)
+    fs.delete(new org.apache.hadoop.fs.Path(dirA), true)
+    fs.rename(new org.apache.hadoop.fs.Path(dirB),
+      new org.apache.hadoop.fs.Path(dirA))
+    assert(spans().nonEmpty,
+      "the stamp check must re-read the replaced sidecar — a stale " +
+        "bucket count/Bloom would silently miss every duplicate")
+    // and an append through the re-validated scheme routes correctly
+    Dedup.appendGramIndexBucketed(
+      Seq((2L, "j k l m n o p2 q2 r2")).toDF("doc_id", "text"), dirA, k = 3)
+    val hit = Dedup.duplicateSpansAgainstIndexBloom(
+      Seq((11L, "z j k l m n o z2")).toDF("doc_id", "text"), dirA, k = 3)
+    assert(hit.count() > 0, "appended grams screen back out post-replace")
+  }
+
   // ---- semantic rebuild: retrain-and-migrate --------------------------
 
   private def embDf(rows: Seq[(Long, Seq[Float])]) =
