@@ -37,6 +37,30 @@ object InternalCaches {
 
   private val entries = TrieMap.empty[(String, Int), Entry]
 
+  /** The frame's input files read from the ANALYZED plan's file-source
+    * relations, unioned with `Dataset.inputFiles` (which covers any
+    * non-LogicalRelation file sources). The analyzed plan matters when
+    * the new frame is built OVER an already-persisted registered frame:
+    * `inputFiles` walks the OPTIMIZED plan, where the cached subtree is
+    * already substituted by its `InMemoryRelation` — the index files
+    * hidden behind it would be missing from the snapshot and
+    * [[releaseByPath]] would keep the dependent frame stale after a
+    * rebuild (round-14 advisory). Analysis happens before cache
+    * substitution, so the file relations are still visible there.
+    */
+  private def snapshotInputFiles(df: DataFrame): Option[Seq[String]] =
+    try {
+      import org.apache.spark.sql.execution.FileRelation
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      val analyzed = df.queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case fr: FileRelation => fr.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+      Some((analyzed ++ df.inputFiles).distinct)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Persist `df` (idempotent per canonical plan per session) and
     * return the cached frame. MEMORY_AND_DISK by default: internal
     * intermediates are re-read within one plan and must survive
@@ -47,12 +71,8 @@ object InternalCaches {
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val key = (df.sparkSession.sparkContext.applicationId,
       df.queryExecution.analyzed.semanticHash())
-    entries.getOrElseUpdate(key, {
-      val files =
-        try Some(df.inputFiles.toSeq)
-        catch { case scala.util.control.NonFatal(_) => None }
-      Entry(df.persist(level), files)
-    }).df
+    entries.getOrElseUpdate(key,
+      Entry(df.persist(level), snapshotInputFiles(df))).df
   }
 
   private val broadcasts = TrieMap.empty[(String, Long), Broadcast[_]]
@@ -80,16 +100,20 @@ object InternalCaches {
     * would silently serve the OLD geometry after a retrain-and-swap.
     * Appends don't need this (the memoized frames read only the frozen
     * artifacts); rebuilds replace the frozen artifacts themselves.
-    * A frame whose input files cannot be enumerated is dropped too —
-    * losing a cache costs a recompute, keeping a stale one costs
-    * correctness.
+    * A frame whose input files cannot be enumerated is dropped too,
+    * and so is one whose enumeration succeeded but came back EMPTY —
+    * an empty list is what a plan whose file-reading subtree was
+    * already cache-substituted reports (the round-14 verdict's
+    * cache-on-cache blind spot), so it means "unknown", not "reads
+    * nothing". Losing a cache costs a recompute, keeping a stale one
+    * costs correctness.
     */
   def releaseByPath(spark: SparkSession, pathPrefix: String): Unit = {
     val appId = spark.sparkContext.applicationId
     val norm = new org.apache.hadoop.fs.Path(pathPrefix).toUri.getPath
     entries.keys.filter(_._1 == appId).foreach { k =>
       entries.get(k).foreach { e =>
-        val reads = e.files.forall(_.exists(f =>
+        val reads = e.files.forall(fs => fs.isEmpty || fs.exists(f =>
           new org.apache.hadoop.fs.Path(f).toUri.getPath.startsWith(norm)))
         if (reads)
           entries.remove(k).foreach(_.df.unpersist(blocking = false))
