@@ -103,9 +103,10 @@ object Similarity {
     * Plan shape is [[bruteForceTopK]]'s exactly — broadcast anchors,
     * one streamed corpus scan, the map-side heap top-k — plus one
     * codegen'd filter between them; the decade story is x54/x55's.
-    * The scale path at production anchor counts swaps the scored-pair
-    * source for the IVF shortlist (x56) widened past `k` so the
-    * post-filter still fills; the ranking tail is shared either way.
+    * This form is anchors × corpus — the EXACT baseline. At production
+    * anchor counts (every training example wants negatives) use
+    * [[hardNegativesIVF]], which swaps the scored-pair source for the
+    * IVF probed-cell candidate set; the ranking tail is shared.
     * Output: (query_id, rank, neighbor_id, cos_sim).
     */
   def hardNegatives(emb: DataFrame, k: Int = 5, queryModulus: Int = 100,
@@ -971,13 +972,25 @@ object Similarity {
       nprobe: Int = 2,
       centroidModulus: Int = 100): DataFrame = {
     val all = vecs(emb)
+    val queries = all.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    rankTopK(ivfProbedScored(all, queries, nprobe, centroidModulus), k)
+  }
+
+  /** The IVF candidate generator shared by [[ivfTopK]] and
+    * [[hardNegativesIVF]]: every (query, in-probed-cell vector) pair
+    * with its rounded cosine. Centroid seeding, assignment, probe
+    * ranking, and self-exclusion as [[ivfTopK]] documents them; the
+    * caller owns the final cut (top-k, or filter-then-top-k).
+    * `queries` must carry (query_id, qv).
+    */
+  private def ivfProbedScored(all: DataFrame, queries: DataFrame,
+      nprobe: Int, centroidModulus: Int): DataFrame = {
     val centroids = modulusCentroids(all, centroidModulus)
     val assigned = assignToCentroids(all, centroids)
     import graft.plans.TopKPerGroup
     // probe list: nprobe nearest centroids per query (tiny frame, but the
     // heap operator keeps the plan sort-free end to end)
-    val queries = all.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probeScored = queries.join(broadcast(centroids))
       .select(col("query_id"), col("qv"), col("centroid_id"),
         round(cos(col("qv"), col("cv")), 6).as("q_sim"))
@@ -987,11 +1000,42 @@ object Similarity {
     // search only the probed clusters; the probe list is |queries|·nprobe
     // rows, so broadcast it explicitly (post-operator stats are opaque to
     // the planner and would otherwise pick a sort-merge join)
-    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cos(col("qv"), col("v")), 6).as("cos_sim"))
-    rankTopK(scored, k)
+  }
+
+  /** [[hardNegatives]] at production anchor counts — the scale path the
+    * brute form's Scaladoc names, now real: the scored-pair source is
+    * the IVF probed-cell candidate set ([[ivfProbedScored]] — the x56
+    * pruning discipline) instead of anchors × corpus, so per-anchor
+    * cost is the probed cells' occupancy, not the corpus. The dup
+    * ceiling then filters the WHOLE probed candidate set BEFORE the
+    * heap cut — the "shortlist widened past k" requirement falls out
+    * structurally (the shortlist here is every probed-cell candidate,
+    * not a pre-cut top-k), so the post-filter top-k under-fills only
+    * where the probed cells genuinely hold fewer than k sub-ceiling
+    * candidates. Approximation is exactly IVF's: a hard negative
+    * assigned to an unprobed cell is missed; raise `nprobe` to trade
+    * cost for recall (the x72 recall harness prices this).
+    *
+    * Anchor selection, ceiling semantics, ranking, and output contract
+    * are [[hardNegatives]]'s verbatim — the brute form stays registered
+    * as the exact baseline (the x62/x63 labeled-pair convention).
+    * Output: (query_id, rank, neighbor_id, cos_sim).
+    */
+  def hardNegativesIVF(emb: DataFrame, k: Int = 5, queryModulus: Int = 100,
+      dupCos: Double = 0.9, nprobe: Int = 2, centroidModulus: Int = 100,
+      queryIds: Seq[Long] = Nil): DataFrame = {
+    val all = vecs(emb)
+    val anchors = (if (queryIds.nonEmpty)
+        all.filter(col("vec_id").isin(queryIds: _*))
+      else all.filter(col("vec_id") % queryModulus === 0))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    rankTopK(
+      ivfProbedScored(all, anchors, nprobe, centroidModulus)
+        .filter(col("cos_sim") < dupCos), k)
   }
 
   // -------------------------------------------------------------------

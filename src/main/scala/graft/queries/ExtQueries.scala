@@ -4719,7 +4719,45 @@ object ExtQueries {
            |  CAST(${avgMicro("lp_t", "n_t")} - ${avgMicro("lp_r", "n_r")}
            |    AS DOUBLE) / 1000000.0 AS importance
            |FROM ttagg JOIN rall USING (doc_id, lang)""".stripMargin
-      })
+      }),
+
+    // ---- x122: hard negatives through the IVF shortlist (round 15) -----
+    // x119's production path, previously prose: the scored-pair source
+    // is the IVF probed-cell candidate set (x08's pruning discipline)
+    // instead of anchors × corpus, so per-anchor cost is probed-cell
+    // occupancy, not corpus size. The dup ceiling filters the WHOLE
+    // probed candidate set before the heap cut — "shortlist widened
+    // past k" falls out structurally. queryModulus=50 registers MORE
+    // anchors than centroid seeds (the production posture: negatives
+    // for many training examples, pruned through few cells) and makes
+    // half the anchors non-centroids, so probe ranking is exercised.
+    // Oracle: x08's CTE chain + the x119 ceiling filter.
+    ("x122_hard_negatives_ivf",
+      (s: SparkSession, dir: String) =>
+        Similarity.hardNegativesIVF(t(s, dir, "embeddings"), k = 5,
+          queryModulus = 50, dupCos = 0.9),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+              |a1 AS (SELECT e.vec_id, e.v, c.centroid_id, ${cosSql("e.v", "c.cv")} AS c_sim
+              |       FROM e, cents c),
+              |a2 AS (SELECT *, row_number() OVER
+              |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM a1),
+              |assigned AS (SELECT vec_id, v, centroid_id FROM a2 WHERE rn = 1),
+              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+              |p1 AS (SELECT query_id, qv, c.centroid_id, ${cosSql("qv", "c.cv")} AS q_sim
+              |       FROM q, cents c),
+              |p2 AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY q_sim DESC, centroid_id) AS rn FROM p1),
+              |probes AS (SELECT query_id, qv, centroid_id FROM p2 WHERE rn <= 2),
+              |s1 AS (SELECT probes.query_id, assigned.vec_id AS neighbor_id,
+              |         ${cosSql("probes.qv", "assigned.v")} AS cos_sim
+              |       FROM probes JOIN assigned USING (centroid_id)
+              |       WHERE assigned.vec_id != probes.query_id),
+              |hard AS (SELECT * FROM s1 WHERE cos_sim < 0.9),
+              |s2 AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM hard)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, cos_sim
+              |FROM s2 WHERE rnk <= 5""".stripMargin))
   )
 
   /** Parameterized x104 verdict stack for the x114/x117 oracles:

@@ -809,4 +809,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId.length === 1 && byId(0).getLong(0) === 4L &&
       byId(0).getLong(2) === 3L, "anchor 4's hardest negative is the 0.8-mix 3")
   }
+
+  test("hardNegativesIVF: exhaustive probing equals the brute form; pruning only drops unprobed cells") {
+    val dim = 64
+    def unit(axis: Int, eps: (Int, Float)*): Seq[Float] =
+      Seq.tabulate(dim) { d =>
+        if (d == axis) 1.0f
+        else eps.collectFirst { case (a, e) if a == d => e }.getOrElse(0.0f)
+      }
+    // two cells (centroids 0 and 100 on different axes), anchors on
+    // modulus 50 — anchor 50 is NOT a centroid and sits between cells
+    val emb = Seq(
+      0L -> unit(0),                       // centroid / anchor, cell A
+      1L -> unit(0, 1 -> 0.3f),            // cell A member
+      2L -> unit(0, 1 -> 0.02f),           // cell A: cos ≈ 1.0 — a copy
+      50L -> unit(0, 1 -> 0.6f),           // anchor, lands in cell A
+      100L -> unit(1),                     // centroid / anchor, cell B
+      101L -> unit(1, 2 -> 0.3f)           // cell B member
+    ).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // nprobe covering every cell ⇒ the probed candidate set IS the
+    // corpus ⇒ bit-identical to the brute baseline (shared tail)
+    val brute = rows(Similarity.hardNegatives(emb, k = 3,
+      queryModulus = 50, dupCos = 0.95))
+    val exhaustive = rows(Similarity.hardNegativesIVF(emb, k = 3,
+      queryModulus = 50, dupCos = 0.95, nprobe = 2))
+    assert(exhaustive === brute,
+      "with every cell probed the IVF form must equal the exact baseline")
+    // nprobe=1: each anchor sees only its own cell — every emitted pair
+    // must exist in the exact candidate set (rank may shift as pruned
+    // candidates vacate positions), and the dup ceiling still holds
+    val pruned = rows(Similarity.hardNegativesIVF(emb, k = 3,
+      queryModulus = 50, dupCos = 0.95, nprobe = 1))
+    assert(pruned.forall { case (q, _, n, c) =>
+      brute.exists { case (bq, _, bn, bc) => bq == q && bn == n && bc == c }
+    }, "pruned results must come from the exact candidate set")
+    assert(pruned.forall(_._4 < 0.95), "ceiling holds under pruning")
+    // anchor 0 must not see the copy (vec 2, cos ≈ 0.9998) at any nprobe
+    assert(!pruned.exists(t => t._1 == 0L && t._3 == 2L))
+  }
 }

@@ -460,6 +460,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TopKPartial"), s"missing map-side partial top-k:\n$p")
   }
 
+  test("x122 IVF hard negatives: probe list broadcast, corpus never shuffle-joined, heap ranking") {
+    val p = finalPlan(q("x122_hard_negatives_ivf"))
+    // centroid pairing, probe join, and cell join all ride broadcasts —
+    // the corpus-sized assigned frame must never be the build side of a
+    // shuffle join (at 100 TB the probes/centroids are the small sides)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must not shuffle-join:\n$p")
+    assert(!p.contains("Sort "), s"ranking must stay sort-free:\n$p")
+    assert(p.contains("TopKPartial"), s"missing map-side partial top-k:\n$p")
+  }
+
   test("x118 DSIR: both model joins broadcast — the corpus bigram stream never shuffles pre-aggregate") {
     val p = finalPlan(q("x118_dsir_importance"))
     // two score passes, each joining the exploded bigram stream against
