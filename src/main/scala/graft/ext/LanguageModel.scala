@@ -207,10 +207,39 @@ object LanguageModel {
       scoreWith(base, storedCounts(spark, rawIndexDir), minCount))
   }
 
+  /** The DSIR draw [[dsirImportance]] deliberately deferred, now
+    * composed end to end: importance → seeded Gumbel perturbation →
+    * top-`n` selection (Xie et al. 2023 §2.2 — resample WITHOUT
+    * replacement with probability ∝ exp(importance), which is exactly
+    * the Gumbel-top-n over the importance as log-weight,
+    * [[graft.ext.Sampling.gumbelTopN]]). The draw rides the exact
+    * integer `importance_micro`, so the only per-row libm is the
+    * noise's own fixed-pointed −ln(−ln u); selection and ranking are
+    * integer comparisons both engines replay bit-for-bit. The same
+    * corpus under the same seed always selects the same documents —
+    * re-runs, retries, and the DuckDB oracle agree — while different
+    * seeds redraw, which is the property a resampling gate needs
+    * (x38's determinism discipline applied to a stochastic estimator).
+    *
+    * Scale shape: [[dsirImportance]]'s two broadcast-model passes, one
+    * narrow key projection, then a global top-n heap — no new
+    * corpus-keyed exchange. Output: (doc_id, lang, importance,
+    * gumbel_micro, key_micro, rank).
+    */
+  def dsirResample(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      n: Int, seed: String, minCount: Long = 2L): DataFrame =
+    Sampling.gumbelTopN(dsirImportance(docs, isTarget, minCount),
+        "importance_micro", "doc_id", n, seed)
+      .select(col("doc_id"), col("lang"), col("importance"),
+        col("gumbel_micro"), col("key_micro"), col("rank"))
+
   /** The shared importance tail: inner-join the target and raw score
     * frames per document (target-unscorable docs drop — no estimate
     * exists) and compute the log-likelihood-ratio importance as a
-    * difference of exact BIGINT micro-unit averages.
+    * difference of exact BIGINT micro-unit averages — emitted BOTH as
+    * the exact integer (`importance_micro` — what downstream integer
+    * compositions consume: x120's merit grid, x123's Gumbel key) and
+    * as the one-division double (`importance`).
     */
   private def importanceJoin(target: DataFrame, raw: DataFrame): DataFrame = {
     def avgMicro(lp: String, n: String) =
@@ -225,9 +254,10 @@ object LanguageModel {
       .select(col("doc_id"), col("lang"),
         col("n_bigrams_target"), col("lp_target_micro"),
         col("n_bigrams_raw"), col("lp_raw_micro"),
-        ((avgMicro("lp_target_micro", "n_bigrams_target") -
-          avgMicro("lp_raw_micro", "n_bigrams_raw")).cast("double") /
-          lit(1e6)).as("importance"))
+        (avgMicro("lp_target_micro", "n_bigrams_target") -
+          avgMicro("lp_raw_micro", "n_bigrams_raw")).as("importance_micro"))
+      .withColumn("importance",
+        col("importance_micro").cast("double") / lit(1e6))
   }
 
   // ---------------------------------------------------------------------

@@ -107,6 +107,50 @@ object Sampling {
       .select(col(stratumCol), col(idCol), col("weight"), col("priority"))
   }
 
+  /** Deterministic Gumbel-top-n: a without-replacement sample of `n`
+    * rows with probability ∝ exp(logWeightMicro / 1e6) — the Gumbel-max
+    * trick (Yellott 1977; Vieira 2014's top-k form): perturb each row's
+    * log-weight with an independent Gumbel draw and keep the n largest.
+    * This is the seeded draw DSIR's resampling step calls for
+    * (Xie et al. 2023 §2.2) with the row's importance as the
+    * log-weight, exposed generically because any log-space merit
+    * resamples the same way.
+    *
+    * Determinism discipline (the stratifiedByHash/weightedPriority
+    * rule, extended to a continuous draw): the uniform is the portable
+    * md5-derived [[graft.functions.Portable.hash60]] of `seed:id` —
+    * u = (2·h + 1) / 2^61, an EXACT double both engines compute
+    * identically (the numerator is exact BIGINT arithmetic, the cast
+    * rounds once under shared IEEE rules, the divisor is a power of
+    * two) — and the Gumbel −ln(−ln u) lands in fixed point as
+    * `floor(1e6·g)` per the repo-wide LM rule (the x107 precedent for
+    * per-row libm → BIGINT). Everything that crosses rows — the key
+    * comparison, the final ranking — is exact integer arithmetic.
+    *
+    * Scale shape: one narrow codegen'd projection, then a global top-n
+    * (`TakeOrderedAndProject`: per-partition heaps, n rows to the
+    * driver — never a corpus sort); the rank window runs over the n
+    * selected rows only. Rows with NULL id or NULL weight are excluded
+    * (the house NULL rule). Output: input columns + (gumbel_micro,
+    * key_micro, rank), hardest-drawn first.
+    */
+  def gumbelTopN(scored: DataFrame, logWeightMicro: String, idCol: String,
+      n: Int, seed: String): DataFrame = {
+    require(n >= 0, s"negative sample size: $n")
+    require(!seed.contains(":"), s"seed must be ':'-free (key separator): $seed")
+    val h = hash60(concat_ws(":", lit(seed), col(idCol)))
+    val u = (h * lit(2L) + lit(1L)).cast("double") / lit(math.pow(2.0, 61))
+    val keyed = scored
+      .filter(col(idCol).isNotNull && col(logWeightMicro).isNotNull)
+      .withColumn("gumbel_micro",
+        floor(-log(-log(u)) * lit(1e6)).cast("long"))
+      .withColumn("key_micro", col(logWeightMicro) + col("gumbel_micro"))
+    import org.apache.spark.sql.expressions.Window
+    keyed.orderBy(col("key_micro").desc, col(idCol).asc).limit(n)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("key_micro").desc, col(idCol).asc)))
+  }
+
   /** Corpus-mixing weights: per stratum (language, source, domain…),
     * document/token counts, the stratum's share of all tokens, and the
     * up/down-weighting factor that would equalize token mass across

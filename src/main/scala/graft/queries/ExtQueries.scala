@@ -4580,6 +4580,8 @@ object ExtQueries {
            |SELECT doc_id, lang,
            |  n_t AS n_bigrams_target, lp_t AS lp_target_micro,
            |  n_r AS n_bigrams_raw, lp_r AS lp_raw_micro,
+           |  ${avgMicro("lp_t", "n_t")} - ${avgMicro("lp_r", "n_r")}
+           |    AS importance_micro,
            |  CAST(${avgMicro("lp_t", "n_t")} - ${avgMicro("lp_r", "n_r")}
            |    AS DOUBLE) / 1000000.0 AS importance
            |FROM dtagg JOIN dragg USING (doc_id, lang)""".stripMargin
@@ -4629,18 +4631,9 @@ object ExtQueries {
       (s: SparkSession, dir: String) => {
         val imp = graft.ext.LanguageModel.dsirImportance(
           t(s, dir, "documents"), col("source") === "src1", minCount = 2L)
-        val pos = imp.select(col("doc_id"), col("lang"),
-            (expr("""cast(signum(lp_target_micro) as bigint) *
-                    |((abs(lp_target_micro) * 2 + n_bigrams_target)
-                    | div (n_bigrams_target * 2))"""
-                .stripMargin.replace("\n", " ")) -
-             expr("""cast(signum(lp_raw_micro) as bigint) *
-                    |((abs(lp_raw_micro) * 2 + n_bigrams_raw)
-                    | div (n_bigrams_raw * 2))"""
-                .stripMargin.replace("\n", " "))).as("imp_micro"))
-          .filter(col("imp_micro") > 0)
+        val pos = imp.filter(col("importance_micro") > 0)
           .select(col("doc_id"), col("lang"),
-            expr("imp_micro div 10000").as("merit"))
+            expr("importance_micro div 10000").as("merit"))
         graft.ext.Sampling.selectToBudgetBinnedFrom(
             pos.join(meritScored(s, dir)
                 .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
@@ -4716,6 +4709,8 @@ object ExtQueries {
            |SELECT doc_id, lang,
            |  n_t AS n_bigrams_target, lp_t AS lp_target_micro,
            |  n_r AS n_bigrams_raw, lp_r AS lp_raw_micro,
+           |  ${avgMicro("lp_t", "n_t")} - ${avgMicro("lp_r", "n_r")}
+           |    AS importance_micro,
            |  CAST(${avgMicro("lp_t", "n_t")} - ${avgMicro("lp_r", "n_r")}
            |    AS DOUBLE) / 1000000.0 AS importance
            |FROM ttagg JOIN rall USING (doc_id, lang)""".stripMargin
@@ -4757,7 +4752,49 @@ object ExtQueries {
               |s2 AS (SELECT *, row_number() OVER
               |         (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM hard)
               |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, cos_sim
-              |FROM s2 WHERE rnk <= 5""".stripMargin))
+              |FROM s2 WHERE rnk <= 5""".stripMargin)),
+
+    // ---- x123: DSIR seeded resampling draw (round 15) -------------------
+    // The draw x118 deliberately deferred, registered as a composition:
+    // importance → seeded Gumbel perturbation → top-n selection (Xie
+    // et al. 2023 §2.2 — sampling ∝ exp(importance) without replacement
+    // IS Gumbel-top-n on the importance as log-weight). The uniform is
+    // hash60('g15:' || doc_id) mapped to (2h+1)/2^61 — exact in BIGINT
+    // then one shared IEEE rounding — and the Gumbel −ln(−ln u) lands
+    // in fixed point per the x107 libm rule, so the selection compares
+    // only exact integers. Oracle: x118's CTE stack + the same key
+    // formula verbatim.
+    ("x123_dsir_resample",
+      (s: SparkSession, dir: String) =>
+        graft.ext.LanguageModel.dsirResample(
+          t(s, dir, "documents"), col("source") === "src1",
+          n = 25, seed = "g15", minCount = 2L),
+      Some {
+        def avgMicro(lp: String, n: String) =
+          s"CAST((CASE WHEN $lp < 0 THEN -1 ELSE 1 END) * ((abs($lp) * 2 + $n) // ($n * 2)) AS BIGINT)"
+        val u = s"CAST(${h60("'g15:' || CAST(doc_id AS VARCHAR)")} * 2 + 1 AS DOUBLE)" +
+          " / 2305843009213693952.0"
+        s"""WITH ${lmCtes("source = 'src1'", "TRUE", "dt")},
+           |${lmCtes("TRUE", "TRUE", "dr")},
+           |dtagg AS (SELECT doc_id, lang, count(*) AS n_t,
+           |    CAST(sum(lp) AS BIGINT) AS lp_t FROM dtlp GROUP BY 1, 2),
+           |dragg AS (SELECT doc_id, lang, count(*) AS n_r,
+           |    CAST(sum(lp) AS BIGINT) AS lp_r FROM drlp GROUP BY 1, 2),
+           |imp AS (SELECT doc_id, lang,
+           |    ${avgMicro("lp_t", "n_t")} - ${avgMicro("lp_r", "n_r")} AS im
+           |  FROM dtagg JOIN dragg USING (doc_id, lang)),
+           |keyed AS (SELECT doc_id, lang,
+           |    CAST(im AS DOUBLE) / 1000000.0 AS importance,
+           |    CAST(floor(-ln(-ln($u)) * 1000000.0) AS BIGINT) AS gumbel_micro,
+           |    im FROM imp),
+           |k2 AS (SELECT doc_id, lang, importance, gumbel_micro,
+           |    im + gumbel_micro AS key_micro FROM keyed),
+           |rr AS (SELECT *, row_number() OVER
+           |    (ORDER BY key_micro DESC, doc_id) AS rnk FROM k2)
+           |SELECT doc_id, lang, importance, gumbel_micro, key_micro,
+           |  CAST(rnk AS INTEGER) AS "rank"
+           |FROM rr WHERE rnk <= 25""".stripMargin
+      })
   )
 
   /** Parameterized x104 verdict stack for the x114/x117 oracles:

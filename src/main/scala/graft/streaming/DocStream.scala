@@ -196,6 +196,7 @@ object DocStream {
     StructField("lp_target_micro", LongType),
     StructField("n_bigrams_raw", LongType),
     StructField("lp_raw_micro", LongType),
+    StructField("importance_micro", LongType),
     StructField("importance", DoubleType)))
 
   /** x121 — the DSIR gate ([[graft.ext.LanguageModel.dsirImportance]])

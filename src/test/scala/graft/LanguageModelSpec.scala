@@ -252,7 +252,7 @@ class LanguageModelSpec extends SparkSpec {
     val rows = out.collect().map(r => r.getLong(0) -> r).toMap
     assert(rows.keySet === Set(1L, 2L, 3L),
       "target-OOV docs carry no importance estimate and drop")
-    val imp = rows.view.mapValues(_.getDouble(6)).toMap
+    val imp = rows.view.mapValues(_.getAs[Double]("importance")).toMap
     assert(imp(1L) > imp(3L) && imp(2L) > imp(3L),
       "the target model must prefer its own distribution")
     assert(imp(1L) > 0.0,
@@ -262,9 +262,53 @@ class LanguageModelSpec extends SparkSpec {
     rows.values.foreach { r =>
       def avgMicro(lp: Long, n: Long): Long =
         java.lang.Long.signum(lp) * ((math.abs(lp) * 2 + n) / (n * 2))
-      val expect = (avgMicro(r.getLong(3), r.getLong(2)) -
-        avgMicro(r.getLong(5), r.getLong(4))).toDouble / 1e6
-      assert(r.getDouble(6) === expect)
+      val expectMicro = avgMicro(r.getLong(3), r.getLong(2)) -
+        avgMicro(r.getLong(5), r.getLong(4))
+      assert(r.getAs[Long]("importance_micro") === expectMicro)
+      assert(r.getAs[Double]("importance") === expectMicro.toDouble / 1e6)
     }
+  }
+
+  test("gumbelTopN: deterministic per seed, weight-monotone, without replacement") {
+    import graft.ext.Sampling
+    val scored = (1L to 40L).map(i => (i, i * 1000L)).toDF("id", "lw")
+    def draw(seed: String) = Sampling.gumbelTopN(scored, "lw", "id", 10, seed)
+      .select("id", "rank", "key_micro")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val a = draw("s1")
+    assert(a === draw("s1"), "same corpus + same seed must redraw identically")
+    assert(a.map(_._1).distinct.size === 10, "without replacement: n distinct rows")
+    assert(a.map(_._2) === (1 to 10), "ranks are dense 1..n")
+    assert(draw("s2") !== a, "a different seed is a different draw")
+    // an overwhelming log-weight always wins: the Gumbel noise spans a
+    // few dozen nats at most, so +1000 nats of weight dominates any draw
+    val loaded = scored.union(Seq((999L, 1000000000L)).toDF("id", "lw"))
+    val top = Sampling.gumbelTopN(loaded, "lw", "id", 1, "s1").collect()(0)
+    assert(top.getAs[Long]("id") === 999L,
+      "selection probability must be monotone in the weight")
+  }
+
+  test("dsirResample: selection ∝ exp(importance), seed-stable, oracle-shaped output") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en", "t"),
+      (2L, "the dog sat on the mat", "en", "t"),
+      (3L, "the mat dog on sat cat", "en", "o"),
+      (5L, "the cat sat on the mat", "en", "o")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = LanguageModel.dsirResample(docs, col("source") === "t",
+      n = 2, seed = "g1", minCount = 1L)
+    val rows = out.collect()
+    assert(rows.map(_.getInt(5)).toSeq.sorted === Seq(1, 2), "ranks 1..n")
+    assert(rows.map(_.getLong(0)).distinct.length === 2)
+    // key = importance_micro + gumbel_micro exactly (integer arithmetic)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("key_micro") ===
+        math.round(r.getAs[Double]("importance") * 1e6) +
+          r.getAs[Long]("gumbel_micro"))
+    }
+    // deterministic replay under the seed
+    val again = LanguageModel.dsirResample(docs, col("source") === "t",
+      n = 2, seed = "g1", minCount = 1L).collect().map(_.toSeq).toSeq
+    assert(again === rows.map(_.toSeq).toSeq)
   }
 }
