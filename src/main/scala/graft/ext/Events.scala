@@ -311,9 +311,10 @@ object Events {
     * under `closedDir`, and swaps the state table to the new open set.
     * Returns the closed sessions this batch produced.
     *
-    * Swap discipline (LOCAL filesystem only — enforced loudly; a
-    * cluster deployment routes the same protocol through the Hadoop
-    * FileSystem API): Spark cannot overwrite a table it is reading,
+    * Swap discipline (through the Hadoop [[IndexFs]] API, so the same
+    * protocol runs against `file:`/`hdfs:`/`s3a:` state dirs — this
+    * was the last local-only lifecycle after round 14 ported the index
+    * markers): Spark cannot overwrite a table it is reading,
     * so the run commits in rename steps that each leave a recoverable
     * picture — write `stateDir`.next, append the closed batch, rename
     * the old state ASIDE (`.old`), promote `.next`, drop `.old`. On
@@ -354,45 +355,35 @@ object Events {
       gapMinutes: Int = 30): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    // java.io.File semantics below require plain local paths — a
-    // URI-scheme path would WRITE fine through Spark but read/list as
-    // missing here, silently resetting state every run
-    for (p <- Seq(stateDir, closedDir))
-      require(!p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*"),
-        s"sessionizeIncrementalStored needs a plain local path, got $p")
-    val rmr = graft.tools.LocalFs.deleteRecursively _
-    val (cur, next, old) =
-      (new java.io.File(stateDir), new java.io.File(stateDir + ".next"),
-        new java.io.File(stateDir + ".old"))
+    val (next, old) = (stateDir + ".next", stateDir + ".old")
     // crash recovery (see Scaladoc): present state wins; absent state
     // promotes a committed .next
-    if (cur.exists()) { rmr(next); rmr(old) }
-    else if (next.exists()) {
-      rmr(old)
-      require(next.renameTo(cur),
-        s"sessionizeIncrementalStored: could not promote $next during recovery")
+    if (IndexFs.exists(spark, stateDir)) {
+      IndexFs.delete(spark, next); IndexFs.delete(spark, old)
+    } else if (IndexFs.exists(spark, next)) {
+      IndexFs.delete(spark, old)
+      IndexFs.renameOrFail(spark, next, stateDir,
+        "sessionizeIncrementalStored: recovery promotion")
     }
     val state =
-      if (cur.exists()) spark.read.parquet(stateDir)
+      if (IndexFs.exists(spark, stateDir)) spark.read.parquet(stateDir)
       else Seq.empty[(Long, Long, Long, Long)]
         .toDF("user_id", "session_start_us", "session_end_us", "n_events")
     // --- retry detection (see Scaladoc): fingerprint the input batch,
     // reap stale staging dirs, and compare against the newest
     // partition's commit marker before doing any work
-    val closedRoot = new java.io.File(closedDir)
-    Option(closedRoot.listFiles()).foreach(
-      _.filter(_.getName.startsWith(".batch=")).foreach(rmr))
+    IndexFs.listNames(spark, closedDir).filter(_.startsWith(".batch="))
+      .foreach(nm => IndexFs.delete(spark, s"$closedDir/$nm"))
     val fpRow = batch.selectExpr("count(*) as c", "min(ts div 1000) as mn",
       "max(ts div 1000) as mx", "bit_xor(xxhash64(event_id, ts)) as h").head()
     def fpPart(i: Int) = if (fpRow.isNullAt(i)) "-" else fpRow.getLong(i).toString
     val fp = s"${fpRow.getLong(0)}:${fpPart(1)}:${fpPart(2)}:${fpPart(3)}"
-    val lastId = Option(closedRoot.list())
-      .map(_.toSeq.collect { case n if n.startsWith("batch=") =>
+    val lastId = IndexFs.listNames(spark, closedDir)
+      .collect { case n if n.startsWith("batch=") =>
         n.stripPrefix("batch=").toLong
-      }.foldLeft(-1L)(math.max)).getOrElse(-1L)
-    val lastMarker = Option(new java.io.File(s"$closedDir/batch=$lastId/_graft_commit"))
-      .filter(_ => lastId >= 0).filter(_.exists())
-      .map(m => new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8"))
+      }.foldLeft(-1L)(math.max)
+    val lastMarker = if (lastId < 0) None
+      else IndexFs.readSmall(spark, s"$closedDir/batch=$lastId/_graft_commit")
     val retryOfLast = lastMarker.contains(fp)
     val stateIncludesBatch = retryOfLast && {
       val stMax = state.agg(max(col("session_end_us"))).head()
@@ -403,7 +394,7 @@ object Events {
       // state swap — the batch is done; hand back its committed output
       spark.read.parquet(s"$closedDir/batch=$lastId")
     } else {
-      if (retryOfLast) rmr(new java.io.File(s"$closedDir/batch=$lastId"))
+      if (retryOfLast) IndexFs.delete(spark, s"$closedDir/batch=$lastId")
       val batchId = if (retryOfLast) lastId else lastId + 1
       // one pass for both writes: the batch window + state joins are the
       // operator's whole cost, and the open/closed splits would each
@@ -412,22 +403,21 @@ object Events {
       try {
         val cols = Seq("user_id", "session_start_us", "session_end_us", "n_events")
         out.filter(col("is_open")).select(cols.map(col): _*)
-          .write.mode("overwrite").parquet(next.getPath)
-        val closedTmp = new java.io.File(closedDir, s".batch=$batchId.tmp")
-        val closedFin = new java.io.File(closedDir, s"batch=$batchId")
+          .write.mode("overwrite").parquet(next)
+        val closedTmp = s"$closedDir/.batch=$batchId.tmp"
+        val closedFin = s"$closedDir/batch=$batchId"
         out.filter(!col("is_open")).select(cols.map(col): _*)
-          .write.mode("overwrite").parquet(closedTmp.getPath)
-        java.nio.file.Files.write(
-          new java.io.File(closedTmp, "_graft_commit").toPath, fp.getBytes("UTF-8"))
-        require(closedTmp.renameTo(closedFin),
-          s"sessionizeIncrementalStored: could not commit $closedFin")
-        val hadState = cur.exists()
-        if (hadState) require(cur.renameTo(old),
-          s"sessionizeIncrementalStored: could not set $stateDir aside")
-        require(next.renameTo(cur),
-          s"sessionizeIncrementalStored: could not swap $next into place")
-        rmr(old)
-        spark.read.parquet(closedFin.getPath)
+          .write.mode("overwrite").parquet(closedTmp)
+        IndexFs.writeSmall(spark, s"$closedTmp/_graft_commit", fp)
+        IndexFs.renameOrFail(spark, closedTmp, closedFin,
+          "sessionizeIncrementalStored: closed-partition commit")
+        if (IndexFs.exists(spark, stateDir))
+          IndexFs.renameOrFail(spark, stateDir, old,
+            "sessionizeIncrementalStored: state aside")
+        IndexFs.renameOrFail(spark, next, stateDir,
+          "sessionizeIncrementalStored: state swap")
+        IndexFs.delete(spark, old)
+        spark.read.parquet(closedFin)
       } finally out.unpersist()
     }
   }

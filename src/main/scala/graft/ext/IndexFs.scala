@@ -60,6 +60,54 @@ object IndexFs {
     else false
   }
 
+  /** Recursive delete; no-op when the path is absent. */
+  def delete(spark: SparkSession, path: String): Unit =
+    fs(spark, path).delete(new Path(path), true)
+
+  /** Rename that THROWS on failure (Hadoop `rename` returns false
+    * silently — on a commit path that silence is state corruption, not
+    * an option). Callers must have cleared the destination: on the
+    * local filesystem a rename ONTO an existing directory would move
+    * the source INSIDE it instead of replacing it.
+    */
+  def renameOrFail(spark: SparkSession, from: String, to: String,
+      what: String): Unit =
+    require(fs(spark, from).rename(new Path(from), new Path(to)),
+      s"$what: rename $from -> $to failed")
+
+  /** Child names of `dir` (not paths); empty when the dir is absent. */
+  def listNames(spark: SparkSession, dir: String): Seq[String] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** Read a small control-plane file as UTF-8, None when absent. */
+  def readSmall(spark: SparkSession, path: String): Option[String] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Write a small control-plane file (UTF-8, overwrite, parents made). */
+  def writeSmall(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Merge the zero-byte batch markers under `fromDir` into `toDir`,
     * file by file, then drop the emptied `fromDir`. A marker already
     * present on both sides collapses to one (its content is its

@@ -231,6 +231,37 @@ class EventsStreamingSpec extends SparkSpec {
       .collect().toSet === snapshot)
   }
 
+  test("stored-state sessionizer runs against URI-scheme (file:) dirs") {
+    // previously require()-rejected: the java.io.File control plane
+    // silently read any URI path as missing — state reset every run.
+    // The Hadoop-API port makes scheme paths first-class; `file:` here
+    // exercises the same resolution hdfs:/s3a: would take.
+    import graft.ext.Events
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incuri_spec").toString
+    val (stateDir, closedDir) = (s"file:$root/state", s"file:$root/closed")
+    def df(rows: Seq[(Long, Long, Long)]) =
+      rows.map { case (id, tsMin, u) => (id, tsMin * min * 1000, u, "click", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val batch1 = df(Seq((1L, 0L, 7L), (2L, 10L, 7L), (3L, 0L, 8L)))
+    val batch2 = df(Seq((4L, 60L, 7L), (5L, 15L, 8L)))
+    Events.sessionizeIncrementalStored(batch1, stateDir, closedDir).count()
+    Events.sessionizeIncrementalStored(batch2, stateDir, closedDir).count()
+    val cols = Seq("user_id", "session_start_us", "session_end_us", "n_events")
+    val folded = spark.read.parquet(closedDir).select(cols.map(col): _*)
+      .unionByName(spark.read.parquet(stateDir).select(cols.map(col): _*))
+    val oneShot = Events.sessionize(batch1.unionByName(batch2))
+      .select(cols.map(col): _*)
+    assert(folded.exceptAll(oneShot).isEmpty && oneShot.exceptAll(folded).isEmpty,
+      "URI-path fold diverges from the one-shot sessionize")
+    // a second run of batch1's state would be gone under the old silent
+    // reset; instead the retry detector recognizes batch2 and skips
+    val before = spark.read.parquet(closedDir).count()
+    Events.sessionizeIncrementalStored(batch2, stateDir, closedDir).count()
+    assert(spark.read.parquet(closedDir).count() === before,
+      "redelivered batch must skip under scheme paths too")
+  }
+
   test("chained streaming hourly agg (exact n_users) equals the batch aggregate") {
     val events = graft.sources.Tables.load(spark, sf, "events")
     val streamed = EventStream.hourlyCountsReplay(spark, events)
