@@ -136,6 +136,41 @@ object ScaleHeadroom {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
+  /** Vocabulary-coherent DSIR variant (documents only): the TARGET
+    * slice (source = src1) replicates with its ORIGINAL text — the
+    * target distribution stays one coherent vocabulary at every scale —
+    * while every other document takes the standard replica tag. The
+    * standard scale-up deliberately CANNOT exercise DSIR selection:
+    * replica-minted vocabulary dilutes the target model until no
+    * document scores importance above 1 (x120's 10× keep-set is
+    * honestly empty — both engines agree), so the family's 10× sweep
+    * checked scoring but never selection. Here the target model's
+    * per-bigram probabilities are scale-invariant (counts multiply
+    * uniformly) while the raw model keeps diluting with replica
+    * vocabulary — exactly the regime DSIR exists for — so
+    * positive-importance documents EXIST at every decade and the
+    * selection/curation/resampling compositions (x120, x123) verify
+    * content-bearing output against their oracles at 10×, not just an
+    * agreed-empty frame. Replicated src1 docs are exact text dups of
+    * their base — correct for a DISTRIBUTION fixture (DSIR trains on
+    * counts), wrong for dedup fixtures, which keep the standard
+    * scale-up.
+    */
+  def generateDsirCoherent(spark: SparkSession, src: String, out: String,
+      replicas: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.withColumn("__r", explode(sequence(lit(0L), lit(replicas - 1L))))
+      .withColumn("doc_id", col("doc_id") + col("__r") * Stride)
+      .withColumn("text",
+        when(col("__r") === 0 || col("source") === "src1", col("text"))
+          .otherwise(array_join(
+            transform(split(trim(col("text")), " "),
+              t => concat(lit("r"), col("__r"), lit("·"), t)), " ")))
+      .withColumn("n_chars", length(col("text")))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
   /** Clustered (hot-coarse-bucket) embeddings variant: replica 0 keeps
     * the base corpus; for r > 0, four of five vectors collapse into a
     * tight cloud around one of `nAnchors` anchor vectors
