@@ -974,19 +974,22 @@ object Similarity {
     val all = vecs(emb)
     val queries = all.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    rankTopK(ivfProbedScored(all, queries, nprobe, centroidModulus), k)
+    rankTopK(
+      ivfProbedScored(all, queries, nprobe, modulusCentroids(all, centroidModulus)),
+      k)
   }
 
   /** The IVF candidate generator shared by [[ivfTopK]] and
     * [[hardNegativesIVF]]: every (query, in-probed-cell vector) pair
-    * with its rounded cosine. Centroid seeding, assignment, probe
-    * ranking, and self-exclusion as [[ivfTopK]] documents them; the
-    * caller owns the final cut (top-k, or filter-then-top-k).
-    * `queries` must carry (query_id, qv).
+    * with its rounded cosine. Assignment, probe ranking, and
+    * self-exclusion as [[ivfTopK]] documents them; the caller owns the
+    * centroid list (uncapped modulus for x08's registered contract,
+    * capped [[ivfCentroids]] for the production paths) and the final
+    * cut (top-k, or filter-then-top-k). `queries` must carry
+    * (query_id, qv).
     */
   private def ivfProbedScored(all: DataFrame, queries: DataFrame,
-      nprobe: Int, centroidModulus: Int): DataFrame = {
-    val centroids = modulusCentroids(all, centroidModulus)
+      nprobe: Int, centroids: DataFrame): DataFrame = {
     val assigned = assignToCentroids(all, centroids)
     import graft.plans.TopKPerGroup
     // probe list: nprobe nearest centroids per query (tiny frame, but the
@@ -1020,6 +1023,13 @@ object Similarity {
     * assigned to an unprobed cell is missed; raise `nprobe` to trade
     * cost for recall (the x72 recall harness prices this).
     *
+    * The centroid list is the CAPPED [[ivfCentroids]] (the x56
+    * production discipline): without the cap the modulus convention
+    * grows the broadcast list — and the per-vector assignment cost —
+    * linearly with the corpus, turning the assignment quadratic
+    * overall. With it, assignment is O(n·maxCentroids) and per-anchor
+    * search is probed-cell occupancy.
+    *
     * Anchor selection, ceiling semantics, ranking, and output contract
     * are [[hardNegatives]]'s verbatim — the brute form stays registered
     * as the exact baseline (the x62/x63 labeled-pair convention).
@@ -1027,14 +1037,15 @@ object Similarity {
     */
   def hardNegativesIVF(emb: DataFrame, k: Int = 5, queryModulus: Int = 100,
       dupCos: Double = 0.9, nprobe: Int = 2, centroidModulus: Int = 100,
-      queryIds: Seq[Long] = Nil): DataFrame = {
+      maxCentroids: Int = 1024, queryIds: Seq[Long] = Nil): DataFrame = {
     val all = vecs(emb)
     val anchors = (if (queryIds.nonEmpty)
         all.filter(col("vec_id").isin(queryIds: _*))
       else all.filter(col("vec_id") % queryModulus === 0))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     rankTopK(
-      ivfProbedScored(all, anchors, nprobe, centroidModulus)
+      ivfProbedScored(all, anchors, nprobe,
+          ivfCentroids(all, centroidModulus, maxCentroids))
         .filter(col("cos_sim") < dupCos), k)
   }
 

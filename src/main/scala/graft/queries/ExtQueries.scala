@@ -4726,13 +4726,17 @@ object ExtQueries {
     // anchors than centroid seeds (the production posture: negatives
     // for many training examples, pruned through few cells) and makes
     // half the anchors non-centroids, so probe ranking is exercised.
-    // Oracle: x08's CTE chain + the x119 ceiling filter.
+    // Centroids are the CAPPED ivfCentroids list (x56's fixed-quantizer
+    // discipline — the cap is slack at sf0.01, binding at the decades,
+    // where it keeps the assignment O(n·cap) instead of quadratic).
+    // Oracle: x08's CTE chain with the cap + the x119 ceiling filter.
     ("x122_hard_negatives_ivf",
       (s: SparkSession, dir: String) =>
         Similarity.hardNegativesIVF(t(s, dir, "embeddings"), k = 5,
           queryModulus = 50, dupCos = 0.9),
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+              |          WHERE vec_id % 100 = 0 AND vec_id < 100 * 1024),
               |a1 AS (SELECT e.vec_id, e.v, c.centroid_id, ${cosSql("e.v", "c.cv")} AS c_sim
               |       FROM e, cents c),
               |a2 AS (SELECT *, row_number() OVER

@@ -185,10 +185,14 @@ object ScaleDecade {
                         // broadcast-model score passes — should track
                         // ~2× x107's shape (both models are
                         // vocabulary-sized and Zipf-saturate)
-    "x120_curation_dsir") // round 14: x118 + the binned budget
+    "x120_curation_dsir", // round 14: x118 + the binned budget
                         // selector — should track x118 (the importance
                         // frame is the cost; selection is
                         // bin-wholesale on the 0.01-nat grid)
+    "x123_dsir_resample") // round 15: x118 + the Gumbel key projection
+                        // + a global top-n heap — should track x118
+                        // (the draw adds one narrow codegen'd pass and
+                        // a TakeOrdered of 25 rows)
 
   // (x121_stream_dsir is ProbeOnly — see below)
 
@@ -225,6 +229,11 @@ object ScaleDecade {
                         // registered modulus form's anchor set grows
                         // with the corpus — the bruteForceTopK
                         // rationale); expect the x54 scan shape
+    "x122_hard_negatives_ivf_fixed", // round 15: brute vs IVF on the
+                        // SAME fixed anchors per scale — prices the
+                        // pruning the x119 Scaladoc promised (the
+                        // per-run assignment amortizes over anchors;
+                        // the stored-index form removes it entirely)
     "x121_stream_dsir") // round 14: the x111 replay class with TWO
                         // stored models — per-batch = two broadcast
                         // model reads + one append, decoupled from
@@ -683,6 +692,48 @@ object ScaleDecade {
             (System.nanoTime() - t0) / 1e9
           }.sorted
           println(f"""{"query":"x119_fixed_$label","sec":${times(1)}%.3f}""")
+      }
+    }
+
+    // ---- x122: IVF hard negatives vs the brute baseline on the SAME
+    // fixed anchors per scale. The brute form is anchors × corpus; the
+    // IVF form pays one capped assignment (n · ≤1024, amortizable over
+    // every anchor — and removable entirely via the stored semantic
+    // index) plus probed-cell scoring. At a fixed anchor count the
+    // brute scan is already linear, so the signal here is the
+    // per-anchor term: the IVF form's scored pairs per anchor stay at
+    // probed-cell occupancy while brute's grow with the corpus — the
+    // difference that compounds at production anchor counts (every
+    // training example an anchor), which no local fixture can time
+    // honestly; scored-pair counts are printed as that witness.
+    if (probeSelected("x122_hard_negatives_ivf_fixed")) {
+      val anchors = Seq(0L, 100L, 200L, 300L, 400L)
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          val emb = graft.sources.Tables.load(spark, d, "embeddings")
+          def med3(mk: => org.apache.spark.sql.DataFrame): Double = {
+            val ts = (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              mk.queryExecution.toRdd.count()
+              (System.nanoTime() - t0) / 1e9
+            }.sorted
+            ts(1)
+          }
+          val brute = med3(graft.ext.Similarity.hardNegatives(
+            emb, k = 5, dupCos = 0.9, queryIds = anchors))
+          val ivf = med3(graft.ext.Similarity.hardNegativesIVF(
+            emb, k = 5, dupCos = 0.9, nprobe = 2, queryIds = anchors))
+          val nVec = emb.count()
+          println(f"""{"query":"x122_fixed_$label","brute_sec":$brute%.3f,"ivf_sec":$ivf%.3f,"brute_pairs_per_anchor":${nVec - 1},"n_vectors":$nVec}""")
+          // the production direction: anchors grow WITH the corpus (the
+          // registered modulus forms — every 50th/100th vector wants
+          // negatives), so brute is anchors×corpus (quadratic overall)
+          // while the IVF form's quadratic term is capped at n·1024
+          val bruteMod = med3(graft.ext.Similarity.hardNegatives(
+            emb, k = 5, queryModulus = 100, dupCos = 0.9))
+          val ivfMod = med3(graft.ext.Similarity.hardNegativesIVF(
+            emb, k = 5, queryModulus = 100, dupCos = 0.9, nprobe = 2))
+          println(f"""{"query":"x122_modulus_$label","brute_sec":$bruteMod%.3f,"ivf_sec":$ivfMod%.3f,"n_anchors":${nVec / 100},"n_vectors":$nVec}""")
       }
     }
 
