@@ -123,6 +123,57 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** [[hardNegativesIVF]] against the PERSISTED semantic index — the
+    * deployment form, which removes the assignment term entirely: the
+    * corpus-sized nearest-centroid assignment was paid ONCE at ingest
+    * (build + appends, the x59/x90 cost model) and sits on disk in the
+    * index's `partitionBy(centroid_id)` layout, so a mining run costs
+    * only the anchors' probe ranking (anchors × stored centroids,
+    * broadcast), ONE pruned read of the probed cell directories
+    * (literal partition filter — ≤ |anchors|·nprobe cells of the
+    * ~1024), and probed-cell scoring under the dup ceiling. Anchors
+    * are an explicit frame (training examples come from outside the
+    * index). Stored vectors collapse replay duplicates by vec_id — the
+    * appendOnce crash window's over-approximation, same repair
+    * [[compactSemanticIndex]]'s distinct-rewrite applies; a duplicate
+    * row would otherwise surface twice in the top-k. Ceiling,
+    * ranking, and output contract are [[hardNegatives]]'s verbatim;
+    * against a fresh index this is bit-identical to
+    * [[hardNegativesIVF]] at the same geometry (spec-gated, and the
+    * registered oracle IS x122's SQL — the storage round-trip is
+    * hash-enforced every round).
+    */
+  def hardNegativesIndexed(anchors: DataFrame, indexDir: String, k: Int = 5,
+      dupCos: Double = 0.9, nprobe: Int = 2): DataFrame = {
+    val spark = anchors.sparkSession
+    // a reader after a mid-swap compactor/rebuild crash self-heals
+    IndexFs.recoverSwap(spark, indexDir)
+    IndexFs.recoverSwap(spark, s"$indexDir/vectors")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val a = vecs(anchors).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    import graft.plans.TopKPerGroup
+    val probeScored = a.join(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        round(cos(col("qv"), col("cv")), 6).as("q_sim"))
+    val probes = TopKPerGroup.topK(probeScored, Seq("query_id"),
+        Seq("q_sim" -> TopKPerGroup.Desc, "centroid_id" -> TopKPerGroup.Asc),
+        nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    // probed cell ids: control-plane (≤ |anchors|·nprobe longs) into a
+    // literal partition filter — the x90 pruned-read discipline
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cells = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("centroid_id").isin(probedIds.map(Long.box): _*))
+      .dropDuplicates("vec_id")
+    val scored = cells.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cos(col("qv"), col("v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") < dupCos)
+    rankTopK(scored, k)
+  }
+
   /** Shared ranking tail: best `k` rows per query_id by (cos_sim desc,
     * neighbor_id asc) with a 1-based `rank`, via the heap operator.
     */

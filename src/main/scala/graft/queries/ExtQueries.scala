@@ -4734,29 +4734,27 @@ object ExtQueries {
       (s: SparkSession, dir: String) =>
         Similarity.hardNegativesIVF(t(s, dir, "embeddings"), k = 5,
           queryModulus = 50, dupCos = 0.9),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-              |          WHERE vec_id % 100 = 0 AND vec_id < 100 * 1024),
-              |a1 AS (SELECT e.vec_id, e.v, c.centroid_id, ${cosSql("e.v", "c.cv")} AS c_sim
-              |       FROM e, cents c),
-              |a2 AS (SELECT *, row_number() OVER
-              |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM a1),
-              |assigned AS (SELECT vec_id, v, centroid_id FROM a2 WHERE rn = 1),
-              |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-              |p1 AS (SELECT query_id, qv, c.centroid_id, ${cosSql("qv", "c.cv")} AS q_sim
-              |       FROM q, cents c),
-              |p2 AS (SELECT *, row_number() OVER
-              |         (PARTITION BY query_id ORDER BY q_sim DESC, centroid_id) AS rn FROM p1),
-              |probes AS (SELECT query_id, qv, centroid_id FROM p2 WHERE rn <= 2),
-              |s1 AS (SELECT probes.query_id, assigned.vec_id AS neighbor_id,
-              |         ${cosSql("probes.qv", "assigned.v")} AS cos_sim
-              |       FROM probes JOIN assigned USING (centroid_id)
-              |       WHERE assigned.vec_id != probes.query_id),
-              |hard AS (SELECT * FROM s1 WHERE cos_sim < 0.9),
-              |s2 AS (SELECT *, row_number() OVER
-              |         (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM hard)
-              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, cos_sim
-              |FROM s2 WHERE rnk <= 5""".stripMargin)),
+      Some(hardNegativesIvfOracle)),
+
+    // ---- x124: hard negatives against the STORED index (round 15) ------
+    // x122's deployment form: the corpus assignment was paid once at
+    // ingest (the x59/x90 cost model) and sits in the stored index's
+    // partitionBy layout — the mining run pays only the anchors' probe
+    // ranking, ONE pruned read of the probed cell directories, and
+    // probed-cell scoring under the ceiling. The registered entry pays
+    // the per-run index build (the x90/x104 honest-pricing
+    // convention); the oracle is x122's SQL VERBATIM — same geometry,
+    // so the storage round-trip is hash-enforced every round.
+    ("x124_hard_negatives_stored",
+      (s: SparkSession, dir: String) => {
+        val emb = t(s, dir, "embeddings")
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_hn_idx_" + Integer.toHexString(dir.hashCode)
+        Similarity.writeSemanticIndex(emb, idx)
+        Similarity.hardNegativesIndexed(
+          emb.filter(col("vec_id") % 50 === 0), idx, k = 5, dupCos = 0.9)
+      },
+      Some(hardNegativesIvfOracle)),
 
     // ---- x123: DSIR seeded resampling draw (round 15) -------------------
     // The draw x118 deliberately deferred, registered as a composition:
@@ -4800,6 +4798,37 @@ object ExtQueries {
            |FROM rr WHERE rnk <= 25""".stripMargin
       })
   )
+
+  /** The x122 oracle — x08's capped assignment/probe CTE chain + the
+    * x119 dup-ceiling filter — shared VERBATIM by x124 (the stored-
+    * index form computes the same geometry through the persisted
+    * layout, so one SQL hash-gates both the math and the storage
+    * round-trip).
+    */
+  private lazy val hardNegativesIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+       |          WHERE vec_id % 100 = 0 AND vec_id < 100 * 1024),
+       |a1 AS (SELECT e.vec_id, e.v, c.centroid_id, ${cosSql("e.v", "c.cv")} AS c_sim
+       |       FROM e, cents c),
+       |a2 AS (SELECT *, row_number() OVER
+       |         (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rn FROM a1),
+       |assigned AS (SELECT vec_id, v, centroid_id FROM a2 WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+       |p1 AS (SELECT query_id, qv, c.centroid_id, ${cosSql("qv", "c.cv")} AS q_sim
+       |       FROM q, cents c),
+       |p2 AS (SELECT *, row_number() OVER
+       |         (PARTITION BY query_id ORDER BY q_sim DESC, centroid_id) AS rn FROM p1),
+       |probes AS (SELECT query_id, qv, centroid_id FROM p2 WHERE rn <= 2),
+       |s1 AS (SELECT probes.query_id, assigned.vec_id AS neighbor_id,
+       |         ${cosSql("probes.qv", "assigned.v")} AS cos_sim
+       |       FROM probes JOIN assigned USING (centroid_id)
+       |       WHERE assigned.vec_id != probes.query_id),
+       |hard AS (SELECT * FROM s1 WHERE cos_sim < 0.9),
+       |s2 AS (SELECT *, row_number() OVER
+       |         (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM hard)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, cos_sim
+       |FROM s2 WHERE rnk <= 5""".stripMargin
 
   /** Parameterized x104 verdict stack for the x114/x117 oracles:
     * documents matching `exPred` form the stored index (shingles

@@ -734,6 +734,18 @@ object ScaleDecade {
           val ivfMod = med3(graft.ext.Similarity.hardNegativesIVF(
             emb, k = 5, queryModulus = 100, dupCos = 0.9, nprobe = 2))
           println(f"""{"query":"x122_modulus_$label","brute_sec":$bruteMod%.3f,"ivf_sec":$ivfMod%.3f,"n_anchors":${nVec / 100},"n_vectors":$nVec}""")
+          // x124: the stored form — assignment paid once at build, the
+          // mining run reads only probed cells. build once per scale;
+          // mining median-of-3 with the SAME modulus anchors.
+          val idx = s"/tmp/graft_hn_idx_decade_$label"
+          LocalFs.deleteRecursively(new java.io.File(idx))
+          val t0 = System.nanoTime()
+          graft.ext.Similarity.writeSemanticIndex(emb, idx)
+          val build = (System.nanoTime() - t0) / 1e9
+          val anchorFrame = emb.filter(col("vec_id") % 100 === 0)
+          val mined = med3(graft.ext.Similarity.hardNegativesIndexed(
+            anchorFrame, idx, k = 5, dupCos = 0.9, nprobe = 2))
+          println(f"""{"query":"x124_stored_$label","build_sec":$build%.3f,"mine_sec":$mined%.3f,"n_anchors":${nVec / 100}}""")
       }
     }
 

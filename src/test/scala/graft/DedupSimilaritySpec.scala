@@ -850,4 +850,43 @@ class DedupSimilaritySpec extends SparkSpec {
     // anchor 0 must not see the copy (vec 2, cos ≈ 0.9998) at any nprobe
     assert(!pruned.exists(t => t._1 == 0L && t._3 == 2L))
   }
+
+  test("stored hard negatives: bit-identical to in-plan IVF, pruned cell read, appends participate") {
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_x124_spec").toString + "/idx"
+    Similarity.writeSemanticIndex(emb, idx)
+    val stored = Similarity.hardNegativesIndexed(anchors, idx, k = 5,
+      dupCos = 0.9, nprobe = 2)
+    val inplan = Similarity.hardNegativesIVF(emb, k = 5, queryModulus = 50,
+      dupCos = 0.9, nprobe = 2)
+    assert(stored.exceptAll(inplan).isEmpty && inplan.exceptAll(stored).isEmpty,
+      "storage round-trip must not change a single mined negative")
+    // the probed cells reach the stored vectors scan as partition pruning
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      "vectors scan must prune by the probed centroid directories")
+    // lifecycle integration: an appended vector shows up in later
+    // mining. Deterministic by construction: the novel vector is an
+    // EXACT copy of an anchor's (different id), so it assigns to that
+    // anchor's own nearest cell — always the anchor's first probe —
+    // and scores cos 1.0, rank 1 (dupCos disabled for the plumbing
+    // check; the ceiling semantics are gated above).
+    val a0 = anchors.orderBy("vec_id")
+      .select("vec_id", "embedding").head()
+    val novel = Seq((9001L, a0.getSeq[Float](1)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.appendSemanticIndexOnce(novel, idx, batchId = 7L))
+    def mine() = Similarity.hardNegativesIndexed(anchors, idx, k = 5,
+      dupCos = 2.0, nprobe = 2)
+    val hit = mine().filter(col("query_id") === a0.getLong(0) &&
+      col("neighbor_id") === 9001L).collect()
+    assert(hit.length === 1 && hit(0).getInt(1) === 1,
+      "the appended exact-copy vector must mine back at rank 1")
+    // replay-collapse: the redelivered batch skips; no duplicate rows
+    assert(!Similarity.appendSemanticIndexOnce(novel, idx, batchId = 7L))
+    val dupRows = mine()
+      .groupBy("query_id", "neighbor_id").count().filter(col("count") > 1)
+    assert(dupRows.isEmpty, "a neighbor must never surface twice per anchor")
+  }
 }

@@ -471,6 +471,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TopKPartial"), s"missing map-side partial top-k:\n$p")
   }
 
+  test("x124 stored hard negatives: pruned cell read, probes broadcast, heap ranking") {
+    val df = q("x124_hard_negatives_stored")
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case other => other.toString
+    }
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      s"stored vectors scan must prune by probed cell directories:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probed cells must not shuffle-join:\n$p")
+    assert(p.contains("TopKPartial"), s"missing map-side partial top-k:\n$p")
+  }
+
   test("x118 DSIR: both model joins broadcast — the corpus bigram stream never shuffles pre-aggregate") {
     val p = finalPlan(q("x118_dsir_importance"))
     // two score passes, each joining the exploded bigram stream against
