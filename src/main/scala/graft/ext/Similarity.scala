@@ -1121,19 +1121,31 @@ object Similarity {
   }
 
   /** Codebook of a PQ index: the s-th subvectors of the FIRST
-    * `maxCodes` vectors with `vec_id % codeModulus == 0` (vec_ids are
-    * dense from 0, so `vec_id < codeModulus·maxCodes` selects exactly
-    * them). The cap is what makes PQ linear: real PQ trains a FIXED
-    * codebook (k ≤ 256 per subspace — one byte per code — in Jégou et
-    * al. and every production ANN index); without it the
-    * modulus-convention codebook grows with the corpus and the encode
-    * join degenerates to the n·k shape x33 exists to warn about.
+    * `maxCodes` vectors (lowest vec_id) with
+    * `vec_id % codeModulus == 0`. The cap is what makes PQ linear:
+    * real PQ trains a FIXED codebook (k ≤ 256 per subspace — one byte
+    * per code — in Jégou et al. and every production ANN index);
+    * without it the modulus-convention codebook grows with the corpus
+    * and the encode join degenerates to the n·k shape x33 exists to
+    * warn about.
+    *
+    * The cap is a RANK cut (`ORDER BY vec_id LIMIT maxCodes` — a
+    * per-partition heap, never a sort), NOT the former
+    * `vec_id < codeModulus·maxCodes` id threshold: the threshold
+    * assumed vec_ids dense from 0, which held on the driver fixtures
+    * and silently broke everywhere else — the round-15 decade hunt
+    * found the strided replica corpora selecting 20 of the intended
+    * 1024 coarse cells (50× probed-cell occupancy, a measured 40M
+    * candidate pairs for 2000 anchors), and a production id space with
+    * an offset (snowflake ids, partition-prefixed ids) could select
+    * NONE. Rank semantics agree with the threshold exactly when ids
+    * ARE dense from 0, so the registered fixture gates are unchanged.
     */
   private def codewords(
       all: DataFrame, m: Int, codeModulus: Int, maxCodes: Int): DataFrame =
     subvectors(
-        all.filter(col("vec_id") % codeModulus === 0 &&
-          col("vec_id") < codeModulus.toLong * maxCodes), "v", m)
+        all.filter(col("vec_id") % codeModulus === 0)
+          .orderBy(col("vec_id")).limit(maxCodes), "v", m)
       .select(col("vec_id").as("code_id"), col("subspace"), col("__sv").as("cw"))
 
   /** The per-subspace codebook in the flat primitive layout
@@ -1362,12 +1374,15 @@ object Similarity {
     * coarse quantizer is a FIXED list (trained once, a few thousand
     * entries in FAISS's IVF at any corpus size), and without the cap
     * the modulus convention grows the broadcast codebook — and the
-    * per-row assignment cost — linearly with the corpus.
+    * per-row assignment cost — linearly with the corpus. The cap is a
+    * RANK cut (lowest `maxCentroids` eligible ids), not an id
+    * threshold — see [[codewords]] for the dense-id assumption the
+    * threshold form silently broke on.
     */
   private def ivfCentroids(
       all: DataFrame, centroidModulus: Int, maxCentroids: Int): DataFrame =
-    all.filter(col("vec_id") % centroidModulus === 0 &&
-        col("vec_id") < centroidModulus.toLong * maxCentroids)
+    all.filter(col("vec_id") % centroidModulus === 0)
+      .orderBy(col("vec_id")).limit(maxCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
 
   /** x56 — IVF-PQ top-k (Jégou et al. 2011 §V; the FAISS IVFPQ
@@ -1430,7 +1445,7 @@ object Similarity {
     * documents: in-row coarse assignment + per-subspace codes in one
     * scan against broadcast codebooks, no corpus-keyed exchange.
     */
-  private def ivfPqIndexFrames(
+  private[graft] def ivfPqIndexFrames(
       all: DataFrame,
       centroidModulus: Int,
       maxCentroids: Int,
@@ -1492,7 +1507,7 @@ object Similarity {
     * probed-bucket contribution sum as the single corpus-derived
     * exchange.
     */
-  private def ivfPqSearchFrames(
+  private[graft] def ivfPqSearchFrames(
       codes: DataFrame,
       cents: DataFrame,
       cws: DataFrame,
@@ -1500,7 +1515,8 @@ object Similarity {
       k: Int,
       nprobe: Int,
       m: Int,
-      precomputedProbes: Option[DataFrame] = None): DataFrame = {
+      precomputedProbes: Option[DataFrame] = None,
+      broadcastLut: Boolean = true): DataFrame = {
     import graft.functions.DotProduct.dot_product
     import graft.plans.TopKPerGroup
     // probe list: nprobe nearest centroids per query by the assignment
@@ -1517,19 +1533,45 @@ object Similarity {
         round(dot_product(col("cw"), col("cw")), 9).as("cn2"))
     // search: the probe join attaches query_id to ONLY the probed
     // buckets' code rows, so the LUT join is 1:1 (x55's fans out
-    // Q-ways — here the fan-out already happened on the pruned set)
-    val contrib = codes.join(broadcast(probes), Seq("centroid_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(lut), Seq("query_id", "subspace", "code_id"))
+    // Q-ways — here the fan-out already happened on the pruned set).
+    // The LUT is m·maxCodes rows PER QUERY (4096 at the defaults):
+    // broadcast it for harness-sized query sets (the x56/x57 shape —
+    // a few thousand rows), but NEVER for a corpus-growing query set
+    // (the x125 mining shape) — a forced broadcast of a
+    // queries×4096-row relation is a driver-built multi-hundred-MB
+    // hash table (measured: 117 s for the 2000-anchor 100× probe vs
+    // ~20 s shuffled); callers with many queries shuffle both sides on
+    // the (query, subspace, code) key instead.
+    val lutJoined = {
+      val base = codes.join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+      base.join(if (broadcastLut) broadcast(lut) else lut,
+        Seq("query_id", "subspace", "code_id"))
+    }
+    val contrib = lutJoined
+    // exact order-free sums in BIGINT NANO-units, not DECIMAL(28,12):
+    // the LUT entries are 9-dp-rounded, so ×1e9 is integral-valued and
+    // the long sum is the same exact rational the decimal sum carried —
+    // and the final doubles are IDENTICAL (both reduce to
+    // nearest-double(n/1e9): a < 2^53 long casts exactly, then one
+    // correctly-rounded division; Decimal.toDouble is the same
+    // correctly-rounded value). What changes is the COST: the decimal
+    // path built a BigDecimal from Double.toString per contribution
+    // row — jstack-measured as the dominant frames of the 2000-anchor
+    // mining probe (x125, 117 s at 100×) — where the long path is
+    // codegen'd integer arithmetic. Magnitudes: |entry| ≲ 10 ⇒ nano
+    // units ≲ 1e10, × m=16 terms ≲ 2e11 per sum — 2^63 has eight
+    // orders of headroom.
     val sums = contrib.groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("dp").cast("decimal(28,12)")).as("dsum"),
-        sum(col("cn2").cast("decimal(28,12)")).as("n2sum"))
+      .agg(sum(round(col("dp") * lit(1e9)).cast("long")).as("dsum9"),
+        sum(round(col("cn2") * lit(1e9)).cast("long")).as("n2sum9"))
     val qnorm = queries.select(col("query_id"),
       sqrt(dot_product(col("qv"), col("qv"))).as("qn"))
     val scored = sums.join(broadcast(qnorm), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(col("dsum").cast("double") /
-          (col("qn") * sqrt(col("n2sum").cast("double"))), 6).as("approx_cos"))
+        round((col("dsum9").cast("double") / lit(1e9)) /
+          (col("qn") * sqrt(col("n2sum9").cast("double") / lit(1e9))), 6)
+          .as("approx_cos"))
     TopKPerGroup.topK(scored, Seq("query_id"),
         Seq("approx_cos" -> TopKPerGroup.Desc, "neighbor_id" -> TopKPerGroup.Asc), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_cos"))
@@ -1653,7 +1695,7 @@ object Similarity {
   }
 
   /** nprobe nearest centroids per query by the assignment metric. */
-  private def ivfPqProbes(
+  private[graft] def ivfPqProbes(
       cents: DataFrame, queries: DataFrame, nprobe: Int): DataFrame = {
     import graft.functions.L2Sq.l2_sq
     import graft.plans.TopKPerGroup
@@ -1786,18 +1828,83 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int): DataFrame = {
     import graft.plans.TopKPerGroup
+    val queries = all.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    TopKPerGroup.topK(exactRescore(shortlisted, all, queries),
+        Seq("query_id"),
+        Seq("cos_sim" -> TopKPerGroup.Desc, "neighbor_id" -> TopKPerGroup.Asc), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos_sim"), col("approx_cos"))
+  }
+
+  /** The exact re-scoring half of [[exactRerank]], factored so callers
+    * that must FILTER on the exact score before the cut (the x125
+    * ceiling) can: broadcast the shortlist into one corpus scan to
+    * fetch original vectors, re-score with exact cosine. `queries`
+    * must carry (query_id, qv). Output: (query_id, neighbor_id,
+    * cos_sim, approx_cos), uncut.
+    */
+  private def exactRescore(
+      shortlisted: DataFrame,
+      all: DataFrame,
+      queries: DataFrame): DataFrame = {
     val short = shortlisted
       .select(col("query_id"), col("neighbor_id"), col("approx_cos"))
     val withVecs = all
       .join(broadcast(short), all("vec_id") === col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("approx_cos"),
         col("v").as("nv"))
-    val queries = all.filter(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val rescored = withVecs.join(broadcast(queries), Seq("query_id"))
+    withVecs.join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cos(col("qv"), col("nv")), 6).as("cos_sim"), col("approx_cos"))
-    TopKPerGroup.topK(rescored, Seq("query_id"),
+  }
+
+  /** Hard-negative mining at the COMPRESSED grain — the billion-scale
+    * memory form of [[hardNegativesIVF]] (the x55/x56 story applied to
+    * mining): anchors ADC-score only the probed buckets' CODES (m
+    * bytes/vector, originals never scanned), a `shortlist`-deep
+    * compressed-domain cut bounds the candidates, and ONE
+    * O(anchors·shortlist) original-vector fetch re-scores them
+    * exactly (the x57 verified-re-rank discipline).
+    *
+    * The dup ceiling binds on the EXACT re-rank score, never the ADC
+    * approximation — the correctness nuance this composition exists
+    * for: quantization error near the ceiling cuts both ways, and an
+    * approx-cos 0.89 copy whose true cosine is 0.95 would pass an
+    * approx-bound ceiling and surface as a FALSE negative (training
+    * against a copy — the exact failure the ceiling guards). Bound on
+    * the exact score, a copy that reaches the shortlist is always
+    * killed; a copy that misses the shortlist is merely not emitted —
+    * recall loss, never a false emission. `shortlist` must be wide
+    * enough to absorb the ceiling's cut AND ADC mis-ranking
+    * (`require(shortlist >= k)` is the floor, not the recommendation;
+    * the x67 monitor's audit column rides along for exactly this
+    * tuning). approx_cos is emitted beside cos_sim per the x57
+    * convention. Output: (query_id, rank, neighbor_id, cos_sim,
+    * approx_cos).
+    */
+  def hardNegativesPQ(emb: DataFrame, k: Int = 5, queryModulus: Int = 100,
+      dupCos: Double = 0.9, shortlist: Int = 50, nprobe: Int = 2,
+      centroidModulus: Int = 100, maxCentroids: Int = 1024, m: Int = 16,
+      codeModulus: Int = 5, maxCodes: Int = 256, trainIters: Int = 0,
+      queryIds: Seq[Long] = Nil): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val all = vecs(emb)
+    val (codes, cents, cws) = ivfPqIndexFrames(all, centroidModulus,
+      maxCentroids, m, codeModulus, maxCodes, trainIters)
+    val anchors = (if (queryIds.nonEmpty)
+        all.filter(col("vec_id").isin(queryIds: _*))
+      else all.filter(col("vec_id") % queryModulus === 0))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // broadcast the ADC LUT only for an explicit (harness-sized) anchor
+    // list — the modulus anchor set grows with the corpus, and its LUT
+    // must shuffle, not broadcast (see ivfPqSearchFrames)
+    val short = ivfPqSearchFrames(codes, cents, cws, anchors, shortlist,
+      nprobe, m, broadcastLut = queryIds.nonEmpty)
+    import graft.plans.TopKPerGroup
+    TopKPerGroup.topK(
+        exactRescore(short, all, anchors).filter(col("cos_sim") < dupCos),
+        Seq("query_id"),
         Seq("cos_sim" -> TopKPerGroup.Desc, "neighbor_id" -> TopKPerGroup.Asc), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos_sim"), col("approx_cos"))

@@ -419,7 +419,9 @@ object ExtQueries {
        |psub AS (SELECT vec_id, subspace, ${pqSlice("v")} AS sv FROM pe, psp),
        |pcw AS (SELECT vec_id AS code_id, subspace, ${pqSlice("v")} AS cwv
        |        FROM pe, psp
-       |        WHERE vec_id % $PqCm = 0 AND vec_id < ${PqCm.toLong * PqMaxCodes}),
+       |        WHERE vec_id % $PqCm = 0
+       |          AND vec_id IN (SELECT vec_id FROM pe WHERE vec_id % $PqCm = 0
+       |                         ORDER BY vec_id LIMIT $PqMaxCodes)),
        |psc AS (SELECT vec_id, psub.subspace, code_id,
        |          round(${l2Sql("sv", "cwv", PqSubDim)}, 6) AS l2_sq
        |        FROM psub JOIN pcw ON psub.subspace = pcw.subspace)""".stripMargin
@@ -459,14 +461,18 @@ object ExtQueries {
   private def ivfPqScoredCtes: String = ivfPqScoredCtes("psc", "pcw")
   private def ivfPqScoredCtes(scoreCte: String, cbCte: String): String =
     ivfPqScoredCtes(scoreCte, cbCte, "pe")
-  private def ivfPqScoredCtes(scoreCte: String, cbCte: String, qSrc: String) =
+  private def ivfPqScoredCtes(scoreCte: String, cbCte: String,
+      qSrc: String): String =
+    ivfPqScoredCtes(scoreCte, cbCte, qSrc, "vec_id IN (7, 177, 357)")
+  private def ivfPqScoredCtes(scoreCte: String, cbCte: String, qSrc: String,
+      qPred: String) =
     s"""enc AS (SELECT vec_id, subspace, code_id FROM
        |         (SELECT *, row_number() OVER
        |            (PARTITION BY vec_id, subspace ORDER BY l2_sq, code_id) AS rn
        |          FROM $scoreCte) WHERE rn = 1),
        |ivfc AS (SELECT vec_id AS centroid_id, v AS cv FROM pe
        |         WHERE vec_id % $PqIvfCm = 0
-       |           AND vec_id < ${PqIvfCm.toLong * PqMaxCents}),
+       |         ORDER BY vec_id LIMIT $PqMaxCents),
        |a1 AS (SELECT pe.vec_id, centroid_id,
        |         round(${l2Sql("pe.v", "cv", 64)}, 6) AS d2
        |       FROM pe, ivfc),
@@ -474,7 +480,7 @@ object ExtQueries {
        |              (SELECT *, row_number() OVER
        |                 (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
        |               FROM a1) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM $qSrc WHERE vec_id IN (7, 177, 357)),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM $qSrc WHERE $qPred),
        |p1 AS (SELECT query_id, centroid_id,
        |         round(${l2Sql("qv", "cv", 64)}, 6) AS d2
        |       FROM q, ivfc),
@@ -2024,7 +2030,7 @@ object ExtQueries {
               |bv AS (SELECT * FROM e WHERE vec_id % 100 = 50),
               |cvs AS (SELECT * FROM e WHERE vec_id % 100 != 50),
               |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM cvs
-              |          WHERE vec_id % 100 = 0 AND vec_id < 102400),
+              |          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
               |ca1 AS (SELECT cvs.vec_id, cvs.v, c.centroid_id,
               |          ${cosSql("cvs.v", "c.cvv")} AS cs FROM cvs, cents c),
               |ca AS (SELECT vec_id, v, centroid_id FROM
@@ -2417,7 +2423,7 @@ object ExtQueries {
               |bv AS (SELECT * FROM e WHERE vec_id % 100 = 50),
               |cvs AS (SELECT * FROM e WHERE vec_id % 100 != 50),
               |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM cvs
-              |          WHERE vec_id % 100 = 0 AND vec_id < 102400),
+              |          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
               |ca1 AS (SELECT cvs.vec_id, cvs.v, c.centroid_id,
               |          ${cosSql("cvs.v", "c.cvv")} AS cs FROM cvs, cents c),
               |ca AS (SELECT vec_id, v, centroid_id FROM
@@ -4394,7 +4400,8 @@ object ExtQueries {
         s"""WITH se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
            |scents AS (SELECT vec_id AS centroid_id, v AS cvv FROM se
-           |  WHERE vec_id % 4 = 0 AND vec_id % 100 = 0 AND vec_id < 102400),
+           |  WHERE vec_id % 4 = 0 AND vec_id % 100 = 0
+           |  ORDER BY vec_id LIMIT 1024),
            |$blocks
            |$selects""".stripMargin
       }),
@@ -4469,9 +4476,10 @@ object ExtQueries {
            |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
            |bench AS (SELECT * FROM se WHERE vec_id % 50 = 7),
            |fcents AS (SELECT vec_id AS centroid_id, v AS cvv FROM se
-           |  WHERE vec_id % 3 = 0 AND vec_id % 100 = 0 AND vec_id < 102400),
+           |  WHERE vec_id % 3 = 0 AND vec_id % 100 = 0
+           |  ORDER BY vec_id LIMIT 1024),
            |rcents AS (SELECT vec_id AS centroid_id, v AS cvv FROM se
-           |  WHERE vec_id % 100 = 0 AND vec_id < 102400),
+           |  WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
            |${screen("f")},
            |${screen("r")}
            |${phaseSelect("frozen", "f")}
@@ -4756,6 +4764,40 @@ object ExtQueries {
       },
       Some(hardNegativesIvfOracle)),
 
+    // ---- x125: hard negatives at the compressed grain (round 15) -------
+    // The x55/x56 memory story applied to mining: anchors ADC-score
+    // only probed buckets' CODES, a 50-deep compressed shortlist
+    // bounds candidates, one O(anchors·50) original-vector fetch
+    // re-scores exactly (the x57 verified-re-rank discipline), and
+    // the dup ceiling binds on the EXACT score — never the ADC
+    // approximation, whose error near the ceiling would let a
+    // mis-scored copy surface as a false negative. Oracle: x56's CTE
+    // chain with modulus anchors, cut at the shortlist, re-scored
+    // against pe, ceiling'd on cos_sim, ranked.
+    ("x125_hard_negatives_pq",
+      (s: SparkSession, dir: String) =>
+        Similarity.hardNegativesPQ(t(s, dir, "embeddings"), k = 5,
+          queryModulus = 50, dupCos = 0.9),
+      Some(s"""WITH $pqEncodeCtes,
+              |${ivfPqScoredCtes("psc", "pcw", "pe", "vec_id % 50 = 0")},
+              |srk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |        FROM scored),
+              |shortl AS (SELECT query_id, neighbor_id, approx_cos
+              |           FROM srk WHERE rnk <= $PqShortlist),
+              |re AS (SELECT sl.query_id, sl.neighbor_id,
+              |         ${cosSql("q.qv", "pe.v")} AS cos_sim, sl.approx_cos
+              |       FROM shortl sl
+              |       JOIN pe ON pe.vec_id = sl.neighbor_id
+              |       JOIN q ON q.query_id = sl.query_id),
+              |hard AS (SELECT * FROM re WHERE cos_sim < 0.9),
+              |rrk AS (SELECT *, row_number() OVER
+              |          (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              |        FROM hard)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id,
+              |  cos_sim, approx_cos
+              |FROM rrk WHERE rnk <= 5""".stripMargin)),
+
     // ---- x123: DSIR seeded resampling draw (round 15) -------------------
     // The draw x118 deliberately deferred, registered as a composition:
     // importance → seeded Gumbel perturbation → top-n selection (Xie
@@ -4808,7 +4850,7 @@ object ExtQueries {
   private lazy val hardNegativesIvfOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-       |          WHERE vec_id % 100 = 0 AND vec_id < 100 * 1024),
+       |          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
        |a1 AS (SELECT e.vec_id, e.v, c.centroid_id, ${cosSql("e.v", "c.cv")} AS c_sim
        |       FROM e, cents c),
        |a2 AS (SELECT *, row_number() OVER

@@ -40,6 +40,14 @@ object HardNegativeRecall {
       val hit = (got intersect brute).size
       println(f"""{"probe":"hard_negative_recall","dir":"$dir","nprobe":$np,"recall":${hit.toDouble / brute.size}%.4f,"ivf_pairs":${got.size},"brute_pairs":${brute.size}}""")
     }
+    // the compressed form's knob is the shortlist depth (its pruning
+    // composes IVF's nprobe with ADC mis-ranking inside the shortlist)
+    Seq(50, 100, 200).foreach { sl =>
+      val got = pairs(graft.ext.Similarity.hardNegativesPQ(
+        emb, k = 5, queryModulus = 100, dupCos = 0.9, shortlist = sl))
+      val hit = (got intersect brute).size
+      println(f"""{"probe":"hard_negative_recall_pq","dir":"$dir","shortlist":$sl,"recall":${hit.toDouble / brute.size}%.4f,"pq_pairs":${got.size},"brute_pairs":${brute.size}}""")
+    }
     spark.stop()
   }
 }

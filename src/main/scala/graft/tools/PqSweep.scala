@@ -31,8 +31,8 @@ object PqSweep {
     // x56: recall vs nprobe at the x54 defaults — separates the IVF
     // pruning loss (vanishes as nprobe grows) from the PQ distortion
     // floor (the pqTopK row above at m=16/cm=5)
-    val nCents = emb.filter(col("vec_id") % 100 === 0 &&
-      col("vec_id") < 102400L).count()
+    val nCents = math.min(
+      emb.filter(col("vec_id") % 100 === 0).count(), 1024L)
     for (np <- Seq(1, 2, 4, nCents.toInt)) {
       val ivfpq = Similarity.ivfPqTopK(emb, queryIds = qs, k = 5, nprobe = np)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

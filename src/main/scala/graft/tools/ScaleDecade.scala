@@ -746,6 +746,11 @@ object ScaleDecade {
           val mined = med3(graft.ext.Similarity.hardNegativesIndexed(
             anchorFrame, idx, k = 5, dupCos = 0.9, nprobe = 2))
           println(f"""{"query":"x124_stored_$label","build_sec":$build%.3f,"mine_sec":$mined%.3f,"n_anchors":${nVec / 100}}""")
+          // x125: the compressed grain — in-plan encode + ADC shortlist
+          // + exact re-rank per run (the bundled x56-class cost)
+          val pq = med3(graft.ext.Similarity.hardNegativesPQ(
+            emb, k = 5, queryModulus = 100, dupCos = 0.9))
+          println(f"""{"query":"x125_pq_$label","sec":$pq%.3f,"n_anchors":${nVec / 100}}""")
       }
     }
 

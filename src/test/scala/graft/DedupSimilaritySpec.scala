@@ -163,7 +163,8 @@ class DedupSimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.expressions.Window
     val vecs = emb.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val cents = vecs.filter(col("vec_id") % 100 === 0 && col("vec_id") < 102400)
+    val cents = vecs.filter(col("vec_id") % 100 === 0)
+      .orderBy(col("vec_id")).limit(1024)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv"))
     val d2 = round(graft.functions.L2Sq.l2_sq(col("v"), col("cv")), 6)
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("centroid_id"))
@@ -888,5 +889,30 @@ class DedupSimilaritySpec extends SparkSpec {
     val dupRows = mine()
       .groupBy("query_id", "neighbor_id").count().filter(col("count") > 1)
     assert(dupRows.isEmpty, "a neighbor must never surface twice per anchor")
+  }
+
+  test("compressed hard negatives: exhaustive shortlist equals brute; ceiling binds on the exact score") {
+    val n = emb.count().toInt
+    // shortlist ≥ corpus and nprobe ≥ cells: the compressed cut keeps
+    // every probed candidate, the exact re-rank rescores all of them,
+    // so the output must equal the brute baseline bit-for-bit — PQ
+    // approximation ordering cannot matter once nothing is cut on it
+    val pq = Similarity.hardNegativesPQ(emb, k = 5, queryModulus = 50,
+        dupCos = 0.9, shortlist = n + 1, nprobe = 1024)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+    val brute = Similarity.hardNegatives(emb, k = 5, queryModulus = 50,
+      dupCos = 0.9)
+    assert(pq.exceptAll(brute).isEmpty && brute.exceptAll(pq).isEmpty,
+      "with nothing cut in the compressed domain, PQ mining must be exact")
+    // at the registered (pruning) parameters: the ceiling binds on the
+    // EXACT score — nothing at or above it may surface, whatever its
+    // ADC approximation said — and the audit column rides along
+    val pruned = Similarity.hardNegativesPQ(emb, k = 5, queryModulus = 50,
+      dupCos = 0.9).collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.forall(_.getAs[Double]("cos_sim") < 0.9),
+      "an exact-cosine copy must never surface as a negative")
+    assert(pruned.forall(r => !r.isNullAt(r.fieldIndex("approx_cos"))),
+      "the x57 audit column must ride beside the exact score")
   }
 }
