@@ -647,7 +647,11 @@ object Dedup {
     spark.read.parquet(s"$indexDir/shingles")
       .groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
       .write.mode("overwrite").parquet(s"$indexDir/sizes")
-    existing.select(md5(col("text")).as("h")).distinct()
+    // hashes carry doc_id PROVENANCE (the exact gate itself probes the
+    // distinct h projection): a takedown of one document must not
+    // un-gate another live document with identical text, which a bare
+    // distinct-hash set cannot express — see deleteFromNearDupIndex
+    existing.select(col("doc_id"), md5(col("text")).as("h")).distinct()
       .write.mode("overwrite").parquet(s"$indexDir/hashes")
   }
 
@@ -679,7 +683,7 @@ object Dedup {
     capped.repartition(1).write.mode("append").parquet(s"$indexDir/shingles")
     capped.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
       .repartition(1).write.mode("append").parquet(s"$indexDir/sizes")
-    batch.select(md5(col("text")).as("h")).distinct()
+    batch.select(col("doc_id"), md5(col("text")).as("h")).distinct()
       .repartition(1).write.mode("append").parquet(s"$indexDir/hashes")
     if (maxFilesPerTable > 0 &&
         countDataFiles(spark, s"$indexDir/shingles") > maxFilesPerTable.toLong)
@@ -713,6 +717,51 @@ object Dedup {
       IndexFs.touch(spark, marker)
       true
     }
+  }
+
+  /** A stored near-dup table with takedown tombstones applied — the
+    * per-doc_id anti-join every index reader routes through
+    * (merge-on-read, the [[graft.ext.Similarity]] `liveVectors`
+    * discipline at the document grain). The tombstone table is
+    * takedown-request-sized and broadcasts; physical removal is
+    * deferred to [[compactNearDupIndex]] (applies and clears) or
+    * [[rebuildNearDupIndex]] (whole-directory swap — the swapped-in
+    * index starts with no tombstones).
+    */
+  private def ndLive(table: DataFrame, spark: SparkSession,
+      indexDir: String): DataFrame = {
+    val del = s"$indexDir/deletes"
+    if (IndexFs.exists(spark, del))
+      table.join(broadcast(spark.read.parquet(del).distinct()),
+        Seq("doc_id"), "left_anti")
+    else table
+  }
+
+  /** Takedown at the document grain — the right-to-be-forgotten verb
+    * for the stored near-dup index: doc_ids land as TOMBSTONES
+    * (`deletes/`, one tiny file per request) that every reader
+    * anti-joins out of `hashes`/`shingles`/`sizes`, so the delete is
+    * effective at the next screen for O(|request|) I/O — never an
+    * index-sized rewrite on the takedown path. The exact gate stays
+    * correct for OTHER copies of the same text because `hashes`
+    * stores (doc_id, h) provenance: only the deleted document's hash
+    * row is suppressed, and the distinct-h probe set still carries
+    * the hash while any live document has it. Set semantics make the
+    * write replay-safe without markers. The frozen hot list is NOT
+    * revisited (it is a cap, not content — a takedown that shifts
+    * boilerplate frequencies is [[rebuildNearDupIndex]]'s case).
+    * Re-admission contract: tombstones win over appends until a
+    * compaction clears the applied set (the semantic-index rule;
+    * spec-pinned in TakedownSpec).
+    */
+  def deleteFromNearDupIndex(docIds: DataFrame, indexDir: String): Unit = {
+    val spark = docIds.sparkSession
+    recoverNearDupSwap(spark, indexDir)
+    docIds.select(col("doc_id")).filter(col("doc_id").isNotNull).distinct()
+      .repartition(1).write.mode("append").parquet(s"$indexDir/deletes")
+    // a screen memoized before the takedown would keep matching against
+    // the deleted documents — the rebuild staleness class
+    graft.tools.InternalCaches.releaseByPath(spark, indexDir)
   }
 
   /** Heal any crashed tmp → old → live swap on the near-dup index —
@@ -764,7 +813,11 @@ object Dedup {
     IndexFs.mergeMarkers(spark, s"$tmp/_batch_commits",
       s"$indexDir/_batch_commits")
     IndexFs.fs(spark, tmp).delete(new org.apache.hadoop.fs.Path(tmp), true)
-    writeNearDupIndex(corpus, tmp, n, maxShingleDf)
+    // takedowns stay durable across a rebuild even if the caller hands
+    // back a corpus that still contains the tombstoned documents: the
+    // live tombstone set filters the retrain input, and the swapped-in
+    // directory starts clean (deletes/ stays behind in .old)
+    writeNearDupIndex(ndLive(corpus, spark, indexDir), tmp, n, maxShingleDf)
     // per-file move with asserted renames, not a directory rename: see
     // [[IndexFs.mergeMarkers]] for the two silent-degrade shapes a bare
     // rename has here
@@ -792,15 +845,21 @@ object Dedup {
     def swap(table: String): Unit =
       IndexFs.swapCompact(spark, s"$indexDir/$table")
     // local persist, not the memoized registry: the frame reads the very
-    // directory the swap replaces (the compactGramIndex argument)
-    val sh = spark.read.parquet(s"$indexDir/shingles").distinct().persist()
+    // directory the swap replaces (the compactGramIndex argument).
+    // Takedown tombstones apply DURABLY here (ndLive anti-joins them
+    // out of every rewrite) and clear only after the LAST table swap:
+    // a crash between leaves tombstones anti-joining already-absent
+    // doc_ids — a no-op, never a resurrected document.
+    val sh = ndLive(spark.read.parquet(s"$indexDir/shingles"), spark, indexDir)
+      .distinct().persist()
     sh.write.mode("overwrite").parquet(s"$indexDir/shingles.compact")
     sh.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
       .write.mode("overwrite").parquet(s"$indexDir/sizes.compact")
     sh.unpersist(blocking = false)
-    spark.read.parquet(s"$indexDir/hashes").distinct()
+    ndLive(spark.read.parquet(s"$indexDir/hashes"), spark, indexDir).distinct()
       .write.mode("overwrite").parquet(s"$indexDir/hashes.compact")
     swap("shingles"); swap("sizes"); swap("hashes")
+    IndexFs.delete(spark, s"$indexDir/deletes")
   }
 
   /** x104 screen half — [[incrementalScreen]] semantics (same output
@@ -818,10 +877,14 @@ object Dedup {
     // a reader after a mid-swap compactor crash self-heals (one rename)
     // instead of failing on the missing live table
     recoverNearDupSwap(spark, indexDir)
-    // distinct defends the exact gate against duplicate hash rows from
-    // appends (a duplicate here would duplicate incoming rows through
-    // the left join); the set is one 32-char string per corpus doc
-    val exHash = spark.read.parquet(s"$indexDir/hashes").distinct()
+    // tombstones out first, then project to the distinct-h probe set:
+    // the projection both defends the exact gate against duplicate
+    // hash rows from appends (a duplicate would duplicate incoming
+    // rows through the left join) and keeps a hash alive while ANY
+    // live document carries it — deleting one of two identical docs
+    // must not un-gate the other
+    val exHash = ndLive(spark.read.parquet(s"$indexDir/hashes"), spark, indexDir)
+      .select(col("h")).distinct()
       .withColumn("ex", lit(true))
     val exactFlag = incoming.select(col("doc_id"), md5(col("text")).as("h"))
       .join(exHash, Seq("h"), "left")
@@ -829,8 +892,8 @@ object Dedup {
     val hot = spark.read.parquet(s"$indexDir/hot")
     val inSh = graft.tools.InternalCaches.persist(
       hashedShingleSet(incoming, n).join(broadcast(hot), Seq("sh"), "left_anti"))
-    val exSh = spark.read.parquet(s"$indexDir/shingles")
-    val exSizes = spark.read.parquet(s"$indexDir/sizes")
+    val exSh = ndLive(spark.read.parquet(s"$indexDir/shingles"), spark, indexDir)
+    val exSizes = ndLive(spark.read.parquet(s"$indexDir/sizes"), spark, indexDir)
       .withColumnRenamed("doc_id", "ex_doc")
     screenVerdict(exactFlag, inSh, exSh, exSizes, minJaccard)
   }

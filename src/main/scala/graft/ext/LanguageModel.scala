@@ -303,6 +303,35 @@ object LanguageModel {
       compactLmIndex(spark, indexDir)
   }
 
+  /** Takedown at the model grain — the right-to-be-forgotten verb for
+    * the ADDITIVE index: subtracting a document set from a count table
+    * is appending its counts NEGATED, so the delete rides the exact
+    * machinery appends already have. The caller hands back the
+    * documents (the index stores aggregated counts — a takedown
+    * request names content, and content cannot be reconstructed from
+    * the model; the x117 hand-back contract), their per-(lang,w1,w2)
+    * counts land negated under the caller's batch_id, and
+    * [[storedCounts]]' post-sum `c12 > 0` filter retires any bigram
+    * whose live count reaches zero from BOTH the count table and the
+    * derived vocabulary — the merged model is bit-identical to one
+    * trained on the remaining corpus (counts are additive over
+    * documents; c1 and V derive from c12). Replay-safe like appends:
+    * a redelivered delete under the same batch_id reproduces
+    * byte-identical rows that distinct() collapses; two deletes of the
+    * same docs under DIFFERENT ids are the caller declaring two
+    * decrements — same contract as double-appends. Cost: one batch
+    * scan + a batch-vocabulary aggregate + one file, independent of
+    * index size.
+    */
+  def deleteFromLmIndex(docs: DataFrame, indexDir: String,
+      batchId: String): Unit = {
+    val spark = docs.sparkSession
+    IndexFs.recoverSwap(spark, s"$indexDir/bigrams")
+    bigramStream(inScope(docs)).groupBy("lang", "w1", "w2")
+      .agg((-count(lit(1))).as("c12")).withColumn("batch_id", lit(batchId))
+      .repartition(1).write.mode("append").parquet(s"$indexDir/bigrams")
+  }
+
   /** Maintenance: distinct-rewrite (collapsing any replayed appends —
     * batch-stamped rows are deterministic, so a replay is a byte-
     * identical duplicate) then tmp → old → live swap
@@ -345,6 +374,12 @@ object LanguageModel {
     IndexFs.recoverSwap(spark, s"$indexDir/bigrams")
     spark.read.parquet(s"$indexDir/bigrams").distinct()
       .groupBy("lang", "w1", "w2").agg(sum("c12").as("c12"))
+      // a bigram whose live count hit zero (appends fully retracted by
+      // deleteFromLmIndex) must leave the model ENTIRELY: a zero-count
+      // row would still inflate the smoothing vocabulary V and is not
+      // a row a model trained on the remaining corpus would have.
+      // Value-invariant on delete-free indexes (all counts positive).
+      .filter(col("c12") > 0)
   }
 
   /** Score a held-out batch against the STORED model — the ingest-time

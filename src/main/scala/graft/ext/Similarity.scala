@@ -36,6 +36,54 @@ object Similarity {
   private def cos(va: Column, vb: Column): Column =
     graft.functions.CosineSim.cosine_sim(va, vb)
 
+  /** The stored `vectors` table with takedown tombstones applied — the
+    * read every consumer of the semantic index routes through. Deleted
+    * vec_ids ([[deleteFromSemanticIndex]]) are suppressed by a
+    * broadcast anti-join against the tiny `deletes/` table; the
+    * physical rows are removed at the next [[compactSemanticIndex]] /
+    * [[rebuildSemanticIndex]] (merge-on-read: a takedown never pays an
+    * index-sized rewrite). Duplicate-row semantics are untouched —
+    * callers that need the replay-collapse still `dropDuplicates`.
+    */
+  private def liveVectors(spark: SparkSession, indexDir: String): DataFrame = {
+    val v = spark.read.parquet(s"$indexDir/vectors")
+    val del = s"$indexDir/deletes"
+    if (IndexFs.exists(spark, del))
+      v.join(broadcast(spark.read.parquet(del).distinct()),
+        Seq("vec_id"), "left_anti")
+    else v
+  }
+
+  /** Takedown at the vector grain — the right-to-be-forgotten verb for
+    * the stored semantic index. Writes the vec_ids as TOMBSTONES
+    * (`deletes/`, one tiny file per request): every reader
+    * (screen, occupancy audit, mining, rebuild, compaction) anti-joins
+    * them out, so the delete is effective at the next read for
+    * O(|request|) I/O — never an index-sized rewrite on the takedown
+    * path. Physical removal is deferred to the next
+    * [[compactSemanticIndex]] (applies tombstones durably, then clears
+    * them) or [[rebuildSemanticIndex]] (retrains over the live set —
+    * the swapped-in directory starts with no tombstones). Set
+    * semantics make the write replay-safe without markers: deleting
+    * twice is deleting once.
+    *
+    * Re-admission contract: tombstones WIN over appends until a
+    * compaction clears the applied set — a deleted vec_id re-appended
+    * before the compact stays suppressed (suppressing the old physical
+    * rows is exactly what keeps the takedown correct). Re-admit with
+    * compact-then-append; spec-pinned in TakedownSpec.
+    */
+  def deleteFromSemanticIndex(vecIds: DataFrame, indexDir: String): Unit = {
+    val spark = vecIds.sparkSession
+    IndexFs.recoverSwap(spark, indexDir)
+    IndexFs.recoverSwap(spark, s"$indexDir/vectors")
+    vecIds.select(col("vec_id")).filter(col("vec_id").isNotNull).distinct()
+      .repartition(1).write.mode("append").parquet(s"$indexDir/deletes")
+    // a screen memoized before the takedown would keep serving the
+    // deleted rows — the same staleness class as the rebuild
+    graft.tools.InternalCaches.releaseByPath(spark, indexDir)
+  }
+
   /** Brute-force cosine top-k: query vectors are those with
     * vec_id % queryModulus == 0; for each, the k nearest others by
     * cosine (ties broken by neighbor id).
@@ -163,7 +211,7 @@ object Similarity {
     // literal partition filter — the x90 pruned-read discipline
     val probedIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells = spark.read.parquet(s"$indexDir/vectors")
+    val cells = liveVectors(spark, indexDir)
       .filter(col("centroid_id").isin(probedIds.map(Long.box): _*))
       .dropDuplicates("vec_id")
     val scored = cells.join(broadcast(probes), Seq("centroid_id"))
@@ -570,8 +618,11 @@ object Similarity {
     IndexFs.mergeMarkers(spark, s"$indexDir.compact/_batch_commits",
       s"$indexDir/_batch_commits")
     // local persist, not the memoized registry: the frame reads the
-    // very directory the swap replaces
-    val v = spark.read.parquet(s"$indexDir/vectors")
+    // very directory the swap replaces. Tombstoned vec_ids are OUT of
+    // the live set — the retrain must not learn geometry from taken-
+    // down vectors, and the rebuilt index (which replaces the whole
+    // directory, deletes/ included) removes them physically.
+    val v = liveVectors(spark, indexDir)
       .dropDuplicates("vec_id").select(col("vec_id"), col("v")).persist()
     val cents = ivfCentroids(v, centroidModulus, maxCentroids)
     // both writes complete BEFORE any mutation of the live directory
@@ -612,7 +663,7 @@ object Similarity {
       cellCap: Int = DefaultCellCap): DataFrame = {
     IndexFs.recoverSwap(spark, indexDir) // a crashed whole-index REBUILD swap
     IndexFs.recoverSwap(spark, s"$indexDir/vectors")
-    spark.read.parquet(s"$indexDir/vectors")
+    liveVectors(spark, indexDir)
       .dropDuplicates("vec_id")
       .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_cells"),
@@ -648,7 +699,7 @@ object Similarity {
     val ba = graft.tools.InternalCaches.persist(assignToCentroids(b, cents))
     val probedIds = ba.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cells = spark.read.parquet(s"$indexDir/vectors")
+    val cells = liveVectors(spark, indexDir)
       .filter(col("centroid_id").isin(probedIds: _*))
       .select(col("centroid_id").as("cc"),
         col("vec_id").as("corpus_id"), col("v").as("cv2"))
@@ -760,14 +811,20 @@ object Similarity {
     IndexFs.recoverSwap(spark, indexDir) // a crashed whole-index REBUILD swap
     IndexFs.recoverSwap(spark, s"$indexDir/vectors")
     // local persist, not the memoized registry: the frame reads the
-    // very directory the swap replaces
-    val v = spark.read.parquet(s"$indexDir/vectors")
+    // very directory the swap replaces. Takedown tombstones apply here
+    // DURABLY (liveVectors anti-joins them out of the rewrite) and are
+    // cleared after the swap — clearing strictly after the swapped-in
+    // table has the rows physically gone means a crash between the two
+    // leaves the tombstones anti-joining absent ids (a no-op), never a
+    // resurrected vector. Single-writer per the lifecycle convention.
+    val v = liveVectors(spark, indexDir)
       .dropDuplicates("vec_id").persist()
     v.repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/vectors.compact")
     v.unpersist(blocking = false)
     IndexFs.swapCompact(spark, s"$indexDir/vectors")
+    IndexFs.delete(spark, s"$indexDir/deletes")
   }
 
   /** [[semDedup]] with a TWO-LEVEL quantizer — the assignment scale

@@ -60,6 +60,12 @@ object ExtQueries {
   private val x116Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x117Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x117Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x126Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x126Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x127Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x127Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x128Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x128Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x121Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x121Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
@@ -4838,6 +4844,235 @@ object ExtQueries {
            |SELECT doc_id, lang, importance, gumbel_micro, key_micro,
            |  CAST(rnk AS INTEGER) AS "rank"
            |FROM rr WHERE rnk <= 25""".stripMargin
+      }),
+
+    // ---- x126: semantic index takedown — tombstoned delete (round 15) --
+    // The right-to-be-forgotten verb at the vector grain, merge-on-read:
+    // the delete lands as a tiny tombstone table every reader anti-joins
+    // out (effective at the next screen for O(|request|) I/O — never an
+    // index-sized rewrite on the takedown path), and the next compaction
+    // applies it durably and clears it. Build a third, append the rest,
+    // screen (phase `indexed`), tombstone vec_id % 9 = 1 TWICE (set
+    // semantics: deleting twice is deleting once — the replay gate),
+    // screen (phase `deleted`), compact (physical removal), screen
+    // (phase `compacted`). Phases `deleted` and `compacted` share one
+    // oracle block — merge-on-read must equal durable removal row for
+    // row. Centroids are untouched: the takedown removes DATA, not
+    // geometry (a deleted seed keeps serving as a reference point;
+    // geometry refresh is x116's rebuild, which also drops tombstones
+    // physically). Some bench ids are themselves tombstoned (vec_id ≡
+    // 307 mod 450) — their index self-copy vanishes, flipping their
+    // max_sim=1.0 self-match, so the delete phase is content-bearing.
+    ("x126_sem_index_delete",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x126_${s.sparkContext.applicationId}_${x126Seq.incrementAndGet()}")
+        Option(x126Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val emb = t(s, dir, "embeddings")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+        Similarity.writeSemanticIndex(
+          emb.filter(pmod(col("vec_id"), lit(3L)) === 0L), idx)
+        Similarity.appendSemanticIndexOnce(
+          emb.filter(pmod(col("vec_id"), lit(3L)) =!= 0L), idx, batchId = 1L)
+        val bench = emb.filter(pmod(col("vec_id"), lit(50L)) === 7L)
+        // materialize each phase BEFORE the next lifecycle step mutates
+        // the directory its lazy plan reads (the x116 discipline)
+        Similarity.semanticScreenIndex(bench, idx, minCos = 0.4)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/indexed")
+        val takedown = emb.filter(pmod(col("vec_id"), lit(9L)) === 1L)
+          .select(col("vec_id"))
+        Similarity.deleteFromSemanticIndex(takedown, idx)
+        Similarity.deleteFromSemanticIndex(takedown, idx) // replayed request
+        Similarity.semanticScreenIndex(bench, idx, minCos = 0.4)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/deleted")
+        Similarity.compactSemanticIndex(s, idx)
+        Similarity.semanticScreenIndex(bench, idx, minCos = 0.4)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/compacted")
+        s.read.parquet(s"$root/indexed").withColumn("phase", lit("indexed"))
+          .unionByName(s.read.parquet(s"$root/deleted")
+            .withColumn("phase", lit("deleted")))
+          .unionByName(s.read.parquet(s"$root/compacted")
+            .withColumn("phase", lit("compacted")))
+      },
+      Some {
+        // the x84/x116 verified screen stack, instantiated once per
+        // CORPUS (full vs post-takedown) under ONE frozen centroid set
+        def screen(px: String, corpus: String) =
+          s"""${px}ca1 AS (SELECT cv.vec_id, cv.v, c.centroid_id,
+             |    ${cosSql("cv.v", "c.cvv")} AS cs FROM $corpus cv, cents c),
+             |${px}ca AS (SELECT vec_id, v, centroid_id FROM
+             |    (SELECT *, row_number() OVER
+             |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+             |     FROM ${px}ca1) WHERE rn = 1),
+             |${px}ba1 AS (SELECT bv.vec_id, bv.v, c.centroid_id,
+             |    ${cosSql("bv.v", "c.cvv")} AS cs FROM bench bv, cents c),
+             |${px}ba AS (SELECT vec_id, v, centroid_id FROM
+             |    (SELECT *, row_number() OVER
+             |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+             |     FROM ${px}ba1) WHERE rn = 1),
+             |${px}m AS (SELECT ba.vec_id AS bench_id, ${cosSql("ba.v", "ca.v")} AS c_sim
+             |    FROM ${px}ba ba JOIN ${px}ca ca ON ba.centroid_id = ca.centroid_id),
+             |${px}w AS (SELECT bench_id, count(*) AS n_matches, max(c_sim) AS max_sim
+             |    FROM ${px}m WHERE c_sim >= 0.4 GROUP BY bench_id)""".stripMargin
+        def phaseSelect(phase: String, px: String) =
+          s"""SELECT '$phase' AS phase, b.vec_id AS bench_id,
+             |  CAST(COALESCE(w.n_matches, 0) AS BIGINT) AS n_matches,
+             |  w.max_sim, w.n_matches IS NOT NULL AS contaminated
+             |FROM bench b LEFT JOIN ${px}w w ON w.bench_id = b.vec_id""".stripMargin
+        s"""WITH se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+           |sd AS (SELECT * FROM se WHERE vec_id % 9 <> 1),
+           |bench AS (SELECT * FROM se WHERE vec_id % 50 = 7),
+           |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM se
+           |  WHERE vec_id % 3 = 0 AND vec_id % 100 = 0
+           |  ORDER BY vec_id LIMIT 1024),
+           |${screen("i", "se")},
+           |${screen("d", "sd")}
+           |${phaseSelect("indexed", "i")}
+           |UNION ALL
+           |${phaseSelect("deleted", "d")}
+           |UNION ALL
+           |${phaseSelect("compacted", "d")}""".stripMargin
+      }),
+
+    // ---- x127: near-dup index takedown — tombstoned delete (round 15) --
+    // x126's merge-on-read takedown at the document grain. The exact
+    // gate survives shared text because `hashes` now stores (doc_id, h)
+    // provenance: deleting one of two identical documents suppresses
+    // only ITS row, and the distinct-h probe set keeps the hash while
+    // any live document carries it. The frozen hot list is untouched —
+    // it is a cap, not content (a takedown shifting boilerplate
+    // frequencies is x117's rebuild case). Same three-phase gate:
+    // indexed / deleted (tombstoned twice — replay) / compacted, with
+    // the latter two sharing one oracle block.
+    ("x127_near_index_delete",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x127_${s.sparkContext.applicationId}_${x127Seq.incrementAndGet()}")
+        Option(x127Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val docs = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+        Dedup.writeNearDupIndex(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === 0L), idx, n = 3,
+          maxShingleDf = MaxShingleDf)
+        Dedup.appendNearDupIndexOnce(
+          docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L), idx,
+          batchId = 1L, n = 3)
+        val probe = docs.filter(pmod(col("doc_id"), lit(50L)) === 7L)
+        Dedup.screenAgainstNearDupIndex(probe, idx, n = 3, minJaccard = 0.8)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/indexed")
+        val takedown = docs.filter(pmod(col("doc_id"), lit(9L)) === 1L)
+          .select(col("doc_id"))
+        Dedup.deleteFromNearDupIndex(takedown, idx)
+        Dedup.deleteFromNearDupIndex(takedown, idx) // replayed request
+        Dedup.screenAgainstNearDupIndex(probe, idx, n = 3, minJaccard = 0.8)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/deleted")
+        Dedup.compactNearDupIndex(s, idx)
+        Dedup.screenAgainstNearDupIndex(probe, idx, n = 3, minJaccard = 0.8)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/compacted")
+        s.read.parquet(s"$root/indexed").withColumn("phase", lit("indexed"))
+          .unionByName(s.read.parquet(s"$root/deleted")
+            .withColumn("phase", lit("deleted")))
+          .unionByName(s.read.parquet(s"$root/compacted")
+            .withColumn("phase", lit("compacted")))
+      },
+      Some {
+        val live = "doc_id IS NOT NULL AND text IS NOT NULL"
+        // ONE frozen hot list (learned from the build third — the x117
+        // hotCtes shape) caps every phase; only the corpus changes
+        val hotCtes =
+          s"""fh0t AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents WHERE doc_id % 3 = 0 AND $live),
+             |fh0s AS (SELECT doc_id,
+             |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+             |  FROM fh0t),
+             |fh0 AS (SELECT DISTINCT doc_id, ${h32("s")} AS sh FROM fh0s),
+             |fhot AS (SELECT sh FROM fh0 GROUP BY sh
+             |  HAVING count(*) > $MaxShingleDf)""".stripMargin
+        def phaseSelect(phase: String, px: String) =
+          s"""SELECT '$phase' AS phase, doc_id, is_exact_dup, near_dup_of,
+             |  near_jaccard,
+             |  CASE WHEN is_exact_dup THEN 'drop_exact'
+             |       WHEN near_dup_of IS NOT NULL THEN 'drop_near'
+             |       ELSE 'keep' END AS verdict
+             |FROM ${px}ef LEFT JOIN ${px}best USING (doc_id)""".stripMargin
+        s"""WITH $hotCtes,
+           |${ndScreenCtes("i", s"doc_id % 50 = 7 AND $live", live, "fhot")},
+           |${ndScreenCtes("d", s"doc_id % 50 = 7 AND $live",
+            s"doc_id % 9 <> 1 AND $live", "fhot")}
+           |${phaseSelect("indexed", "i")}
+           |UNION ALL
+           |${phaseSelect("deleted", "d")}
+           |UNION ALL
+           |${phaseSelect("compacted", "d")}""".stripMargin
+      }),
+
+    // ---- x128: LM index takedown — negated-count delete (round 15) -----
+    // The right-to-be-forgotten verb for the ADDITIVE index: deleting a
+    // document set from a count table is appending its counts NEGATED,
+    // so the takedown rides the append machinery verbatim — batch-
+    // stamped rows, replay collapsed by distinct() (the delete runs
+    // TWICE under one batch_id and subtracts once), compaction
+    // stamp-preserving. The merged model retires any bigram whose live
+    // count reaches zero (from the counts AND the smoothing vocabulary
+    // V), making it bit-identical to a model trained on the remaining
+    // corpus — counts are additive over documents, and c1/V derive
+    // from c12. The caller hands back the documents (a model stores
+    // aggregates; content cannot be reconstructed from it — the x117
+    // hand-back contract). Three phases over the held-out src2 batch:
+    // indexed / deleted / compacted, latter two sharing one oracle
+    // block (merge-on-read ≡ durable).
+    ("x128_lm_index_delete",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x128_${s.sparkContext.applicationId}_${x128Seq.incrementAndGet()}")
+        Option(x128Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val docs = t(s, dir, "documents")
+        val train = docs.filter(col("source") =!= "src2")
+        val heldOut = docs.filter(col("source") === "src2")
+        graft.ext.LanguageModel.writeLmIndex(
+          train.filter(col("doc_id") % 2 === 0), idx)
+        graft.ext.LanguageModel.appendLmIndex(
+          train.filter(col("doc_id") % 2 =!= 0), idx, "a1")
+        graft.ext.LanguageModel.scoreAgainstLmIndex(heldOut, idx, minCount = 2L)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/indexed")
+        val takedown = train.filter(col("doc_id") % 5 === 1)
+        graft.ext.LanguageModel.deleteFromLmIndex(takedown, idx, "del1")
+        graft.ext.LanguageModel.deleteFromLmIndex(takedown, idx, "del1") // replay
+        graft.ext.LanguageModel.scoreAgainstLmIndex(heldOut, idx, minCount = 2L)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/deleted")
+        graft.ext.LanguageModel.compactLmIndex(s, idx)
+        graft.ext.LanguageModel.scoreAgainstLmIndex(heldOut, idx, minCount = 2L)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/compacted")
+        s.read.parquet(s"$root/indexed").withColumn("phase", lit("indexed"))
+          .unionByName(s.read.parquet(s"$root/deleted")
+            .withColumn("phase", lit("deleted")))
+          .unionByName(s.read.parquet(s"$root/compacted")
+            .withColumn("phase", lit("compacted")))
+      },
+      Some {
+        def phaseSelect(phase: String, px: String) =
+          s"""SELECT '$phase' AS phase, doc_id, lang, count(*) AS n_bigrams,
+             |  CAST(sum(lp) AS BIGINT) AS lp_micro,
+             |  CAST((CASE WHEN sum(lp) < 0 THEN -1 ELSE 1 END) * ((abs(CAST(sum(lp) AS BIGINT)) * 2 + count(*)) // (count(*) * 2)) AS DOUBLE) / 1000000.0 AS avg_logprob
+             |FROM ${px}lp GROUP BY 1, 2, 3""".stripMargin
+        s"""WITH ${lmCtes("source <> 'src2'", "source = 'src2'", "i")},
+           |${lmCtes("source <> 'src2' AND doc_id % 5 <> 1",
+            "source = 'src2'", "d")}
+           |${phaseSelect("indexed", "i")}
+           |UNION ALL
+           |${phaseSelect("deleted", "d")}
+           |UNION ALL
+           |${phaseSelect("compacted", "d")}""".stripMargin
       })
   )
 

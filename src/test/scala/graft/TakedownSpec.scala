@@ -1,0 +1,239 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, IndexFs, LanguageModel, Similarity}
+
+/** Round-15 takedown verb — right-to-be-forgotten deletes across the
+  * stored-index lifecycles (x126/x127/x128). The delete is
+  * merge-on-read: a tombstone write costs O(|request|), every reader
+  * anti-joins the tombstones out, and the next compaction applies them
+  * durably and clears them — never an index-sized rewrite on the
+  * takedown path. The LM grain instead negates counts (the additive
+  * index's natural retraction) and must land bit-identical to a model
+  * trained on the remaining corpus.
+  */
+class TakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 64
+  private def unit(axis: Int, eps: (Int, Float)*): Seq[Float] =
+    Seq.tabulate(dim) { d =>
+      if (d == axis) 1.0f
+      else eps.collectFirst { case (a, e) if a == d => e }.getOrElse(0.0f)
+    }
+
+  // two cells (centroid seeds 0 and 100 — vec_id % 100 == 0), one
+  // extra member each; vec 1 is the takedown subject
+  private def semFixture: DataFrame = Seq(
+    0L -> unit(0),            // centroid seed + data row, cell A
+    1L -> unit(0, 1 -> 0.3f), // cell A member — deleted below
+    100L -> unit(1),          // centroid seed + data row, cell B
+    101L -> unit(1, 2 -> 0.3f) // cell B member
+  ).toDF("vec_id", "embedding")
+
+  private def screenRows(bench: DataFrame, idx: String, minCos: Double) =
+    Similarity.semanticScreenIndex(bench, idx, minCos)
+      .orderBy("bench_id").collect().map(_.toSeq).toSeq
+
+  test("semantic takedown: deleted vector stops screening; survivors invariant; " +
+      "replay-safe; compact durable and clears tombstones") {
+    val idx = Files.createTempDirectory("graft_td_sem").toString + "/idx"
+    Similarity.writeSemanticIndex(semFixture, idx)
+    // bench 900 is an exact copy of vec 1 (cos 1.0); bench 901 of vec
+    // 101. minCos = 0.99 so vec 1's own cell-mates (cos ≈ 0.958
+    // against the centroid row) stay below the threshold — the flip is
+    // exactly the deleted vector's disappearance.
+    val bench = Seq(900L -> unit(0, 1 -> 0.3f), 901L -> unit(1, 2 -> 0.3f))
+      .toDF("vec_id", "embedding")
+    val before = screenRows(bench, idx, minCos = 0.99)
+    assert(before.map(r => (r(0), r(3))) === Seq((900L, true), (901L, true)),
+      s"both bench vectors match their index copies pre-delete: $before")
+    Similarity.deleteFromSemanticIndex(Seq(1L).toDF("vec_id"), idx)
+    val after = screenRows(bench, idx, minCos = 0.99)
+    assert(after.map(r => (r(0), r(3))) === Seq((900L, false), (901L, true)),
+      s"900's match is tombstoned; 901's survivor match is untouched: $after")
+    // replay: deleting twice is deleting once (set semantics, no marker)
+    Similarity.deleteFromSemanticIndex(Seq(1L).toDF("vec_id"), idx)
+    assert(screenRows(bench, idx, minCos = 0.99) === after)
+    // compaction applies the tombstones physically and clears them
+    Similarity.compactSemanticIndex(spark, idx)
+    assert(screenRows(bench, idx, minCos = 0.99) === after,
+      "merge-on-read and durable removal must screen identically")
+    assert(!IndexFs.exists(spark, s"$idx/deletes"),
+      "applied tombstones are cleared by the compaction")
+    assert(!spark.read.parquet(s"$idx/vectors").where(col("vec_id") === 1L)
+      .collect().nonEmpty, "the physical rows are gone after the compact")
+  }
+
+  test("semantic takedown: deleted vector is never mined as a hard negative; " +
+      "occupancy audits only live vectors") {
+    val idx = Files.createTempDirectory("graft_td_mine").toString + "/idx"
+    Similarity.writeSemanticIndex(semFixture, idx)
+    val anchors = Seq(0L -> unit(0)).toDF("vec_id", "embedding")
+    def mined = Similarity.hardNegativesIndexed(anchors, idx, k = 3,
+      dupCos = 0.99, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(mined.contains(1L),
+      "pre-delete, vec 1 (cos ≈ 0.958 < 0.99) is an admissible negative")
+    assert(Similarity.storedSemanticOccupancy(spark, idx)
+      .collect().head.getLong(0) === 2L, "two occupied cells")
+    Similarity.deleteFromSemanticIndex(Seq(1L, 101L).toDF("vec_id"), idx)
+    assert(!mined.contains(1L) && !mined.contains(101L),
+      "tombstoned vectors must not surface as training negatives")
+    // cell B's only member besides the seed is gone with 101; the seed
+    // row remains, so both cells stay occupied but the count drops
+    val occ = Similarity.storedSemanticOccupancy(spark, idx).collect().head
+    assert(occ.getLong(0) === 2L && occ.getLong(1) === 1L,
+      s"occupancy counts live vectors only: $occ")
+  }
+
+  test("semantic takedown: tombstone wins over a re-append until a compaction " +
+      "clears it; compact-then-append re-admits") {
+    val idx = Files.createTempDirectory("graft_td_readmit").toString + "/idx"
+    Similarity.writeSemanticIndex(semFixture, idx)
+    val bench = Seq(900L -> unit(0, 1 -> 0.3f)).toDF("vec_id", "embedding")
+    Similarity.deleteFromSemanticIndex(Seq(1L).toDF("vec_id"), idx)
+    // re-append the deleted vector BEFORE any compaction: the tombstone
+    // must keep suppressing it (dropping the tombstone early would
+    // resurrect the old physical rows — the takedown wins)
+    Similarity.appendSemanticIndex(
+      Seq(1L -> unit(0, 1 -> 0.3f)).toDF("vec_id", "embedding"), idx)
+    assert(screenRows(bench, idx, minCos = 0.99).head(3) === false,
+      "a re-append under a live tombstone stays suppressed")
+    // the documented re-admission path: compact (applies + clears the
+    // tombstone), THEN append
+    Similarity.compactSemanticIndex(spark, idx)
+    Similarity.appendSemanticIndex(
+      Seq(1L -> unit(0, 1 -> 0.3f)).toDF("vec_id", "embedding"), idx)
+    assert(screenRows(bench, idx, minCos = 0.99).head(3) === true,
+      "compact-then-append re-admits the vector")
+  }
+
+  test("semantic takedown: the tombstoned screen still partition-prunes and " +
+      "broadcasts the tombstone anti-join") {
+    val idx = Files.createTempDirectory("graft_td_plan").toString + "/idx"
+    Similarity.writeSemanticIndex(semFixture, idx)
+    Similarity.deleteFromSemanticIndex(Seq(1L).toDF("vec_id"), idx)
+    val bench = Seq(900L -> unit(0, 1 -> 0.3f)).toDF("vec_id", "embedding")
+    val df = Similarity.semanticScreenIndex(bench, idx, minCos = 0.4)
+    df.collect()
+    def expand(p: SparkPlan): String = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+    val p = expand(df.queryExecution.executedPlan) + "\n" +
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "the pruned cell read must survive the tombstone anti-join:\n" + p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "tombstones are request-sized and must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join may enter the screen via the takedown:\n" + p)
+  }
+
+  // ---- document grain (x127) ------------------------------------------
+
+  private def ndFixture = Seq(
+    (1L, "a b c d e f g h"),  // deleted below
+    (2L, "p q r s t u v w"),
+    (3L, "a b c d e f g h")   // identical text to doc 1 — the shared-hash edge
+  ).toDF("doc_id", "text")
+
+  private def ndVerdicts(probe: DataFrame, idx: String) =
+    Dedup.screenAgainstNearDupIndex(probe, idx, n = 3, minJaccard = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(4))).toSeq
+
+  test("near-dup takedown: shared-text hash survives one delete; both gone " +
+      "after both; near match retires; replay-safe; compact durable") {
+    val idx = Files.createTempDirectory("graft_td_nd").toString + "/idx"
+    Dedup.writeNearDupIndex(ndFixture, idx, n = 3)
+    val probe = Seq((10L, "a b c d e f g h"), (11L, "a b c d e f g q"))
+      .toDF("doc_id", "text")
+    assert(ndVerdicts(probe, idx) ===
+      Seq((10L, "drop_exact"), (11L, "drop_near")))
+    // deleting doc 1 must NOT un-gate the exact probe: doc 3 carries
+    // the same text, and hashes store (doc_id, h) provenance
+    Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), idx)
+    assert(ndVerdicts(probe, idx) ===
+      Seq((10L, "drop_exact"), (11L, "drop_near")),
+      "a live identical document keeps both gates")
+    // deleting the second copy retires the content entirely
+    Dedup.deleteFromNearDupIndex(Seq(3L).toDF("doc_id"), idx)
+    val gone = Seq((10L, "keep"), (11L, "keep"))
+    assert(ndVerdicts(probe, idx) === gone,
+      "with every copy tombstoned the content is forgotten")
+    // replay: same requests again, same verdicts
+    Dedup.deleteFromNearDupIndex(Seq(1L, 3L).toDF("doc_id"), idx)
+    assert(ndVerdicts(probe, idx) === gone)
+    // compaction applies the tombstones physically and clears them
+    Dedup.compactNearDupIndex(spark, idx)
+    assert(ndVerdicts(probe, idx) === gone,
+      "merge-on-read and durable removal must verdict identically")
+    assert(!IndexFs.exists(spark, s"$idx/deletes"))
+    Seq("hashes", "shingles", "sizes").foreach { t =>
+      assert(spark.read.parquet(s"$idx/$t")
+        .where(col("doc_id").isin(1L, 3L)).count() === 0L,
+        s"$t must hold no physical rows for the deleted docs")
+    }
+  }
+
+  test("near-dup takedown: a rebuild filters tombstoned docs out of the " +
+      "handed-back corpus and starts clean") {
+    val idx = Files.createTempDirectory("graft_td_ndrb").toString + "/idx"
+    Dedup.writeNearDupIndex(ndFixture, idx, n = 3)
+    Dedup.deleteFromNearDupIndex(Seq(1L, 3L).toDF("doc_id"), idx)
+    // careless caller hands back the ORIGINAL corpus, deleted docs included
+    Dedup.rebuildNearDupIndex(ndFixture, idx, n = 3)
+    val probe = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+    assert(ndVerdicts(probe, idx) === Seq((10L, "keep")),
+      "the takedown stays durable across a rebuild")
+    assert(!IndexFs.exists(spark, s"$idx/deletes"),
+      "the swapped-in directory starts with no tombstones")
+  }
+
+  // ---- model grain (x128) ----------------------------------------------
+
+  private def lmDocs = Seq(
+    (1L, "the cat sat on the mat the cat sat", "en"),
+    (2L, "the dog sat on the mat the dog ran", "en"),
+    (3L, "zebras graze quietly zebras graze calmly zebras doze", "en")
+  ).toDF("doc_id", "text", "lang")
+
+  test("LM takedown: negated counts make the stored model bit-identical to " +
+      "one trained on the remaining corpus; replay subtracts once; " +
+      "compaction preserves the retraction") {
+    val held = Seq((9L, "the cat ran on the mat zebras graze", "en"))
+      .toDF("doc_id", "text", "lang")
+    val full = Files.createTempDirectory("graft_td_lm").toString + "/idx"
+    LanguageModel.writeLmIndex(lmDocs.filter(col("doc_id") =!= 3L), full)
+    LanguageModel.appendLmIndex(lmDocs.filter(col("doc_id") === 3L), full, "a1")
+    // the reference: an index that never saw doc 3 — its vocabulary
+    // ("zebras", "graze", ...) must be gone from the deleted model too,
+    // or the smoothing V (and every probability) would differ
+    val ref = Files.createTempDirectory("graft_td_lmref").toString + "/idx"
+    LanguageModel.writeLmIndex(lmDocs.filter(col("doc_id") =!= 3L), ref)
+    def score(idx: String) =
+      LanguageModel.scoreAgainstLmIndex(held, idx, minCount = 1L)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val before = score(full)
+    LanguageModel.deleteFromLmIndex(lmDocs.filter(col("doc_id") === 3L),
+      full, "del1")
+    val want = score(ref)
+    assert(score(full) === want,
+      "post-takedown scores must equal the remaining-corpus model exactly")
+    assert(score(full) !== before, "the takedown changed the model")
+    // replayed delete under the SAME batch id: byte-identical negative
+    // rows that distinct() collapses — subtracted once, not twice
+    LanguageModel.deleteFromLmIndex(lmDocs.filter(col("doc_id") === 3L),
+      full, "del1")
+    assert(score(full) === want)
+    LanguageModel.compactLmIndex(spark, full)
+    assert(score(full) === want,
+      "the stamp-preserving compaction keeps the retraction")
+  }
+}
