@@ -48,6 +48,18 @@ object HardNegativeRecall {
       val hit = (got intersect brute).size
       println(f"""{"probe":"hard_negative_recall_pq","dir":"$dir","shortlist":$sl,"recall":${hit.toDouble / brute.size}%.4f,"pq_pairs":${got.size},"brute_pairs":${brute.size}}""")
     }
+    // the HEADROOM round-15 claim that the residual 100× misses are a
+    // CAP-BIND loss, not an nprobe loss ("a retrain — or a bigger cap —
+    // reclaims it"): re-run the miner with the 1024 rank cap lifted so
+    // every eligible seed becomes a centroid. If the claim holds,
+    // recall jumps where widening nprobe saturated.
+    Seq(2048, 4096).foreach { cap =>
+      val got = pairs(graft.ext.Similarity.hardNegativesIVF(
+        emb, k = 5, queryModulus = 100, dupCos = 0.9, nprobe = 2,
+        maxCentroids = cap))
+      val hit = (got intersect brute).size
+      println(f"""{"probe":"hard_negative_recall_cap","dir":"$dir","max_centroids":$cap,"recall":${hit.toDouble / brute.size}%.4f,"ivf_pairs":${got.size},"brute_pairs":${brute.size}}""")
+    }
     spark.stop()
   }
 }

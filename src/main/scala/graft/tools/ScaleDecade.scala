@@ -234,10 +234,14 @@ object ScaleDecade {
                         // pruning the x119 Scaladoc promised (the
                         // per-run assignment amortizes over anchors;
                         // the stored-index form removes it entirely)
-    "x121_stream_dsir") // round 14: the x111 replay class with TWO
+    "x121_stream_dsir", // round 14: the x111 replay class with TWO
                         // stored models — per-batch = two broadcast
                         // model reads + one append, decoupled from
                         // history size
+    "x126_takedown")    // round 15: takedown pricing across all three
+                        // grains — delete O(|request|) at every index
+                        // size, screens blind to tombstones, durable
+                        // removal riding the ordinary compaction
 
   /** Tables the Targets actually read — the 100× generation writes
     * nothing else (events at 100× would cost generation and disk for
@@ -671,6 +675,90 @@ object ScaleDecade {
             (System.nanoTime() - t3) / 1e9
           }.sorted
           println(f"""{"query":"x117_rebuild_$label","build_sec":$build%.3f,"append_sec":$append%.3f,"rebuild_sec":$rebuild%.3f,"screen_sec":${times(1)}%.3f}""")
+      }
+    }
+
+    // ---- x126/x127/x128: takedown pricing. Three claims, per grain:
+    // the DELETE costs O(|request|) however big the index (a fixed
+    // 20-id request must time flat across two decades); the SCREEN /
+    // SCORE is blind to live tombstones (the anti-join side is
+    // request-sized and broadcasts; the LM retraction is just more
+    // rows in a vocabulary-sized sum) — post-delete ≈ pre-delete; and
+    // durable removal rides the ORDINARY compaction, already priced
+    // linear. Fixed probe batches from the 1× dir at every scale (the
+    // x95 isolation discipline: a corpus-growing batch would conflate
+    // batch growth with index growth). Base-replica ids survive the
+    // decade scale-up unchanged, so the fixed id list hits live rows
+    // at every scale.
+    if (probeSelected("x126_takedown")) {
+      import spark.implicits._
+      val fixedIds = (0 until 20).map(i => 50L + 100L * i)
+      def med3(mk: => org.apache.spark.sql.DataFrame): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t1 = System.nanoTime()
+          mk.queryExecution.toRdd.count()
+          (System.nanoTime() - t1) / 1e9
+        }.sorted
+        ts(1)
+      }
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      Seq((src, "1x"), (out10, "10x"), (out100, "100x")).foreach {
+        case (d, label) =>
+          // semantic grain (x126)
+          val emb = graft.sources.Tables.load(spark, d, "embeddings")
+          val bench = graft.sources.Tables.load(spark, src, "embeddings")
+            .filter(col("vec_id") % 100 === 50)
+          val sidx = s"/tmp/graft_td_sem_decade_$label"
+          LocalFs.deleteRecursively(new java.io.File(sidx))
+          graft.ext.Similarity.writeSemanticIndex(emb, sidx)
+          val sPre = med3(graft.ext.Similarity
+            .semanticScreenIndex(bench, sidx, minCos = 0.4))
+          val sDel = timed(graft.ext.Similarity
+            .deleteFromSemanticIndex(fixedIds.toDF("vec_id"), sidx))
+          val sPost = med3(graft.ext.Similarity
+            .semanticScreenIndex(bench, sidx, minCos = 0.4))
+          val sCompact = timed(
+            graft.ext.Similarity.compactSemanticIndex(spark, sidx))
+          println(f"""{"query":"x126_takedown_sem_$label","screen_pre_sec":$sPre%.3f,"delete_sec":$sDel%.3f,"screen_post_sec":$sPost%.3f,"compact_sec":$sCompact%.3f}""")
+          // document grain (x127)
+          val docs = graft.sources.Tables.load(spark, d, "documents")
+          val probe = graft.sources.Tables.load(spark, src, "documents")
+            .filter(col("doc_id") % 100 === 50)
+          val nidx = s"/tmp/graft_td_nd_decade_$label"
+          LocalFs.deleteRecursively(new java.io.File(nidx))
+          graft.ext.Dedup.writeNearDupIndex(docs, nidx, n = 3,
+            maxShingleDf = 5)
+          val nPre = med3(graft.ext.Dedup
+            .screenAgainstNearDupIndex(probe, nidx, n = 3, minJaccard = 0.8))
+          val nDel = timed(graft.ext.Dedup
+            .deleteFromNearDupIndex(fixedIds.toDF("doc_id"), nidx))
+          val nPost = med3(graft.ext.Dedup
+            .screenAgainstNearDupIndex(probe, nidx, n = 3, minJaccard = 0.8))
+          val nCompact = timed(
+            graft.ext.Dedup.compactNearDupIndex(spark, nidx))
+          println(f"""{"query":"x126_takedown_nd_$label","screen_pre_sec":$nPre%.3f,"delete_sec":$nDel%.3f,"screen_post_sec":$nPost%.3f,"compact_sec":$nCompact%.3f}""")
+          // model grain (x128) — the delete is a batch scan + a batch-
+          // vocabulary aggregate (the docs come from the decade dir so
+          // their counts are actually in the model)
+          val lidx = s"/tmp/graft_td_lm_decade_$label"
+          LocalFs.deleteRecursively(new java.io.File(lidx))
+          graft.ext.LanguageModel.writeLmIndex(
+            docs.filter(col("source") =!= "src2"), lidx)
+          val held = graft.sources.Tables.load(spark, src, "documents")
+            .filter(col("source") === "src2")
+          val lPre = med3(graft.ext.LanguageModel
+            .scoreAgainstLmIndex(held, lidx, minCount = 2L))
+          val lDel = timed(graft.ext.LanguageModel.deleteFromLmIndex(
+            docs.filter(col("source") =!= "src2")
+              .filter(col("doc_id").isin(fixedIds.map(Long.box): _*)),
+            lidx, "del1"))
+          val lPost = med3(graft.ext.LanguageModel
+            .scoreAgainstLmIndex(held, lidx, minCount = 2L))
+          val lCompact = timed(
+            graft.ext.LanguageModel.compactLmIndex(spark, lidx))
+          println(f"""{"query":"x126_takedown_lm_$label","score_pre_sec":$lPre%.3f,"delete_sec":$lDel%.3f,"score_post_sec":$lPost%.3f,"compact_sec":$lCompact%.3f}""")
       }
     }
 
