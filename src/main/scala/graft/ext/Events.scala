@@ -378,8 +378,11 @@ object Events {
       "max(ts div 1000) as mx", "bit_xor(xxhash64(event_id, ts)) as h").head()
     def fpPart(i: Int) = if (fpRow.isNullAt(i)) "-" else fpRow.getLong(i).toString
     val fp = s"${fpRow.getLong(0)}:${fpPart(1)}:${fpPart(2)}:${fpPart(3)}"
+    // live partitions only: a crashed erasure compaction can leave
+    // batch=N.compact / batch=N.old siblings, which a bare
+    // startsWith+toLong would choke on (readClosedSessions heals them)
     val lastId = IndexFs.listNames(spark, closedDir)
-      .collect { case n if n.startsWith("batch=") =>
+      .collect { case n if n.matches("batch=\\d+") =>
         n.stripPrefix("batch=").toLong
       }.foldLeft(-1L)(math.max)
     val lastMarker = if (lastId < 0) None
@@ -420,5 +423,130 @@ object Events {
         spark.read.parquet(closedFin)
       } finally out.unpersist()
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // User erasure — the takedown verb (x126/x127/x128) at the session
+  // grain. A GDPR request names a USER and a request time: everything
+  // the store holds about them from before that time goes. Two
+  // different bills, matched to the two tables' sizes: the open-session
+  // STATE is O(users) and the fold rewrites it every batch anyway, so
+  // the erasure rewrites it eagerly through the same .next/aside/
+  // promote discipline; the CLOSED history grows with time, so it gets
+  // the merge-on-read tombstone (readers anti-join; the next
+  // compaction applies per partition and clears) — never a
+  // history-sized rewrite on the takedown path.
+  // ---------------------------------------------------------------------
+
+  /** Closed-history tombstone schema: (user_id, before_us). A session
+    * is erased iff its user matches AND it STARTED before the request
+    * cutoff — sessions the user begins after the request are new data,
+    * not covered by it (pass `beforeUs = Long.MaxValue` to forget the
+    * user entirely). Replay-safe set semantics: the same request
+    * appended twice is one request.
+    */
+  def eraseUserSessions(userIds: DataFrame, stateDir: String,
+      closedDir: String, beforeUs: Long = Long.MaxValue): Unit = {
+    val spark = userIds.sparkSession
+    userIds.select(col("user_id")).filter(col("user_id").isNotNull)
+      .distinct().withColumn("before_us", lit(beforeUs))
+      .repartition(1).write.mode("append").parquet(s"$closedDir/_deletes")
+    // the state rewrite: an open session that STARTED before the
+    // cutoff is the user's pre-request activity (append-only time
+    // means everything in it predates the request) and drops whole
+    if (IndexFs.exists(spark, stateDir)) {
+      val (next, old) = (stateDir + ".next", stateDir + ".old")
+      IndexFs.delete(spark, next); IndexFs.delete(spark, old)
+      erasureFilter(spark.read.parquet(stateDir), spark, closedDir)
+        .write.mode("overwrite").parquet(next)
+      IndexFs.renameOrFail(spark, stateDir, old,
+        "eraseUserSessions: state aside")
+      IndexFs.renameOrFail(spark, next, stateDir,
+        "eraseUserSessions: state swap")
+      IndexFs.delete(spark, old)
+    }
+    graft.tools.InternalCaches.releaseByPath(spark, closedDir)
+  }
+
+  /** Anti-join a session frame against the closed-history tombstones:
+    * drop rows whose user is named by a request AND whose
+    * session_start_us predates that request's cutoff. The tombstone
+    * side is takedown-request-sized and broadcasts.
+    */
+  private def erasureFilter(sessions: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      closedDir: String): DataFrame = {
+    val del = s"$closedDir/_deletes"
+    if (!IndexFs.exists(spark, del)) sessions
+    else {
+      val d = spark.read.parquet(del).distinct()
+        .withColumnRenamed("user_id", "del_user")
+      sessions.join(broadcast(d),
+        sessions("user_id") === col("del_user") &&
+          sessions("session_start_us") < col("before_us"),
+        "left_anti")
+    }
+  }
+
+  /** The supported read of the closed-session history: every live
+    * `batch=` provenance partition, erasure tombstones applied. Also
+    * the lifecycle's self-healing entry — a per-partition compaction
+    * swap crashed between its renames is completed here (the IndexFs
+    * recoverSwap discipline), which a naive
+    * `spark.read.parquet(closedDir)` cannot do (and that read would
+    * also miss the tombstones — this method IS the contract).
+    */
+  def readClosedSessions(spark: org.apache.spark.sql.SparkSession,
+      closedDir: String): DataFrame = {
+    import spark.implicits._
+    // heal crashed per-partition swaps first: a crash leaves
+    // batch=N.compact (and possibly batch=N.old) with no batch=N
+    val bases = IndexFs.listNames(spark, closedDir)
+      .collect { case n if n.matches("batch=\\d+(\\.compact|\\.old)?") =>
+        n.replaceAll("\\.(compact|old)$", "")
+      }.distinct
+    bases.foreach(b => IndexFs.recoverSwap(spark, s"$closedDir/$b"))
+    val live = IndexFs.listNames(spark, closedDir)
+      .filter(_.matches("batch=\\d+"))
+    val all =
+      if (live.isEmpty) Seq.empty[(Long, Long, Long, Long)]
+        .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+      else live.map(p => spark.read.parquet(s"$closedDir/$p"))
+        .reduce(_ unionByName _)
+    erasureFilter(all, spark, closedDir)
+  }
+
+  /** Apply the erasure tombstones to the closed history DURABLY: each
+    * live partition rewrites minus its erased rows and swaps
+    * tmp → old → live ([[IndexFs.swapCompact]] per partition — a crash
+    * at any point leaves a complete copy, and the no-live window is
+    * healed by [[readClosedSessions]]'s entry recovery). The
+    * `_graft_commit` marker is CARRIED into the rewrite: it
+    * fingerprints the partition's INPUT batch, which the erasure does
+    * not change — retry detection must keep recognizing a redelivered
+    * batch after its partition was compacted. Tombstones clear only
+    * after the LAST partition swaps; a crash between leaves them
+    * anti-joining already-absent rows — a no-op, never a resurrected
+    * session. Single-writer per the lifecycle convention.
+    */
+  def compactClosedSessions(spark: org.apache.spark.sql.SparkSession,
+      closedDir: String): Unit = {
+    val del = s"$closedDir/_deletes"
+    if (!IndexFs.exists(spark, del)) return
+    val bases = IndexFs.listNames(spark, closedDir)
+      .collect { case n if n.matches("batch=\\d+(\\.compact|\\.old)?") =>
+        n.replaceAll("\\.(compact|old)$", "")
+      }.distinct
+    bases.foreach(b => IndexFs.recoverSwap(spark, s"$closedDir/$b"))
+    IndexFs.listNames(spark, closedDir).filter(_.matches("batch=\\d+"))
+      .foreach { p =>
+        val src = s"$closedDir/$p"
+        erasureFilter(spark.read.parquet(src), spark, closedDir)
+          .write.mode("overwrite").parquet(s"$src.compact")
+        IndexFs.readSmall(spark, s"$src/_graft_commit").foreach(fp =>
+          IndexFs.writeSmall(spark, s"$src.compact/_graft_commit", fp))
+        IndexFs.swapCompact(spark, src)
+      }
+    IndexFs.delete(spark, del)
   }
 }

@@ -66,6 +66,8 @@ object ExtQueries {
   private val x127Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x128Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x128Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x129Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x129Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x121Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x121Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
@@ -5073,6 +5075,97 @@ object ExtQueries {
            |${phaseSelect("deleted", "d")}
            |UNION ALL
            |${phaseSelect("compacted", "d")}""".stripMargin
+      }),
+
+    // ---- x129: session-store user erasure (round 15) -------------------
+    // The takedown verb at the SESSION grain — a GDPR request names a
+    // user, and the stored sessionizer's two tables get two different
+    // bills matched to their sizes: the O(users) open-session STATE
+    // rewrites eagerly through the same .next/aside/promote discipline
+    // the fold already pays every batch, while the history-sized CLOSED
+    // partitions get the x126 merge-on-read tombstone
+    // (readClosedSessions anti-joins; compactClosedSessions applies per
+    // partition — carrying the _graft_commit retry markers, which
+    // fingerprint the INPUT batch the erasure does not change — and
+    // clears). Entry: the x71 four-quartile fold, then erase
+    // user_id % 7 = 3 (twice — replay), snapshot in three phases;
+    // `erased` and `compacted` share one oracle block, so merge-on-read
+    // must hash-equal durable removal. Oracle: x14's full-corpus
+    // sessionization, with the erased phases filtered to surviving
+    // users (per-user session_id ranks are untouched by dropping whole
+    // users).
+    ("x129_session_erasure",
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+        val mm = ev.select(expr("ts div 1000").as("us"))
+          .agg(min(col("us")), max(col("us"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val k = 4
+        val bounds = (0 to k).map(i => lo + (hi - lo + 1) * i / k)
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x129_${s.sparkContext.applicationId}_${x129Seq.incrementAndGet()}")
+        Option(x129Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val stateDir = new java.io.File(root, "state").getPath
+        val closedDir = new java.io.File(root, "closed").getPath
+        for (i <- 0 until k) {
+          val b = ev.filter(expr("ts div 1000") >= bounds(i) &&
+            expr("ts div 1000") < bounds(i + 1))
+          Events.sessionizeIncrementalStored(b, stateDir, closedDir)
+        }
+        val cols = Seq("user_id", "session_start_us", "session_end_us",
+          "n_events")
+        def snapshot(phase: String): Unit = {
+          val all = Events.readClosedSessions(s, closedDir)
+            .select(cols.map(col): _*)
+            .unionByName(s.read.parquet(stateDir).select(cols.map(col): _*))
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("session_start_us"))
+          all.withColumn("session_id", row_number().over(w).cast("long"))
+            .select(col("user_id"), col("session_id"), col("n_events"),
+              col("session_start_us"), col("session_end_us"),
+              (col("session_end_us") - col("session_start_us"))
+                .as("duration_us"))
+            .repartition(1).write.mode("overwrite").parquet(s"$root/$phase")
+        }
+        snapshot("stored")
+        val users = ev.filter(pmod(col("user_id"), lit(7L)) === 3L)
+          .select(col("user_id")).distinct()
+        Events.eraseUserSessions(users, stateDir, closedDir)
+        Events.eraseUserSessions(users, stateDir, closedDir) // replayed request
+        snapshot("erased")
+        Events.compactClosedSessions(s, closedDir)
+        snapshot("compacted")
+        s.read.parquet(s"$root/stored").withColumn("phase", lit("stored"))
+          .unionByName(s.read.parquet(s"$root/erased")
+            .withColumn("phase", lit("erased")))
+          .unionByName(s.read.parquet(s"$root/compacted")
+            .withColumn("phase", lit("compacted")))
+      },
+      Some {
+        def phaseSelect(phase: String, pred: String) =
+          s"""SELECT '$phase' AS phase, user_id, session_id, n_events,
+             |  session_start_us, session_end_us, duration_us
+             |FROM sess WHERE $pred""".stripMargin
+        s"""WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+           |l AS (SELECT *, lag(ts_us) OVER
+           |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM ev),
+           |n AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+           |        THEN 1 ELSE 0 END AS is_new FROM l),
+           |s AS (SELECT *, CAST(sum(is_new) OVER
+           |        (PARTITION BY user_id ORDER BY ts_us, event_id
+           |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM n),
+           |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+           |    min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           |    max(ts_us) - min(ts_us) AS duration_us
+           |  FROM s GROUP BY user_id, session_id)
+           |${phaseSelect("stored", "TRUE")}
+           |UNION ALL
+           |${phaseSelect("erased", "user_id % 7 <> 3")}
+           |UNION ALL
+           |${phaseSelect("compacted", "user_id % 7 <> 3")}""".stripMargin
       })
   )
 

@@ -759,6 +759,34 @@ object ScaleDecade {
           val lCompact = timed(
             graft.ext.LanguageModel.compactLmIndex(spark, lidx))
           println(f"""{"query":"x126_takedown_lm_$label","score_pre_sec":$lPre%.3f,"delete_sec":$lDel%.3f,"score_post_sec":$lPost%.3f,"compact_sec":$lCompact%.3f}""")
+          // session grain (x129) — fold the decade's events through the
+          // stored sessionizer (4 increments), erase a FIXED 20-user
+          // request, read the closed history pre/post, compact. The
+          // erase pays one O(users) state rewrite + the tombstone
+          // write; the read's anti-join side is request-sized.
+          val evts = graft.sources.Tables.load(spark, d, "events")
+          val mm = evts.select(expr("ts div 1000").as("us"))
+            .agg(min(col("us")), max(col("us"))).head()
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val sroot = s"/tmp/graft_td_sess_decade_$label"
+          LocalFs.deleteRecursively(new java.io.File(sroot))
+          val bounds = (0 to 4).map(i => lo + (hi - lo + 1) * i / 4)
+          val tFold0 = System.nanoTime()
+          for (i <- 0 until 4)
+            graft.ext.Events.sessionizeIncrementalStored(
+              evts.filter(expr("ts div 1000") >= bounds(i) &&
+                expr("ts div 1000") < bounds(i + 1)),
+              s"$sroot/state", s"$sroot/closed")
+          val fold = (System.nanoTime() - tFold0) / 1e9
+          val ePre = med3(graft.ext.Events
+            .readClosedSessions(spark, s"$sroot/closed"))
+          val eDel = timed(graft.ext.Events.eraseUserSessions(
+            fixedIds.toDF("user_id"), s"$sroot/state", s"$sroot/closed"))
+          val ePost = med3(graft.ext.Events
+            .readClosedSessions(spark, s"$sroot/closed"))
+          val eCompact = timed(graft.ext.Events
+            .compactClosedSessions(spark, s"$sroot/closed"))
+          println(f"""{"query":"x126_takedown_sess_$label","fold_sec":$fold%.3f,"read_pre_sec":$ePre%.3f,"erase_sec":$eDel%.3f,"read_post_sec":$ePost%.3f,"compact_sec":$eCompact%.3f}""")
       }
     }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, IndexFs, LanguageModel, Similarity}
+import graft.ext.{Dedup, Events, IndexFs, LanguageModel, Similarity}
 
 /** Round-15 takedown verb — right-to-be-forgotten deletes across the
   * stored-index lifecycles (x126/x127/x128). The delete is
@@ -235,5 +235,114 @@ class TakedownSpec extends SparkSpec {
     LanguageModel.compactLmIndex(spark, full)
     assert(score(full) === want,
       "the stamp-preserving compaction keeps the retraction")
+  }
+
+  // ---- session grain (x129) ---------------------------------------------
+
+  private val H = 3600L * 1000000 // one hour in µs
+  private def ev(user: Long, id: Long, us: Long) =
+    (id, us * 1000, user, "click", 1.0, "{}")
+  private def evDf(rows: (Long, Long, Long, String, Double, String)*) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("session erasure: user's closed + open sessions go, survivors stay, " +
+      "replay-safe; compact removes rows, clears tombstones, keeps markers; " +
+      "retry detection survives the compact") {
+    val root = Files.createTempDirectory("graft_td_sess").toString
+    val (stateDir, closedDir) = (s"$root/state", s"$root/closed")
+    // batch 1: user 1 at 0s/60s, user 2 at 30s/90s (both open after it);
+    // batch 2 past the 30-min gap closes both first sessions
+    Events.sessionizeIncrementalStored(
+      evDf(ev(1L, 10L, 0L), ev(1L, 11L, 60L * 1000000),
+        ev(2L, 20L, 30L * 1000000), ev(2L, 21L, 90L * 1000000)),
+      stateDir, closedDir)
+    val batch2 = evDf(ev(1L, 12L, 2 * H), ev(2L, 22L, 2 * H + 300L * 1000000))
+    Events.sessionizeIncrementalStored(batch2, stateDir, closedDir)
+    def closedUsers = Events.readClosedSessions(spark, closedDir)
+      .select("user_id").as[Long].collect().toSeq.sorted
+    def stateUsers = spark.read.parquet(stateDir)
+      .select("user_id").as[Long].collect().toSeq.sorted
+    assert(closedUsers === Seq(1L, 2L) && stateUsers === Seq(1L, 2L))
+    val req = Seq(1L).toDF("user_id")
+    Events.eraseUserSessions(req, stateDir, closedDir)
+    Events.eraseUserSessions(req, stateDir, closedDir) // replayed request
+    assert(closedUsers === Seq(2L),
+      "user 1's closed history is tombstoned; user 2's survives")
+    assert(stateUsers === Seq(2L),
+      "user 1's open session is erased from state eagerly")
+    Events.compactClosedSessions(spark, closedDir)
+    assert(closedUsers === Seq(2L),
+      "merge-on-read and durable removal must read identically")
+    assert(!IndexFs.exists(spark, s"$closedDir/_deletes"),
+      "applied tombstones are cleared")
+    val parts = IndexFs.listNames(spark, closedDir)
+      .filter(_.matches("batch=\\d+"))
+    parts.foreach { p =>
+      assert(spark.read.parquet(s"$closedDir/$p")
+        .where(col("user_id") === 1L).count() === 0L,
+        s"$p must hold no physical rows for the erased user")
+      assert(IndexFs.exists(spark, s"$closedDir/$p/_graft_commit"),
+        s"$p must keep its retry marker through the compact")
+    }
+    // a redelivery of the last batch after the compact must still be
+    // recognized (the marker fingerprints the INPUT, which the
+    // erasure did not change) — skip, no new partition
+    Events.sessionizeIncrementalStored(batch2, stateDir, closedDir).count()
+    assert(IndexFs.listNames(spark, closedDir)
+      .count(_.matches("batch=\\d+")) === parts.size,
+      "a post-compact retry must skip, not mint a new partition")
+  }
+
+  test("session erasure: the cutoff spares post-request sessions, and a user " +
+      "posting after erasure starts fresh instead of merging erased state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_td_cutoff").toString
+    val (stateDir, closedDir) = (s"$root/state", s"$root/closed")
+    Events.sessionizeIncrementalStored(
+      evDf(ev(1L, 10L, 0L), ev(1L, 11L, 60L * 1000000)), stateDir, closedDir)
+    // request at t = 1h: everything user 1 did before then goes
+    Events.eraseUserSessions(Seq(1L).toDF("user_id"), stateDir, closedDir,
+      beforeUs = H)
+    assert(spark.read.parquet(stateDir).count() === 0L,
+      "the pre-request open session drops whole")
+    // the user posts again at 2h — a FRESH session (merging into the
+    // erased state would resurrect pre-request data), closed by a
+    // later batch and visible to the reader (it started post-cutoff)
+    Events.sessionizeIncrementalStored(evDf(ev(1L, 12L, 2 * H)),
+      stateDir, closedDir)
+    Events.sessionizeIncrementalStored(evDf(ev(1L, 13L, 5 * H)),
+      stateDir, closedDir)
+    val visible = Events.readClosedSessions(spark, closedDir)
+      .select("user_id", "session_start_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(visible === Seq((1L, 2 * H, 1L)),
+      s"exactly the post-request session survives the reader: $visible")
+  }
+
+  test("session erasure: the reader heals a compaction crashed mid-swap") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_td_heal").toString
+    val (stateDir, closedDir) = (s"$root/state", s"$root/closed")
+    Events.sessionizeIncrementalStored(
+      evDf(ev(1L, 10L, 0L), ev(2L, 20L, 30L * 1000000)), stateDir, closedDir)
+    Events.sessionizeIncrementalStored(evDf(ev(1L, 11L, 2 * H), ev(2L, 21L, 2 * H)),
+      stateDir, closedDir)
+    val want = Events.readClosedSessions(spark, closedDir)
+      .orderBy("user_id", "session_start_us").collect().map(_.toSeq).toSeq
+    // stage a compacted copy of batch=1, crash between the two renames
+    // (live renamed aside, .compact not yet promoted)
+    val src = s"$closedDir/batch=1"
+    spark.read.parquet(src).write.mode("overwrite").parquet(s"$src.compact")
+    IndexFs.readSmall(spark, s"$src/_graft_commit").foreach(fp =>
+      IndexFs.writeSmall(spark, s"$src.compact/_graft_commit", fp))
+    val fs = IndexFs.fs(spark, src)
+    fs.rename(new org.apache.hadoop.fs.Path(src),
+      new org.apache.hadoop.fs.Path(s"$src.old"))
+    assert(Events.readClosedSessions(spark, closedDir)
+      .orderBy("user_id", "session_start_us").collect().map(_.toSeq).toSeq
+      === want, "the reader must complete the crashed swap and read identically")
+    // and the fold keeps working over the healed layout
+    Events.sessionizeIncrementalStored(evDf(ev(1L, 12L, 5 * H)),
+      stateDir, closedDir).count()
   }
 }
