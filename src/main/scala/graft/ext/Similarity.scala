@@ -1698,6 +1698,9 @@ object Similarity {
     */
   def ivfPqAppendIndex(newEmb: DataFrame, indexDir: String): Unit = {
     val spark = newEmb.sparkSession
+    // heal a crashed compaction swap BEFORE appending (an append into a
+    // missing live dir would fork the index away from the .compact copy)
+    IndexFs.recoverSwap(spark, s"$indexDir/codes")
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cws = spark.read.parquet(s"$indexDir/codebook")
     encodeAgainst(vecs(newEmb), cents, cws, storedM(cws))
@@ -1712,6 +1715,62 @@ object Similarity {
     */
   private def storedM(cws: DataFrame): Int =
     (cws.agg(max(col("subspace"))).head().getLong(0) + 1).toInt
+
+  /** The stored `codes` table with takedown tombstones applied — the
+    * [[liveVectors]] discipline for the IVF-PQ index. A crashed
+    * [[ivfPqCompactIndex]] swap self-heals first.
+    */
+  private def liveCodes(spark: SparkSession, indexDir: String): DataFrame = {
+    IndexFs.recoverSwap(spark, s"$indexDir/codes")
+    val c = spark.read.parquet(s"$indexDir/codes")
+    val del = s"$indexDir/deletes"
+    if (IndexFs.exists(spark, del))
+      c.join(broadcast(spark.read.parquet(del).distinct()),
+        Seq("vec_id"), "left_anti")
+    else c
+  }
+
+  /** Takedown for the persisted IVF-PQ index — the
+    * [[deleteFromSemanticIndex]] verb at the compressed grain: vec_ids
+    * land as tombstones (`deletes/`, set-semantics replay-safe),
+    * searches anti-join them out of the codes read (so a taken-down
+    * vector can never reach a shortlist, and therefore never the exact
+    * re-rank either), and [[ivfPqCompactIndex]] applies them durably.
+    * Quantizers are untouched — data, not geometry (the x126
+    * doctrine); a retrain is [[ivfPqWriteIndex]] with `trainIters`.
+    * Tombstones win over re-appends until a compaction clears them
+    * (re-admission = compact-then-append).
+    */
+  def deleteFromIvfPqIndex(vecIds: DataFrame, indexDir: String): Unit = {
+    val spark = vecIds.sparkSession
+    IndexFs.recoverSwap(spark, s"$indexDir/codes")
+    vecIds.select(col("vec_id")).filter(col("vec_id").isNotNull).distinct()
+      .repartition(1).write.mode("append").parquet(s"$indexDir/deletes")
+    graft.tools.InternalCaches.releaseByPath(spark, indexDir)
+  }
+
+  /** Offline maintenance for the codes table: apply takedown
+    * tombstones durably and collapse the per-append file accumulation
+    * ([[ivfPqAppendIndex]] adds files, never rewrites — this is where
+    * they fold), preserving the `partitionBy(centroid_id)` layout the
+    * search side's partition pruning depends on. tmp → old → live swap
+    * with the usual recovery ([[IndexFs.recoverSwap]] at every search
+    * entry); tombstones clear strictly after the swap — a crash
+    * between leaves them anti-joining absent rows, never a
+    * resurrected vector.
+    */
+  def ivfPqCompactIndex(spark: SparkSession, indexDir: String): Unit = {
+    IndexFs.recoverSwap(spark, s"$indexDir/codes")
+    // local persist, not the memoized registry: the frame reads the
+    // very directory the swap replaces
+    val c = liveCodes(spark, indexDir).persist()
+    c.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/codes.compact")
+    c.unpersist(blocking = false)
+    IndexFs.swapCompact(spark, s"$indexDir/codes")
+    IndexFs.delete(spark, s"$indexDir/deletes")
+  }
 
   /** x59 search half — query a PERSISTED IVF-PQ index: reads the three
     * tables [[ivfPqWriteIndex]] wrote and runs the search pipeline
@@ -1746,7 +1805,7 @@ object Similarity {
       ivfPqProbes(cents, queries, nprobe))
     val probedIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes = liveCodes(spark, indexDir)
       .filter(col("centroid_id").isin(probedIds: _*))
     ivfPqSearchFrames(codes, cents, cws, queries, k, nprobe, m, Some(probes))
   }

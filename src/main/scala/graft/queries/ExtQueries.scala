@@ -68,6 +68,8 @@ object ExtQueries {
   private val x128Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x129Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x129Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x130Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x130Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x121Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x121Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
@@ -5166,6 +5168,63 @@ object ExtQueries {
            |${phaseSelect("erased", "user_id % 7 <> 3")}
            |UNION ALL
            |${phaseSelect("compacted", "user_id % 7 <> 3")}""".stripMargin
+      }),
+
+    // ---- x130: IVF-PQ index takedown (round 15) ------------------------
+    // The x126 tombstone verb at the compressed grain, completing the
+    // takedown family across every stored index: build the persisted
+    // IVF-PQ index (x59), search (phase `indexed`), tombstone
+    // vec_id % 9 = 1 twice (replay), search (phase `deleted` — a
+    // taken-down vector can never reach a shortlist, so the exact
+    // re-rank never sees it either), compact (applies durably, folds
+    // the append files, preserves the partitionBy layout), search
+    // (phase `compacted`). Quantizers untouched — data, not geometry.
+    // Oracle: x59's chain with the deleted phases' candidate set
+    // filtered to surviving neighbors (deletion removes codes ROWS;
+    // everyone else's assignment and encoding are unchanged because
+    // the quantizers derive from the full corpus either way).
+    ("x130_ivfpq_index_delete",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x130_${s.sparkContext.applicationId}_${x130Seq.incrementAndGet()}")
+        Option(x130Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqWriteIndex(emb, idx)
+        def search = Similarity.ivfPqSearchIndex(emb, idx,
+          queryIds = Seq(7L, 177L, 357L))
+        search.repartition(1).write.mode("overwrite").parquet(s"$root/indexed")
+        val takedown = emb.filter(pmod(col("vec_id"), lit(9L)) === 1L)
+          .select(col("vec_id"))
+        Similarity.deleteFromIvfPqIndex(takedown, idx)
+        Similarity.deleteFromIvfPqIndex(takedown, idx) // replayed request
+        search.repartition(1).write.mode("overwrite").parquet(s"$root/deleted")
+        Similarity.ivfPqCompactIndex(s, idx)
+        search.repartition(1).write.mode("overwrite")
+          .parquet(s"$root/compacted")
+        s.read.parquet(s"$root/indexed").withColumn("phase", lit("indexed"))
+          .unionByName(s.read.parquet(s"$root/deleted")
+            .withColumn("phase", lit("deleted")))
+          .unionByName(s.read.parquet(s"$root/compacted")
+            .withColumn("phase", lit("compacted")))
+      },
+      Some {
+        def phaseSelect(phase: String, pred: String) =
+          s"""SELECT '$phase' AS phase, query_id,
+             |  CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
+             |FROM (SELECT *, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+             |      FROM scored WHERE $pred)
+             |WHERE rnk <= 5""".stripMargin
+        s"""WITH $pqEncodeCtes,
+           |$ivfPqScoredCtes
+           |${phaseSelect("indexed", "TRUE")}
+           |UNION ALL
+           |${phaseSelect("deleted", "neighbor_id % 9 <> 1")}
+           |UNION ALL
+           |${phaseSelect("compacted", "neighbor_id % 9 <> 1")}""".stripMargin
       })
   )
 

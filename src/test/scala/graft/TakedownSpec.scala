@@ -135,6 +135,42 @@ class TakedownSpec extends SparkSpec {
       "no shuffle join may enter the screen via the takedown:\n" + p)
   }
 
+  test("IVF-PQ takedown: deleted vector never reaches the shortlist or the " +
+      "re-rank; replay-safe; compact durable, layout preserved, re-admission " +
+      "after compact") {
+    val idx = Files.createTempDirectory("graft_td_pq").toString + "/idx"
+    Similarity.ivfPqWriteIndex(semFixture, idx)
+    def hits = Similarity.ivfPqSearchIndex(semFixture, idx,
+      queryIds = Seq(0L), k = 3, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.contains(1L), "pre-delete, vec 1 is a neighbor of anchor 0")
+    Similarity.deleteFromIvfPqIndex(Seq(1L).toDF("vec_id"), idx)
+    Similarity.deleteFromIvfPqIndex(Seq(1L).toDF("vec_id"), idx) // replay
+    assert(!hits.contains(1L), "a tombstoned vector must not surface")
+    // the verified re-rank path funnels through the same codes read: a
+    // tombstoned row cannot reach the shortlist, so the exact pass
+    // never sees it either
+    val reranked = Similarity.ivfPqSearchIndexReranked(semFixture, idx,
+      queryIds = Seq(0L), k = 3, shortlist = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!reranked.contains(1L))
+    val want = hits
+    Similarity.ivfPqCompactIndex(spark, idx)
+    assert(hits === want, "merge-on-read and durable removal search identically")
+    assert(!IndexFs.exists(spark, s"$idx/deletes"),
+      "applied tombstones are cleared by the compaction")
+    assert(spark.read.parquet(s"$idx/codes")
+      .where(col("vec_id") === 1L).count() === 0L,
+      "the physical code rows are gone")
+    assert(IndexFs.listNames(spark, s"$idx/codes")
+      .exists(_.startsWith("centroid_id=")),
+      "the compact must preserve the partitionBy layout pruning depends on")
+    // the documented re-admission path: compact-then-append
+    Similarity.ivfPqAppendIndex(
+      Seq(1L -> unit(0, 1 -> 0.3f)).toDF("vec_id", "embedding"), idx)
+    assert(hits.contains(1L), "compact-then-append re-admits the vector")
+  }
+
   // ---- document grain (x127) ------------------------------------------
 
   private def ndFixture = Seq(
