@@ -353,6 +353,22 @@ object Similarity {
       .select(idCols.map(col) :+ col(vCol) :+ col(refId): _*)
   }
 
+  /** The semantic cell id of every vector — the shared capped coarse
+    * quantizer ([[ivfCentroids]] seeds + the family-wide
+    * [[nearestRef]] rounding/tie-break) exposed as a public frame for
+    * compositions that organize DOCUMENTS by embedding neighborhood
+    * (x131's in-context packing groups context windows by this cell).
+    * One broadcast-centroid scan + the sort-free heap top-1; the cap
+    * keeps the assignment O(n·maxCentroids) (the x56 linearity
+    * discipline). Output: (vec_id, centroid_id).
+    */
+  def semanticCells(emb: DataFrame, centroidModulus: Int = 100,
+      maxCentroids: Int = 1024): DataFrame = {
+    val all = vecs(emb)
+    assignToCentroids(all, ivfCentroids(all, centroidModulus, maxCentroids))
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
   /** One Lloyd iteration of k-means over the embedding column — the
     * training step that produces a real IVF coarse quantizer (the
     * modulus seeding above is iteration 0). Assignment is the shared

@@ -5225,7 +5225,63 @@ object ExtQueries {
            |${phaseSelect("deleted", "neighbor_id % 9 <> 1")}
            |UNION ALL
            |${phaseSelect("compacted", "neighbor_id % 9 <> 1")}""".stripMargin
-      })
+      }),
+
+    // ---- x131: in-context packing — semantically coherent windows -----
+    // In-Context Pretraining (Shi et al. 2023, arXiv:2310.10638 §2):
+    // pretraining context windows assembled from RELATED documents
+    // instead of random neighbors — the model learns to use
+    // cross-document context. Here "related" is the engine's own
+    // semantic neighborhood: each document's embedding assigns to a
+    // capped coarse cell (the shared quantizer every dedup/ANN family
+    // member uses — vec_id and doc_id share the fixture's id domain),
+    // and x48's greedy packer fills 256-token windows WITHIN each
+    // cell. Both stages are the scale paths of their families: the
+    // assignment is one broadcast-centroid scan + the sort-free heap
+    // top-1, the packer one hash exchange + a streaming O(1)-state
+    // fold per cell. Oracle: the x84 assignment CTE chain feeding the
+    // x48 recursive-CTE greedy fold, partitioned by cell.
+    ("x131_incontext_packing",
+      (s: SparkSession, dir: String) => {
+        val cells = Similarity.semanticCells(
+          t(s, dir, "embeddings")
+            .filter(col("vec_id").isNotNull && col("embedding").isNotNull))
+        val docs = t(s, dir, "documents")
+          .join(cells, col("doc_id") === col("vec_id"))
+        graft.ext.Packing.packGreedy(docs, "centroid_id", "doc_id",
+          size(graft.functions.Portable.tokens(col("text"))), budget = 256)
+      },
+      Some(s"""WITH RECURSIVE se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM se
+              |  WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+              |ca1 AS (SELECT cv.vec_id, c.centroid_id,
+              |    ${cosSql("cv.v", "c.cvv")} AS cs FROM se cv, cents c),
+              |ca AS (SELECT vec_id, centroid_id FROM
+              |    (SELECT *, row_number() OVER
+              |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+              |     FROM ca1) WHERE rn = 1),
+              |d AS (
+              |  SELECT CAST(ca.centroid_id AS VARCHAR) AS cell,
+              |    CAST(0 AS BIGINT) AS shard, doc_id,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+              |    row_number() OVER (PARTITION BY ca.centroid_id ORDER BY doc_id) AS rn
+              |  FROM documents JOIN ca ON doc_id = ca.vec_id
+              |  WHERE doc_id IS NOT NULL
+              |    AND len(string_split(trim(text), ' ')) > 0),
+              |p AS (
+              |  SELECT cell, shard, doc_id, n_tokens, rn,
+              |    n_tokens AS fill, CAST(1 AS BIGINT) AS bin_id
+              |  FROM d WHERE rn = 1
+              |  UNION ALL
+              |  SELECT d.cell, d.shard, d.doc_id, d.n_tokens, d.rn,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+              |         ELSE p.fill + d.n_tokens END,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin_id + 1
+              |         ELSE p.bin_id END
+              |  FROM p JOIN d ON d.cell = p.cell AND d.rn = p.rn + 1)
+              |SELECT cell AS centroid_id, shard, doc_id, n_tokens, bin_id
+              |FROM p""".stripMargin))
   )
 
   /** The x122 oracle — x08's capped assignment/probe CTE chain + the

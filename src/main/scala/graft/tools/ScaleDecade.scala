@@ -39,6 +39,9 @@ object ScaleDecade {
     "x27_curation_pipeline",
     "x46_source_overlap_kmv",
     "x48_sequence_packing",
+    "x131_incontext_packing", // round 15: cell assignment (broadcast
+                        // quantizer, capped) + per-cell greedy fold —
+                        // should track x48 plus the x84 assignment term
     "x51_table_profile",
     "x53_table_profile_kmv",
     "x66_profile_all",  // round 10: the one-scan composed profile —

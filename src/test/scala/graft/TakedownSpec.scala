@@ -171,6 +171,26 @@ class TakedownSpec extends SparkSpec {
     assert(hits.contains(1L), "compact-then-append re-admits the vector")
   }
 
+  test("IVF-PQ takedown: the tombstoned search still partition-prunes and " +
+      "broadcasts the anti-join") {
+    val idx = Files.createTempDirectory("graft_td_pqplan").toString + "/idx"
+    Similarity.ivfPqWriteIndex(semFixture, idx)
+    Similarity.deleteFromIvfPqIndex(Seq(1L).toDF("vec_id"), idx)
+    val df = Similarity.ivfPqSearchIndex(semFixture, idx,
+      queryIds = Seq(0L), k = 3, nprobe = 1)
+    df.collect()
+    def expand(p: SparkPlan): String = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case other => other.toString
+    }
+    val p = expand(df.queryExecution.executedPlan) + "\n" +
+      df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(p).isDefined,
+      "the pruned codes read must survive the tombstone anti-join:\n" + p)
+    assert(p.contains("LeftAnti") && !p.contains("SortMergeJoin"),
+      "tombstones are request-sized — broadcast anti-join only:\n" + p)
+  }
+
   // ---- document grain (x127) ------------------------------------------
 
   private def ndFixture = Seq(
