@@ -83,6 +83,54 @@ object Packing {
       .toDF(stratumCol, "shard", idCol, "n_tokens", "bin_id")
   }
 
+  /** [[packGreedy]] emitting the TENSOR-ASSEMBLY columns a training
+    * dataloader actually consumes: each document's token OFFSET inside
+    * its bin's concatenated window and its 0-based document position
+    * within the bin. The offsets ARE the example boundaries —
+    * block-diagonal attention masking (documents packed into one
+    * window must not attend across boundaries) and per-example loss
+    * masking both read exactly this (offset, offset + n_tokens) span
+    * list per bin. Same streaming fold, same O(1) state (fill + bin
+    * counter + position); the shared (stratum, shard, id, n_tokens,
+    * bin_id) columns are bit-identical to [[packGreedy]]'s because the
+    * offset is derived from the same fill the bin decision reads
+    * (offset = fill before this document; 0 when the document opens
+    * its bin) — spec-gated in PackingSpec.
+    * Output: (stratumCol, shard, idCol, n_tokens, bin_id, offset, pos).
+    */
+  def packGreedyOffsets(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      tokensCol: Column,
+      budget: Long,
+      subShards: Int = 1): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(subShards >= 1, "subShards must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(stratumCol).isNotNull && col(idCol).isNotNull &&
+        tokensCol.cast("long") > 0)
+      .select(col(stratumCol).cast("string").as("__stratum"),
+        pmod(col(idCol), lit(subShards.toLong)).cast("long").as("__shard"),
+        col(idCol).cast("long").as("__id"), tokensCol.cast("long").as("__n"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey { case (stratum, shard, _, _) => (stratum, shard) }
+      .flatMapSortedGroups($"__id") { case ((stratum, shard), rows) =>
+        var fill = 0L
+        var bin = 0L
+        var pos = 0L
+        rows.map { case (_, _, id, nTokens) =>
+          if (bin == 0L || fill + nTokens > budget) {
+            bin += 1; fill = nTokens; pos = 0L
+          } else { fill += nTokens; pos += 1L }
+          (stratum, shard, id, nTokens, bin, fill - nTokens, pos)
+        }
+      }
+      .toDF(stratumCol, "shard", idCol, "n_tokens", "bin_id", "offset", "pos")
+  }
+
   /** Overlapping token-window chunking — the RAG / long-context
     * preprocessing step: each document's token array is cut into
     * windows of `chunkSize` tokens whose starts advance by

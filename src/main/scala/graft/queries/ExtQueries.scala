@@ -3443,7 +3443,11 @@ object ExtQueries {
         graft.ext.Packing.packGreedy(docs, "lang", "doc_id",
           size(graft.functions.Portable.tokens(col("text"))), budget = 256)
       },
-      Some("""WITH RECURSIVE d AS (
+      // d MATERIALIZED: the recursive part references d once per
+      // level, and DuckDB's CTE inlining would otherwise re-expand the
+      // tokenize+window over the whole corpus at every level (the x98
+      // lesson — measured pathological at the 10× sweep)
+      Some("""WITH RECURSIVE d AS MATERIALIZED (
              |  SELECT lang, CAST(0 AS BIGINT) AS shard, doc_id,
              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
              |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
@@ -5281,7 +5285,57 @@ object ExtQueries {
               |         ELSE p.bin_id END
               |  FROM p JOIN d ON d.cell = p.cell AND d.rn = p.rn + 1)
               |SELECT cell AS centroid_id, shard, doc_id, n_tokens, bin_id
-              |FROM p""".stripMargin))
+              |FROM p""".stripMargin)),
+
+    // ---- x132: pack offsets — the tensor-assembly contract ------------
+    // x48's windows with the columns a dataloader actually consumes:
+    // each document's token OFFSET inside its bin's concatenated
+    // window and its position within the bin — the example boundaries
+    // block-diagonal attention masking and per-example loss masking
+    // read (a packed window's documents must not attend across
+    // boundaries; the (offset, offset + n_tokens) spans ARE the mask).
+    // Same streaming O(1)-state fold; the shared columns are
+    // bit-identical to x48's (spec-gated). Registered at
+    // subShards = 16 — the giant-stratum scale posture, which ALSO
+    // puts the subShards knob under the hash gate for the first time
+    // (x48 gates the single-stream fold; PackingSpec covers the knob's
+    // invariants) AND bounds the oracle's recursion depth to the max
+    // per-(stratum, shard) chain (the un-sharded 10× recursion joins
+    // 12.5k levels deep — measured pathological in DuckDB). Oracle:
+    // x48's recursive greedy fold carrying the fill forward — offset =
+    // fill before the document, pos = 0 on a bin open else prior + 1.
+    ("x132_packing_offsets",
+      (s: SparkSession, dir: String) =>
+        graft.ext.Packing.packGreedyOffsets(t(s, dir, "documents"), "lang",
+          "doc_id", size(graft.functions.Portable.tokens(col("text"))),
+          budget = 256, subShards = 16),
+      Some("""WITH RECURSIVE d AS MATERIALIZED (
+             |  SELECT lang, CAST(doc_id % 16 AS BIGINT) AS shard, doc_id,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             |    row_number() OVER (PARTITION BY lang, doc_id % 16
+             |      ORDER BY doc_id) AS rn
+             |  FROM documents
+             |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+             |    AND len(string_split(trim(text), ' ')) > 0),
+             |p AS (
+             |  SELECT lang, shard, doc_id, n_tokens, rn,
+             |    n_tokens AS fill, CAST(1 AS BIGINT) AS bin_id,
+             |    CAST(0 AS BIGINT) AS "offset", CAST(0 AS BIGINT) AS pos
+             |  FROM d WHERE rn = 1
+             |  UNION ALL
+             |  SELECT d.lang, d.shard, d.doc_id, d.n_tokens, d.rn,
+             |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+             |         ELSE p.fill + d.n_tokens END,
+             |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin_id + 1
+             |         ELSE p.bin_id END,
+             |    CASE WHEN p.fill + d.n_tokens > 256 THEN CAST(0 AS BIGINT)
+             |         ELSE p.fill END,
+             |    CASE WHEN p.fill + d.n_tokens > 256 THEN CAST(0 AS BIGINT)
+             |         ELSE p.pos + 1 END
+             |  FROM p JOIN d ON d.lang = p.lang AND d.shard = p.shard
+             |              AND d.rn = p.rn + 1)
+             |SELECT lang, shard, doc_id, n_tokens, bin_id, "offset", pos
+             |FROM p""".stripMargin))
   )
 
   /** The x122 oracle — x08's capped assignment/probe CTE chain + the

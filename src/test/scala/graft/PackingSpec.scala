@@ -106,6 +106,39 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packGreedyOffsets: shared columns bit-identical to packGreedy; " +
+      "offsets are the concatenation spans; pos dense per bin") {
+    val plain = Packing.packGreedy(docs, "lang", "doc_id", col("w"),
+      budget = 10).orderBy("lang", "doc_id")
+      .collect().map(_.toSeq).toSeq
+    val off = Packing.packGreedyOffsets(docs, "lang", "doc_id", col("w"),
+      budget = 10)
+    assert(off.select("lang", "shard", "doc_id", "n_tokens", "bin_id")
+      .orderBy("lang", "doc_id").collect().map(_.toSeq).toSeq === plain,
+      "the offset variant must not perturb the packing itself")
+    // per bin, in pos order: offsets are the running token sum (the
+    // exact spans a block-diagonal attention mask reads), pos is dense
+    // from 0, and the first document starts at offset 0
+    off.collect().groupBy(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      .foreach { case (bin, rows) =>
+        val sorted = rows.sortBy(_.getLong(6)) // pos
+        assert(sorted.map(_.getLong(6)).toSeq === sorted.indices.map(_.toLong),
+          s"pos must be dense from 0 in $bin")
+        var expect = 0L
+        sorted.foreach { r =>
+          assert(r.getLong(5) === expect,
+            s"offset must equal the running fill in $bin: $r")
+          expect += r.getLong(3)
+        }
+      }
+    // the crafted fold: bin 1 of stratum a holds ids 1 (offset 0) and
+    // 2 (offset 4); every bin-opening doc sits at offset 0, pos 0
+    val byId = off.collect().map(r => r.getLong(2) ->
+      (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(byId(1L) === ((1L, 0L, 0L)) && byId(2L) === ((1L, 4L, 1L)))
+    assert(byId(3L) === ((2L, 0L, 0L)) && byId(5L) === ((4L, 0L, 0L)))
+  }
+
   test("chunkTokens: window starts, overlap, and tail coverage") {
     val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "x y"))
       .toDF("doc_id", "text")
