@@ -653,7 +653,30 @@ object Dedup {
     // distinct-hash set cannot express — see deleteFromNearDupIndex
     existing.select(col("doc_id"), md5(col("text")).as("h")).distinct()
       .write.mode("overwrite").parquet(s"$indexDir/hashes")
+    IndexFs.writeSmall(spark, s"$indexDir/_format", NearDupFormat)
   }
+
+  /** On-disk format version of the near-dup index. "2" = the hashes
+    * table carries (doc_id, h) provenance; the unstamped v1 layout
+    * stored distinct `h` only. The two must never mix in one
+    * directory: schema inference picks one file's footer, so a v1 file
+    * winning surfaces v2 rows with `doc_id` NULL and
+    * [[deleteFromNearDupIndex]]'s anti-join silently stops suppressing
+    * the pre-upgrade hash rows of a taken-down document, while a v2
+    * file winning fails the doc_id-dependent reads at analysis.
+    * [[requireNearDupFormat]] gates every verb that touches the stored
+    * tables; [[rebuildNearDupIndex]] is exempt — it is the remedy.
+    */
+  private val NearDupFormat = "2"
+
+  private def requireNearDupFormat(spark: SparkSession, indexDir: String): Unit =
+    if (IndexFs.exists(spark, s"$indexDir/hashes") &&
+        !IndexFs.readSmall(spark, s"$indexDir/_format").contains(NearDupFormat))
+      throw new IllegalStateException(
+        s"near-dup index at $indexDir predates the (doc_id, h) hashes " +
+          "format (no _format stamp): appending or deleting would mix " +
+          "schemas in one table and silently break takedown suppression " +
+          "— run rebuildNearDupIndex over the live corpus to migrate")
 
   /** Append a (disjoint) kept batch into the stored near-dup index:
     * batch shingles capped by the STORED hot list, batch sizes, batch
@@ -677,6 +700,7 @@ object Dedup {
     // into a missing live table would mint a batch-only table and fork
     // the index away from the orphaned .compact copy
     recoverNearDupSwap(spark, indexDir)
+    requireNearDupFormat(spark, indexDir)
     val hot = spark.read.parquet(s"$indexDir/hot")
     val capped = graft.tools.InternalCaches.persist(
       hashedShingleSet(batch, n).join(broadcast(hot), Seq("sh"), "left_anti"))
@@ -757,6 +781,7 @@ object Dedup {
   def deleteFromNearDupIndex(docIds: DataFrame, indexDir: String): Unit = {
     val spark = docIds.sparkSession
     recoverNearDupSwap(spark, indexDir)
+    requireNearDupFormat(spark, indexDir)
     docIds.select(col("doc_id")).filter(col("doc_id").isNotNull).distinct()
       .repartition(1).write.mode("append").parquet(s"$indexDir/deletes")
     // a screen memoized before the takedown would keep matching against
@@ -842,6 +867,7 @@ object Dedup {
     */
   def compactNearDupIndex(spark: SparkSession, indexDir: String): Unit = {
     recoverNearDupSwap(spark, indexDir)
+    requireNearDupFormat(spark, indexDir)
     def swap(table: String): Unit =
       IndexFs.swapCompact(spark, s"$indexDir/$table")
     // local persist, not the memoized registry: the frame reads the very
@@ -877,6 +903,7 @@ object Dedup {
     // a reader after a mid-swap compactor crash self-heals (one rename)
     // instead of failing on the missing live table
     recoverNearDupSwap(spark, indexDir)
+    requireNearDupFormat(spark, indexDir)
     // tombstones out first, then project to the distinct-h probe set:
     // the projection both defends the exact gate against duplicate
     // hash rows from appends (a duplicate would duplicate incoming

@@ -378,9 +378,15 @@ object Events {
       "max(ts div 1000) as mx", "bit_xor(xxhash64(event_id, ts)) as h").head()
     def fpPart(i: Int) = if (fpRow.isNullAt(i)) "-" else fpRow.getLong(i).toString
     val fp = s"${fpRow.getLong(0)}:${fpPart(1)}:${fpPart(2)}:${fpPart(3)}"
-    // live partitions only: a crashed erasure compaction can leave
-    // batch=N.compact / batch=N.old siblings, which a bare
-    // startsWith+toLong would choke on (readClosedSessions heals them)
+    // heal crashed erasure-compaction swaps BEFORE computing the next
+    // batch id: a crash between a partition's aside-rename and its
+    // promotion leaves batch=N only as batch=N.compact, and a lastId
+    // computed over live partitions alone would re-mint id N — the next
+    // compaction would then overwrite batch=N.compact and delete
+    // batch=N.old, permanently losing the original partition (and its
+    // retry marker). Nothing forces a readClosedSessions between the
+    // crash and this fold, so the fold must run the same heal itself.
+    healClosedPartitions(spark, closedDir)
     val lastId = IndexFs.listNames(spark, closedDir)
       .collect { case n if n.matches("batch=\\d+") =>
         n.stripPrefix("batch=").toLong
@@ -438,6 +444,22 @@ object Events {
   // history-sized rewrite on the takedown path.
   // ---------------------------------------------------------------------
 
+  /** Heal crashed per-partition compaction swaps under `closedDir`: a
+    * crash between a partition's aside-rename and its promotion leaves
+    * `batch=N.compact` (and possibly `batch=N.old`) with no `batch=N`;
+    * [[IndexFs.recoverSwap]] completes each. Called at EVERY lifecycle
+    * entry that enumerates the partitions — the fold (which mints ids
+    * from them), the reader, and the compactor — so no path can observe
+    * (or reuse the id of) a half-swapped partition.
+    */
+  private def healClosedPartitions(
+      spark: org.apache.spark.sql.SparkSession, closedDir: String): Unit =
+    IndexFs.listNames(spark, closedDir)
+      .collect { case n if n.matches("batch=\\d+(\\.compact|\\.old)?") =>
+        n.replaceAll("\\.(compact|old)$", "")
+      }.distinct
+      .foreach(b => IndexFs.recoverSwap(spark, s"$closedDir/$b"))
+
   /** Closed-history tombstone schema: (user_id, before_us). A session
     * is erased iff its user matches AND it STARTED before the request
     * cutoff — sessions the user begins after the request are new data,
@@ -448,6 +470,21 @@ object Events {
   def eraseUserSessions(userIds: DataFrame, stateDir: String,
       closedDir: String, beforeUs: Long = Long.MaxValue): Unit = {
     val spark = userIds.sparkSession
+    // replicate the fold's crash recovery FIRST: in the fold's window
+    // between `state aside` and `state swap` the real open-session
+    // state is a committed stateDir+".next" with stateDir absent — an
+    // erase that only checks `exists(stateDir)` would skip the state
+    // rewrite entirely, the next fold would promote .next, and the
+    // user's pre-cutoff open session would later close into history
+    // after the tombstones were compacted away: a permanent
+    // resurrection. Promoting .next here makes the rewrite below
+    // always see the true state.
+    if (!IndexFs.exists(spark, stateDir) &&
+        IndexFs.exists(spark, stateDir + ".next")) {
+      IndexFs.delete(spark, stateDir + ".old")
+      IndexFs.renameOrFail(spark, stateDir + ".next", stateDir,
+        "eraseUserSessions: recovery promotion")
+    }
     userIds.select(col("user_id")).filter(col("user_id").isNotNull)
       .distinct().withColumn("before_us", lit(beforeUs))
       .repartition(1).write.mode("append").parquet(s"$closedDir/_deletes")
@@ -499,13 +536,7 @@ object Events {
   def readClosedSessions(spark: org.apache.spark.sql.SparkSession,
       closedDir: String): DataFrame = {
     import spark.implicits._
-    // heal crashed per-partition swaps first: a crash leaves
-    // batch=N.compact (and possibly batch=N.old) with no batch=N
-    val bases = IndexFs.listNames(spark, closedDir)
-      .collect { case n if n.matches("batch=\\d+(\\.compact|\\.old)?") =>
-        n.replaceAll("\\.(compact|old)$", "")
-      }.distinct
-    bases.foreach(b => IndexFs.recoverSwap(spark, s"$closedDir/$b"))
+    healClosedPartitions(spark, closedDir)
     val live = IndexFs.listNames(spark, closedDir)
       .filter(_.matches("batch=\\d+"))
     val all =
@@ -533,11 +564,7 @@ object Events {
       closedDir: String): Unit = {
     val del = s"$closedDir/_deletes"
     if (!IndexFs.exists(spark, del)) return
-    val bases = IndexFs.listNames(spark, closedDir)
-      .collect { case n if n.matches("batch=\\d+(\\.compact|\\.old)?") =>
-        n.replaceAll("\\.(compact|old)$", "")
-      }.distinct
-    bases.foreach(b => IndexFs.recoverSwap(spark, s"$closedDir/$b"))
+    healClosedPartitions(spark, closedDir)
     IndexFs.listNames(spark, closedDir).filter(_.matches("batch=\\d+"))
       .foreach { p =>
         val src = s"$closedDir/$p"

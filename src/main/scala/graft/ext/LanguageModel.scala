@@ -321,15 +321,23 @@ object LanguageModel {
     * same docs under DIFFERENT ids are the caller declaring two
     * decrements — same contract as double-appends. Cost: one batch
     * scan + a batch-vocabulary aggregate + one file, independent of
-    * index size.
+    * index size; `maxFiles` (0 disables) bounds the live file count
+    * with the same inline [[compactLmIndex]] trigger appends carry.
     */
   def deleteFromLmIndex(docs: DataFrame, indexDir: String,
-      batchId: String): Unit = {
+      batchId: String, maxFiles: Int = 64): Unit = {
     val spark = docs.sparkSession
     IndexFs.recoverSwap(spark, s"$indexDir/bigrams")
     bigramStream(inScope(docs)).groupBy("lang", "w1", "w2")
       .agg((-count(lit(1))).as("c12")).withColumn("batch_id", lit(batchId))
       .repartition(1).write.mode("append").parquet(s"$indexDir/bigrams")
+    // same inline-compact trigger as appendLmIndex: a stream of
+    // takedown requests is a stream of one-file appends, and without
+    // the trigger the file count (and every storedCounts scan) grows
+    // without bound until a manual compactLmIndex
+    if (maxFiles > 0 &&
+        Dedup.countDataFiles(spark, s"$indexDir/bigrams") > maxFiles.toLong)
+      compactLmIndex(spark, indexDir)
   }
 
   /** Maintenance: distinct-rewrite (collapsing any replayed appends —

@@ -375,6 +375,119 @@ class TakedownSpec extends SparkSpec {
       s"exactly the post-request session survives the reader: $visible")
   }
 
+  test("near-dup takedown: every verb refuses a pre-provenance (v1) index " +
+      "instead of mixing hashes schemas; a rebuild migrates it") {
+    val idx = Files.createTempDirectory("graft_td_ndv1").toString + "/idx"
+    Dedup.writeNearDupIndex(ndFixture, idx, n = 3)
+    // forge the legacy layout: h-only hashes, no _format stamp — what a
+    // pre-provenance build left on disk
+    ndFixture.select(md5(col("text")).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$idx/hashes")
+    IndexFs.delete(spark, s"$idx/_format")
+    val probe = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+    def mustRefuse(f: => Unit): Unit = {
+      val e = intercept[IllegalStateException](f)
+      assert(e.getMessage.contains("rebuildNearDupIndex"),
+        s"the error must name the remedy: ${e.getMessage}")
+    }
+    mustRefuse(Dedup.deleteFromNearDupIndex(Seq(1L).toDF("doc_id"), idx))
+    mustRefuse(Dedup.appendNearDupIndex(
+      Seq((20L, "x y z x y z x y")).toDF("doc_id", "text"), idx, n = 3))
+    mustRefuse(Dedup.screenAgainstNearDupIndex(probe, idx, n = 3))
+    mustRefuse(Dedup.compactNearDupIndex(spark, idx))
+    // the remedy: rebuild over the handed-back corpus migrates in place
+    Dedup.rebuildNearDupIndex(ndFixture, idx, n = 3)
+    assert(ndVerdicts(probe, idx) === Seq((10L, "drop_exact")))
+    // and the takedown the v1 layout could not express now works
+    Dedup.deleteFromNearDupIndex(Seq(1L, 3L).toDF("doc_id"), idx)
+    assert(ndVerdicts(probe, idx) === Seq((10L, "keep")))
+  }
+
+  test("LM takedown: a stream of deletes triggers the same inline compaction " +
+      "as appends — file count bounded, retraction preserved") {
+    val full = Files.createTempDirectory("graft_td_lmfiles").toString + "/idx"
+    LanguageModel.writeLmIndex(lmDocs.filter(col("doc_id") =!= 3L), full)
+    LanguageModel.appendLmIndex(lmDocs.filter(col("doc_id") === 3L), full, "a1",
+      maxFiles = 0)
+    val before = Dedup.countDataFiles(spark, s"$full/bigrams")
+    assert(before >= 2L, s"build + append = at least two files: $before")
+    LanguageModel.deleteFromLmIndex(lmDocs.filter(col("doc_id") === 3L),
+      full, "del1", maxFiles = 1)
+    assert(Dedup.countDataFiles(spark, s"$full/bigrams") === 1L,
+      "the delete's trigger must compact the table down to one file")
+    // the compacted model still scores as the remaining-corpus model
+    val ref = Files.createTempDirectory("graft_td_lmfref").toString + "/idx"
+    LanguageModel.writeLmIndex(lmDocs.filter(col("doc_id") =!= 3L), ref)
+    val held = Seq((9L, "the cat ran on the mat zebras graze", "en"))
+      .toDF("doc_id", "text", "lang")
+    def score(idx: String) =
+      LanguageModel.scoreAgainstLmIndex(held, idx, minCount = 1L)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(score(full) === score(ref))
+  }
+
+  test("session store: the fold itself heals a compaction crashed mid-swap " +
+      "on the max partition instead of re-minting its id") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_td_foldheal").toString
+    val (stateDir, closedDir) = (s"$root/state", s"$root/closed")
+    Events.sessionizeIncrementalStored(
+      evDf(ev(1L, 10L, 0L), ev(2L, 20L, 30L * 1000000)), stateDir, closedDir)
+    Events.sessionizeIncrementalStored(
+      evDf(ev(1L, 11L, 2 * H), ev(2L, 21L, 2 * H)), stateDir, closedDir)
+    // batch=1 is the max partition; crash its compaction between the
+    // two renames: live aside as .old, .compact staged, batch=1 gone
+    val src = s"$closedDir/batch=1"
+    val origRows = spark.read.parquet(src)
+      .orderBy("user_id", "session_start_us").collect().map(_.toSeq).toSeq
+    spark.read.parquet(src).write.mode("overwrite").parquet(s"$src.compact")
+    IndexFs.readSmall(spark, s"$src/_graft_commit").foreach(fp =>
+      IndexFs.writeSmall(spark, s"$src.compact/_graft_commit", fp))
+    IndexFs.renameOrFail(spark, src, s"$src.old", "stage crash")
+    // the NEXT FOLD runs with no read in between: it must heal batch=1
+    // back to live and mint batch=2 — a lastId computed over live
+    // partitions alone would re-mint batch=1 and the following
+    // compaction would permanently clobber the original partition
+    Events.sessionizeIncrementalStored(evDf(ev(1L, 12L, 5 * H)),
+      stateDir, closedDir).count()
+    val parts = IndexFs.listNames(spark, closedDir)
+      .filter(_.matches("batch=\\d+")).sorted
+    assert(parts === Seq("batch=0", "batch=1", "batch=2"),
+      s"healed partition kept, new batch minted past it: $parts")
+    assert(spark.read.parquet(src)
+      .orderBy("user_id", "session_start_us").collect().map(_.toSeq).toSeq
+      === origRows, "the healed batch=1 is the original partition")
+  }
+
+  test("session erasure: an erase landing in the fold's crash window " +
+      "(state aside, .next committed) still rewrites the true state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_td_erasewin").toString
+    val (stateDir, closedDir) = (s"$root/state", s"$root/closed")
+    Events.sessionizeIncrementalStored(
+      evDf(ev(1L, 10L, 0L), ev(2L, 20L, 30L * 1000000)), stateDir, closedDir)
+    // forge the crash window: post-batch state committed as .next, the
+    // pre-batch state renamed aside, stateDir absent
+    spark.read.parquet(stateDir).write.mode("overwrite")
+      .parquet(stateDir + ".next")
+    IndexFs.renameOrFail(spark, stateDir, stateDir + ".old", "stage crash")
+    Events.eraseUserSessions(Seq(1L).toDF("user_id"), stateDir, closedDir)
+    // the erase must have promoted .next and rewritten it — not
+    // silently skipped the state rewrite (which would let the next
+    // fold promote .next and later close user 1's pre-cutoff session
+    // into history after the tombstones were compacted away)
+    assert(IndexFs.exists(spark, stateDir) &&
+      !IndexFs.exists(spark, stateDir + ".next"))
+    assert(spark.read.parquet(stateDir).select("user_id").as[Long]
+      .collect().toSeq === Seq(2L),
+      "user 1's open session is erased from the promoted state")
+    // the store keeps working: user 2's session closes later as normal
+    Events.sessionizeIncrementalStored(evDf(ev(2L, 21L, 5 * H)),
+      stateDir, closedDir).count()
+    assert(Events.readClosedSessions(spark, closedDir)
+      .select("user_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("session erasure: the reader heals a compaction crashed mid-swap") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_td_heal").toString
