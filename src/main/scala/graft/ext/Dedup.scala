@@ -1607,6 +1607,44 @@ object Dedup {
     sidecarCache.put((spark.sparkContext.applicationId, indexDir), sc)
   }
 
+  /** Takedown at the substring grain — the right-to-be-forgotten verb
+    * for the gram index, which by design DEGENERATES to the filtered
+    * rebuild: grams store no document provenance (O(1) bytes per gram
+    * is the index's whole point), so neither "which grams were doc
+    * X's" nor "is this gram still carried by a live document" is
+    * answerable from the stored artifacts. The caller hands back the
+    * REMAINING corpus (the x117 hand-back contract), the index
+    * rebuilds over it into `.compact`, and swaps in as one unit
+    * through the tmp → old → live discipline — a bare
+    * [[writeGramIndexBucketed]] overwrite of the live path would
+    * leave a torn index on a crash mid-write, which a takedown verb
+    * must not. Unlike the provenance-carrying grains
+    * ([[deleteFromNearDupIndex]], semantic/IVF-PQ tombstones) there
+    * is no O(|request|) merge-on-read path here — the delete costs a
+    * build, the documented trade for the gram index's byte budget.
+    * The x133 gate's `deleted` and `compacted` phases share one
+    * oracle block: the rebuild IS durable removal, and a later
+    * [[compactGramIndex]] is a distinct-rewrite of already-filtered
+    * grams.
+    */
+  def takedownGramIndex(remaining: DataFrame, indexDir: String, k: Int = 8,
+      buckets: Int = 0): Unit = {
+    val spark = remaining.sparkSession
+    IndexFs.recoverSwap(spark, indexDir)
+    val tmp = indexDir + ".compact"
+    IndexFs.delete(spark, tmp)
+    writeGramIndexBucketed(remaining, tmp, k, buckets)
+    IndexFs.swapCompact(spark, indexDir)
+    // the build seeded the sidecar cache under the TMP path — drop it —
+    // and the live path's cached entry now describes the replaced
+    // index (the per-call stamp probe would also catch that one, but
+    // an explicit release is free); memoized screens reading the old
+    // directory are the rebuild staleness class.
+    invalidateSidecarCache(tmp)
+    invalidateSidecarCache(indexDir)
+    graft.tools.InternalCaches.releaseByPath(spark, indexDir)
+  }
+
   /** x95 screen — [[duplicateSpansAgainstIndex]] semantics (same
     * output contract, same oracle) with the scan term decoupled from
     * index size: batch grams pre-gate through the sidecar Bloom

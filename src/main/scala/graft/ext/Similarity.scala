@@ -592,8 +592,34 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/vectors")
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    writeQuantizerStamp(corpus.sparkSession, indexDir, centroidModulus,
+      maxCentroids)
     invalidateCentroidCount(corpus.sparkSession, indexDir)
   }
+
+  /** The index's quantizer parameters, stamped at build/rebuild so the
+    * drift alarm audits against the REAL cap, not whatever default the
+    * monitoring job happens to pass (the deployment-false trap the
+    * round-15 dense-id bug lived in). Control-plane small file; absent
+    * on pre-stamp indexes, where [[storedSemanticOccupancy]] falls
+    * back to its arguments.
+    */
+  private def writeQuantizerStamp(spark: SparkSession, indexDir: String,
+      centroidModulus: Int, maxCentroids: Int): Unit =
+    IndexFs.writeSmall(spark, s"$indexDir/_quantizer",
+      s"modulus=$centroidModulus\ncap=$maxCentroids")
+
+  private def readQuantizerStamp(spark: SparkSession,
+      indexDir: String): Option[(Long, Long)] =
+    IndexFs.readSmall(spark, s"$indexDir/_quantizer").flatMap { s =>
+      val kv = s.linesIterator.flatMap { ln =>
+        ln.split("=", 2) match {
+          case Array(k, v) => v.toLongOption.map(k.trim -> _)
+          case _ => None
+        }
+      }.toMap
+      for (m <- kv.get("modulus"); c <- kv.get("cap")) yield (m, c)
+    }
 
   /** Retrain-and-migrate for the frozen-centroid hazard — the wired
     * response to x67's alarm that the round-13 verdict noted was
@@ -648,6 +674,8 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir.compact/vectors")
     cents.write.mode("overwrite").parquet(s"$indexDir.compact/centroids")
+    writeQuantizerStamp(spark, s"$indexDir.compact", centroidModulus,
+      maxCentroids)
     v.unpersist(blocking = false)
     // per-file move with asserted renames (the merge also tolerates a
     // marker racing in on both sides); the entry-time merge above
@@ -672,22 +700,47 @@ object Similarity {
     * under frozen centroids pile new-regime vectors into whatever old
     * cell is nearest, `max_occupancy` climbs, and when
     * `cells_over_cap > 0` the probed-cell read has outgrown the cap —
-    * run [[rebuildSemanticIndex]] to retrain. Output (one row):
-    * n_cells, max_occupancy, cells_over_cap, vectors_over_cap.
+    * run [[rebuildSemanticIndex]] to retrain.
+    *
+    * The round-15 recall decomposition added the alarm's second half:
+    * `eligible_seeds` counts the LIVE vectors matching the seeding
+    * rule (vec_id % modulus == 0), and `cap_bound` fires when that
+    * count exceeds the centroid cap — the rank cut in [[ivfCentroids]]
+    * is then binding, which was measured as the dominant recall-loss
+    * mode of the capped miners at 100× (~10 of 14 points; 0.862 →
+    * 0.9646 when every eligible seed becomes a centroid) and which
+    * widening nprobe CANNOT reclaim (saturates at 0.867). The remedy
+    * fork: [[rebuildSemanticIndex]] at a wider `maxCentroids` reclaims
+    * the loss at the price of a proportionally larger assignment term;
+    * leaving the cap accepts the measured loss (document it, don't
+    * rediscover it). The modulus/cap audited against are the index's
+    * own `_quantizer` stamp (written at build/rebuild); the arguments
+    * are the fallback for pre-stamp indexes. One extra per-row
+    * conditional on ids the occupancy scan already reads — no new
+    * pass. Output (one row): n_cells, max_occupancy, cells_over_cap,
+    * vectors_over_cap, eligible_seeds, cap_bound.
     */
   def storedSemanticOccupancy(spark: SparkSession, indexDir: String,
-      cellCap: Int = DefaultCellCap): DataFrame = {
+      cellCap: Int = DefaultCellCap,
+      centroidModulus: Int = 100,
+      maxCentroids: Int = 1024): DataFrame = {
     IndexFs.recoverSwap(spark, indexDir) // a crashed whole-index REBUILD swap
     IndexFs.recoverSwap(spark, s"$indexDir/vectors")
+    val (mod, cap) = readQuantizerStamp(spark, indexDir)
+      .getOrElse((centroidModulus.toLong, maxCentroids.toLong))
     liveVectors(spark, indexDir)
       .dropDuplicates("vec_id")
-      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("vec_id") % mod === 0, 1L)), lit(0L))
+          .as("__elig"))
       .agg(count(lit(1)).as("n_cells"),
         max(col("n")).as("max_occupancy"),
         coalesce(sum(when(col("n") > cellCap, 1L)), lit(0L))
           .as("cells_over_cap"),
         coalesce(sum(when(col("n") > cellCap, col("n"))), lit(0L))
-          .as("vectors_over_cap"))
+          .as("vectors_over_cap"),
+        coalesce(sum(col("__elig")), lit(0L)).as("eligible_seeds"))
+      .withColumn("cap_bound", col("eligible_seeds") > lit(cap))
   }
 
   /** x90 screen half — [[semanticScreen]] against the PERSISTED index:
@@ -1014,7 +1067,12 @@ object Similarity {
       nprobe: Int = DefaultNprobe): DataFrame =
     topKByCos(hierCandidates(emb, centroidModulus, superFactor, nprobe),
         Seq("vec_id"), "v", "centroid_id", "cv")
-      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"),
+        // seeding-rule members per cell, summed downstream into the
+        // cap-bind alarm — a conditional on ids this pass already
+        // scans, not a second corpus read
+        coalesce(sum(when(col("vec_id") % centroidModulus === 0, 1L)),
+          lit(0L)).as("elig"))
 
   /** x113 — quantizer balance audit: the pre-flight that detects
     * dup-cloud collapse BEFORE a semantic operator pays for it. The
@@ -1027,22 +1085,37 @@ object Similarity {
     * queries. Cost: the shared assignment (memoized) + one
     * centroid-keyed count — nothing pairwise anywhere.
     *
+    * `eligible_seeds`/`cap_bound` are the round-15 recall
+    * decomposition wired into the audit (the
+    * [[storedSemanticOccupancy]] Scaladoc has the measurements and
+    * the remedy fork): when the corpus's seeding-rule members exceed
+    * `maxCentroids`, every CAPPED consumer of this quantizer family
+    * ([[ivfCentroids]]' rank cut — the stored index, the IVF/stored/PQ
+    * miners) is operating under a binding cap, losing recall that
+    * nprobe cannot reclaim — rebuild at a wider cap or accept the
+    * measured loss. The hierarchical audit itself is uncapped; the
+    * column exists so the ingest pre-flight alarms for the capped
+    * family without a second scan.
+    *
     * Output (one row): n_cells, max_occupancy, cells_over_cap,
-    * vectors_over_cap.
+    * vectors_over_cap, eligible_seeds, cap_bound.
     */
   def cellOccupancyAudit(
       emb: DataFrame,
       centroidModulus: Int = DefaultCentroidModulus,
       superFactor: Int = DefaultSuperFactor,
       nprobe: Int = DefaultNprobe,
-      cellCap: Int = DefaultCellCap): DataFrame =
+      cellCap: Int = DefaultCellCap,
+      maxCentroids: Int = 1024): DataFrame =
     assignmentOccupancy(emb, centroidModulus, superFactor, nprobe)
       .agg(count(lit(1)).as("n_cells"),
         max(col("n")).as("max_occupancy"),
         coalesce(sum(when(col("n") > cellCap, 1L)), lit(0L))
           .as("cells_over_cap"),
         coalesce(sum(when(col("n") > cellCap, col("n"))), lit(0L))
-          .as("vectors_over_cap"))
+          .as("vectors_over_cap"),
+        coalesce(sum(col("elig")), lit(0L)).as("eligible_seeds"))
+      .withColumn("cap_bound", col("eligible_seeds") > lit(maxCentroids.toLong))
 
   /** The (vector, centroid) candidate frame the hierarchical assignment
     * scores — the top-1 over it is the assignment. Factored out so the

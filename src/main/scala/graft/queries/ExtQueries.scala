@@ -72,6 +72,8 @@ object ExtQueries {
   private val x130Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x121Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x121Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x133Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x133Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -120,41 +122,53 @@ object ExtQueries {
   private def h60(x: String) =
     s"CAST(concat('0x', substr(md5($x),1,15)) AS BIGINT)"
 
-  /** The stored-index span-screen oracle, shared by x85 (flat index)
-    * and x95 (bucketed + Bloom-gated): both are output-invariant
-    * reorganizations of "spans of src2 covered by any non-src2 gram".
+  /** The stored-index span-screen CTE stack ("spans of src2 covered by
+    * any existing-corpus gram"), parameterized by the EXISTING-side
+    * predicate and a CTE-name prefix so x133 can instantiate it once
+    * per takedown phase (the ndScreenCtes convention). Ends in
+    * `${px}spans(doc_id, span_start, span_end, span_tokens, n_grams)`.
     */
-  private lazy val spanScreenOracle: String =
-    s"""WITH ex AS (SELECT doc_id, string_split(trim(text), ' ') AS t
-       |           FROM documents WHERE source <> 'src2'),
-       |inc AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+  private def spanScreenCtes(px: String, exPred: String): String =
+    s"""${px}ex AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+       |           FROM documents WHERE $exPred),
+       |${px}inc AS (SELECT doc_id, string_split(trim(text), ' ') AS t
        |        FROM documents WHERE source = 'src2'),
-       |idx AS (SELECT DISTINCT
+       |${px}idx AS (SELECT DISTINCT
        |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
        |            for i in range(1, len(t)-8+2)]) AS g
-       |  FROM ex),
-       |grams AS (
+       |  FROM ${px}ex),
+       |${px}grams AS (
        |  SELECT doc_id,
        |    unnest([CAST(i-1 AS BIGINT) for i in range(1, len(t)-8+2)]) AS pos,
        |    unnest([${h60("array_to_string(t[i:i+7], ' ')")}
        |            for i in range(1, len(t)-8+2)]) AS g
-       |  FROM inc),
-       |hits AS (SELECT gr.doc_id, gr.pos FROM grams gr
-       |         SEMI JOIN idx ON gr.g = idx.g),
-       |brk AS (
+       |  FROM ${px}inc),
+       |${px}hits AS (SELECT gr.doc_id, gr.pos FROM ${px}grams gr
+       |         SEMI JOIN ${px}idx ON gr.g = ${px}idx.g),
+       |${px}brk AS (
        |  SELECT doc_id, pos,
        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
        |         THEN 0 ELSE 1 END AS b
-       |  FROM hits),
-       |isl AS (
+       |  FROM ${px}hits),
+       |${px}isl AS (
        |  SELECT doc_id, pos,
        |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
        |                 ROWS UNBOUNDED PRECEDING) AS island
-       |  FROM brk)
-       |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
-       |       max(pos) + 8 - min(pos) AS span_tokens,
-       |       count(*) AS n_grams
-       |FROM isl GROUP BY doc_id, island""".stripMargin
+       |  FROM ${px}brk),
+       |${px}spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+       |         max(pos) + 8 - min(pos) AS span_tokens,
+       |         count(*) AS n_grams
+       |  FROM ${px}isl GROUP BY doc_id, island)""".stripMargin
+
+  /** The span-screen oracle shared by x85 (flat index) and x95
+    * (bucketed + Bloom-gated): both are output-invariant
+    * reorganizations of the same screen.
+    */
+  private lazy val spanScreenOracle: String =
+    s"""WITH ${spanScreenCtes("", "source <> 'src2'")}
+       |SELECT doc_id, span_start, span_end, span_tokens, n_grams
+       |FROM spans""".stripMargin
 
   /** The x93 curation-v2 pipeline over an arbitrary corpus frame —
     * shared with x98, which feeds it the media-deduplicated survivor
@@ -4299,6 +4313,10 @@ object ExtQueries {
     // before a within-cell pass pays for them. The oracle reuses the
     // verified hierarchical-assignment CTE stack (only the assignment
     // CTEs are referenced; DuckDB computes nothing downstream).
+    // Round 16 adds the cap-bind alarm columns (the round-15 recall
+    // decomposition made a guarantee): eligible_seeds counts the
+    // seeding-rule members, cap_bound fires when they exceed the
+    // capped family's 1024 rank cut.
     ("x113_cell_occupancy",
       (s: SparkSession, dir: String) =>
         Similarity.cellOccupancyAudit(t(s, dir, "embeddings")),
@@ -4308,7 +4326,11 @@ object ExtQueries {
               |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN 1 END), 0) AS BIGINT)
               |    AS cells_over_cap,
               |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN n END), 0) AS BIGINT)
-              |    AS vectors_over_cap
+              |    AS vectors_over_cap,
+              |  CAST((SELECT count(*) FROM e WHERE vec_id % 100 = 0) AS BIGINT)
+              |    AS eligible_seeds,
+              |  (SELECT count(*) FROM e WHERE vec_id % 100 = 0) > 1024
+              |    AS cap_bound
               |FROM (SELECT centroid_id, count(*) AS n FROM sdas GROUP BY 1)""".stripMargin)),
 
     // ---- x114: streaming near-dup ingest gate (round 13) ---------------
@@ -5265,7 +5287,7 @@ object ExtQueries {
               |    (SELECT *, row_number() OVER
               |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
               |     FROM ca1) WHERE rn = 1),
-              |d AS (
+              |d AS MATERIALIZED (
               |  SELECT CAST(ca.centroid_id AS VARCHAR) AS cell,
               |    CAST(0 AS BIGINT) AS shard, doc_id,
               |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
@@ -5335,7 +5357,64 @@ object ExtQueries {
              |  FROM p JOIN d ON d.lang = p.lang AND d.shard = p.shard
              |              AND d.rn = p.rn + 1)
              |SELECT lang, shard, doc_id, n_tokens, bin_id, "offset", pos
-             |FROM p""".stripMargin))
+             |FROM p""".stripMargin)),
+
+    // ---- x133: gram index takedown — the filtered-rebuild verb ---------
+    // The last stateful store whose right-to-be-forgotten path was
+    // prose, now under the same three-phase gate as x126–x130. The
+    // gram index stores no provenance (O(1) bytes/gram), so the
+    // takedown degenerates BY DESIGN to the filtered rebuild over the
+    // handed-back remaining corpus (takedownGramIndex — the x117
+    // hand-back contract, swapped tmp → old → live); there is no
+    // O(|request|) tombstone rung at this grain. The x103/x95 span
+    // screen is the probe; `deleted` and `compacted` share one oracle
+    // block (the rebuild IS durable removal, and the subsequent
+    // compactGramIndex — which also re-derives the bucket count — must
+    // hash-identically to it).
+    ("x133_gram_index_delete",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x133_${s.sparkContext.applicationId}_${x133Seq.incrementAndGet()}")
+        Option(x133Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val docs = t(s, dir, "documents")
+        val existing = docs.filter(col("source") =!= "src2")
+        val probe = docs.filter(col("source") === "src2")
+        // the x95 lifecycle shape: build half, append the (overlapping)
+        // whole — set semantics make the overlap harmless
+        Dedup.writeGramIndexBucketed(
+          existing.filter(pmod(col("doc_id"), lit(2L)) === 0L), idx,
+          k = 8, buckets = 64)
+        Dedup.appendGramIndexBucketed(existing, idx, k = 8)
+        Dedup.duplicateSpansAgainstIndexBloom(probe, idx, k = 8)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/indexed")
+        val remaining = existing.filter(pmod(col("doc_id"), lit(9L)) =!= 1L)
+        Dedup.takedownGramIndex(remaining, idx, k = 8)
+        Dedup.duplicateSpansAgainstIndexBloom(probe, idx, k = 8)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/deleted")
+        Dedup.compactGramIndex(s, idx)
+        Dedup.duplicateSpansAgainstIndexBloom(probe, idx, k = 8)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/compacted")
+        s.read.parquet(s"$root/indexed").withColumn("phase", lit("indexed"))
+          .unionByName(s.read.parquet(s"$root/deleted")
+            .withColumn("phase", lit("deleted")))
+          .unionByName(s.read.parquet(s"$root/compacted")
+            .withColumn("phase", lit("compacted")))
+      },
+      Some {
+        def phaseSelect(phase: String, px: String) =
+          s"""SELECT '$phase' AS phase, doc_id, span_start, span_end,
+             |  span_tokens, n_grams FROM ${px}spans""".stripMargin
+        s"""WITH ${spanScreenCtes("gi", "source <> 'src2'")},
+           |${spanScreenCtes("gd", "source <> 'src2' AND doc_id % 9 <> 1")}
+           |${phaseSelect("indexed", "gi")}
+           |UNION ALL
+           |${phaseSelect("deleted", "gd")}
+           |UNION ALL
+           |${phaseSelect("compacted", "gd")}""".stripMargin
+      })
   )
 
   /** The x122 oracle — x08's capped assignment/probe CTE chain + the

@@ -214,6 +214,52 @@ class IndexFsSpec extends SparkSpec {
   private def embDf(rows: Seq[(Long, Seq[Float])]) =
     rows.toDF("vec_id", "embedding")
 
+  test("cap-bind alarm: appends push eligible seeds past the rank cap, the " +
+      "stored audit fires off the index's own stamp, and a wider-cap " +
+      "rebuild clears it") {
+    val dim = 64
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => if (d == axis) 1.0f else 0.0f)
+    val idx = Files.createTempDirectory("graft_capbind").toString + "/idx"
+    // build at cap 2: seeds 0 and 100 (vec_id % 100 == 0) exactly fill
+    // the cap — not yet binding
+    Similarity.writeSemanticIndex(
+      embDf(Seq(0L -> unit(0), 100L -> unit(1), 7L -> unit(0))),
+      idx, centroidModulus = 100, maxCentroids = 2)
+    def audit() = Similarity.storedSemanticOccupancy(spark, idx).collect()(0)
+    val b0 = audit()
+    assert(b0.getAs[Long]("eligible_seeds") === 2L &&
+      !b0.getAs[Boolean]("cap_bound"),
+      s"cap exactly filled is not yet bound: $b0")
+    // two more seed-eligible vectors arrive via appends: under the
+    // frozen 2-centroid geometry they are members, but a rebuild's
+    // rank cut would now SELECT 2 of 4 eligible seeds — the binding
+    // mode the round-15 recall decomposition measured (~10 of 14
+    // points at 100×, unreclaimable by nprobe)
+    Similarity.appendSemanticIndex(embDf(Seq(200L -> unit(2))), idx)
+    Similarity.appendSemanticIndex(embDf(Seq(300L -> unit(3))), idx)
+    // NOTE: audit() passes no parameters — the alarm must read the
+    // STAMPED cap (2), not its 1024 default, or a deployment-tuned
+    // index silently audits against the wrong geometry
+    val b1 = audit()
+    assert(b1.getAs[Long]("eligible_seeds") === 4L &&
+      b1.getAs[Boolean]("cap_bound"),
+      s"the alarm fires when eligible seeds exceed the stamped cap: $b1")
+    // the documented remedy: rebuild at a wider cap — every eligible
+    // seed becomes a centroid and the alarm clears
+    Similarity.rebuildSemanticIndex(spark, idx, maxCentroids = 16)
+    val b2 = audit()
+    assert(b2.getAs[Long]("eligible_seeds") === 4L &&
+      !b2.getAs[Boolean]("cap_bound"),
+      s"the wider-cap rebuild clears the alarm: $b2")
+    assert(spark.read.parquet(s"$idx/centroids").count() === 4L,
+      "all four eligible seeds are centroids under the wider cap")
+    // a takedown of a seed shrinks the eligible count the alarm audits
+    Similarity.deleteFromSemanticIndex(Seq(300L).toDF("vec_id"), idx)
+    assert(audit().getAs[Long]("eligible_seeds") === 3L,
+      "eligible seeds count LIVE vectors only")
+  }
+
   test("rebuildSemanticIndex: retrains centroids, screen verdicts invariant, occupancy alarm clears") {
     val dim = 64
     def unit(axis: Int, eps: (Int, Float)*): Seq[Float] =
