@@ -220,7 +220,8 @@ object DocStream {
     */
   def dsirReplay(spark: SparkSession, docs: DataFrame, target: DataFrame,
       indexRoot: String, outDir: String, nBatches: Int = 4,
-      minCount: Long = 2L, maxFiles: Int = 64): DataFrame = {
+      minCount: Long = 2L, maxFiles: Int = 64,
+      betweenBatches: Int => Unit = _ => ()): DataFrame = {
     require(nBatches >= 2, s"need at least 2 batches to score, got $nBatches")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -262,6 +263,9 @@ object DocStream {
         stream.addData(rows.filter { case (id, _, _) =>
           math.floorMod(id, nBatches.toLong) == b.toLong }.toSeq)
         q.processAllAvailable()
+        // takedown hook: a tombstone/retraction landing BETWEEN batches
+        // must be honored by the next batch's read (spec-staged)
+        betweenBatches(b)
       }
     } finally q.stop()
     spark.read.schema(dsirSchema)
@@ -299,7 +303,8 @@ object DocStream {
       indexDir: String, outDir: String, nBatches: Int = 4,
       n: Int = 3, minJaccard: Double = 0.8,
       maxShingleDf: Int = Int.MaxValue,
-      maxFilesPerTable: Int = 64): DataFrame = {
+      maxFilesPerTable: Int = 64,
+      betweenBatches: Int => Unit = _ => ()): DataFrame = {
     require(nBatches >= 2, s"need at least 2 batches to screen, got $nBatches")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -331,6 +336,9 @@ object DocStream {
         stream.addData(rows.filter { case (id, _) =>
           math.floorMod(id, nBatches.toLong) == b.toLong }.toSeq)
         q.processAllAvailable()
+        // takedown hook: a tombstone landing BETWEEN batches must be
+        // honored by the next batch's screen (spec-staged)
+        betweenBatches(b)
       }
     } finally q.stop()
     spark.read.schema(ndScreenSchema)
@@ -358,7 +366,8 @@ object DocStream {
     */
   def vecScreenReplay(spark: SparkSession, emb: DataFrame,
       indexDir: String, outDir: String, nBatches: Int = 4,
-      minCos: Double = 0.4, maxFilesPerCell: Int = 64): DataFrame = {
+      minCos: Double = 0.4, maxFilesPerCell: Int = 64,
+      betweenBatches: Int => Unit = _ => ()): DataFrame = {
     require(nBatches >= 2, s"need at least 2 batches to screen, got $nBatches")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -393,6 +402,9 @@ object DocStream {
         stream.addData(rows.filter { case (id, _) =>
           math.floorMod(id, nBatches.toLong) == b.toLong }.toSeq)
         q.processAllAvailable()
+        // takedown hook: a tombstone landing BETWEEN batches must be
+        // honored by the next batch's screen (spec-staged)
+        betweenBatches(b)
       }
     } finally q.stop()
     spark.read.schema(semScreenSchema)

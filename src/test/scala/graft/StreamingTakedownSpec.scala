@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, LanguageModel, Similarity}
+
+/** Takedown ↔ streaming-gate interaction (round 16 — the verdict's
+  * insurance item): the ingest-gate replays (x114 near-dup, x115
+  * semantic, x121 DSIR) read their stored indexes per micro-batch, so
+  * a right-to-be-forgotten request landing BETWEEN batches must be
+  * honored at the very next batch's read — the tombstone anti-join
+  * (or negated-count retraction) composes with the streaming path's
+  * per-batch screens, and the memoized-screen invalidation the delete
+  * verbs perform ([[graft.tools.InternalCaches.releaseByPath]]) must
+  * fire on that path too. No engine change expected; these specs pin
+  * the subtlest cache/date path the engine has.
+  */
+class StreamingTakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("x114 path: a near-dup tombstone landing mid-stream un-gates the " +
+      "next batch, and the batch after that re-gates off the live re-copy") {
+    // doc_id % 4 is the batch id; every doc carries the same text, so
+    // each batch's verdict depends exactly on which COPIES are live
+    val docs = Seq(
+      (0L, "a b c d e f g h"), // batch 0 — bootstrap (builds the index)
+      (1L, "a b c d e f g h"), // batch 1 — exact-dups 0, then appends
+      (2L, "a b c d e f g h"), // batch 2 — screens AFTER the takedown
+      (3L, "a b c d e f g h")  // batch 3 — doc 2 is live again by now
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_std_nd").toString
+    val out = graft.streaming.DocStream.nearDupScreenReplay(spark, docs,
+      s"$root/index", s"$root/out", nBatches = 4, n = 3, minJaccard = 0.5,
+      betweenBatches = b =>
+        // the request names BOTH live copies (1 was appended by its own
+        // batch) — deleting only one must keep the gate (TakedownSpec's
+        // shared-hash rule), so this is the full-retirement case
+        if (b == 1)
+          Dedup.deleteFromNearDupIndex(
+            Seq(0L, 1L).toDF("doc_id"), s"$root/index"))
+    val verdicts = out.collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(verdicts(1L) === "drop_exact",
+      "pre-takedown, the batch-1 copy gates against the bootstrap copy")
+    assert(verdicts(2L) === "keep",
+      "the tombstones landed between batches 1 and 2 — batch 2's screen " +
+        "must read them (the deleted content is forgotten)")
+    assert(verdicts(3L) === "drop_exact",
+      "batch 2's kept copy appended live again — batch 3 re-gates on it, " +
+        "not on the tombstoned history")
+  }
+
+  test("x115 path: a semantic tombstone landing mid-stream stops the next " +
+      "batch's contamination match; the batch after re-matches the live copy") {
+    val dim = 64
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => if (d == axis) 1.0f else 0.0f)
+    // vec_id % 4 is the batch id; vec 0 is also the (sole) centroid
+    // seed (vec_id % 100 == 0), frozen at the batch-0 bootstrap
+    val emb = Seq(
+      0L -> unit(0), // batch 0 — bootstrap (index + frozen centroid)
+      1L -> unit(0), // batch 1 — matches 0 (cos 1.0), then appends
+      2L -> unit(0), // batch 2 — screens AFTER the takedown
+      3L -> unit(0)  // batch 3 — vec 2 is live again by now
+    ).toDF("vec_id", "embedding")
+    val root = Files.createTempDirectory("graft_std_sem").toString
+    val out = graft.streaming.DocStream.vecScreenReplay(spark, emb,
+      s"$root/index", s"$root/out", nBatches = 4, minCos = 0.99,
+      betweenBatches = b =>
+        if (b == 1)
+          Similarity.deleteFromSemanticIndex(
+            Seq(0L, 1L).toDF("vec_id"), s"$root/index"))
+    val contaminated = out.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(contaminated(1L),
+      "pre-takedown, batch 1 matches the bootstrap vector")
+    assert(!contaminated(2L),
+      "batch 2's screen must anti-join the tombstones written between " +
+        "batches — the deleted vectors cannot contaminate")
+    assert(contaminated(3L),
+      "batch 2's vector appended live — batch 3 matches it, so the gate " +
+        "keeps working after the takedown")
+  }
+
+  test("x121 path: an LM retraction landing mid-stream re-scores the next " +
+      "batches bit-identically to raw models that never saw the deleted docs") {
+    // doc_id % 4 is the batch id; batch 1 carries distinctive vocabulary
+    // whose retraction must change (and exactly reproduce) later scores
+    val docs = Seq(
+      (0L, "the cat sat on the mat the cat sat", "en"),
+      (4L, "the dog sat on the mat the dog ran", "en"),
+      (1L, "zebras graze quietly zebras graze calmly zebras doze", "en"),
+      (5L, "the cat ran on the mat quietly today", "en"),
+      (2L, "the cat sat on the mat zebras graze", "en"),
+      (6L, "the dog ran on the mat the cat sat", "en"),
+      (3L, "the dog sat quietly on the mat today", "en"),
+      (7L, "the cat sat on the mat the dog ran", "en")
+    ).toDF("doc_id", "text", "lang")
+    val target = Seq(
+      (100L, "the cat sat on the mat quietly", "en"),
+      (101L, "the dog ran on the mat today", "en")
+    ).toDF("doc_id", "text", "lang")
+    def batch(b: Int) = docs.filter(pmod(col("doc_id"), lit(4L)) === b.toLong)
+    val root = Files.createTempDirectory("graft_std_dsir").toString
+    val out = graft.streaming.DocStream.dsirReplay(spark, docs, target,
+      s"$root/index", s"$root/out", nBatches = 4, minCount = 1L,
+      betweenBatches = b =>
+        // the takedown hands back batch 1's documents; negated counts
+        // append under one batch id (the x128 contract)
+        if (b == 1)
+          LanguageModel.deleteFromLmIndex(batch(1), s"$root/index/raw", "del1"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val got = out.collect().map(_.toSeq).toSet
+    // reference raw models that NEVER contained batch 1: batch 2 scored
+    // against batch 0 alone; batch 3 against batches 0 + 2
+    val ref2 = Files.createTempDirectory("graft_std_dsir_r2").toString
+    LanguageModel.writeLmIndex(batch(0), ref2)
+    val ref3 = Files.createTempDirectory("graft_std_dsir_r3").toString
+    LanguageModel.writeLmIndex(batch(0).unionByName(batch(2)), ref3)
+    // batch 1 itself scored pre-takedown, against the batch-0 raw model
+    val want =
+      rows(LanguageModel.dsirAgainstLmIndexes(batch(1),
+        s"$root/index/target", ref2, minCount = 1L)) ++
+      rows(LanguageModel.dsirAgainstLmIndexes(batch(2),
+        s"$root/index/target", ref2, minCount = 1L)) ++
+      rows(LanguageModel.dsirAgainstLmIndexes(batch(3),
+        s"$root/index/target", ref3, minCount = 1L))
+    assert(got === want,
+      "post-retraction batches must score bit-identically to raw models " +
+        "trained without the deleted documents")
+  }
+}
