@@ -83,6 +83,51 @@ object Packing {
       .toDF(stratumCol, "shard", idCol, "n_tokens", "bin_id")
   }
 
+  /** [[packGreedy]] visiting documents in a CALLER-SUPPLIED order
+    * instead of id order — the x134 composition point: In-Context
+    * Pretraining's within-window ordering is a semantic traversal
+    * ([[graft.ext.Similarity.semanticChainOrder]]'s greedy NN chain),
+    * so the packer must fold in that order for adjacent chain
+    * neighbors to land in the same window. Same streaming O(1)-state
+    * fold; `orderCol` must be a long-castable column unique within
+    * each stratum (chain positions are), and the id is kept as the
+    * deterministic secondary sort. No subShards knob: a supplied order
+    * is a single sequential stream per stratum by construction —
+    * sharding it would break exactly the adjacency the order exists
+    * to preserve (parallelism is #strata, and for the semantic-cell
+    * use the cell cap bounds any one stream).
+    * Output: (stratumCol, idCol, ord, n_tokens, bin_id).
+    */
+  def packGreedyByOrder(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      orderCol: Column,
+      tokensCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(stratumCol).isNotNull && col(idCol).isNotNull &&
+        orderCol.isNotNull && tokensCol.cast("long") > 0)
+      .select(col(stratumCol).cast("string").as("__stratum"),
+        col(idCol).cast("long").as("__id"),
+        orderCol.cast("long").as("__ord"), tokensCol.cast("long").as("__n"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"__ord", $"__id") { case (stratum, rows) =>
+        var fill = 0L
+        var bin = 0L
+        rows.map { case (_, id, ord, nTokens) =>
+          if (bin == 0L || fill + nTokens > budget) { bin += 1; fill = nTokens }
+          else fill += nTokens
+          (stratum, id, ord, nTokens, bin)
+        }
+      }
+      .toDF(stratumCol, idCol, "ord", "n_tokens", "bin_id")
+  }
+
   /** [[packGreedy]] emitting the TENSOR-ASSEMBLY columns a training
     * dataloader actually consumes: each document's token OFFSET inside
     * its bin's concatenated window and its 0-based document position

@@ -369,6 +369,90 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"))
   }
 
+  /** x134 — greedy nearest-neighbor CHAIN order within each semantic
+    * cell: the within-window document ordering In-Context Pretraining
+    * actually prescribes (Shi et al. 2023, arXiv:2310.10638 §2 —
+    * x131 approximated it with id order inside the cell, and the
+    * round-15 verdict noted the paper's gains live in exactly this
+    * ordering). Deterministic by construction: the chain seeds at the
+    * cell's lowest vec_id, and each step extends to the
+    * highest-cosine unvisited member (rounded-6 cosine, ties to the
+    * lowest id), so both engines replay the same traversal.
+    *
+    * Scale shape: the shared capped assignment (broadcast centroids +
+    * the sort-free heap top-1), then ONE within-cell pairwise cosine
+    * pass — Σ|cell|², the same cap-bounded quadratic the SemDeDup
+    * witness already pays (the x33 scale argument: cost ≈
+    * n·occupancy, never n²) — and a per-cell sequential fold over the
+    * PRE-SORTED pair rows (`flatMapSortedGroups` on (a, cs desc, b):
+    * adjacency lists arrive argmax-first, so each step is a scan for
+    * the first unvisited candidate; O(|cell|²) total per cell, the
+    * pair pass's own size class). A chain is inherently sequential —
+    * parallelism is #cells, and the cap bounds any one task. The
+    * cosines ride the SAME codegen'd [[graft.functions.CosineSim]] +
+    * round-6 expression as every sibling, so the fold itself does no
+    * float arithmetic — pure selection, bit-parity free.
+    *
+    * Output: (vec_id, centroid_id, chain_pos) — chain_pos is 1-based
+    * and contiguous per cell (singleton cells are chains of length 1).
+    */
+  def semanticChainOrder(emb: DataFrame, centroidModulus: Int = 100,
+      maxCentroids: Int = 1024): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val all = vecs(emb)
+    val assigned = graft.tools.InternalCaches.persist(
+      assignToCentroids(all, ivfCentroids(all, centroidModulus, maxCentroids))
+        .select(col("vec_id"), col("v"), col("centroid_id")))
+    val lhs = assigned.select(col("centroid_id"), col("vec_id").as("a"),
+      col("v").as("va"))
+    val rhs = assigned.select(col("centroid_id"), col("vec_id").as("b"),
+      col("v").as("vb"))
+    // the within-cell complete pair graph (both directions — each step
+    // looks outward from its current endpoint); one co-keyed self-join
+    val pairs = lhs.join(rhs, Seq("centroid_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("centroid_id"), col("a"), col("b"),
+        round(cos(col("va"), col("vb")), 6).as("cs"))
+    val chained = pairs
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"a", $"cs".desc, $"b") { case (cell, rows) =>
+        // rows arrive (a asc, cs desc, b asc): adjacency lists build in
+        // candidate-preference order, and the first key IS the seed
+        val adj = scala.collection.mutable.LinkedHashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        rows.foreach { case (_, a, b, _) =>
+          adj.getOrElseUpdate(a,
+            new scala.collection.mutable.ArrayBuffer[Long]) += b
+        }
+        val visited = scala.collection.mutable.HashSet.empty[Long]
+        val out = new scala.collection.mutable
+          .ArrayBuffer[(Long, Long, Long)](adj.size)
+        var cur = adj.keysIterator.next()
+        visited += cur
+        out += ((cur, cell, 1L))
+        var pos = 1L
+        while (visited.size < adj.size) {
+          // the pair graph is complete within the cell, so an
+          // unvisited candidate always exists while any member is left
+          val nxt = adj(cur).find(!visited(_)).get
+          visited += nxt
+          pos += 1L
+          out += ((nxt, cell, pos))
+          cur = nxt
+        }
+        out
+      }
+      .toDF("vec_id", "centroid_id", "chain_pos")
+    // singleton cells produce no pair rows: they are chains of length 1
+    val sizes = assigned.groupBy("centroid_id").agg(count(lit(1)).as("__n"))
+    val singles = assigned.join(sizes.filter(col("__n") === 1L),
+        Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"), lit(1L).as("chain_pos"))
+    chained.unionByName(singles)
+  }
+
   /** One Lloyd iteration of k-means over the embedding column — the
     * training step that produces a real IVF coarse quantizer (the
     * modulus seeding above is iteration 0). Assignment is the shared

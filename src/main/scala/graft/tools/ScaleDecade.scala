@@ -42,6 +42,12 @@ object ScaleDecade {
     "x131_incontext_packing", // round 15: cell assignment (broadcast
                         // quantizer, capped) + per-cell greedy fold —
                         // should track x48 plus the x84 assignment term
+    "x134_incontext_chain_pack", // round 16: x131 + the within-cell
+                        // NN-chain order — adds the cap-bounded
+                        // Σ|cell|² pair pass (the x33 witness class)
+                        // and a per-cell sequential fold; the decade
+                        // should track the pair-pass quadratic-in-
+                        // occupancy term, linear in corpus at fixed cap
     "x51_table_profile",
     "x53_table_profile_kmv",
     "x66_profile_all",  // round 10: the one-scan composed profile —

@@ -169,4 +169,73 @@ class PackingSpec extends SparkSpec {
       Packing.packGreedy(docs, "lang", "doc_id", col("w"), budget = 0)
     }
   }
+
+  // ---- x134: NN-chain order within the cell --------------------------
+
+  private def angled(deg: Double): Seq[Float] = {
+    val r = math.toRadians(deg)
+    Seq.tabulate(64) { d =>
+      if (d == 0) math.cos(r).toFloat
+      else if (d == 1) math.sin(r).toFloat else 0.0f
+    }
+  }
+
+  test("semanticChainOrder: greedy NN traversal — seed lowest id, step to " +
+      "highest cosine, NOT id order; singleton cells are chains of one") {
+    import graft.ext.Similarity
+    // one cell (vec 0 is the only modulus-100 seed): vectors on the
+    // (0,1)-plane at 0/30/45/15 degrees — from 0 the nearest is 3
+    // (15 deg), then 1 (15 deg from 3), then 2: chain 0,3,1,2
+    val emb = Seq(
+      0L -> angled(0), 1L -> angled(30), 2L -> angled(45), 3L -> angled(15),
+      // a second cell: vec 100 seeds it alone — singleton chain
+      100L -> Seq.tabulate(64)(d => if (d == 5) 1.0f else 0.0f)
+    ).toDF("vec_id", "embedding")
+    val chain = Similarity.semanticChainOrder(emb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(chain(0L) === (0L, 1L) && chain(3L) === (0L, 2L) &&
+      chain(1L) === (0L, 3L) && chain(2L) === (0L, 4L),
+      s"the traversal is semantic, not id order: $chain")
+    assert(chain(100L) === (100L, 1L), "singleton cell: chain of length 1")
+    // the chain is a permutation: positions 1..n per cell, each once
+    assert(chain.values.filter(_._1 == 0L).map(_._2).toSeq.sorted
+      === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("packGreedyByOrder: bins follow the supplied order, not id order") {
+    // order reverses the ids; budget 6 with 3-token docs packs pairs
+    // in VISIT order: {4,3} then {2,1} — id-order packing would give
+    // {1,2},{3,4} with different members per bin id
+    val df = Seq(
+      ("a", 1L, 4L, 3L), ("a", 2L, 3L, 3L), ("a", 3L, 2L, 3L),
+      ("a", 4L, 1L, 3L)
+    ).toDF("lang", "doc_id", "ord", "w")
+    val out = Packing.packGreedyByOrder(df, "lang", "doc_id", col("ord"),
+        col("w"), budget = 6)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(out === Map(4L -> 1L, 3L -> 1L, 2L -> 2L, 1L -> 2L))
+  }
+
+  test("x134 composition: chain-ordered packing keeps the budget invariant " +
+      "and packs chain neighbors together") {
+    import graft.ext.Similarity
+    // 6 vectors in one cell at increasing angles; token counts chosen
+    // so the 2-doc windows pair chain neighbors
+    val emb = (0 to 5).map(i => i.toLong -> angled(i * 13.0))
+      .toDF("vec_id", "embedding")
+    val chain = Similarity.semanticChainOrder(emb)
+    val docs = (0 to 5).map(i => (i.toLong, 3L)).toDF("doc_id", "n_tokens")
+      .join(chain, col("doc_id") === col("vec_id"))
+    val out = Packing.packGreedyByOrder(docs, "centroid_id", "doc_id",
+      col("chain_pos"), col("n_tokens"), budget = 6)
+    val bins = out.collect()
+      .map(r => (r.getLong(4), r.getLong(1))).groupBy(_._1)
+      .map { case (b, xs) => b -> xs.map(_._2).toSet }
+    // the chain at 13-degree steps is the angular walk 0,1,2,3,4,5 —
+    // windows pair consecutive chain steps
+    assert(bins.values.toSet === Set(Set(0L, 1L), Set(2L, 3L), Set(4L, 5L)),
+      s"2-doc windows of chain neighbors: $bins")
+    out.groupBy("bin_id").agg(sum("n_tokens").as("fill")).collect()
+      .foreach(r => assert(r.getLong(1) <= 6L))
+  }
 }
