@@ -693,17 +693,22 @@ object Similarity {
     IndexFs.writeSmall(spark, s"$indexDir/_quantizer",
       s"modulus=$centroidModulus\ncap=$maxCentroids")
 
-  private def readQuantizerStamp(spark: SparkSession,
-      indexDir: String): Option[(Long, Long)] =
-    IndexFs.readSmall(spark, s"$indexDir/_quantizer").flatMap { s =>
-      val kv = s.linesIterator.flatMap { ln =>
+  private def readStampMap(spark: SparkSession,
+      stampPath: String): Map[String, Long] =
+    IndexFs.readSmall(spark, stampPath).map { s =>
+      s.linesIterator.flatMap { ln =>
         ln.split("=", 2) match {
           case Array(k, v) => v.toLongOption.map(k.trim -> _)
           case _ => None
         }
       }.toMap
-      for (m <- kv.get("modulus"); c <- kv.get("cap")) yield (m, c)
-    }
+    }.getOrElse(Map.empty)
+
+  private def readQuantizerStamp(spark: SparkSession,
+      indexDir: String): Option[(Long, Long)] = {
+    val kv = readStampMap(spark, s"$indexDir/_quantizer")
+    for (m <- kv.get("modulus"); c <- kv.get("cap")) yield (m, c)
+  }
 
   /** Retrain-and-migrate for the frozen-centroid hazard — the wired
     * response to x67's alarm that the round-13 verdict noted was
@@ -1842,6 +1847,12 @@ object Similarity {
       .parquet(s"$indexDir/codes")
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     cws.write.mode("overwrite").parquet(s"$indexDir/codebook")
+    // both quantizer caps stamped for the drift audit ([[ivfPqOccupancy]])
+    // — the alarm must read the REAL build parameters, not a monitoring
+    // job's defaults (the semantic index's _quantizer discipline)
+    IndexFs.writeSmall(emb.sparkSession, s"$indexDir/_quantizer",
+      s"modulus=$centroidModulus\ncap=$maxCentroids\n" +
+        s"code_modulus=$codeModulus\ncode_cap=$maxCodes")
   }
 
   /** x61 — INCREMENTAL append to a persisted IVF-PQ index: the ingest
@@ -1901,6 +1912,58 @@ object Similarity {
       c.join(broadcast(spark.read.parquet(del).distinct()),
         Seq("vec_id"), "left_anti")
     else c
+  }
+
+  /** x135 — occupancy + cap-bind audit of the STORED IVF-PQ index:
+    * [[storedSemanticOccupancy]]'s drift alarm at the compressed
+    * grain, where BOTH frozen quantizers have a binding rank cut
+    * ([[ivfCentroids]]' coarse cap and the PQ codebook's `maxCodes` —
+    * the same eligible-vs-cap structure the round-15 recall
+    * decomposition measured). One scan of the codes table's id/
+    * partition columns (`subspace = 0` projects one row per vector;
+    * tombstones applied — the audit describes the LIVE corpus):
+    * per-cell counts feed the occupancy half, and two conditionals on
+    * ids the scan already reads feed the cap-bind half. Audited
+    * against the index's own `_quantizer` stamp (written at build);
+    * arguments are the pre-stamp fallback. `cap_bound` means the next
+    * retrain at the same parameters would rank-cut eligible coarse
+    * seeds (recall loss nprobe cannot reclaim — rebuild wider or
+    * accept the measured loss); `code_cap_bound` is the same statement
+    * for the codebook (finer quantization lost to the cut).
+    *
+    * Output (one row): n_cells, max_occupancy, cells_over_cap,
+    * vectors_over_cap, eligible_seeds, cap_bound,
+    * eligible_code_seeds, code_cap_bound.
+    */
+  def ivfPqOccupancy(spark: SparkSession, indexDir: String,
+      cellCap: Int = DefaultCellCap,
+      centroidModulus: Int = 100, maxCentroids: Int = 1024,
+      codeModulus: Int = 5, maxCodes: Int = 256): DataFrame = {
+    val kv = readStampMap(spark, s"$indexDir/_quantizer")
+    val mod = kv.getOrElse("modulus", centroidModulus.toLong)
+    val cap = kv.getOrElse("cap", maxCentroids.toLong)
+    val cmod = kv.getOrElse("code_modulus", codeModulus.toLong)
+    val ccap = kv.getOrElse("code_cap", maxCodes.toLong)
+    liveCodes(spark, indexDir)
+      .filter(col("subspace") === 0)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("vec_id") % mod === 0, 1L)), lit(0L))
+          .as("__elig"),
+        coalesce(sum(when(col("vec_id") % cmod === 0, 1L)), lit(0L))
+          .as("__celig"))
+      .agg(count(lit(1)).as("n_cells"),
+        max(col("n")).as("max_occupancy"),
+        coalesce(sum(when(col("n") > cellCap, 1L)), lit(0L))
+          .as("cells_over_cap"),
+        coalesce(sum(when(col("n") > cellCap, col("n"))), lit(0L))
+          .as("vectors_over_cap"),
+        coalesce(sum(col("__elig")), lit(0L)).as("eligible_seeds"),
+        coalesce(sum(col("__celig")), lit(0L)).as("eligible_code_seeds"))
+      .select(col("n_cells"), col("max_occupancy"), col("cells_over_cap"),
+        col("vectors_over_cap"), col("eligible_seeds"),
+        (col("eligible_seeds") > lit(cap)).as("cap_bound"),
+        col("eligible_code_seeds"),
+        (col("eligible_code_seeds") > lit(ccap)).as("code_cap_bound"))
   }
 
   /** Takedown for the persisted IVF-PQ index — the

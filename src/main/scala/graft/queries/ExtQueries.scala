@@ -5505,7 +5505,90 @@ object ExtQueries {
               |  FROM pk p JOIN ordd d ON d.cell = p.cell AND d.cpos = p.cpos + 1)
               |SELECT CAST(cell AS VARCHAR) AS centroid_id, doc_id,
               |  cpos AS ord, n_tokens, bin_id
-              |FROM pk""".stripMargin))
+              |FROM pk""".stripMargin)),
+
+    // ---- x135: IVF-PQ occupancy + cap-bind audit (round 16) ------------
+    // The cap-bind alarm (x113/x67's round-16 columns) at the
+    // compressed grain, where BOTH frozen quantizers rank-cut: the
+    // coarse cap (1024 over vec_id % 100 == 0) and the PQ codebook cap
+    // (256 over vec_id % 5 == 0). One scan of the stored codes table's
+    // id/partition columns (subspace = 0 → one row per vector,
+    // tombstones applied), audited against the index's own _quantizer
+    // stamp. Oracle: the x56 L2 coarse-assignment chain grouped by
+    // cell + the two eligibility counts.
+    ("x135_ivfpq_occupancy",
+      (s: SparkSession, dir: String) => {
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_pqocc_idx_" + Integer.toHexString(dir.hashCode)
+        Similarity.ivfPqWriteIndex(t(s, dir, "embeddings"), idx)
+        Similarity.ivfPqOccupancy(s, idx)
+      },
+      Some(s"""WITH pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings),
+              |ivfc AS (SELECT vec_id AS centroid_id, v AS cv FROM pe
+              |         WHERE vec_id % $PqIvfCm = 0
+              |         ORDER BY vec_id LIMIT $PqMaxCents),
+              |a1 AS (SELECT pe.vec_id, centroid_id,
+              |         round(${l2Sql("pe.v", "cv", 64)}, 6) AS d2
+              |       FROM pe, ivfc),
+              |asg AS (SELECT vec_id, centroid_id FROM
+              |         (SELECT *, row_number() OVER
+              |            (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+              |          FROM a1) WHERE rn = 1),
+              |occ AS (SELECT centroid_id, count(*) AS n,
+              |    coalesce(sum(CASE WHEN vec_id % $PqIvfCm = 0 THEN 1 END), 0) AS elig,
+              |    coalesce(sum(CASE WHEN vec_id % $PqCm = 0 THEN 1 END), 0) AS celig
+              |  FROM asg GROUP BY 1)
+              |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+              |  CAST(max(n) AS BIGINT) AS max_occupancy,
+              |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN 1 END), 0) AS BIGINT)
+              |    AS cells_over_cap,
+              |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN n END), 0) AS BIGINT)
+              |    AS vectors_over_cap,
+              |  CAST(coalesce(sum(elig), 0) AS BIGINT) AS eligible_seeds,
+              |  coalesce(sum(elig), 0) > $PqMaxCents AS cap_bound,
+              |  CAST(coalesce(sum(celig), 0) AS BIGINT) AS eligible_code_seeds,
+              |  coalesce(sum(celig), 0) > $PqMaxCodes AS code_cap_bound
+              |FROM occ""".stripMargin)),
+
+    // ---- x136: stored semantic occupancy + cap-bind audit (round 16) ---
+    // storedSemanticOccupancy registered under the hash gate: the
+    // x67/x72 drift-alarm family's occupancy half read from the stored
+    // index's own layout (one scan of the partition/id columns), plus
+    // the round-16 cap-bind columns audited against the _quantizer
+    // stamp. The entry pays build + audit per run (the honest
+    // lifecycle pricing class); production marginal cost is the one
+    // scan. Oracle: the x90 cosine assignment chain grouped by cell +
+    // the eligibility count.
+    ("x136_sem_occupancy",
+      (s: SparkSession, dir: String) => {
+        val idx = System.getProperty("java.io.tmpdir") +
+          "/graft_semocc_idx_" + Integer.toHexString(dir.hashCode)
+        Similarity.writeSemanticIndex(t(s, dir, "embeddings"), idx)
+        Similarity.storedSemanticOccupancy(s, idx)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM e
+              |          WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+              |ca1 AS (SELECT e.vec_id, c.centroid_id,
+              |          ${cosSql("e.v", "c.cvv")} AS cs FROM e, cents c),
+              |ca AS (SELECT vec_id, centroid_id FROM
+              |        (SELECT *, row_number() OVER
+              |           (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+              |         FROM ca1) WHERE rn = 1),
+              |occ AS (SELECT centroid_id, count(*) AS n,
+              |    coalesce(sum(CASE WHEN vec_id % 100 = 0 THEN 1 END), 0) AS elig
+              |  FROM ca GROUP BY 1)
+              |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+              |  CAST(max(n) AS BIGINT) AS max_occupancy,
+              |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN 1 END), 0) AS BIGINT)
+              |    AS cells_over_cap,
+              |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN n END), 0) AS BIGINT)
+              |    AS vectors_over_cap,
+              |  CAST(coalesce(sum(elig), 0) AS BIGINT) AS eligible_seeds,
+              |  coalesce(sum(elig), 0) > 1024 AS cap_bound
+              |FROM occ""".stripMargin))
   )
 
   /** The x122 oracle — x08's capped assignment/probe CTE chain + the

@@ -260,6 +260,43 @@ class IndexFsSpec extends SparkSpec {
       "eligible seeds count LIVE vectors only")
   }
 
+  test("IVF-PQ cap-bind alarm: BOTH quantizer caps audited off the stamp; " +
+      "deletes shrink the eligible counts; a wider-cap retrain clears") {
+    val dim = 64
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => if (d == axis) 1.0f else 0.0f)
+    val idx = Files.createTempDirectory("graft_pq_capbind").toString + "/idx"
+    val emb = embDf((0L to 3L).map(i => i -> unit(i.toInt)))
+    // modulus 1 → every vector is coarse-eligible (4 > cap 2);
+    // codeModulus 2 → ids 0 and 2 are codebook-eligible (2 > cap 1)
+    Similarity.ivfPqWriteIndex(emb, idx, centroidModulus = 1,
+      maxCentroids = 2, m = 16, codeModulus = 2, maxCodes = 1)
+    def audit() = Similarity.ivfPqOccupancy(spark, idx).collect()(0)
+    // no parameters passed: the alarm must read the STAMPED caps — its
+    // 1024/256 defaults would call 4 and 2 eligible comfortably unbound
+    val a0 = audit()
+    assert(a0.getAs[Long]("eligible_seeds") === 4L &&
+      a0.getAs[Boolean]("cap_bound"), s"coarse cap binds: $a0")
+    assert(a0.getAs[Long]("eligible_code_seeds") === 2L &&
+      a0.getAs[Boolean]("code_cap_bound"), s"codebook cap binds: $a0")
+    // a takedown shrinks what the next retrain would see
+    Similarity.deleteFromIvfPqIndex(Seq(2L).toDF("vec_id"), idx)
+    val a1 = audit()
+    assert(a1.getAs[Long]("eligible_seeds") === 3L &&
+      a1.getAs[Long]("eligible_code_seeds") === 1L,
+      s"eligible counts audit LIVE vectors only: $a1")
+    assert(!a1.getAs[Boolean]("code_cap_bound"),
+      "one live codebook seed no longer binds the cap of 1")
+    // the remedy: retrain (re-write) at wider caps over the live corpus
+    Similarity.ivfPqWriteIndex(emb.filter(col("vec_id") =!= 2L), idx,
+      centroidModulus = 1, maxCentroids = 16, m = 16, codeModulus = 2,
+      maxCodes = 16)
+    val a2 = audit()
+    assert(!a2.getAs[Boolean]("cap_bound") &&
+      !a2.getAs[Boolean]("code_cap_bound"),
+      s"the wider-cap retrain clears both alarms: $a2")
+  }
+
   test("rebuildSemanticIndex: retrains centroids, screen verdicts invariant, occupancy alarm clears") {
     val dim = 64
     def unit(axis: Int, eps: (Int, Float)*): Seq[Float] =
