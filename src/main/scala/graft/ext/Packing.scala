@@ -128,6 +128,48 @@ object Packing {
       .toDF(stratumCol, idCol, "ord", "n_tokens", "bin_id")
   }
 
+  /** [[packGreedyByOrder]] emitting [[packGreedyOffsets]]' tensor-
+    * assembly columns — the x137 completion of the chain-ordered
+    * family: a dataloader consuming In-Context-Pretraining-ordered
+    * windows needs the same (offset, pos) example-boundary contract
+    * the id-ordered packer ships (block-diagonal attention masks read
+    * exactly these spans). Same streaming O(1)-state fold; the shared
+    * (stratum, id, ord, n_tokens, bin_id) columns are bit-identical
+    * to [[packGreedyByOrder]]'s (spec-gated, the x132 discipline).
+    * Output: (stratumCol, idCol, ord, n_tokens, bin_id, offset, pos).
+    */
+  def packGreedyOffsetsByOrder(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      orderCol: Column,
+      tokensCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(stratumCol).isNotNull && col(idCol).isNotNull &&
+        orderCol.isNotNull && tokensCol.cast("long") > 0)
+      .select(col(stratumCol).cast("string").as("__stratum"),
+        col(idCol).cast("long").as("__id"),
+        orderCol.cast("long").as("__ord"), tokensCol.cast("long").as("__n"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"__ord", $"__id") { case (stratum, rows) =>
+        var fill = 0L
+        var bin = 0L
+        var pos = 0L
+        rows.map { case (_, id, ord, nTokens) =>
+          if (bin == 0L || fill + nTokens > budget) {
+            bin += 1; fill = nTokens; pos = 0L
+          } else { fill += nTokens; pos += 1L }
+          (stratum, id, ord, nTokens, bin, fill - nTokens, pos)
+        }
+      }
+      .toDF(stratumCol, idCol, "ord", "n_tokens", "bin_id", "offset", "pos")
+  }
+
   /** [[packGreedy]] emitting the TENSOR-ASSEMBLY columns a training
     * dataloader actually consumes: each document's token OFFSET inside
     * its bin's concatenated window and its 0-based document position

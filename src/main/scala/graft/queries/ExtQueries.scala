@@ -5588,7 +5588,85 @@ object ExtQueries {
               |    AS vectors_over_cap,
               |  CAST(coalesce(sum(elig), 0) AS BIGINT) AS eligible_seeds,
               |  coalesce(sum(elig), 0) > 1024 AS cap_bound
-              |FROM occ""".stripMargin))
+              |FROM occ""".stripMargin)),
+
+    // ---- x137: chain-ordered pack offsets — the contract completed -----
+    // x134's semantically ordered windows with x132's tensor-assembly
+    // columns: a dataloader consuming In-Context-Pretraining-ordered
+    // packs reads the same (offset, pos) example boundaries the
+    // id-ordered packer ships — block-diagonal attention masking does
+    // not care HOW the windows were ordered, only where the document
+    // spans sit. Oracle: x134's chain stack with the x132 fold
+    // carrying fill/pos forward on chain position.
+    ("x137_chain_pack_offsets",
+      (s: SparkSession, dir: String) => {
+        val toks = size(graft.functions.Portable.tokens(col("text")))
+        val packable = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && toks > 0)
+          .select(col("doc_id"), toks.cast("long").as("n_tokens"))
+        val embP = t(s, dir, "embeddings")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .join(packable.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val chain = Similarity.semanticChainOrder(embP)
+        graft.ext.Packing.packGreedyOffsetsByOrder(
+          packable.join(chain, col("doc_id") === col("vec_id")),
+          "centroid_id", "doc_id", col("chain_pos"), col("n_tokens"),
+          budget = 256)
+      },
+      Some(s"""WITH RECURSIVE se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+              |dk AS MATERIALIZED (SELECT doc_id,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+              |  FROM documents WHERE doc_id IS NOT NULL
+              |    AND len(string_split(trim(text), ' ')) > 0),
+              |pv AS MATERIALIZED (SELECT se.vec_id, se.v FROM se
+              |  SEMI JOIN dk ON dk.doc_id = se.vec_id),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM pv
+              |  WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+              |ca1 AS (SELECT pv.vec_id, c.centroid_id,
+              |    ${cosSql("pv.v", "c.cvv")} AS cs FROM pv, cents c),
+              |ca AS (SELECT vec_id, centroid_id FROM
+              |    (SELECT *, row_number() OVER
+              |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+              |     FROM ca1) WHERE rn = 1),
+              |mem AS MATERIALIZED (SELECT ca.centroid_id AS cell,
+              |    pv.vec_id AS doc_id, pv.v, dk.n_tokens
+              |  FROM pv JOIN ca USING (vec_id) JOIN dk ON dk.doc_id = pv.vec_id),
+              |prs AS MATERIALIZED (SELECT x.cell, x.doc_id AS a, y.doc_id AS b,
+              |    ${cosSql("x.v", "y.v")} AS cs
+              |  FROM mem x JOIN mem y ON x.cell = y.cell AND x.doc_id <> y.doc_id),
+              |ch AS (
+              |  SELECT cell, [cur] AS vis, cur, CAST(1 AS BIGINT) AS cpos
+              |  FROM (SELECT cell, min(doc_id) AS cur FROM mem GROUP BY cell)
+              |  UNION ALL
+              |  SELECT c.cell, list_append(c.vis, p.b), p.b, c.cpos + 1
+              |  FROM ch c JOIN prs p ON p.cell = c.cell AND p.a = c.cur
+              |  WHERE NOT list_contains(c.vis, p.b)
+              |  QUALIFY row_number() OVER
+              |    (PARTITION BY c.cell ORDER BY p.cs DESC, p.b) = 1),
+              |ordd AS MATERIALIZED (SELECT ch.cell, ch.cur AS doc_id, ch.cpos,
+              |    mem.n_tokens
+              |  FROM ch JOIN mem ON mem.cell = ch.cell AND mem.doc_id = ch.cur),
+              |pk AS (
+              |  SELECT cell, doc_id, cpos, n_tokens,
+              |    n_tokens AS fill, CAST(1 AS BIGINT) AS bin_id,
+              |    CAST(0 AS BIGINT) AS "offset", CAST(0 AS BIGINT) AS pos
+              |  FROM ordd WHERE cpos = 1
+              |  UNION ALL
+              |  SELECT d.cell, d.doc_id, d.cpos, d.n_tokens,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+              |         ELSE p.fill + d.n_tokens END,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin_id + 1
+              |         ELSE p.bin_id END,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN CAST(0 AS BIGINT)
+              |         ELSE p.fill END,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN CAST(0 AS BIGINT)
+              |         ELSE p.pos + 1 END
+              |  FROM pk p JOIN ordd d ON d.cell = p.cell AND d.cpos = p.cpos + 1)
+              |SELECT CAST(cell AS VARCHAR) AS centroid_id, doc_id,
+              |  cpos AS ord, n_tokens, bin_id, "offset", pos
+              |FROM pk""".stripMargin))
   )
 
   /** The x122 oracle — x08's capped assignment/probe CTE chain + the

@@ -238,4 +238,33 @@ class PackingSpec extends SparkSpec {
     out.groupBy("bin_id").agg(sum("n_tokens").as("fill")).collect()
       .foreach(r => assert(r.getLong(1) <= 6L))
   }
+
+  test("packGreedyOffsetsByOrder: shared columns bit-identical to " +
+      "packGreedyByOrder; offsets are the concatenation spans in visit order") {
+    val df = Seq(
+      ("a", 1L, 4L, 3L), ("a", 2L, 3L, 2L), ("a", 3L, 2L, 3L),
+      ("a", 4L, 1L, 4L), ("b", 5L, 1L, 7L)
+    ).toDF("lang", "doc_id", "ord", "w")
+    val base = Packing.packGreedyByOrder(df, "lang", "doc_id", col("ord"),
+      col("w"), budget = 7).collect().map(_.toSeq).toSet
+    val off = Packing.packGreedyOffsetsByOrder(df, "lang", "doc_id",
+      col("ord"), col("w"), budget = 7)
+    assert(off.select("lang", "doc_id", "ord", "n_tokens", "bin_id")
+      .collect().map(_.toSeq).toSet === base,
+      "the shared columns must be bit-identical — the offset derivation " +
+        "cannot perturb the bin decision")
+    // visit order in stratum a is ord asc: 4(w4),3(w3) → bin1 spans
+    // [0,4),[4,7); 2(w2),1(w3) → bin2 spans [0,2),[2,5)
+    val rows = off.filter(col("lang") === "a").collect()
+      .map(r => r.getLong(1) -> (r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(rows === Map(
+      4L -> (1L, 0L, 0L), 3L -> (1L, 4L, 1L),
+      2L -> (2L, 0L, 0L), 1L -> (2L, 2L, 1L)),
+      s"offsets follow the visit order's running fill: $rows")
+    // per-bin invariant: offsets tile the window — offset = running
+    // sum of earlier docs' tokens, pos dense from 0
+    val b = off.filter(col("lang") === "b").collect().head
+    assert(b.getLong(4) === 1L && b.getLong(5) === 0L && b.getLong(6) === 0L)
+  }
 }
