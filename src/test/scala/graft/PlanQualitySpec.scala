@@ -506,4 +506,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
       fin)
   }
+
+  test("x134 chain packing: pair pass is cell-keyed — never all-pairs; " +
+      "assignment joins broadcast") {
+    val p = finalPlan(q("x134_incontext_chain_pack"))
+    // the within-cell Σ|cell|² pair pass must ride a centroid-keyed
+    // join (the x33 witness discipline) — a cartesian/BNLJ over the
+    // corpus is the regression this gate exists to catch. (The
+    // centroid frames themselves broadcast — the quantizer joins are
+    // tiny and keyed by nothing.)
+    assert(!p.contains("CartesianProduct"),
+      "chain pair pass regressed to a cartesian product:\n" + p)
+    val cellJoin = """Join \[centroid_id#\d+L?\], \[centroid_id#\d+L?\]""".r
+    assert(cellJoin.findFirstIn(p).isDefined,
+      "missing the centroid-keyed pairwise join:\n" + p)
+  }
 }
