@@ -54,7 +54,8 @@ object DocStream {
   def spanScreenReplay(spark: SparkSession, docs: DataFrame,
       indexDir: String, outDir: String, nBatches: Int = 4,
       k: Int = 8, bloom: Boolean = true, buckets: Int = 0,
-      maxFilesPerBucket: Int = 64): DataFrame = {
+      maxFilesPerBucket: Int = 64,
+      betweenBatches: Int => Unit = _ => ()): DataFrame = {
     require(nBatches >= 2, s"need at least 2 batches to screen, got $nBatches")
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -109,6 +110,10 @@ object DocStream {
         q.processAllAvailable()
         System.err.println(
           f"[docstream] trigger $b: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        // takedown hook: at this grain a mid-stream delete is the
+        // filtered rebuild (takedownGramIndex over the remaining
+        // corpus) — the next batch screens the swapped-in index
+        betweenBatches(b)
       }
     } finally q.stop()
     // explicit schema: a batch with no spans leaves an empty directory

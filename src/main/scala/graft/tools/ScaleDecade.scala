@@ -48,6 +48,10 @@ object ScaleDecade {
                         // and a per-cell sequential fold; the decade
                         // should track the pair-pass quadratic-in-
                         // occupancy term, linear in corpus at fixed cap
+    "x137_chain_pack_offsets", // round 16: x134's chain + the x132
+                        // offsets fold — must track x134's decade
+                        // (the offset columns are O(1) state on the
+                        // same fold)
     "x51_table_profile",
     "x53_table_profile_kmv",
     "x66_profile_all",  // round 10: the one-scan composed profile —

@@ -81,6 +81,37 @@ class StreamingTakedownSpec extends SparkSpec {
         "keeps working after the takedown")
   }
 
+  test("x103 path: a gram-index takedown (filtered rebuild) landing " +
+      "mid-stream un-flags the removed corpus's spans at the next batch; " +
+      "the batch after re-flags off the freshly appended live grams") {
+    // doc_id % 4 is the batch id (k = 3 grams)
+    val docs = Seq(
+      (0L, "a1 a2 a3 a4"),                // batch 0 — bootstrap corpus
+      (1L, "b1 b2 b3 b4"),                // batch 1 — clean, appends
+      (2L, "a1 a2 a3 z1 b1 b2 b3"),       // batch 2 — screens POST-takedown
+      (3L, "a1 a2 a3 q1 q2")              // batch 3 — doc 2's grams are live
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_std_gram").toString
+    val idx = s"$root/index"
+    val out = graft.streaming.DocStream.spanScreenReplay(spark, docs,
+      idx, s"$root/out", nBatches = 4, k = 3,
+      betweenBatches = b =>
+        // the takedown names doc 0; at this grain the verb IS the
+        // filtered rebuild over the remaining ingested corpus (doc 1)
+        if (b == 1)
+          Dedup.takedownGramIndex(
+            docs.filter(col("doc_id") === 1L), idx, k = 3))
+    val spans = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch 1: doc 1 shares no gram with the bootstrap — no rows.
+    // batch 2: doc 2's "a1 a2 a3" span must NOT flag (doc 0 forgotten);
+    // its "b1 b2 b3" span (positions 4..7) flags off live doc 1.
+    // batch 3: doc 3's "a1 a2 a3" DOES flag — batch 2 appended doc 2's
+    // grams, so the content is live again via a surviving document.
+    assert(spans === Set((2L, 4L, 7L), (3L, 0L, 3L)),
+      s"mid-stream rebuild honored at the next batch: $spans")
+  }
+
   test("x121 path: an LM retraction landing mid-stream re-scores the next " +
       "batches bit-identically to raw models that never saw the deleted docs") {
     // doc_id % 4 is the batch id; batch 1 carries distinctive vocabulary
