@@ -1822,6 +1822,11 @@ object Similarity {
     * [[ivfPqSearchIndex]]. Long/double parquet round-trips are exact,
     * so a search over the persisted index is bit-identical to the
     * in-plan composition (spec-gated).
+    *
+    * FRESH paths only: the three table writes are not atomic as a
+    * group, so building OVER a live index risks new-geometry codes
+    * beside old-geometry quantizers on a crash — retrain a live index
+    * with [[ivfPqRebuildIndex]] (whole-directory swap) instead.
     */
   def ivfPqWriteIndex(
       emb: DataFrame,
@@ -1881,6 +1886,7 @@ object Similarity {
     * monitor x57's audit column feeds decides when a rebuild is due.
     */
   def ivfPqAppendIndex(newEmb: DataFrame, indexDir: String): Unit = {
+    IndexFs.recoverSwap(newEmb.sparkSession, indexDir) // whole-index REBUILD swap
     val spark = newEmb.sparkSession
     // heal a crashed compaction swap BEFORE appending (an append into a
     // missing live dir would fork the index away from the .compact copy)
@@ -1914,6 +1920,55 @@ object Similarity {
     else c
   }
 
+  /** x138 — retrain-and-migrate for the persisted IVF-PQ index: the
+    * x116 discipline at the compressed grain, and the SAFE form of the
+    * cap-bind remedy [[ivfPqOccupancy]] prescribes. A bare
+    * [[ivfPqWriteIndex]] over a live index is NOT atomic — it
+    * overwrites `codes`, then `centroids`, then `codebook`, and a
+    * crash between the writes leaves new-geometry codes beside
+    * old-geometry quantizers: WRONG search results, not just a torn
+    * directory. This verb builds into `indexDir.compact` and swaps the
+    * whole directory tmp → old → live, so vectors/centroids/codebook/
+    * stamp change together and the only no-live window is the single
+    * [[IndexFs.recoverSwap]] window every IVF-PQ entry point now
+    * heals.
+    *
+    * The corpus is handed back by the caller (codes are LOSSY — the
+    * original vectors cannot be reconstructed from the index; the
+    * x117 hand-back contract, same as the near-dup rebuild).
+    * Tombstoned vec_ids are filtered OUT of the handed-back corpus —
+    * the retrain must not learn geometry from taken-down vectors, and
+    * the swapped-in directory starts clean (`deletes/` stays behind in
+    * `.old`), so takedowns stay durable across a careless hand-back.
+    * Memoized searches over the old geometry are released (the x116
+    * stale-geometry lesson). Cost = the original build's.
+    */
+  def ivfPqRebuildIndex(
+      corpus: DataFrame,
+      indexDir: String,
+      centroidModulus: Int = 100,
+      maxCentroids: Int = 1024,
+      m: Int = 16,
+      codeModulus: Int = 5,
+      maxCodes: Int = 256,
+      trainIters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    IndexFs.recoverSwap(spark, indexDir)
+    IndexFs.recoverSwap(spark, s"$indexDir/codes")
+    val tmp = s"$indexDir.compact"
+    IndexFs.delete(spark, tmp)
+    val del = s"$indexDir/deletes"
+    val live =
+      if (IndexFs.exists(spark, del))
+        corpus.join(broadcast(spark.read.parquet(del).distinct()),
+          Seq("vec_id"), "left_anti")
+      else corpus
+    ivfPqWriteIndex(live, tmp, centroidModulus, maxCentroids, m,
+      codeModulus, maxCodes, trainIters)
+    IndexFs.swapCompact(spark, indexDir)
+    graft.tools.InternalCaches.releaseByPath(spark, indexDir)
+  }
+
   /** x135 — occupancy + cap-bind audit of the STORED IVF-PQ index:
     * [[storedSemanticOccupancy]]'s drift alarm at the compressed
     * grain, where BOTH frozen quantizers have a binding rank cut
@@ -1939,6 +1994,7 @@ object Similarity {
       cellCap: Int = DefaultCellCap,
       centroidModulus: Int = 100, maxCentroids: Int = 1024,
       codeModulus: Int = 5, maxCodes: Int = 256): DataFrame = {
+    IndexFs.recoverSwap(spark, indexDir) // a crashed whole-index REBUILD swap
     val kv = readStampMap(spark, s"$indexDir/_quantizer")
     val mod = kv.getOrElse("modulus", centroidModulus.toLong)
     val cap = kv.getOrElse("cap", maxCentroids.toLong)
@@ -1979,6 +2035,7 @@ object Similarity {
     */
   def deleteFromIvfPqIndex(vecIds: DataFrame, indexDir: String): Unit = {
     val spark = vecIds.sparkSession
+    IndexFs.recoverSwap(spark, indexDir) // a crashed whole-index REBUILD swap
     IndexFs.recoverSwap(spark, s"$indexDir/codes")
     vecIds.select(col("vec_id")).filter(col("vec_id").isNotNull).distinct()
       .repartition(1).write.mode("append").parquet(s"$indexDir/deletes")
@@ -1996,6 +2053,7 @@ object Similarity {
     * resurrected vector.
     */
   def ivfPqCompactIndex(spark: SparkSession, indexDir: String): Unit = {
+    IndexFs.recoverSwap(spark, indexDir) // a crashed whole-index REBUILD swap
     IndexFs.recoverSwap(spark, s"$indexDir/codes")
     // local persist, not the memoized registry: the frame reads the
     // very directory the swap replaces
@@ -2024,6 +2082,10 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 2): DataFrame = {
     val spark = emb.sparkSession
+    // heal a crashed whole-index REBUILD swap before the first read
+    // (the semantic family's double-heal; liveCodes heals the
+    // per-table compaction swap)
+    IndexFs.recoverSwap(spark, indexDir)
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cws = spark.read.parquet(s"$indexDir/codebook")
     val m = storedM(cws)

@@ -74,6 +74,8 @@ object ExtQueries {
   private val x121Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x133Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x133Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x138Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x138Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -5666,7 +5668,52 @@ object ExtQueries {
               |  FROM pk p JOIN ordd d ON d.cell = p.cell AND d.cpos = p.cpos + 1)
               |SELECT CAST(cell AS VARCHAR) AS centroid_id, doc_id,
               |  cpos AS ord, n_tokens, bin_id, "offset", pos
-              |FROM pk""".stripMargin))
+              |FROM pk""".stripMargin)),
+
+    // ---- x138: IVF-PQ retrain-and-migrate (round 16) -------------------
+    // The x116 discipline at the compressed grain, and the SAFE form
+    // of x135's cap-bind remedy: a bare re-write over a live index is
+    // not atomic (codes, then centroids, then codebook — a crash
+    // between leaves new-geometry codes under old-geometry quantizers,
+    // WRONG results, not just a torn directory). The rebuild builds
+    // into .compact and swaps the whole directory; the corpus is
+    // handed back (codes are lossy — the x117 contract) and tombstoned
+    // vectors are filtered out of it, so takedowns stay durable across
+    // a careless hand-back and the swapped-in index starts clean. The
+    // gate: build 90% + append 10% + delete (vec_id % 9 == 1, twice —
+    // replay) + rebuild handing back the ORIGINAL corpus + search;
+    // oracle = the one-shot x56 chain instantiated over the SURVIVOR
+    // corpus (the rebuild retrains geometry on survivors — deleted
+    // ids include coarse seeds like 100, so the quantizers genuinely
+    // move; queries 7/177/357 all survive).
+    ("x138_ivfpq_rebuild",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x138_${s.sparkContext.applicationId}_${x138Seq.incrementAndGet()}")
+        Option(x138Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqWriteIndex(
+          emb.filter(pmod(col("vec_id"), lit(10L)) =!= 9L), idx)
+        Similarity.ivfPqAppendIndex(
+          emb.filter(pmod(col("vec_id"), lit(10L)) === 9L), idx)
+        val takedown = emb.filter(pmod(col("vec_id"), lit(9L)) === 1L)
+          .select(col("vec_id"))
+        Similarity.deleteFromIvfPqIndex(takedown, idx)
+        Similarity.deleteFromIvfPqIndex(takedown, idx) // replayed request
+        Similarity.ivfPqRebuildIndex(emb, idx) // careless full hand-back
+        Similarity.ivfPqSearchIndex(emb, idx, queryIds = Seq(7L, 177L, 357L))
+      },
+      Some(s"""WITH ${pqEncodeCtes(
+               "(SELECT * FROM embeddings WHERE vec_id % 9 <> 1)")},
+              |$ivfPqScoredCtes,
+              |rk AS (SELECT *, row_number() OVER
+              |         (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
+              |       FROM scored)
+              |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
+              |FROM rk WHERE rnk <= 5""".stripMargin))
   )
 
   /** The x122 oracle — x08's capped assignment/probe CTE chain + the

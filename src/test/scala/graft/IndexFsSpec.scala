@@ -287,14 +287,41 @@ class IndexFsSpec extends SparkSpec {
       s"eligible counts audit LIVE vectors only: $a1")
     assert(!a1.getAs[Boolean]("code_cap_bound"),
       "one live codebook seed no longer binds the cap of 1")
-    // the remedy: retrain (re-write) at wider caps over the live corpus
-    Similarity.ivfPqWriteIndex(emb.filter(col("vec_id") =!= 2L), idx,
+    // the remedy: ivfPqRebuildIndex at wider caps — the SAFE retrain
+    // (whole-directory swap; a bare re-write over a live index is not
+    // atomic). The caller carelessly hands back the ORIGINAL corpus;
+    // the rebuild filters the tombstoned vector out itself.
+    Similarity.ivfPqRebuildIndex(emb, idx,
       centroidModulus = 1, maxCentroids = 16, m = 16, codeModulus = 2,
       maxCodes = 16)
     val a2 = audit()
     assert(!a2.getAs[Boolean]("cap_bound") &&
       !a2.getAs[Boolean]("code_cap_bound"),
-      s"the wider-cap retrain clears both alarms: $a2")
+      s"the wider-cap rebuild clears both alarms: $a2")
+    assert(a2.getAs[Long]("eligible_seeds") === 3L,
+      "the tombstoned vector stayed out of the handed-back corpus")
+    assert(!IndexFs.exists(spark, s"$idx/deletes"),
+      "the swapped-in index starts with no tombstones")
+  }
+
+  test("ivfPqRebuildIndex: a swap crashed between the renames is healed " +
+      "by the next search") {
+    val dim = 64
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => if (d == axis) 1.0f else 0.0f)
+    val idx = Files.createTempDirectory("graft_pq_rbheal").toString + "/idx"
+    val emb = embDf((0L to 3L).map(i => i -> unit(i.toInt)))
+    Similarity.ivfPqWriteIndex(emb, idx)
+    def hits = Similarity.ivfPqSearchIndex(emb, idx,
+      queryIds = Seq(0L), k = 3, nprobe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val want = hits
+    // crash window: live renamed aside and dropped, .compact complete
+    // but not yet promoted — exactly what a rebuild crash between
+    // swapCompact's two renames leaves
+    IndexFs.renameOrFail(spark, idx, s"$idx.compact", "stage crash")
+    assert(hits === want,
+      "the search entry must complete the crashed whole-index swap")
   }
 
   test("rebuildSemanticIndex: retrains centroids, screen verdicts invariant, occupancy alarm clears") {
