@@ -52,6 +52,10 @@ object ScaleDecade {
                         // offsets fold — must track x134's decade
                         // (the offset columns are O(1) state on the
                         // same fold)
+    "x138_ivfpq_rebuild", // round 16: the crash-safe retrain — pays
+                        // build + append + delete + REBUILD + search
+                        // per run, so the decade should track ~2× the
+                        // x59 build term (the rebuild IS a build)
     "x51_table_profile",
     "x53_table_profile_kmv",
     "x66_profile_all",  // round 10: the one-scan composed profile —
