@@ -2589,7 +2589,7 @@ object ExtQueries {
               |        FROM resolved r
               |        JOIN lang USING (doc_id) JOIN q USING (doc_id)
               |        WHERE $curationGateWhere),
-              |pd AS (SELECT lang_pred, CAST(0 AS BIGINT) AS shard, doc_id, n_tokens,
+              |pd AS MATERIALIZED (SELECT lang_pred, CAST(0 AS BIGINT) AS shard, doc_id, n_tokens,
               |         row_number() OVER (PARTITION BY lang_pred ORDER BY doc_id) AS rn
               |       FROM sel WHERE n_tokens > 0),
               |pk AS (
