@@ -1513,8 +1513,20 @@ object Dedup {
     IndexFs.recoverSwap(spark, indexDir)
     val sc0 = cachedSidecar(spark, indexDir, cacheSidecar)
     val (buckets, items, numBits, bf) = (sc0.buckets, sc0.items, sc0.numBits, sc0.bf)
+    // tombstones-win until the drain: a doc_id with a pending takedown
+    // request ([[requestGramTakedown]]) is suppressed from the batch —
+    // its UNIQUE grams never enter the index, so the eventual drain has
+    // nothing extra to remove (grams it shares with live docs still
+    // arrive through them; set semantics). Re-admission is
+    // append-after-drain, the same contract as every tombstoned grain.
+    val pend0 = pendingDeletesPath(indexDir)
+    val liveDocs =
+      if (IndexFs.exists(spark, pend0))
+        newDocs.join(broadcast(spark.read.parquet(pend0).distinct()),
+          Seq("doc_id"), "left_anti")
+      else newDocs
     val g = graft.tools.InternalCaches.persist(
-      gramStream(newDocs, k).select("g").distinct())
+      gramStream(liveDocs, k).select("g").distinct())
     if (cacheSidecar && numBits / 8 > (64L << 20)) {
       val it = g.select(col("g"))
         .as[Long](org.apache.spark.sql.Encoders.scalaLong)
@@ -1593,6 +1605,16 @@ object Dedup {
       .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
     val sc = GramSidecar(nBuckets, items, numBits, System.nanoTime(), bf)
     writeBloomSidecar(spark, tmp, sc)
+    // CARRY the pending-takedown ledger across the swap: a compaction
+    // is a distinct-rewrite, NOT a drain (it has no corpus to rebuild
+    // from) — sweeping the ledger with the old directory would silently
+    // forget takedown requests. COPY, not move: a crash between a move
+    // and the swap would strand the only ledger copy in a tmp dir the
+    // retry rewrites wholesale ([[IndexFs.copyDir]] has the full
+    // argument); the live original is demoted WITH the old dir only
+    // when the promoted copy is already in place.
+    IndexFs.copyDir(spark, pendingDeletesPath(indexDir),
+      pendingDeletesPath(tmp))
     // swap: every step leaves a complete index on disk somewhere
     IndexFs.swapCompact(spark, indexDir)
     // the compacted frame replaced the files its cached plan reads —
@@ -1631,9 +1653,20 @@ object Dedup {
       buckets: Int = 0): Unit = {
     val spark = remaining.sparkSession
     IndexFs.recoverSwap(spark, indexDir)
+    // any PENDING ledger requests ([[requestGramTakedown]]) are applied
+    // by this rebuild too — the handed-back corpus is filtered against
+    // them, and the swap sweeps the ledger away with the old directory
+    // (applied and cleared in the same atomic step; a crash before the
+    // swap leaves the ledger in the live dir for the retry)
+    val pend = pendingDeletesPath(indexDir)
+    val rem =
+      if (IndexFs.exists(spark, pend))
+        remaining.join(broadcast(spark.read.parquet(pend).distinct()),
+          Seq("doc_id"), "left_anti")
+      else remaining
     val tmp = indexDir + ".compact"
     IndexFs.delete(spark, tmp)
-    writeGramIndexBucketed(remaining, tmp, k, buckets)
+    writeGramIndexBucketed(rem, tmp, k, buckets)
     IndexFs.swapCompact(spark, indexDir)
     // the build seeded the sidecar cache under the TMP path — drop it —
     // and the live path's cached entry now describes the replaced
@@ -1643,6 +1676,80 @@ object Dedup {
     invalidateSidecarCache(tmp)
     invalidateSidecarCache(indexDir)
     graft.tools.InternalCaches.releaseByPath(spark, indexDir)
+  }
+
+  private def pendingDeletesPath(indexDir: String) =
+    s"$indexDir/_pending_deletes"
+
+  /** x142 — ENQUEUE a substring-grain takedown instead of paying the
+    * index-sized rebuild per request. The gram index's takedown
+    * degenerates to a filtered rebuild by design ([[takedownGramIndex]]
+    * — no provenance at O(1) bytes/gram), so a STREAM of requests at
+    * 100 TB would cost an index-sized build each; this ledger amortizes
+    * them to the maintenance cadence the round-16 verdict prescribed.
+    * Requested doc_ids land in `_pending_deletes` beside the sidecar
+    * (underscore-prefixed: invisible to every parquet read of the
+    * index; tiny — one file per request batch, set semantics make
+    * replays harmless), and ONE filtered rebuild applies the whole
+    * accumulated set ([[drainGramTakedowns]], or any
+    * [[takedownGramIndex]] call, whose swap clears the ledger
+    * atomically with applying it).
+    *
+    * DOCUMENTED CONTRACT — removal is effective at the DRAIN, not at
+    * the request: the stored grams cannot be filtered at read time
+    * (no provenance), so a span screen between request and drain still
+    * matches the requested documents' grams (the x142 gate hash-pins
+    * exactly that, phase `requested`). Deployments drain on the
+    * compaction cadence; where the right-to-be-forgotten clock starts
+    * at the request, schedule the drain inside the compliance window.
+    * Between request and drain, appends suppress the requested doc_ids
+    * from their batches (tombstones-win, as every other grain);
+    * re-admission is append-after-drain. Single-writer maintenance,
+    * like every rebuild-class verb.
+    *
+    * Crash safety: the ledger is parquet-append + set semantics
+    * (replay-safe); [[compactGramIndex]] CARRIES it across its swap
+    * (compaction is a distinct-rewrite, not a drain — it has no corpus
+    * to rebuild from); the drain's swap clears it in the same rename
+    * that publishes the filtered index, so a crash anywhere leaves
+    * either [ledger intact + old index] or [ledger gone + filtered
+    * index] — never a lost request, never a half-applied state.
+    */
+  def requestGramTakedown(docIds: DataFrame, indexDir: String): Unit = {
+    val spark = docIds.sparkSession
+    IndexFs.recoverSwap(spark, indexDir)
+    docIds.select(col("doc_id")).filter(col("doc_id").isNotNull).distinct()
+      .repartition(1).write.mode("append")
+      .parquet(pendingDeletesPath(indexDir))
+  }
+
+  /** The accumulated [[requestGramTakedown]] set (distinct doc_ids;
+    * empty frame when no requests are pending). */
+  def pendingGramTakedowns(spark: SparkSession, indexDir: String): DataFrame = {
+    IndexFs.recoverSwap(spark, indexDir)
+    val p = pendingDeletesPath(indexDir)
+    if (IndexFs.exists(spark, p)) spark.read.parquet(p).distinct()
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** Apply every pending takedown request in ONE filtered rebuild —
+    * the amortized drain ([[requestGramTakedown]]'s other half). The
+    * caller hands back the remaining corpus (the x117/x133 contract;
+    * hand back the FULL corpus carelessly — the ledger filter is
+    * applied here, so batched-drain ≡ the sequential per-request
+    * rebuilds it replaces, spec-gated in GramLedgerSpec and hash-gated
+    * by x142's `drained` phase). Returns whether a drain ran (false =
+    * no pending requests; the index is untouched).
+    */
+  def drainGramTakedowns(corpus: DataFrame, indexDir: String, k: Int = 8,
+      buckets: Int = 0): Boolean = {
+    val spark = corpus.sparkSession
+    IndexFs.recoverSwap(spark, indexDir)
+    if (!IndexFs.exists(spark, pendingDeletesPath(indexDir))) false
+    else {
+      takedownGramIndex(corpus, indexDir, k, buckets)
+      true
+    }
   }
 
   /** x95 screen — [[duplicateSpansAgainstIndex]] semantics (same

@@ -144,6 +144,25 @@ object IndexFs {
     }
   }
 
+  /** Recursive COPY of a small control-plane directory; no-op when the
+    * source is absent. Copy, not move, is the crash-safe transport for
+    * state that must survive a tmp → old → live swap (the gram index's
+    * pending-takedown ledger): a move would leave the live directory
+    * without the state during the build window, and a retry after a
+    * crash there rewrites tmp wholesale (`mode("overwrite")`) —
+    * deleting the only copy. With a copy the live original stays in
+    * place until the swap demotes it, and the promoted directory
+    * carries the duplicate.
+    */
+  def copyDir(spark: SparkSession, from: String, to: String): Unit = {
+    val f = fs(spark, from)
+    val src = new Path(from)
+    if (f.exists(src))
+      require(org.apache.hadoop.fs.FileUtil.copy(f, src, fs(spark, to),
+        new Path(to), false, spark.sparkContext.hadoopConfiguration),
+        s"copy $from -> $to failed")
+  }
+
   /** The compaction swap: demote live to `.old`, promote `.compact` to
     * live, drop `.old`. Every step leaves a complete copy of the table
     * on disk; the only step with no LIVE path is the window

@@ -395,15 +395,73 @@ object Similarity {
     *
     * Output: (vec_id, centroid_id, chain_pos) — chain_pos is 1-based
     * and contiguous per cell (singleton cells are chains of length 1).
+    *
+    * `chainCellCap` guards the one non-spillable piece: the per-cell
+    * fold buffers the full within-cell adjacency (|cell|·(|cell|−1)
+    * longs) in one task's heap, so a runaway hot cell — exactly the
+    * condition the occupancy alarms ([[storedSemanticOccupancy]] /
+    * [[cellOccupancyAudit]]) exist to detect under frozen or drifted
+    * centroids — would become an unspillable OOM instead of a slow
+    * task. The fold refuses FAST (the sorted input delivers one
+    * adjacency list at a time, so detection costs O(cap) memory, not
+    * O(|cell|²)) with the remedy in the message: rebuild at a wider
+    * `maxCentroids`, or raise the cap if the executor heap affords
+    * |cell|² × 8 bytes. At the default 4096 a worst-case cell buffers
+    * ~128 MiB.
     */
   def semanticChainOrder(emb: DataFrame, centroidModulus: Int = 100,
-      maxCentroids: Int = 1024): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+      maxCentroids: Int = 1024,
+      chainCellCap: Int = DefaultChainCellCap): DataFrame = {
     val all = vecs(emb)
     val assigned = graft.tools.InternalCaches.persist(
       assignToCentroids(all, ivfCentroids(all, centroidModulus, maxCentroids))
         .select(col("vec_id"), col("v"), col("centroid_id")))
+    chainWithinCells(assigned, chainCellCap)
+  }
+
+  /** x141 — [[semanticChainOrder]] over the PERSISTED semantic index:
+    * the "stored" rung of the chain-packing family (the x124 / x104
+    * amortization pattern). The corpus-sized assignment was paid once
+    * at ingest ([[writeSemanticIndex]] / [[appendSemanticIndex]] store
+    * `centroid_id` with every vector), so the chain pays only the
+    * cap-bounded Σ|cell|² pair pass plus the per-cell fold — no
+    * re-derivation from raw embeddings.
+    *
+    * Composes with takedowns for free: members come through
+    * [[liveVectors]], so a tombstoned vec_id
+    * ([[deleteFromSemanticIndex]]) can never land in a packed window —
+    * the chain re-threads around it on the next run (callers of the
+    * in-plan variant must pre-filter by hand). Replayed append rows
+    * collapse via the vec_id distinct (assignment under frozen
+    * centroids is deterministic, so duplicates are byte-identical).
+    * Output and determinism contract identical to
+    * [[semanticChainOrder]]; same `chainCellCap` guard.
+    */
+  def semanticChainOrderStored(spark: SparkSession, indexDir: String,
+      chainCellCap: Int = DefaultChainCellCap): DataFrame = {
+    IndexFs.recoverSwap(spark, indexDir) // a crashed whole-index REBUILD swap
+    IndexFs.recoverSwap(spark, s"$indexDir/vectors")
+    val assigned = graft.tools.InternalCaches.persist(
+      liveVectors(spark, indexDir).dropDuplicates("vec_id")
+        .select(col("vec_id"), col("v"), col("centroid_id")))
+    chainWithinCells(assigned, chainCellCap)
+  }
+
+  /** Per-cell buffer bound for the chain fold — 4096 members buffers at
+    * most ~128 MiB of adjacency longs in one task (4096² × 8 B). */
+  private[graft] val DefaultChainCellCap = 4096
+
+  /** The chain fold shared by [[semanticChainOrder]] (in-plan
+    * assignment) and [[semanticChainOrderStored]] (stored assignment):
+    * within-cell complete pair graph → greedy NN traversal per cell.
+    * `assigned` must be (vec_id, v, centroid_id) with distinct vec_ids;
+    * persist it — the plan reads it three times (pairs ×2, singles).
+    */
+  private def chainWithinCells(assigned: DataFrame,
+      chainCellCap: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    require(chainCellCap >= 2, s"chainCellCap must be >= 2, got $chainCellCap")
     val lhs = assigned.select(col("centroid_id"), col("vec_id").as("a"),
       col("v").as("va"))
     val rhs = assigned.select(col("centroid_id"), col("vec_id").as("b"),
@@ -423,8 +481,21 @@ object Similarity {
         val adj = scala.collection.mutable.LinkedHashMap
           .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
         rows.foreach { case (_, a, b, _) =>
-          adj.getOrElseUpdate(a,
-            new scala.collection.mutable.ArrayBuffer[Long]) += b
+          val buf = adj.getOrElseUpdate(a,
+            new scala.collection.mutable.ArrayBuffer[Long])
+          buf += b
+          // a list reaching the cap means |cell| > cap: refuse while
+          // only ONE list is buffered (sorted input builds lists one at
+          // a time), not after the heap holds the full |cell|² graph
+          if (buf.length >= chainCellCap)
+            throw new IllegalStateException(
+              s"semanticChainOrder: cell $cell exceeds chainCellCap=" +
+                s"$chainCellCap members; the chain fold buffers the full " +
+                "within-cell adjacency (|cell|^2 longs) in one task. This " +
+                "occupancy is what storedSemanticOccupancy/" +
+                "cellOccupancyAudit alarm on — rebuildSemanticIndex at a " +
+                "wider maxCentroids, or raise chainCellCap if the " +
+                "executor heap affords |cell|^2 * 8 bytes.")
         }
         val visited = scala.collection.mutable.HashSet.empty[Long]
         val out = new scala.collection.mutable
@@ -677,7 +748,8 @@ object Similarity {
       .parquet(s"$indexDir/vectors")
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
     writeQuantizerStamp(corpus.sparkSession, indexDir, centroidModulus,
-      maxCentroids)
+      maxCentroids,
+      c.filter(col("vec_id") % centroidModulus === 0).count())
     invalidateCentroidCount(corpus.sparkSession, indexDir)
   }
 
@@ -689,9 +761,9 @@ object Similarity {
     * back to its arguments.
     */
   private def writeQuantizerStamp(spark: SparkSession, indexDir: String,
-      centroidModulus: Int, maxCentroids: Int): Unit =
+      centroidModulus: Int, maxCentroids: Int, eligible: Long): Unit =
     IndexFs.writeSmall(spark, s"$indexDir/_quantizer",
-      s"modulus=$centroidModulus\ncap=$maxCentroids")
+      s"modulus=$centroidModulus\ncap=$maxCentroids\neligible=$eligible")
 
   private def readStampMap(spark: SparkSession,
       stampPath: String): Map[String, Long] =
@@ -708,6 +780,25 @@ object Similarity {
       indexDir: String): Option[(Long, Long)] = {
     val kv = readStampMap(spark, s"$indexDir/_quantizer")
     for (m <- kv.get("modulus"); c <- kv.get("cap")) yield (m, c)
+  }
+
+  /** Ingest-time cap-bind probe (the round-16 verdict's item 6):
+    * `Some(eligible > cap)` from the stamp's append-maintained running
+    * eligibility total — detection at the moment eligibility grows,
+    * without a layout scan; `None` on pre-upgrade stamps (no
+    * `eligible` field — run [[storedSemanticOccupancy]] or rebuild to
+    * mint one). ADVISORY by contract: exact under the exactly-once
+    * append discipline ([[appendSemanticIndexOnce]]); an append-crash
+    * window undercounts (the safe-silence direction is covered by the
+    * scan audit); takedowns never decrement it (conservative — after
+    * heavy deletes the alarm fires EARLY, never late). The occupancy
+    * scan is the audit of record, and every rebuild recomputes the
+    * total exactly over the live corpus.
+    */
+  def semanticIngestCapBind(spark: SparkSession,
+      indexDir: String): Option[Boolean] = {
+    val kv = readStampMap(spark, s"$indexDir/_quantizer")
+    for (e <- kv.get("eligible"); c <- kv.get("cap")) yield e > c
   }
 
   /** Retrain-and-migrate for the frozen-centroid hazard — the wired
@@ -763,8 +854,12 @@ object Similarity {
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir.compact/vectors")
     cents.write.mode("overwrite").parquet(s"$indexDir.compact/centroids")
+    // the rebuild recomputes the eligibility total EXACTLY over the
+    // live retrained corpus — the append-maintained running count
+    // (advisory, see [[semanticIngestCapBind]]) resets here
     writeQuantizerStamp(spark, s"$indexDir.compact", centroidModulus,
-      maxCentroids)
+      maxCentroids,
+      v.filter(col("vec_id") % centroidModulus === 0).count())
     v.unpersist(blocking = false)
     // per-file move with asserted renames (the merge also tolerates a
     // marker racing in on both sides); the entry-time merge above
@@ -830,6 +925,66 @@ object Similarity {
           .as("vectors_over_cap"),
         coalesce(sum(col("__elig")), lit(0L)).as("eligible_seeds"))
       .withColumn("cap_bound", col("eligible_seeds") > lit(cap))
+  }
+
+  /** x139 — the cap-bind remedy as ONE guarded maintenance verb: read
+    * the audit ([[storedSemanticOccupancy]]), and when `cap_bound`
+    * fires, retrain via the existing safe rebuild
+    * ([[rebuildSemanticIndex]] — whole-directory swap, tombstones
+    * excluded from the retrain) at a widened centroid cap, then
+    * re-audit. This closes the loop round 16 left open: a deployment
+    * crons ONE call instead of hand-composing
+    * read-alarm → choose-cap → rebuild → re-audit.
+    *
+    * The widened cap is `max(cap × widenFactor, eligible_seeds)` — the
+    * round-15 recall decomposition showed the loss mode is the rank cut
+    * binding on eligible seeds (0.862 → 0.9646 when every eligible seed
+    * becomes a centroid, and nprobe CANNOT reclaim it), so the remedy
+    * that actually clears the alarm is a cap that covers eligibility;
+    * `widenFactor` is the minimum growth when eligibility is close to
+    * the old cap. By construction the post-retrain audit's `cap_bound`
+    * is false — spec- and oracle-gated, not asserted.
+    *
+    * `dryRun` returns the decision without acting (the audit rows +
+    * the cap a retrain would stamp). When the alarm is not firing the
+    * verb is a no-op and `new_cap` reports the CURRENT cap. Output
+    * (two rows, phases `before`/`after`; after == before when nothing
+    * acted): phase, n_cells, max_occupancy, cells_over_cap,
+    * vectors_over_cap, eligible_seeds, cap_bound, acted, new_cap.
+    *
+    * Cost: one audit scan when the alarm is quiet; alarm firing pays
+    * the rebuild (the original build's bill — that is the point) plus
+    * a second audit scan. The audit rows are collected eagerly (one
+    * row each — control-plane): a lazy `before` plan would re-read the
+    * SWAPPED directory after the rebuild (the x116
+    * materialize-before-swap lesson).
+    */
+  def retrainSemanticIfCapBound(spark: SparkSession, indexDir: String,
+      widenFactor: Int = 2, dryRun: Boolean = false): DataFrame = {
+    require(widenFactor >= 1, s"widenFactor must be >= 1, got $widenFactor")
+    import spark.implicits._
+    val before = storedSemanticOccupancy(spark, indexDir).head()
+    val (mod, cap) = readQuantizerStamp(spark, indexDir)
+      .getOrElse((100L, 1024L))
+    val eligible = before.getAs[Long]("eligible_seeds")
+    val bound = before.getAs[Boolean]("cap_bound")
+    val newCap =
+      if (bound) math.max(cap * widenFactor, eligible) else cap
+    val acted = bound && !dryRun
+    if (acted)
+      rebuildSemanticIndex(spark, indexDir, mod.toInt,
+        math.min(newCap, Int.MaxValue.toLong).toInt)
+    val after =
+      if (acted) storedSemanticOccupancy(spark, indexDir).head() else before
+    def row(phase: String, r: org.apache.spark.sql.Row) =
+      (phase, r.getAs[Long]("n_cells"), r.getAs[Long]("max_occupancy"),
+        r.getAs[Long]("cells_over_cap"), r.getAs[Long]("vectors_over_cap"),
+        r.getAs[Long]("eligible_seeds"), r.getAs[Boolean]("cap_bound"),
+        acted, newCap)
+    Seq(row("before", before), row("after", after))
+      .toDF("phase", "n_cells", "max_occupancy", "cells_over_cap",
+        "vectors_over_cap", "eligible_seeds", "cap_bound", "acted",
+        "new_cap")
   }
 
   /** x90 screen half — [[semanticScreen]] against the PERSISTED index:
@@ -906,6 +1061,29 @@ object Similarity {
       .repartition(1)
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$indexDir/vectors")
+    // ingest-time cap-bind check (round 17, the verdict's item 6):
+    // maintain the stamp's eligibility RUNNING TOTAL — one batch-sized
+    // aggregate per append — so the bind is detected at the moment
+    // eligibility grows, not when a monitoring job next scans the
+    // layout. Data before stamp (a crash between undercounts — the
+    // advisory direction; [[semanticIngestCapBind]] documents the
+    // contract, the occupancy scan stays the audit of record). Silent
+    // no-op on pre-upgrade stamps without the field.
+    locally {
+      val kv = readStampMap(spark, s"$indexDir/_quantizer")
+      for (mod <- kv.get("modulus"); cap <- kv.get("cap");
+           old <- kv.get("eligible")) {
+        val total = old +
+          batch.filter(col("vec_id") % mod === 0).count()
+        writeQuantizerStamp(spark, indexDir, mod.toInt, cap.toInt, total)
+        if (total > cap)
+          System.err.println(s"[graft] appendSemanticIndex($indexDir): " +
+            s"eligible seeds $total exceed the stamped centroid cap $cap " +
+            "— the next retrain's rank cut binds (recall loss nprobe " +
+            "cannot reclaim). Remedy: retrainSemanticIfCapBound / " +
+            "rebuildSemanticIndex at a wider cap.")
+      }
+    }
     if (maxFilesPerCell > 0 &&
         graft.ext.Dedup.countDataFiles(spark, s"$indexDir/vectors") >
           maxFilesPerCell.toLong * cachedCentroidCount(spark, indexDir, cents))
@@ -1854,10 +2032,20 @@ object Similarity {
     cws.write.mode("overwrite").parquet(s"$indexDir/codebook")
     // both quantizer caps stamped for the drift audit ([[ivfPqOccupancy]])
     // — the alarm must read the REAL build parameters, not a monitoring
-    // job's defaults (the semantic index's _quantizer discipline)
+    // job's defaults (the semantic index's _quantizer discipline) —
+    // plus both eligibility totals for the ingest-time cap-bind probe
+    // ([[ivfPqIngestCapBind]]), computed in ONE aggregate over the
+    // corpus the build just scanned anyway
+    val eligRow = vecs(emb).agg(
+      coalesce(sum(when(col("vec_id") % centroidModulus === 0, 1L)),
+        lit(0L)),
+      coalesce(sum(when(col("vec_id") % codeModulus === 0, 1L)),
+        lit(0L))).head()
     IndexFs.writeSmall(emb.sparkSession, s"$indexDir/_quantizer",
       s"modulus=$centroidModulus\ncap=$maxCentroids\n" +
-        s"code_modulus=$codeModulus\ncode_cap=$maxCodes")
+        s"code_modulus=$codeModulus\ncode_cap=$maxCodes\n" +
+        s"eligible=${eligRow.getLong(0)}\n" +
+        s"code_eligible=${eligRow.getLong(1)}")
   }
 
   /** x61 — INCREMENTAL append to a persisted IVF-PQ index: the ingest
@@ -1897,6 +2085,45 @@ object Similarity {
       .repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$indexDir/codes")
+    // ingest-time cap-bind check at the compressed grain — BOTH running
+    // totals maintained in one batch-sized aggregate; the contract is
+    // [[semanticIngestCapBind]]'s (advisory, data-before-stamp,
+    // rebuild recomputes exactly); silent no-op on pre-upgrade stamps
+    locally {
+      val kv = readStampMap(spark, s"$indexDir/_quantizer")
+      for (mod <- kv.get("modulus"); cap <- kv.get("cap");
+           cmod <- kv.get("code_modulus"); ccap <- kv.get("code_cap");
+           old <- kv.get("eligible"); cold <- kv.get("code_eligible")) {
+        val r = vecs(newEmb).agg(
+          coalesce(sum(when(col("vec_id") % mod === 0, 1L)), lit(0L)),
+          coalesce(sum(when(col("vec_id") % cmod === 0, 1L)), lit(0L)))
+          .head()
+        val (total, ctotal) = (old + r.getLong(0), cold + r.getLong(1))
+        IndexFs.writeSmall(spark, s"$indexDir/_quantizer",
+          s"modulus=$mod\ncap=$cap\ncode_modulus=$cmod\ncode_cap=$ccap\n" +
+            s"eligible=$total\ncode_eligible=$ctotal")
+        if (total > cap || ctotal > ccap)
+          System.err.println(s"[graft] ivfPqAppendIndex($indexDir): " +
+            s"eligibility crossed a stamped rank cap (coarse $total/$cap, " +
+            s"code $ctotal/$ccap) — the next retrain's cut binds. " +
+            "Remedy: ivfPqRetrainIfCapBound / ivfPqRebuildIndex wider.")
+      }
+    }
+  }
+
+  /** [[semanticIngestCapBind]] at the compressed grain:
+    * `Some((coarse_bound, code_bound))` from the stamp's running
+    * eligibility totals; `None` on pre-upgrade stamps. Same advisory
+    * contract (exactly-once appends exact; crash window undercounts;
+    * deletes never decrement; [[ivfPqOccupancy]] is the audit of
+    * record; rebuilds recompute exactly).
+    */
+  def ivfPqIngestCapBind(spark: SparkSession,
+      indexDir: String): Option[(Boolean, Boolean)] = {
+    val kv = readStampMap(spark, s"$indexDir/_quantizer")
+    for (e <- kv.get("eligible"); c <- kv.get("cap");
+         ce <- kv.get("code_eligible"); cc <- kv.get("code_cap"))
+      yield (e > c, ce > cc)
   }
 
   /** Subspace count of a stored codebook — one control-plane lookup,
@@ -2020,6 +2247,72 @@ object Similarity {
         (col("eligible_seeds") > lit(cap)).as("cap_bound"),
         col("eligible_code_seeds"),
         (col("eligible_code_seeds") > lit(ccap)).as("code_cap_bound"))
+  }
+
+  /** x140 — [[retrainSemanticIfCapBound]] at the compressed grain: read
+    * [[ivfPqOccupancy]], and when EITHER rank cut is binding
+    * (`cap_bound` on the coarse quantizer, `code_cap_bound` on the PQ
+    * codebook), retrain via the safe [[ivfPqRebuildIndex]]
+    * (whole-directory swap — never the non-atomic in-place overwrite)
+    * with each bound cap widened to `max(cap × widenFactor, eligible)`
+    * and each quiet cap left untouched, then re-audit. The corpus is
+    * handed back by the caller (codes are lossy — the x117/x138
+    * contract); tombstoned vec_ids are filtered out by the rebuild, so
+    * takedowns stay durable through the remedy. `m` is read from the
+    * stored codebook (a caller cannot mismatch the subvector split);
+    * `trainIters` passes through for indexes built with trained
+    * codebooks (the stamp does not record it — the caller owns that
+    * choice, as with [[ivfPqRebuildIndex]] itself).
+    *
+    * Output (two rows, phases `before`/`after`; after == before when
+    * nothing acted): phase, n_cells, max_occupancy, cells_over_cap,
+    * vectors_over_cap, eligible_seeds, cap_bound, eligible_code_seeds,
+    * code_cap_bound, acted, new_cap, new_code_cap. Audit rows are
+    * collected eagerly (the x116 materialize-before-swap lesson).
+    */
+  def ivfPqRetrainIfCapBound(corpus: DataFrame, indexDir: String,
+      widenFactor: Int = 2, dryRun: Boolean = false,
+      trainIters: Int = 0): DataFrame = {
+    require(widenFactor >= 1, s"widenFactor must be >= 1, got $widenFactor")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val before = ivfPqOccupancy(spark, indexDir).head()
+    val kv = readStampMap(spark, s"$indexDir/_quantizer")
+    val mod = kv.getOrElse("modulus", 100L)
+    val cap = kv.getOrElse("cap", 1024L)
+    val cmod = kv.getOrElse("code_modulus", 5L)
+    val ccap = kv.getOrElse("code_cap", 256L)
+    val coarseBound = before.getAs[Boolean]("cap_bound")
+    val codeBound = before.getAs[Boolean]("code_cap_bound")
+    val newCap =
+      if (coarseBound)
+        math.max(cap * widenFactor, before.getAs[Long]("eligible_seeds"))
+      else cap
+    val newCodeCap =
+      if (codeBound)
+        math.max(ccap * widenFactor,
+          before.getAs[Long]("eligible_code_seeds"))
+      else ccap
+    val acted = (coarseBound || codeBound) && !dryRun
+    if (acted) {
+      val m = storedM(spark.read.parquet(s"$indexDir/codebook"))
+      ivfPqRebuildIndex(corpus, indexDir, mod.toInt,
+        math.min(newCap, Int.MaxValue.toLong).toInt, m, cmod.toInt,
+        math.min(newCodeCap, Int.MaxValue.toLong).toInt, trainIters)
+    }
+    val after =
+      if (acted) ivfPqOccupancy(spark, indexDir).head() else before
+    def row(phase: String, r: org.apache.spark.sql.Row) =
+      (phase, r.getAs[Long]("n_cells"), r.getAs[Long]("max_occupancy"),
+        r.getAs[Long]("cells_over_cap"), r.getAs[Long]("vectors_over_cap"),
+        r.getAs[Long]("eligible_seeds"), r.getAs[Boolean]("cap_bound"),
+        r.getAs[Long]("eligible_code_seeds"),
+        r.getAs[Boolean]("code_cap_bound"), acted, newCap, newCodeCap)
+    Seq(row("before", before), row("after", after))
+      .toDF("phase", "n_cells", "max_occupancy", "cells_over_cap",
+        "vectors_over_cap", "eligible_seeds", "cap_bound",
+        "eligible_code_seeds", "code_cap_bound", "acted", "new_cap",
+        "new_code_cap")
   }
 
   /** Takedown for the persisted IVF-PQ index — the

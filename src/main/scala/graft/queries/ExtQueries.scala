@@ -11,6 +11,14 @@ import graft.sources.Tables
   * a DuckDB oracle that mirrors the computation exactly (md5-derived
   * hashes, sequential-fold float reductions; see
   * [[graft.functions.Portable]]).
+  *
+  * Id-sharding convention: entries split corpora with Spark `pmod(id, k)`
+  * mirrored by the sign-preserving `%` in the DuckDB oracles. The two
+  * agree ONLY for non-negative ids (pmod(-8, 9) = 1 vs -8 % 9 = -8);
+  * every driver-generated id column (doc_id, vec_id, user_id, ...) is
+  * non-negative by construction (TESTDATA.md), which this surface
+  * assumes. A fixture with negative ids must either shard on
+  * `expr("id % k")` or normalize ids first.
   */
 object ExtQueries {
 
@@ -76,6 +84,18 @@ object ExtQueries {
   private val x133Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x138Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x138Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x135Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x135Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x136Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x136Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x139Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x139Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x140Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x140Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x141Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x141Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x142Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x142Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -5520,8 +5540,17 @@ object ExtQueries {
     // cell + the two eligibility counts.
     ("x135_ivfpq_occupancy",
       (s: SparkSession, dir: String) => {
-        val idx = System.getProperty("java.io.tmpdir") +
-          "/graft_pqocc_idx_" + Integer.toHexString(dir.hashCode)
+        // per-run unique dir + prev-cleanup (the x133/x138 pattern):
+        // ivfPqWriteIndex is FRESH-paths-only, so re-running over the
+        // previous run's live index would be exactly the non-atomic
+        // three-table overwrite its Scaladoc forbids — and hashCode
+        // paths collide across concurrent Verify JVMs sharing a tmpdir
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x135_${s.sparkContext.applicationId}_${x135Seq.incrementAndGet()}")
+        Option(x135Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
         Similarity.ivfPqWriteIndex(t(s, dir, "embeddings"), idx)
         Similarity.ivfPqOccupancy(s, idx)
       },
@@ -5564,8 +5593,14 @@ object ExtQueries {
     // the eligibility count.
     ("x136_sem_occupancy",
       (s: SparkSession, dir: String) => {
-        val idx = System.getProperty("java.io.tmpdir") +
-          "/graft_semocc_idx_" + Integer.toHexString(dir.hashCode)
+        // per-run unique dir + prev-cleanup (the x133/x138 pattern) —
+        // same rationale as x135: never rebuild over a live index path
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x136_${s.sparkContext.applicationId}_${x136Seq.incrementAndGet()}")
+        Option(x136Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
         Similarity.writeSemanticIndex(t(s, dir, "embeddings"), idx)
         Similarity.storedSemanticOccupancy(s, idx)
       },
@@ -5713,7 +5748,292 @@ object ExtQueries {
               |         (PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rnk
               |       FROM scored)
               |SELECT query_id, CAST(rnk AS INTEGER) AS "rank", neighbor_id, approx_cos
-              |FROM rk WHERE rnk <= 5""".stripMargin))
+              |FROM rk WHERE rnk <= 5""".stripMargin)),
+
+    // ---- x139: cap-bind remedy as one guarded verb (semantic grain) ----
+    // Round 16 made the cap-bind alarm a deployment guarantee; this
+    // makes the REMEDY one cronnable call. Build the index under a
+    // deliberately small stamp (modulus 10, cap 16 — eligibility
+    // n/10 >> 16 at every SF, so the alarm genuinely fires from the
+    // index's own _quantizer stamp, the forged-cap IndexFsSpec
+    // discipline), then retrainSemanticIfCapBound: audit → safe
+    // rebuild at max(cap×2, eligible_seeds) — the round-15 recall
+    // decomposition's actual remedy (cover eligibility; nprobe cannot
+    // reclaim a rank cut) — → re-audit. The gate hash-enforces the
+    // whole loop: before.cap_bound true, acted true, after.cap_bound
+    // false, and every occupancy number at BOTH geometries. dryRun /
+    // quiet-alarm no-op identities are spec-pinned (CapBindRemedySpec).
+    ("x139_sem_retrain_capbound",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x139_${s.sparkContext.applicationId}_${x139Seq.incrementAndGet()}")
+        Option(x139Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        Similarity.writeSemanticIndex(t(s, dir, "embeddings"), idx,
+          centroidModulus = 10, maxCentroids = 16)
+        Similarity.retrainSemanticIfCapBound(s, idx, widenFactor = 2)
+      },
+      Some {
+        def occSelect(phase: String, px: String, capExpr: String) =
+          s"""SELECT '$phase' AS phase,
+             |  CAST(count(*) AS BIGINT) AS n_cells,
+             |  CAST(max(n) AS BIGINT) AS max_occupancy,
+             |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN 1 END), 0) AS BIGINT)
+             |    AS cells_over_cap,
+             |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN n END), 0) AS BIGINT)
+             |    AS vectors_over_cap,
+             |  CAST(coalesce(sum(elig), 0) AS BIGINT) AS eligible_seeds,
+             |  coalesce(sum(elig), 0) > ($capExpr) AS cap_bound,
+             |  TRUE AS acted,
+             |  CAST((SELECT greatest(32, elig) FROM et) AS BIGINT) AS new_cap
+             |FROM ${px}occ""".stripMargin
+        def assignOcc(px: String, cents: String) =
+          s"""${px}ca1 AS (SELECT e.vec_id, c.centroid_id,
+             |    ${cosSql("e.v", "c.cvv")} AS cs FROM e, $cents c),
+             |${px}ca AS (SELECT vec_id, centroid_id FROM
+             |    (SELECT *, row_number() OVER
+             |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+             |     FROM ${px}ca1) WHERE rn = 1),
+             |${px}occ AS (SELECT centroid_id, count(*) AS n,
+             |    coalesce(sum(CASE WHEN vec_id % 10 = 0 THEN 1 END), 0) AS elig
+             |  FROM ${px}ca GROUP BY 1)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |et AS (SELECT count(*) AS elig FROM e WHERE vec_id % 10 = 0),
+           |bcents AS (SELECT vec_id AS centroid_id, v AS cvv FROM e
+           |  WHERE vec_id % 10 = 0 ORDER BY vec_id LIMIT 16),
+           |acents AS (SELECT vec_id AS centroid_id, v AS cvv FROM e
+           |  WHERE vec_id % 10 = 0),
+           |${assignOcc("b", "bcents")},
+           |${assignOcc("a", "acents")}
+           |${occSelect("before", "b", "16")}
+           |UNION ALL
+           |${occSelect("after", "a", "SELECT greatest(32, elig) FROM et")}""".stripMargin
+      }),
+
+    // ---- x140: cap-bind remedy as one guarded verb (IVF-PQ grain) ------
+    // x139's loop at the compressed grain, where BOTH frozen rank cuts
+    // can bind: build with coarse cap 16 (modulus 10) AND codebook cap
+    // 16 (modulus 5) — both alarms fire at every SF — then
+    // ivfPqRetrainIfCapBound hands the corpus back (codes are lossy,
+    // the x117/x138 contract), widens EACH bound cap to
+    // max(cap×2, eligible) independently, rebuilds through the safe
+    // whole-directory swap, and re-audits. Oracle: the x135 L2
+    // assignment/occupancy chain instantiated at both geometries.
+    ("x140_ivfpq_retrain_capbound",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x140_${s.sparkContext.applicationId}_${x140Seq.incrementAndGet()}")
+        Option(x140Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqWriteIndex(emb, idx,
+          centroidModulus = 10, maxCentroids = 16,
+          codeModulus = 5, maxCodes = 16)
+        Similarity.ivfPqRetrainIfCapBound(emb, idx, widenFactor = 2)
+      },
+      Some {
+        def occSelect(phase: String, px: String, capExpr: String,
+            codeCapExpr: String) =
+          s"""SELECT '$phase' AS phase,
+             |  CAST(count(*) AS BIGINT) AS n_cells,
+             |  CAST(max(n) AS BIGINT) AS max_occupancy,
+             |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN 1 END), 0) AS BIGINT)
+             |    AS cells_over_cap,
+             |  CAST(coalesce(sum(CASE WHEN n > 1024 THEN n END), 0) AS BIGINT)
+             |    AS vectors_over_cap,
+             |  CAST(coalesce(sum(elig), 0) AS BIGINT) AS eligible_seeds,
+             |  coalesce(sum(elig), 0) > ($capExpr) AS cap_bound,
+             |  CAST(coalesce(sum(celig), 0) AS BIGINT) AS eligible_code_seeds,
+             |  coalesce(sum(celig), 0) > ($codeCapExpr) AS code_cap_bound,
+             |  TRUE AS acted,
+             |  CAST((SELECT greatest(32, elig) FROM et) AS BIGINT) AS new_cap,
+             |  CAST((SELECT greatest(32, celig) FROM cet) AS BIGINT)
+             |    AS new_code_cap
+             |FROM ${px}occ""".stripMargin
+        def assignOcc(px: String, cents: String) =
+          s"""${px}a1 AS (SELECT pe.vec_id, centroid_id,
+             |    round(${l2Sql("pe.v", "cv", 64)}, 6) AS d2 FROM pe, $cents),
+             |${px}asg AS (SELECT vec_id, centroid_id FROM
+             |    (SELECT *, row_number() OVER
+             |       (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+             |     FROM ${px}a1) WHERE rn = 1),
+             |${px}occ AS (SELECT centroid_id, count(*) AS n,
+             |    coalesce(sum(CASE WHEN vec_id % 10 = 0 THEN 1 END), 0) AS elig,
+             |    coalesce(sum(CASE WHEN vec_id % 5 = 0 THEN 1 END), 0) AS celig
+             |  FROM ${px}asg GROUP BY 1)""".stripMargin
+        s"""WITH pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |et AS (SELECT count(*) AS elig FROM pe WHERE vec_id % 10 = 0),
+           |cet AS (SELECT count(*) AS celig FROM pe WHERE vec_id % 5 = 0),
+           |bivfc AS (SELECT vec_id AS centroid_id, v AS cv FROM pe
+           |  WHERE vec_id % 10 = 0 ORDER BY vec_id LIMIT 16),
+           |aivfc AS (SELECT vec_id AS centroid_id, v AS cv FROM pe
+           |  WHERE vec_id % 10 = 0),
+           |${assignOcc("b", "bivfc")},
+           |${assignOcc("a", "aivfc")}
+           |${occSelect("before", "b", "16", "16")}
+           |UNION ALL
+           |${occSelect("after", "a", "SELECT greatest(32, elig) FROM et",
+              "SELECT greatest(32, celig) FROM cet")}""".stripMargin
+      }),
+
+    // ---- x141: chain packing from the STORED semantic index ------------
+    // x134's "stored" rung (the x124/x104 amortization pattern): the
+    // corpus-sized assignment is paid once at ingest — the persisted
+    // index stores centroid_id with every vector — and the chain pays
+    // only the cap-bounded pair pass + fold. Takedowns compose for
+    // free: members route through liveVectors, so a tombstoned doc can
+    // never land in a packed window (the in-plan x134 needs the caller
+    // to pre-filter by hand). The staging deletes vec_id % 9 == 1
+    // (twice — replayed request), which at sf>=0.01 includes seed id
+    // 100: the frozen centroid GEOMETRY keeps the deleted seed as a
+    // centroid (the x126 data-not-geometry doctrine) while its vector
+    // leaves the member set — the oracle pins exactly that split
+    // (cents from the FULL corpus, members filtered). Packing joins on
+    // the chain, so deleted docs drop from bins by construction.
+    ("x141_chain_pack_stored",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x141_${s.sparkContext.applicationId}_${x141Seq.incrementAndGet()}")
+        Option(x141Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val toks = size(graft.functions.Portable.tokens(col("text")))
+        val packable = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && toks > 0)
+          .select(col("doc_id"), toks.cast("long").as("n_tokens"))
+        val embP = t(s, dir, "embeddings")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .join(packable.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        Similarity.writeSemanticIndex(embP, idx)
+        val takedown = embP.filter(pmod(col("vec_id"), lit(9L)) === 1L)
+          .select(col("vec_id"))
+        Similarity.deleteFromSemanticIndex(takedown, idx)
+        Similarity.deleteFromSemanticIndex(takedown, idx) // replayed request
+        val chain = Similarity.semanticChainOrderStored(s, idx)
+        graft.ext.Packing.packGreedyByOrder(
+          packable.join(chain, col("doc_id") === col("vec_id")),
+          "centroid_id", "doc_id", col("chain_pos"), col("n_tokens"),
+          budget = 256)
+      },
+      Some(s"""WITH RECURSIVE se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+              |dk AS MATERIALIZED (SELECT doc_id,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+              |  FROM documents WHERE doc_id IS NOT NULL
+              |    AND len(string_split(trim(text), ' ')) > 0),
+              |pv AS MATERIALIZED (SELECT se.vec_id, se.v FROM se
+              |  SEMI JOIN dk ON dk.doc_id = se.vec_id),
+              |-- centroids FROZEN at build: derived from the FULL corpus,
+              |-- deleted seeds included (takedown removes data, not geometry)
+              |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM pv
+              |  WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+              |-- members are the LIVE set: tombstoned vec_ids out
+              |lv AS MATERIALIZED (SELECT * FROM pv WHERE vec_id % 9 <> 1),
+              |ca1 AS (SELECT lv.vec_id, c.centroid_id,
+              |    ${cosSql("lv.v", "c.cvv")} AS cs FROM lv, cents c),
+              |ca AS (SELECT vec_id, centroid_id FROM
+              |    (SELECT *, row_number() OVER
+              |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+              |     FROM ca1) WHERE rn = 1),
+              |mem AS MATERIALIZED (SELECT ca.centroid_id AS cell,
+              |    lv.vec_id AS doc_id, lv.v, dk.n_tokens
+              |  FROM lv JOIN ca USING (vec_id) JOIN dk ON dk.doc_id = lv.vec_id),
+              |prs AS MATERIALIZED (SELECT x.cell, x.doc_id AS a, y.doc_id AS b,
+              |    ${cosSql("x.v", "y.v")} AS cs
+              |  FROM mem x JOIN mem y ON x.cell = y.cell AND x.doc_id <> y.doc_id),
+              |ch AS (
+              |  SELECT cell, [cur] AS vis, cur, CAST(1 AS BIGINT) AS cpos
+              |  FROM (SELECT cell, min(doc_id) AS cur FROM mem GROUP BY cell)
+              |  UNION ALL
+              |  -- join + QUALIFY, not a correlated pick (the x134 DuckDB
+              |  -- recursive-member lesson)
+              |  SELECT c.cell, list_append(c.vis, p.b), p.b, c.cpos + 1
+              |  FROM ch c JOIN prs p ON p.cell = c.cell AND p.a = c.cur
+              |  WHERE NOT list_contains(c.vis, p.b)
+              |  QUALIFY row_number() OVER
+              |    (PARTITION BY c.cell ORDER BY p.cs DESC, p.b) = 1),
+              |ordd AS MATERIALIZED (SELECT ch.cell, ch.cur AS doc_id, ch.cpos,
+              |    mem.n_tokens
+              |  FROM ch JOIN mem ON mem.cell = ch.cell AND mem.doc_id = ch.cur),
+              |pk AS (
+              |  SELECT cell, doc_id, cpos, n_tokens,
+              |    n_tokens AS fill, CAST(1 AS BIGINT) AS bin_id
+              |  FROM ordd WHERE cpos = 1
+              |  UNION ALL
+              |  SELECT d.cell, d.doc_id, d.cpos, d.n_tokens,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+              |         ELSE p.fill + d.n_tokens END,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin_id + 1
+              |         ELSE p.bin_id END
+              |  FROM pk p JOIN ordd d ON d.cell = p.cell AND d.cpos = p.cpos + 1)
+              |SELECT CAST(cell AS VARCHAR) AS centroid_id, doc_id,
+              |  cpos AS ord, n_tokens, bin_id
+              |FROM pk""".stripMargin)),
+
+    // ---- x142: gram takedown AMORTIZED — the pending-requests ledger ---
+    // x133 priced the gram-grain takedown honestly: one filtered
+    // rebuild PER request (no provenance at O(1) bytes/gram — nothing
+    // cheaper exists at this grain). x142 is the amortization the
+    // round-16 verdict prescribed: requests land in a crash-safe
+    // `_pending_deletes` ledger (set semantics — the staging replays
+    // one request), and ONE drain rebuild applies the accumulated set.
+    // The `requested` phase hash-pins the documented contract (removal
+    // is effective at the DRAIN — the screen still matches both
+    // requested batches' grams); the `drained` phase hash-pins that
+    // the single batched rebuild lands exactly the state the
+    // sequential per-request rebuilds would (its oracle block IS the
+    // final filtered corpus — the sequential result by definition;
+    // GramLedgerSpec also runs the sequential path literally).
+    ("x142_gram_takedown_ledger",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x142_${s.sparkContext.applicationId}_${x142Seq.incrementAndGet()}")
+        Option(x142Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val idx = new java.io.File(root, "index").getPath
+        val docs = t(s, dir, "documents")
+        val existing = docs.filter(col("source") =!= "src2")
+        val probe = docs.filter(col("source") === "src2")
+        Dedup.writeGramIndexBucketed(existing, idx, k = 8, buckets = 64)
+        val b1 = existing.filter(pmod(col("doc_id"), lit(9L)) === 1L)
+          .select(col("doc_id"))
+        val b2 = existing.filter(pmod(col("doc_id"), lit(9L)) === 2L)
+          .select(col("doc_id"))
+        Dedup.requestGramTakedown(b1, idx)
+        Dedup.requestGramTakedown(b2, idx)
+        Dedup.requestGramTakedown(b2, idx) // replayed request: set semantics
+        Dedup.duplicateSpansAgainstIndexBloom(probe, idx, k = 8)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/requested")
+        // careless FULL hand-back — the drain applies the ledger itself
+        val drained = Dedup.drainGramTakedowns(existing, idx, k = 8)
+        require(drained, "pending requests must drain")
+        Dedup.duplicateSpansAgainstIndexBloom(probe, idx, k = 8)
+          .repartition(1).write.mode("overwrite").parquet(s"$root/drained")
+        s.read.parquet(s"$root/requested")
+          .withColumn("phase", lit("requested"))
+          .unionByName(s.read.parquet(s"$root/drained")
+            .withColumn("phase", lit("drained")))
+      },
+      Some {
+        def phaseSelect(phase: String, px: String) =
+          s"""SELECT '$phase' AS phase, doc_id, span_start, span_end,
+             |  span_tokens, n_grams FROM ${px}spans""".stripMargin
+        s"""WITH ${spanScreenCtes("qi", "source <> 'src2'")},
+           |${spanScreenCtes("qd",
+              "source <> 'src2' AND doc_id % 9 <> 1 AND doc_id % 9 <> 2")}
+           |${phaseSelect("requested", "qi")}
+           |UNION ALL
+           |${phaseSelect("drained", "qd")}""".stripMargin
+      })
   )
 
   /** The x122 oracle — x08's capped assignment/probe CTE chain + the

@@ -63,7 +63,12 @@ object ChainCoherence {
           .as("cs"))
       val r = adj.agg(count(lit(1)), avg("cs"), min("cs"),
         avg(when(col("cs") > 0.5, 1.0).otherwise(0.0))).head()
-      println(f"""{"ordering":"$label","adjacent_pairs":${r.getLong(0)},""" +
+      // zero adjacent pairs (all-singleton cells, or one doc per bin)
+      // leaves the avg/min aggregates NULL — print an honest zero-pairs
+      // line instead of dereferencing them
+      if (r.getLong(0) == 0L)
+        println(s"""{"ordering":"$label","adjacent_pairs":0}""")
+      else println(f"""{"ordering":"$label","adjacent_pairs":${r.getLong(0)},""" +
         f""""mean_adjacent_cos":${r.getDouble(1)}%.4f,""" +
         f""""min_adjacent_cos":${r.getDouble(2)}%.4f,""" +
         f""""frac_above_0.5":${r.getDouble(3)}%.4f}""")

@@ -56,6 +56,27 @@ object ScaleDecade {
                         // build + append + delete + REBUILD + search
                         // per run, so the decade should track ~2× the
                         // x59 build term (the rebuild IS a build)
+    "x139_sem_retrain_capbound", // round 17: the cap-bind remedy verb —
+                        // audit + rebuild-at-widened-cap + re-audit.
+                        // NOTE the gate's forged-small modulus (10)
+                        // makes eligibility ∝ n, so the widened
+                        // retrain's assignment term is n·(n/10) —
+                        // quadratic BY DESIGN at this stamp (the
+                        // remedy covers eligibility; production stamps
+                        // use modulus 100 where the row is x116-class).
+                        // Time decade 1 only; 100× at modulus 10 is a
+                        // deliberately pathological stamp, not a plan.
+    "x140_ivfpq_retrain_capbound", // round 17: x139 at the compressed
+                        // grain (same eligibility-quadratic caveat)
+    "x141_chain_pack_stored", // round 17: x134's chain from the STORED
+                        // index — the corpus-sized assignment is
+                        // amortized to ingest, so the decade should
+                        // show build + pair pass, with the chain's
+                        // marginal term tracking x134 minus assignment
+    "x142_gram_takedown_ledger", // round 17: the amortized gram
+                        // takedown — build + drain rebuild + two Bloom
+                        // screens per run; should track the x133/x95
+                        // family's ~linear build term
     "x51_table_profile",
     "x53_table_profile_kmv",
     "x66_profile_all",  // round 10: the one-scan composed profile —

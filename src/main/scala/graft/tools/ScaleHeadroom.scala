@@ -214,6 +214,69 @@ object ScaleHeadroom {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** Mixture-of-Gaussians embeddings variant (round 17): EVERY vector —
+    * replica 0 included — collapses onto one of `nClusters` deterministic
+    * pseudo-random centers plus `noise`× its (rotated) original vector:
+    * v' = center(xxhash64(vec_id) mod nClusters) + noise · rot_r(v).
+    * Intra-cluster cosines land high (the centers dominate the norm)
+    * while cross-cluster cosines stay near the random baseline — the
+    * TIGHT-CELL geometry real embedding corpora have and the uniform
+    * rotation fixture deliberately lacks (HEADROOM flags the chain-
+    * coherence gains measured there as lower bounds: near-orthogonal
+    * vectors leave nothing to cohere). This is the fixture for
+    * re-measuring ChainCoherence, the occupancy/cap-bind audits, and
+    * SemDeDup under realistic density peaks (the round-16 verdict's
+    * item 4 — the DSIR-coherent precedent at the embedding grain).
+    *
+    * A VALUE transform, not a scale-up that preserves the base corpus
+    * (unlike [[generateSkewedEmbeddings]]'s replica-0 contract):
+    * measurement and the data-independent hash gates (x134/x141's
+    * chain entries verify on ANY corpus) are its consumers. Cluster
+    * assignment hashes the STRIDED vec_id, so replicas spread across
+    * clusters instead of stacking; centroid seeding (vec_id % 100) is
+    * untouched — seeds are ordinary cluster members, so cells refine
+    * clusters and occupancy concentrates where a cluster holds few
+    * seeds, exactly the hot-cell regime the chain fold's cap guard and
+    * the occupancy alarms exist for.
+    */
+  def generateClusteredEmbeddings(spark: SparkSession, src: String,
+      out: String, replicas: Int, nClusters: Int = 32,
+      noise: Float = 0.15f): Unit = {
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    // deterministic centers: each dim a hash-derived float in [-1, 1]
+    val centers = spark.range(nClusters.toLong).select(
+      col("id").as("__c"),
+      transform(sequence(lit(0), lit(63)),
+        d => (pmod(xxhash64(col("id") * 64 + d), lit(2001L)).cast("double")
+          / 1000.0 - 1.0).cast("float")).as("__cv"))
+    val r = (col("__r") % size(col("embedding"))).cast("int")
+    val rotated = when(col("__r") === 0, col("embedding")).otherwise(concat(
+      slice(col("embedding"), r + 1, size(col("embedding")) - r),
+      slice(col("embedding"), lit(1), r)))
+    emb.withColumn("__r", explode(sequence(lit(0L), lit(replicas - 1L))))
+      .withColumn("vec_id", col("vec_id") + col("__r") * Stride)
+      .withColumn("__c", pmod(xxhash64(col("vec_id")), lit(nClusters.toLong)))
+      .join(broadcast(centers), Seq("__c"))
+      .withColumn("embedding",
+        zip_with(col("__cv"), rotated, (c, v) => c + lit(noise) * v))
+      .select(emb.columns.map(col): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // documents fan to match the strided vec_ids (chain/packing
+    // consumers semijoin doc_id = vec_id); text replica-tagged as the
+    // standard scale-up does, so dedup semantics stay per-replica
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("__r", explode(sequence(lit(0L), lit(replicas - 1L))))
+      .withColumn("doc_id", col("doc_id") + col("__r") * Stride)
+      .withColumn("text", when(col("__r") === 0, col("text")).otherwise(
+        array_join(
+          transform(split(trim(col("text")), " "),
+            t => concat(lit("r"), col("__r"), lit("·"), t)), " ")))
+      .withColumn("n_chars", length(col("text")))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
   /** Hot-user variant (events only): replicas keep the SAME user_id —
     * every user now has 10× events in the same time range, so per-user
     * candidate sets (the funnel's click×purchase join, the session

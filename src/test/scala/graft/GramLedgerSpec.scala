@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, IndexFs}
+
+/** Round-17: the gram-grain takedown AMORTIZED (x142) — a crash-safe
+  * pending-requests ledger (`_pending_deletes`) that one filtered
+  * rebuild drains, instead of an index-sized build per request. The
+  * registered x142 entry hash-gates the requested → drained lifecycle
+  * against DuckDB; this spec pins what the oracle cannot express:
+  * batched-drain ≡ sequential per-request rebuilds, the ledger
+  * surviving a compaction swap (carry, not drain), append-side
+  * suppression of pending doc_ids, request replay set-semantics, and
+  * the no-pending no-op.
+  */
+class GramLedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    1L -> "a b c d e f",
+    2L -> "g h i j k l",
+    3L -> "m n o p q r",
+    4L -> "s t u v w x"
+  ).toDF("doc_id", "text")
+
+  private def hits(idx: String, text: String): Long =
+    Dedup.duplicateSpansAgainstIndexBloom(
+      Seq(99L -> text).toDF("doc_id", "text"), idx, k = 3).count()
+
+  private def freshIdx(tag: String): String =
+    Files.createTempDirectory(s"graft_ledger_$tag").toString + "/idx"
+
+  test("a request is NOT yet effective (the documented at-drain " +
+      "contract), replays collapse, and the pending set reads back") {
+    val idx = freshIdx("req")
+    Dedup.writeGramIndexBucketed(corpus, idx, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(Seq(1L).toDF("doc_id"), idx)
+    Dedup.requestGramTakedown(Seq(1L).toDF("doc_id"), idx) // replay
+    assert(hits(idx, "a b c d e f") > 0,
+      "removal is effective at the drain, not the request — the screen " +
+        "still matches the requested doc's grams")
+    assert(Dedup.pendingGramTakedowns(spark, idx)
+      .as[Long].collect().toSeq === Seq(1L),
+      "replayed requests collapse to one pending id")
+  }
+
+  test("drain applies every pending request in ONE rebuild, batched ≡ " +
+      "the sequential per-request rebuilds; cleared ledger → no-op") {
+    val idxB = freshIdx("batched")
+    val idxS = freshIdx("seq")
+    Dedup.writeGramIndexBucketed(corpus, idxB, k = 3, buckets = 2)
+    Dedup.writeGramIndexBucketed(corpus, idxS, k = 3, buckets = 2)
+    // batched: two requests, one drain with a careless FULL hand-back
+    Dedup.requestGramTakedown(Seq(1L).toDF("doc_id"), idxB)
+    Dedup.requestGramTakedown(Seq(2L).toDF("doc_id"), idxB)
+    assert(Dedup.drainGramTakedowns(corpus, idxB, k = 3))
+    // sequential: each request pays its own filtered rebuild
+    Dedup.takedownGramIndex(corpus.filter(col("doc_id") =!= 1L), idxS, k = 3)
+    Dedup.takedownGramIndex(
+      corpus.filter(col("doc_id") =!= 1L && col("doc_id") =!= 2L), idxS, k = 3)
+    val gB = spark.read.parquet(idxB).select("g").as[Long].collect().sorted
+    val gS = spark.read.parquet(idxS).select("g").as[Long].collect().sorted
+    assert(gB.sameElements(gS),
+      "the batched drain stores exactly the sequential rebuilds' grams")
+    assert(hits(idxB, "a b c d e f") === 0 && hits(idxB, "g h i j k l") === 0)
+    assert(hits(idxB, "m n o p q r") > 0, "survivors still screen")
+    assert(!IndexFs.exists(spark, s"$idxB/_pending_deletes"),
+      "the drain's swap cleared the ledger atomically with applying it")
+    assert(!Dedup.drainGramTakedowns(corpus, idxB, k = 3),
+      "no pending requests → the drain is a no-op that reports false")
+  }
+
+  test("a compaction CARRIES the ledger across its swap (it has no " +
+      "corpus to drain with); the later drain still applies") {
+    val idx = freshIdx("compact")
+    Dedup.writeGramIndexBucketed(corpus, idx, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(Seq(2L).toDF("doc_id"), idx)
+    Dedup.compactGramIndex(spark, idx)
+    assert(Dedup.pendingGramTakedowns(spark, idx)
+      .as[Long].collect().toSeq === Seq(2L),
+      "the compaction swap must not sweep pending requests away")
+    assert(hits(idx, "g h i j k l") > 0, "not yet drained")
+    assert(Dedup.drainGramTakedowns(corpus, idx, k = 3))
+    assert(hits(idx, "g h i j k l") === 0, "drained after the carry")
+  }
+
+  test("appends suppress pending doc_ids from their batches " +
+      "(tombstones-win until the drain)") {
+    val idx = freshIdx("append")
+    Dedup.writeGramIndexBucketed(
+      corpus.filter(col("doc_id") <= 2L), idx, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(Seq(3L).toDF("doc_id"), idx)
+    Dedup.appendGramIndexBucketed(
+      corpus.filter(col("doc_id") >= 3L), idx, k = 3)
+    assert(hits(idx, "m n o p q r") === 0,
+      "the pending doc's unique grams never entered the index")
+    assert(hits(idx, "s t u v w x") > 0,
+      "the rest of the batch appended normally")
+  }
+
+  test("a direct takedownGramIndex applies AND clears the ledger too " +
+      "(one rebuild, both sources of removal)") {
+    val idx = freshIdx("direct")
+    Dedup.writeGramIndexBucketed(corpus, idx, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(Seq(1L).toDF("doc_id"), idx)
+    // the caller filters doc 2 themselves; the ledger carries doc 1
+    Dedup.takedownGramIndex(corpus.filter(col("doc_id") =!= 2L), idx, k = 3)
+    assert(hits(idx, "a b c d e f") === 0, "ledger request applied")
+    assert(hits(idx, "g h i j k l") === 0, "caller's filter applied")
+    assert(hits(idx, "m n o p q r") > 0)
+    assert(!IndexFs.exists(spark, s"$idx/_pending_deletes"))
+  }
+}
