@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * its chain-coherence gains as lower bounds).
   *
   * Usage: runMain graft.tools.ClusteredEmbeddingsGen
-  *          [srcDir] [outDir] [replicas] [nClusters]
+  *          [srcDir] [outDir] [replicas] [nClusters] [noise]
   * Then:  runMain graft.tools.ChainCoherence <outDir>
   *        runMain graft.Verify <outDir> <verifyOut>
   *          x134_incontext_chain_pack,x141_chain_pack_stored
@@ -22,6 +22,7 @@ object ClusteredEmbeddingsGen {
     val out = args.lift(1).getOrElse("/tmp/graft_sf1_mog")
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
     val nClusters = args.lift(3).map(_.toInt).getOrElse(32)
+    val noise = args.lift(4).map(_.toFloat).getOrElse(3.0f)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,9 +33,9 @@ object ClusteredEmbeddingsGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     System.err.println(s"[mog] generating ${replicas}x / $nClusters-cluster " +
-      s"variant in $out")
+      s"(noise $noise) variant in $out")
     ScaleHeadroom.generateClusteredEmbeddings(spark, src, out, replicas,
-      nClusters)
+      nClusters, noise)
     spark.stop()
   }
 }

@@ -238,10 +238,21 @@ object ScaleHeadroom {
     * clusters and occupancy concentrates where a cluster holds few
     * seeds, exactly the hot-cell regime the chain fold's cap guard and
     * the occupancy alarms exist for.
+    *
+    * `noise` calibrates the within-cluster spread against the center
+    * norm: centers are U(−1,1)^64 (|c| ≈ 4.62) and the base vectors
+    * are unit-norm, so intra-cluster cosine ≈ |c|²/(|c|² + noise²) —
+    * the default 3.0 lands ≈ 0.70 (a realistic embedding cluster,
+    * with genuine nearest-neighbor structure for the chain to find),
+    * while cross-cluster cosines stay at the random ±0.1 baseline.
+    * A tiny noise (e.g. 0.15) degenerates to intra-cos ≈ 0.999, where
+    * every within-cell order is equally coherent and the fixture
+    * measures nothing (measured: id order 0.9990 vs chain 0.9993 at
+    * noise 0.15 — see HEADROOM round 17).
     */
   def generateClusteredEmbeddings(spark: SparkSession, src: String,
       out: String, replicas: Int, nClusters: Int = 32,
-      noise: Float = 0.15f): Unit = {
+      noise: Float = 3.0f): Unit = {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     // deterministic centers: each dim a hash-derived float in [-1, 1]
     val centers = spark.range(nClusters.toLong).select(

@@ -521,4 +521,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(cellJoin.findFirstIn(p).isDefined,
       "missing the centroid-keyed pairwise join:\n" + p)
   }
+
+  test("x141 stored chain packing: same cell-keyed pair-pass discipline " +
+      "through the persisted index") {
+    val p = finalPlan(q("x141_chain_pack_stored"))
+    assert(!p.contains("CartesianProduct"),
+      "stored chain pair pass regressed to a cartesian product:\n" + p)
+    val cellJoin = """Join \[centroid_id#\d+L?\], \[centroid_id#\d+L?\]""".r
+    assert(cellJoin.findFirstIn(p).isDefined,
+      "missing the centroid-keyed pairwise join:\n" + p)
+  }
 }
