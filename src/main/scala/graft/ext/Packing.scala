@@ -51,37 +51,15 @@ object Packing {
       idCol: String,
       tokensCol: Column,
       budget: Long,
-      subShards: Int = 1): DataFrame = {
-    require(budget >= 1, "budget must be >= 1")
-    require(subShards >= 1, "subShards must be >= 1")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // tokensCol is evaluated in both the filter and the projection;
-    // pushdown would re-inline it even if filtered post-projection
-    // (PushPredicateThroughNonJoin substitutes alias definitions — the
-    // x21 lesson). Unlike x21's interpreted higher-order stratum
-    // expression this is one native codegen'd split per row, so the
-    // double evaluation is a measured non-issue (x48 at 10×: 4.7× over
-    // a 0.2 s base) and not worth a NoInline barrier.
-    docs
-      .filter(col(stratumCol).isNotNull && col(idCol).isNotNull &&
-        tokensCol.cast("long") > 0)
-      .select(col(stratumCol).cast("string").as("__stratum"),
-        pmod(col(idCol), lit(subShards.toLong)).cast("long").as("__shard"),
-        col(idCol).cast("long").as("__id"), tokensCol.cast("long").as("__n"))
-      .as[(String, Long, Long, Long)]
-      .groupByKey { case (stratum, shard, _, _) => (stratum, shard) }
-      .flatMapSortedGroups($"__id") { case ((stratum, shard), rows) =>
-        var fill = 0L
-        var bin = 0L
-        rows.map { case (_, _, id, nTokens) =>
-          if (bin == 0L || fill + nTokens > budget) { bin += 1; fill = nTokens }
-          else fill += nTokens
-          (stratum, shard, id, nTokens, bin)
-        }
-      }
-      .toDF(stratumCol, "shard", idCol, "n_tokens", "bin_id")
-  }
+      subShards: Int = 1): DataFrame =
+    // DERIVED from the offsets fold by construction (round 17 — the
+    // round-16 verdict's fold-duplication finding): the offset/pos
+    // columns are O(1) extra state the superset fold computes from the
+    // same fill the bin decision reads, so dropping them cannot
+    // perturb the bin assignment — the bit-identity PackingSpec gates
+    // is now structural, and one fold body serves each visit order.
+    packGreedyOffsets(docs, stratumCol, idCol, tokensCol, budget, subShards)
+      .drop("offset", "pos")
 
   /** [[packGreedy]] visiting documents in a CALLER-SUPPLIED order
     * instead of id order — the x134 composition point: In-Context
@@ -104,29 +82,10 @@ object Packing {
       idCol: String,
       orderCol: Column,
       tokensCol: Column,
-      budget: Long): DataFrame = {
-    require(budget >= 1, "budget must be >= 1")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .filter(col(stratumCol).isNotNull && col(idCol).isNotNull &&
-        orderCol.isNotNull && tokensCol.cast("long") > 0)
-      .select(col(stratumCol).cast("string").as("__stratum"),
-        col(idCol).cast("long").as("__id"),
-        orderCol.cast("long").as("__ord"), tokensCol.cast("long").as("__n"))
-      .as[(String, Long, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapSortedGroups($"__ord", $"__id") { case (stratum, rows) =>
-        var fill = 0L
-        var bin = 0L
-        rows.map { case (_, id, ord, nTokens) =>
-          if (bin == 0L || fill + nTokens > budget) { bin += 1; fill = nTokens }
-          else fill += nTokens
-          (stratum, id, ord, nTokens, bin)
-        }
-      }
-      .toDF(stratumCol, idCol, "ord", "n_tokens", "bin_id")
-  }
+      budget: Long): DataFrame =
+    // derived from the superset fold, as [[packGreedy]] is
+    packGreedyOffsetsByOrder(docs, stratumCol, idCol, orderCol, tokensCol,
+      budget).drop("offset", "pos")
 
   /** [[packGreedyByOrder]] emitting [[packGreedyOffsets]]' tensor-
     * assembly columns — the x137 completion of the chain-ordered
@@ -196,6 +155,13 @@ object Packing {
     require(subShards >= 1, "subShards must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
+    // tokensCol is evaluated in both the filter and the projection;
+    // pushdown would re-inline it even if filtered post-projection
+    // (PushPredicateThroughNonJoin substitutes alias definitions — the
+    // x21 lesson). Unlike x21's interpreted higher-order stratum
+    // expression this is one native codegen'd split per row, so the
+    // double evaluation is a measured non-issue (x48 at 10×: 4.7× over
+    // a 0.2 s base) and not worth a NoInline barrier.
     docs
       .filter(col(stratumCol).isNotNull && col(idCol).isNotNull &&
         tokensCol.cast("long") > 0)
