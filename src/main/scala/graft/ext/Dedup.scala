@@ -1590,7 +1590,7 @@ object Dedup {
     // the swap below replaces — a registry entry keyed on its plan
     // would hand a later caller a cached plan over deleted files. A
     // local persist scoped to this call, released before return.
-    val g = spark.read.parquet(indexDir).select("g").distinct().persist()
+    val g = gramTable(spark, indexDir).select("g").distinct().persist()
     val items = math.max(g.count(), 64L)
     val nBuckets = if (buckets > 0) buckets else autoBucketCount(items)
     val numBits = BloomFilter.optimalNumOfBits(items, fpp)
@@ -1680,6 +1680,18 @@ object Dedup {
 
   private def pendingDeletesPath(indexDir: String) =
     s"$indexDir/_pending_deletes"
+
+  /** Schema-pinned read of the bucketed gram table. A takedown/drain of
+    * the ENTIRE remaining corpus is a legal request and leaves an index
+    * directory with no data files — schema inference over it throws
+    * UNABLE_TO_INFER_SCHEMA, so every later screen would CRASH instead
+    * of reporting zero matches (found live by the round-17 streaming
+    * ledger spec). The schema is fixed by the writer (`g` + the
+    * `bucket` partition column), so pin it: an empty index reads as
+    * zero rows and the screens above it stay total functions.
+    */
+  private def gramTable(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.schema("g LONG, bucket INT").parquet(indexDir)
 
   /** x142 — ENQUEUE a substring-grain takedown instead of paying the
     * index-sized rebuild per request. The gram index's takedown
@@ -1785,7 +1797,7 @@ object Dedup {
       .select(pmod(col("g"), lit(buckets.toLong)).cast("int").as("bucket"))
       .distinct()
       .as[Int](org.apache.spark.sql.Encoders.scalaInt).collect()
-    val idx = spark.read.parquet(indexDir)
+    val idx = gramTable(spark, indexDir)
       .filter(col("bucket").isin(hot.map(Int.box).toSeq: _*))
       .select("g")
     val confirmed = cand.join(idx, Seq("g"), "left_semi")

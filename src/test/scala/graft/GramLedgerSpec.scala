@@ -99,6 +99,24 @@ class GramLedgerSpec extends SparkSpec {
       "the rest of the batch appended normally")
   }
 
+  test("draining the ENTIRE corpus leaves a READABLE empty index: screens " +
+      "report zero matches (not UNABLE_TO_INFER_SCHEMA) and appends " +
+      "re-bootstrap it") {
+    val idx = freshIdx("fulldrain")
+    Dedup.writeGramIndexBucketed(corpus, idx, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(
+      corpus.select(col("doc_id")), idx) // every doc requested
+    assert(Dedup.drainGramTakedowns(corpus, idx, k = 3))
+    // before the schema-pinned gramTable read this CRASHED on schema
+    // inference over a data-file-less directory — a takedown of the
+    // whole remaining corpus is a legal request and must not brick
+    // every later screen
+    assert(hits(idx, "a b c d e f") === 0, "empty index screens clean")
+    Dedup.appendGramIndexBucketed(
+      Seq(5L -> "y1 y2 y3 y4").toDF("doc_id", "text"), idx, k = 3)
+    assert(hits(idx, "y1 y2 y3") > 0, "the emptied index re-bootstraps")
+  }
+
   test("a direct takedownGramIndex applies AND clears the ledger too " +
       "(one rebuild, both sources of removal)") {
     val idx = freshIdx("direct")

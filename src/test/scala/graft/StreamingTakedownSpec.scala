@@ -112,6 +112,44 @@ class StreamingTakedownSpec extends SparkSpec {
       s"mid-stream rebuild honored at the next batch: $spans")
   }
 
+  test("x103 path + ledger: a takedown REQUEST landing mid-stream is NOT " +
+      "yet effective (the at-drain contract, observed live); the drain a " +
+      "batch later un-flags, and a surviving re-copy re-flags") {
+    // doc_id % 4 is the batch id (k = 3 grams)
+    val docs = Seq(
+      (0L, "a1 a2 a3 a4"), // batch 0 — bootstrap corpus
+      (1L, "a1 a2 a3 p1"), // batch 1 — screens while the REQUEST pends
+      (2L, "a1 a2 a3 y1"), // batch 2 — screens POST-drain
+      (3L, "a1 a2 a3 z1")  // batch 3 — doc 2's grams are live again
+    ).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft_std_ledger").toString
+    val idx = s"$root/index"
+    val out = graft.streaming.DocStream.spanScreenReplay(spark, docs,
+      idx, s"$root/out", nBatches = 4, k = 3,
+      betweenBatches = b => {
+        // the request lands BEFORE batch 1 screens: removal is
+        // effective at the DRAIN, so batch 1 must still flag
+        if (b == 0)
+          Dedup.requestGramTakedown(Seq(0L).toDF("doc_id"), idx)
+        // the second request + the drain land before batch 2; the
+        // hand-back is carelessly the FULL ingested corpus — the drain
+        // applies its own ledger filter
+        if (b == 1) {
+          Dedup.requestGramTakedown(Seq(1L).toDF("doc_id"), idx)
+          assert(Dedup.drainGramTakedowns(
+            docs.filter(col("doc_id") <= 1L), idx, k = 3),
+            "pending requests must drain")
+        }
+      })
+    val spans = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch 1: doc 0's grams are STILL live (request ≠ drain) — flags.
+    // batch 2: both requested docs drained — clean.
+    // batch 3: doc 2's append made the content live again — flags.
+    assert(spans === Set((1L, 0L, 3L), (3L, 0L, 3L)),
+      s"the ledger's at-drain contract under streaming ingest: $spans")
+  }
+
   test("x121 path: an LM retraction landing mid-stream re-scores the next " +
       "batches bit-identically to raw models that never saw the deleted docs") {
     // doc_id % 4 is the batch id; batch 1 carries distinctive vocabulary
