@@ -46,7 +46,14 @@ object Similarity {
     * callers that need the replay-collapse still `dropDuplicates`.
     */
   private def liveVectors(spark: SparkSession, indexDir: String): DataFrame = {
-    val v = spark.read.parquet(s"$indexDir/vectors")
+    // schema-pinned (the gram grain's round-17 lesson, Dedup.gramTable):
+    // a compaction after a FULL-corpus takedown legally leaves this
+    // partitionBy table with zero data files, and schema inference over
+    // that directory throws instead of reading zero rows — the writer
+    // fixes the schema, so pin it and keep every reader total
+    val v = spark.read
+      .schema("vec_id LONG, v ARRAY<DOUBLE>, centroid_id LONG")
+      .parquet(s"$indexDir/vectors")
     val del = s"$indexDir/deletes"
     if (IndexFs.exists(spark, del))
       v.join(broadcast(spark.read.parquet(del).distinct()),
@@ -2139,7 +2146,11 @@ object Similarity {
     */
   private def liveCodes(spark: SparkSession, indexDir: String): DataFrame = {
     IndexFs.recoverSwap(spark, s"$indexDir/codes")
-    val c = spark.read.parquet(s"$indexDir/codes")
+    // schema-pinned for the same full-takedown-then-compact state as
+    // [[liveVectors]] — an emptied codes table must read as zero rows
+    val c = spark.read
+      .schema("vec_id LONG, subspace LONG, code_id LONG, centroid_id LONG")
+      .parquet(s"$indexDir/codes")
     val del = s"$indexDir/deletes"
     if (IndexFs.exists(spark, del))
       c.join(broadcast(spark.read.parquet(del).distinct()),

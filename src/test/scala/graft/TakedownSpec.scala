@@ -514,4 +514,59 @@ class TakedownSpec extends SparkSpec {
     Events.sessionizeIncrementalStored(evDf(ev(1L, 12L, 5 * H)),
       stateDir, closedDir).count()
   }
+
+  // ---- a COMPLETE takedown must not brick the store (round 17) --------
+  // The gram grain's lesson generalized: compacting a fully-tombstoned
+  // partitionBy table leaves zero data files, and schema inference over
+  // that directory throws — the schema-pinned liveVectors/liveCodes
+  // reads keep every consumer total at exactly the corpus state a
+  // complete right-to-be-forgotten request produces.
+
+  test("semantic index: delete EVERY vector + compact -> audits and " +
+      "screens read zero rows (no schema-inference crash); appends " +
+      "re-bootstrap against the surviving centroids") {
+    val idx = Files.createTempDirectory("graft_td_all_sem").toString + "/idx"
+    val all = Seq(0L -> unit(0), 100L -> unit(1), 7L -> unit(0, 1 -> 0.2f))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSemanticIndex(all, idx)
+    Similarity.deleteFromSemanticIndex(all.select("vec_id"), idx)
+    Similarity.compactSemanticIndex(spark, idx)
+    val occ = Similarity.storedSemanticOccupancy(spark, idx).head()
+    assert(occ.getAs[Long]("n_cells") === 0L &&
+      occ.getAs[Long]("eligible_seeds") === 0L,
+      s"the emptied index audits as zero, not a crash: $occ")
+    val bench = Seq(500L -> unit(0)).toDF("vec_id", "embedding")
+    val s0 = Similarity.semanticScreenIndex(bench, idx).collect()
+    assert(s0.length === 1 && s0(0).getAs[Long]("n_matches") === 0L,
+      "the emptied index screens clean")
+    // centroids survive a compaction (a rebuild, not a compact, would
+    // retrain them) — a new batch re-bootstraps the store
+    Similarity.appendSemanticIndex(
+      Seq(9L -> unit(0)).toDF("vec_id", "embedding"), idx)
+    val s1 = Similarity.semanticScreenIndex(bench, idx).collect()
+    assert(s1(0).getAs[Long]("n_matches") === 1L,
+      "the re-bootstrapped index screens the appended vector")
+  }
+
+  test("IVF-PQ index: delete EVERY vector + compact -> occupancy and " +
+      "search read zero rows; appends re-bootstrap") {
+    val idx = Files.createTempDirectory("graft_td_all_pq").toString + "/idx"
+    val all = (0L to 3L).map(i => i -> unit(i.toInt))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfPqWriteIndex(all, idx, centroidModulus = 1,
+      maxCentroids = 4, m = 16, codeModulus = 1, maxCodes = 4)
+    Similarity.deleteFromIvfPqIndex(all.select("vec_id"), idx)
+    Similarity.ivfPqCompactIndex(spark, idx)
+    val occ = Similarity.ivfPqOccupancy(spark, idx).head()
+    assert(occ.getAs[Long]("n_cells") === 0L,
+      s"the emptied codes table audits as zero, not a crash: $occ")
+    assert(Similarity.ivfPqSearchIndex(all, idx, queryIds = Seq(1L), k = 2)
+      .isEmpty, "searching the emptied index returns no neighbors")
+    Similarity.ivfPqAppendIndex(
+      Seq(8L -> unit(2)).toDF("vec_id", "embedding"), idx)
+    val hits = Similarity.ivfPqSearchIndex(all, idx, queryIds = Seq(2L),
+      k = 2, nprobe = 4).collect()
+    assert(hits.map(_.getAs[Long]("neighbor_id")).contains(8L),
+      "the re-bootstrapped index serves the appended vector")
+  }
 }
