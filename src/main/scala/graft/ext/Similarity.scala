@@ -458,14 +458,50 @@ object Similarity {
     * most ~128 MiB of adjacency longs in one task (4096² × 8 B). */
   private[graft] val DefaultChainCellCap = 4096
 
+  /** x143 — the MEMORY-BOUNDED chain rung: [[semanticChainOrder]] with
+    * each member's candidate list capped at its `maxNeighbors` nearest
+    * cell-mates (rounded-6 cosine desc, ties to lowest id — the sorted
+    * fold input delivers exactly that prefix), and a deterministic
+    * RESTART at the lowest-id unvisited member when the current node's
+    * capped list is exhausted. This is what In-Context Pretraining
+    * actually runs at corpus scale (Shi et al. 2023 §2 build an
+    * approximate kNN graph and traverse greedily, restarting when
+    * stuck — the exact chain's complete graph is the k = |cell| − 1
+    * special case, spec-gated as bit-identical for large k); the trade
+    * is a possible coherence dip at each restart seam for task memory
+    * O(|cell| · k) instead of O(|cell|²) — the remedy the chain-cap
+    * guard's refusal message can point hot-cell corpora at without a
+    * quantizer rebuild. The pair-pass COST is still Σ|cell|² rows
+    * (they stream through the fold; only k per node are retained), so
+    * the cap guard here bounds member COUNT (detection memory
+    * O(cap · k)) with a high default — the heap, not the CPU, was the
+    * non-spillable resource. Output contract identical to
+    * [[semanticChainOrder]]: (vec_id, centroid_id, chain_pos),
+    * 1-based contiguous per cell across restarts.
+    */
+  def semanticChainOrderKnn(emb: DataFrame, centroidModulus: Int = 100,
+      maxCentroids: Int = 1024, maxNeighbors: Int = 8,
+      chainCellCap: Int = 1 << 18): DataFrame = {
+    require(maxNeighbors >= 1, s"maxNeighbors must be >= 1, got $maxNeighbors")
+    val all = vecs(emb)
+    val assigned = graft.tools.InternalCaches.persist(
+      assignToCentroids(all, ivfCentroids(all, centroidModulus, maxCentroids))
+        .select(col("vec_id"), col("v"), col("centroid_id")))
+    chainWithinCells(assigned, chainCellCap, maxNeighbors)
+  }
+
   /** The chain fold shared by [[semanticChainOrder]] (in-plan
-    * assignment) and [[semanticChainOrderStored]] (stored assignment):
-    * within-cell complete pair graph → greedy NN traversal per cell.
+    * assignment), [[semanticChainOrderStored]] (stored assignment),
+    * and [[semanticChainOrderKnn]] (k-capped lists + restarts):
+    * within-cell pair graph → greedy NN traversal per cell.
     * `assigned` must be (vec_id, v, centroid_id) with distinct vec_ids;
     * persist it — the plan reads it three times (pairs ×2, singles).
+    * `maxNeighbors` = 0 keeps the complete adjacency (the exact chain);
+    * > 0 retains only each node's top-k list and restarts at the
+    * lowest-id unvisited member when a list exhausts.
     */
   private def chainWithinCells(assigned: DataFrame,
-      chainCellCap: Int): DataFrame = {
+      chainCellCap: Int, maxNeighbors: Int = 0): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     require(chainCellCap >= 2, s"chainCellCap must be >= 2, got $chainCellCap")
@@ -490,19 +526,26 @@ object Similarity {
         rows.foreach { case (_, a, b, _) =>
           val buf = adj.getOrElseUpdate(a,
             new scala.collection.mutable.ArrayBuffer[Long])
-          buf += b
-          // a list reaching the cap means |cell| > cap: refuse while
-          // only ONE list is buffered (sorted input builds lists one at
-          // a time), not after the heap holds the full |cell|² graph
-          if (buf.length >= chainCellCap)
+          // k-capped mode retains only the top-k prefix of each list
+          // (the sorted input IS cs-desc/ties-to-id per node, so the
+          // first k rows are exactly the k nearest cell-mates)
+          if (maxNeighbors == 0 || buf.length < maxNeighbors) buf += b
+          // exact mode: a list reaching the cap means |cell| > cap —
+          // refuse while only ONE list is buffered (sorted input builds
+          // lists one at a time), not after the heap holds the full
+          // |cell|² graph. k-capped mode bounds MEMBER count instead
+          // (lists are O(k); detection memory O(cap · k)).
+          if ((maxNeighbors == 0 && buf.length >= chainCellCap) ||
+              adj.size > chainCellCap)
             throw new IllegalStateException(
               s"semanticChainOrder: cell $cell exceeds chainCellCap=" +
-                s"$chainCellCap members; the chain fold buffers the full " +
-                "within-cell adjacency (|cell|^2 longs) in one task. This " +
-                "occupancy is what storedSemanticOccupancy/" +
+                s"$chainCellCap members; the exact chain fold buffers the " +
+                "full within-cell adjacency (|cell|^2 longs) in one task. " +
+                "This occupancy is what storedSemanticOccupancy/" +
                 "cellOccupancyAudit alarm on — rebuildSemanticIndex at a " +
-                "wider maxCentroids, or raise chainCellCap if the " +
-                "executor heap affords |cell|^2 * 8 bytes.")
+                "wider maxCentroids, use semanticChainOrderKnn " +
+                "(O(|cell|*k) memory), or raise chainCellCap if the heap " +
+                "affords it.")
         }
         val visited = scala.collection.mutable.HashSet.empty[Long]
         val out = new scala.collection.mutable
@@ -512,9 +555,13 @@ object Similarity {
         out += ((cur, cell, 1L))
         var pos = 1L
         while (visited.size < adj.size) {
-          // the pair graph is complete within the cell, so an
-          // unvisited candidate always exists while any member is left
-          val nxt = adj(cur).find(!visited(_)).get
+          // exact mode: the pair graph is complete within the cell, so
+          // an unvisited candidate always exists while any member is
+          // left. k-capped mode: an exhausted list RESTARTS the chain
+          // at the lowest-id unvisited member (keys iterate in
+          // insertion order = ascending id — the sorted input's a-order)
+          val nxt = adj(cur).find(!visited(_))
+            .getOrElse(adj.keysIterator.find(!visited(_)).get)
           visited += nxt
           pos += 1L
           out += ((nxt, cell, pos))

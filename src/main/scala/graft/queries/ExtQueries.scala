@@ -6033,7 +6033,101 @@ object ExtQueries {
            |${phaseSelect("requested", "qi")}
            |UNION ALL
            |${phaseSelect("drained", "qd")}""".stripMargin
-      })
+      }),
+
+    // ---- x143: kNN chain packing — the memory-bounded chain rung -------
+    // x134's exact chain buffers the complete within-cell adjacency
+    // (|cell|² longs — the cap guard refuses a hot cell); this is the
+    // rung the refusal message points at: each member keeps only its
+    // k = 4 nearest cell-mates, and an exhausted list RESTARTS the
+    // traversal at the lowest-id unvisited member — what In-Context
+    // Pretraining actually runs at corpus scale (approximate kNN graph
+    // + greedy traversal with restarts, Shi et al. 2023 §2). Task
+    // memory drops to O(|cell|·k); k = 4 at fixture cell sizes makes
+    // restarts genuinely fire, so the gate hash-pins the restart rule,
+    // not just the happy path. Oracle: x134's chain stack with the
+    // pair CTE rank-capped per node and the recursive pick choosing
+    // (neighbor beats restart, cs desc, lowest id) over a union source
+    // — the single-self-reference form a recursive member requires.
+    ("x143_chain_pack_knn",
+      (s: SparkSession, dir: String) => {
+        val toks = size(graft.functions.Portable.tokens(col("text")))
+        val packable = t(s, dir, "documents")
+          .filter(col("doc_id").isNotNull && toks > 0)
+          .select(col("doc_id"), toks.cast("long").as("n_tokens"))
+        val embP = t(s, dir, "embeddings")
+          .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+          .join(packable.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        val chain = Similarity.semanticChainOrderKnn(embP, maxNeighbors = 4)
+        graft.ext.Packing.packGreedyByOrder(
+          packable.join(chain, col("doc_id") === col("vec_id")),
+          "centroid_id", "doc_id", col("chain_pos"), col("n_tokens"),
+          budget = 256)
+      },
+      Some(s"""WITH RECURSIVE se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+              |dk AS MATERIALIZED (SELECT doc_id,
+              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+              |  FROM documents WHERE doc_id IS NOT NULL
+              |    AND len(string_split(trim(text), ' ')) > 0),
+              |pv AS MATERIALIZED (SELECT se.vec_id, se.v FROM se
+              |  SEMI JOIN dk ON dk.doc_id = se.vec_id),
+              |cents AS (SELECT vec_id AS centroid_id, v AS cvv FROM pv
+              |  WHERE vec_id % 100 = 0 ORDER BY vec_id LIMIT 1024),
+              |ca1 AS (SELECT pv.vec_id, c.centroid_id,
+              |    ${cosSql("pv.v", "c.cvv")} AS cs FROM pv, cents c),
+              |ca AS (SELECT vec_id, centroid_id FROM
+              |    (SELECT *, row_number() OVER
+              |       (PARTITION BY vec_id ORDER BY cs DESC, centroid_id) AS rn
+              |     FROM ca1) WHERE rn = 1),
+              |mem AS MATERIALIZED (SELECT ca.centroid_id AS cell,
+              |    pv.vec_id AS doc_id, pv.v, dk.n_tokens
+              |  FROM pv JOIN ca USING (vec_id) JOIN dk ON dk.doc_id = pv.vec_id),
+              |prs AS MATERIALIZED (SELECT x.cell, x.doc_id AS a, y.doc_id AS b,
+              |    ${cosSql("x.v", "y.v")} AS cs
+              |  FROM mem x JOIN mem y ON x.cell = y.cell AND x.doc_id <> y.doc_id),
+              |-- each node keeps only its 4 nearest cell-mates
+              |prsk AS MATERIALIZED (SELECT cell, a, b, cs FROM
+              |    (SELECT *, row_number() OVER
+              |       (PARTITION BY cell, a ORDER BY cs DESC, b) AS rnk FROM prs)
+              |  WHERE rnk <= 4),
+              |-- single union source so the recursive member references
+              |-- ch exactly once: neighbor rows carry a; restart rows
+              |-- (any unvisited member, a IS NULL) rank below every
+              |-- neighbor via isn and pick lowest id via cs ties
+              |srcs AS MATERIALIZED (
+              |  SELECT cell, a, b, 1 AS isn, cs FROM prsk
+              |  UNION ALL
+              |  SELECT cell, CAST(NULL AS BIGINT) AS a, doc_id AS b,
+              |    0 AS isn, CAST(-2 AS DOUBLE) AS cs FROM mem),
+              |ch AS (
+              |  SELECT cell, [cur] AS vis, cur, CAST(1 AS BIGINT) AS cpos
+              |  FROM (SELECT cell, min(doc_id) AS cur FROM mem GROUP BY cell)
+              |  UNION ALL
+              |  SELECT c.cell, list_append(c.vis, s.b), s.b, c.cpos + 1
+              |  FROM ch c JOIN srcs s ON s.cell = c.cell
+              |    AND (s.a = c.cur OR s.a IS NULL)
+              |  WHERE NOT list_contains(c.vis, s.b)
+              |  QUALIFY row_number() OVER
+              |    (PARTITION BY c.cell ORDER BY s.isn DESC, s.cs DESC, s.b) = 1),
+              |ordd AS MATERIALIZED (SELECT ch.cell, ch.cur AS doc_id, ch.cpos,
+              |    mem.n_tokens
+              |  FROM ch JOIN mem ON mem.cell = ch.cell AND mem.doc_id = ch.cur),
+              |pk AS (
+              |  SELECT cell, doc_id, cpos, n_tokens,
+              |    n_tokens AS fill, CAST(1 AS BIGINT) AS bin_id
+              |  FROM ordd WHERE cpos = 1
+              |  UNION ALL
+              |  SELECT d.cell, d.doc_id, d.cpos, d.n_tokens,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+              |         ELSE p.fill + d.n_tokens END,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin_id + 1
+              |         ELSE p.bin_id END
+              |  FROM pk p JOIN ordd d ON d.cell = p.cell AND d.cpos = p.cpos + 1)
+              |SELECT CAST(cell AS VARCHAR) AS centroid_id, doc_id,
+              |  cpos AS ord, n_tokens, bin_id
+              |FROM pk""".stripMargin))
   )
 
   /** The x122 oracle — x08's capped assignment/probe CTE chain + the

@@ -82,6 +82,16 @@ object ChainCoherence {
       Packing.packGreedyByOrder(staged, "centroid_id", "doc_id",
         col("chain_pos"), col("n_tokens"), budget = 256),
       "ord", "nn_chain_x134")
+    // the memory-bounded rung (x143): how much coherence do the
+    // k-capped lists + restarts give up against the exact chain?
+    val knn = InternalCaches.persist(
+      Similarity.semanticChainOrderKnn(embP, maxNeighbors = 4))
+    coherence(
+      Packing.packGreedyByOrder(
+        packable.join(knn, col("doc_id") === col("vec_id")),
+        "centroid_id", "doc_id", col("chain_pos"), col("n_tokens"),
+        budget = 256),
+      "ord", "knn_chain_x143_k4")
     spark.stop()
   }
 }

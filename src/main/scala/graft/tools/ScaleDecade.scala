@@ -77,6 +77,10 @@ object ScaleDecade {
                         // takedown — build + drain rebuild + two Bloom
                         // screens per run; should track the x133/x95
                         // family's ~linear build term
+    "x143_chain_pack_knn", // round 17: the memory-bounded chain rung —
+                        // same pair-pass cost class as x134 (the k cap
+                        // bounds MEMORY, not the Σ|cell|² stream), so
+                        // the decade must track x134's
     "x51_table_profile",
     "x53_table_profile_kmv",
     "x66_profile_all",  // round 10: the one-scan composed profile —

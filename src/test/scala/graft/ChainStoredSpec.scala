@@ -71,6 +71,49 @@ class ChainStoredSpec extends SparkSpec {
     assert(stored.count() === 10L)
   }
 
+  test("kNN chain with k >= |cell|-1 is bit-identical to the exact chain " +
+      "(complete lists, no restart ever fires)") {
+    val emb = embDf(0L to 11L)
+    val exact = Similarity.semanticChainOrder(emb,
+        centroidModulus = 3, maxCentroids = 4)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val knn = Similarity.semanticChainOrderKnn(emb,
+        centroidModulus = 3, maxCentroids = 4, maxNeighbors = 16)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(knn === exact, "the exact chain is the large-k special case")
+  }
+
+  test("kNN chain at small k: restarts keep the output a contiguous " +
+      "1-based permutation per cell, deterministically") {
+    // one cell of 10 members (modulus 1 → seed 0 only): k = 2 lists
+    // exhaust mid-traversal, so the restart rule genuinely fires
+    val emb = embDf(0L to 9L)
+    def run() = Similarity.semanticChainOrderKnn(emb, centroidModulus = 1,
+      maxCentroids = 1, maxNeighbors = 2).collect()
+    val a = run()
+    assert(a.length === 10)
+    assert(a.map(_.getAs[Long]("vec_id")).sorted === (0L to 9L).toArray,
+      "every member chains exactly once")
+    assert(a.map(_.getAs[Long]("chain_pos")).sorted === (1L to 10L).toArray,
+      "positions stay contiguous across restarts")
+    assert(a.map(_.toSeq).sortBy(_.toString)
+      === run().map(_.toSeq).sortBy(_.toString), "deterministic replay")
+  }
+
+  test("the exact chain's refusal names the kNN rung, and the kNN rung " +
+      "handles the same cell within its own (member-count) bound") {
+    val emb = embDf(0L to 5L)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Similarity.semanticChainOrder(emb, centroidModulus = 1,
+        maxCentroids = 1, chainCellCap = 4).collect()
+    }
+    assert(ex.getMessage.contains("semanticChainOrderKnn") ||
+      Option(ex.getCause).exists(_.getMessage.contains("semanticChainOrderKnn")))
+    val ok = Similarity.semanticChainOrderKnn(emb, centroidModulus = 1,
+      maxCentroids = 1, maxNeighbors = 2).collect()
+    assert(ok.length === 6, "the memory-bounded rung chains the hot cell")
+  }
+
   test("chainCellCap guard: a cell past the cap refuses fast with the " +
       "remedy in the message; a wider cap proceeds") {
     // modulus 1, cap 1 → one centroid → one cell of 6 members
