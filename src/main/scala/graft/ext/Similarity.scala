@@ -454,6 +454,27 @@ object Similarity {
     chainWithinCells(assigned, chainCellCap)
   }
 
+  /** [[semanticChainOrderStored]] × [[semanticChainOrderKnn]] — the
+    * fourth cell of the {in-plan, stored} × {exact, k-capped} matrix:
+    * assignment amortized to ingest AND task heap bounded at
+    * O(|cell| · k), with tombstoned vectors excluded by the same
+    * [[liveVectors]] route. The gates cover both axes independently
+    * (x141 pins the stored read + takedown composition, x143 pins the
+    * k-capped restart rule over the identical fold), so this
+    * composition carries no separate registered entry; the spec pins
+    * it equal to the in-plan kNN chain on a mirror corpus.
+    */
+  def semanticChainOrderStoredKnn(spark: SparkSession, indexDir: String,
+      maxNeighbors: Int = 8, chainCellCap: Int = 1 << 18): DataFrame = {
+    require(maxNeighbors >= 1, s"maxNeighbors must be >= 1, got $maxNeighbors")
+    IndexFs.recoverSwap(spark, indexDir) // a crashed whole-index REBUILD swap
+    IndexFs.recoverSwap(spark, s"$indexDir/vectors")
+    val assigned = graft.tools.InternalCaches.persist(
+      liveVectors(spark, indexDir).dropDuplicates("vec_id")
+        .select(col("vec_id"), col("v"), col("centroid_id")))
+    chainWithinCells(assigned, chainCellCap, maxNeighbors)
+  }
+
   /** Per-cell buffer bound for the chain fold — 4096 members buffers at
     * most ~128 MiB of adjacency longs in one task (4096² × 8 B). */
   private[graft] val DefaultChainCellCap = 4096

@@ -114,6 +114,27 @@ class ChainStoredSpec extends SparkSpec {
     assert(ok.length === 6, "the memory-bounded rung chains the hot cell")
   }
 
+  test("stored × kNN composition ≡ the in-plan kNN chain on a mirror " +
+      "corpus, and tombstones stay out of it") {
+    val idx = Files.createTempDirectory("graft_chain_sknn").toString + "/idx"
+    val emb = embDf(0L to 11L)
+    Similarity.writeSemanticIndex(emb, idx,
+      centroidModulus = 3, maxCentroids = 4)
+    val inPlan = Similarity.semanticChainOrderKnn(emb,
+        centroidModulus = 3, maxCentroids = 4, maxNeighbors = 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val stored = Similarity.semanticChainOrderStoredKnn(spark, idx,
+        maxNeighbors = 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(stored === inPlan)
+    // a non-seed takedown: the k-capped chain re-threads over survivors
+    Similarity.deleteFromSemanticIndex(Seq(4L).toDF("vec_id"), idx)
+    val after = Similarity.semanticChainOrderStoredKnn(spark, idx,
+      maxNeighbors = 2)
+    assert(after.filter(col("vec_id") === 4L).isEmpty)
+    assert(after.count() === 11L)
+  }
+
   test("chainCellCap guard: a cell past the cap refuses fast with the " +
       "remedy in the message; a wider cap proceeds") {
     // modulus 1, cap 1 → one centroid → one cell of 6 members
