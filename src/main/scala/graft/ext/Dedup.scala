@@ -1503,10 +1503,22 @@ object Dedup {
     * the round-12 verdict said nothing scheduled. Screen output is
     * invariant across the trigger (compaction is a distinct-rewrite;
     * spec-gated), so callers observe only bounded file counts.
+    *
+    * `corpusForDrain` (round 17) turns that same trigger into the
+    * pending-takedown DRAIN slot: when requests pend
+    * ([[requestGramTakedown]]) and the caller hands back the full live
+    * corpus as of this batch, the trigger runs the filtered rebuild
+    * ([[takedownGramIndex]] — which IS a compaction plus the removal)
+    * instead of the plain compact, so a streaming deployment's removal
+    * lag is bounded by the compaction cadence with zero extra
+    * scheduling. `None` (the default) keeps today's behavior: the
+    * compaction CARRIES the ledger and an explicit
+    * [[drainGramTakedowns]] applies it.
     */
   def appendGramIndexBucketed(
       newDocs: DataFrame, indexDir: String, k: Int = 8,
-      cacheSidecar: Boolean = true, maxFilesPerBucket: Int = 64): Unit = {
+      cacheSidecar: Boolean = true, maxFilesPerBucket: Int = 64,
+      corpusForDrain: Option[DataFrame] = None): Unit = {
     val spark = newDocs.sparkSession
     // heal a crashed compaction swap BEFORE appending (an append into a
     // missing live dir would fork the index away from the .compact copy)
@@ -1557,8 +1569,22 @@ object Dedup {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("append").parquet(indexDir)
     if (maxFilesPerBucket > 0 &&
-        countDataFiles(spark, indexDir) > maxFilesPerBucket.toLong * buckets)
-      compactGramIndex(spark, indexDir)
+        countDataFiles(spark, indexDir) > maxFilesPerBucket.toLong * buckets) {
+      // the maintenance slot the file-count trigger already schedules:
+      // when takedown requests pend AND the caller wired the corpus
+      // hand-back (`corpusForDrain` — the FULL live corpus as of this
+      // batch, this batch included; the drain filters the ledger out
+      // itself), drain them here — one filtered rebuild serves as both
+      // the compaction (it IS a distinct rewrite) and the amortized
+      // takedown, so a streaming deployment's removal lag is bounded by
+      // the compaction cadence with no extra scheduling. Without the
+      // hand-back (or with an empty ledger) the plain compaction runs
+      // and CARRIES the ledger, as before.
+      val wantDrain = corpusForDrain.isDefined &&
+        IndexFs.exists(spark, pendingDeletesPath(indexDir))
+      if (wantDrain) takedownGramIndex(corpusForDrain.get, indexDir, k)
+      else compactGramIndex(spark, indexDir)
+    }
   }
 
   /** Offline maintenance: rewrite every bucket to its distinct gram

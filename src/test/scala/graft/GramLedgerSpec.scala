@@ -117,6 +117,36 @@ class GramLedgerSpec extends SparkSpec {
     assert(hits(idx, "y1 y2 y3") > 0, "the emptied index re-bootstraps")
   }
 
+  test("the append trigger drains when the corpus hand-back is wired: " +
+      "one filtered rebuild serves as compaction AND takedown") {
+    val idx = freshIdx("trigdrain")
+    Dedup.writeGramIndexBucketed(
+      corpus.filter(col("doc_id") <= 2L), idx, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(Seq(1L).toDF("doc_id"), idx)
+    // maxFilesPerBucket = 1 forces the trigger on this append; the
+    // hand-back is the full live corpus as of the batch (docs 1-4),
+    // handed back carelessly — the drain filters the ledger itself
+    Dedup.appendGramIndexBucketed(
+      corpus.filter(col("doc_id") >= 3L), idx, k = 3,
+      maxFilesPerBucket = 1, corpusForDrain = Some(corpus))
+    assert(!IndexFs.exists(spark, s"$idx/_pending_deletes"),
+      "the trigger drained the ledger instead of carrying it")
+    assert(hits(idx, "a b c d e f") === 0, "requested doc removed")
+    assert(hits(idx, "g h i j k l") > 0 && hits(idx, "s t u v w x") > 0,
+      "survivors — including this very batch — stay live through the drain")
+    // without the hand-back the same trigger compacts and CARRIES
+    val idx2 = freshIdx("trigcarry")
+    Dedup.writeGramIndexBucketed(
+      corpus.filter(col("doc_id") <= 2L), idx2, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(Seq(1L).toDF("doc_id"), idx2)
+    Dedup.appendGramIndexBucketed(
+      corpus.filter(col("doc_id") >= 3L), idx2, k = 3,
+      maxFilesPerBucket = 1)
+    assert(IndexFs.exists(spark, s"$idx2/_pending_deletes"),
+      "no hand-back: the compaction carries the ledger")
+    assert(hits(idx2, "a b c d e f") > 0, "not yet drained")
+  }
+
   test("a direct takedownGramIndex applies AND clears the ledger too " +
       "(one rebuild, both sources of removal)") {
     val idx = freshIdx("direct")
