@@ -1580,8 +1580,12 @@ object Dedup {
       // the compaction cadence with no extra scheduling. Without the
       // hand-back (or with an empty ledger) the plain compaction runs
       // and CARRIES the ledger, as before.
+      // gate on pending ROWS, not ledger-directory existence: a
+      // zero-row request (or an emptied post-drain ledger dir) must not
+      // route the trigger to the corpus-sized takedown rebuild when the
+      // cheap index-only compaction suffices — one tiny count
       val wantDrain = corpusForDrain.isDefined &&
-        IndexFs.exists(spark, pendingDeletesPath(indexDir))
+        !pendingGramTakedowns(spark, indexDir).isEmpty
       if (wantDrain) takedownGramIndex(corpusForDrain.get, indexDir, k)
       else compactGramIndex(spark, indexDir)
     }
@@ -1638,11 +1642,19 @@ object Dedup {
     // and the swap would strand the only ledger copy in a tmp dir the
     // retry rewrites wholesale ([[IndexFs.copyDir]] has the full
     // argument); the live original is demoted WITH the old dir only
-    // when the promoted copy is already in place.
+    // when the promoted copy is already in place. The snapshot of
+    // carried names feeds the swap's RESCUE pass below: a request
+    // landing AFTER this copy (the round-17 advisory's race — the
+    // request verb is the one a streaming deployment runs concurrently
+    // with maintenance) is re-carried out of the demoted dir instead
+    // of being deleted with it.
+    val carried = IndexFs.listNames(spark, pendingDeletesPath(indexDir)).toSet
     IndexFs.copyDir(spark, pendingDeletesPath(indexDir),
       pendingDeletesPath(tmp))
-    // swap: every step leaves a complete index on disk somewhere
-    IndexFs.swapCompact(spark, indexDir)
+    afterLedgerSnapshotHook()
+    // swap + rescue: every step leaves a complete index on disk
+    // somewhere, and late ledger arrivals survive the .old delete
+    IndexFs.swapCompactRescue(spark, indexDir, "_pending_deletes", carried)
     // the compacted frame replaced the files its cached plan reads —
     // drop the cache so later actions re-read the live directory
     g.unpersist(blocking = false)
@@ -1683,17 +1695,29 @@ object Dedup {
     // by this rebuild too — the handed-back corpus is filtered against
     // them, and the swap sweeps the ledger away with the old directory
     // (applied and cleared in the same atomic step; a crash before the
-    // swap leaves the ledger in the live dir for the retry)
+    // swap leaves the ledger in the live dir for the retry). The
+    // applied set is pinned BY FILE NAME: the rebuild reads exactly the
+    // files listed here, so a request landing during the build window
+    // is definitionally un-applied and the swap's rescue pass re-carries
+    // it into the fresh index's ledger instead of deleting it with
+    // `.old` (the round-17 advisory's lost-request race).
     val pend = pendingDeletesPath(indexDir)
+    val appliedNames = IndexFs.listNames(spark, pend).toSet
+    val appliedData = appliedNames.toSeq.sorted
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .map(n => s"$pend/$n")
+    afterLedgerSnapshotHook()
     val rem =
-      if (IndexFs.exists(spark, pend))
-        remaining.join(broadcast(spark.read.parquet(pend).distinct()),
+      if (appliedData.nonEmpty)
+        remaining.join(broadcast(
+          spark.read.parquet(appliedData: _*).distinct()),
           Seq("doc_id"), "left_anti")
       else remaining
     val tmp = indexDir + ".compact"
     IndexFs.delete(spark, tmp)
     writeGramIndexBucketed(rem, tmp, k, buckets)
-    IndexFs.swapCompact(spark, indexDir)
+    IndexFs.swapCompactRescue(spark, indexDir, "_pending_deletes",
+      appliedNames)
     // the build seeded the sidecar cache under the TMP path — drop it —
     // and the live path's cached entry now describes the replaced
     // index (the per-call stamp probe would also catch that one, but
@@ -1706,6 +1730,15 @@ object Dedup {
 
   private def pendingDeletesPath(indexDir: String) =
     s"$indexDir/_pending_deletes"
+
+  /** TEST SEAM, production never sets it: invoked between a maintenance
+    * verb's ledger snapshot and its swap, so GramLedgerSpec can land a
+    * [[requestGramTakedown]] deterministically INSIDE the window the
+    * swap's rescue pass exists to close — the race is staged, not
+    * simulated with sleeps. A var (not a parameter) keeps the public
+    * verb signatures honest.
+    */
+  private[graft] var afterLedgerSnapshotHook: () => Unit = () => ()
 
   /** Schema-pinned read of the bucketed gram table. A takedown/drain of
     * the ENTIRE remaining corpus is a legal request and leaves an index
@@ -1752,6 +1785,15 @@ object Dedup {
     * that publishes the filtered index, so a crash anywhere leaves
     * either [ledger intact + old index] or [ledger gone + filtered
     * index] — never a lost request, never a half-applied state.
+    *
+    * Concurrency: unlike the rebuild-class verbs, THIS verb is the
+    * streaming request-side enqueue, so it is allowed to race
+    * maintenance — a request file landing after a drain/compaction's
+    * ledger snapshot is definitionally un-applied, and the swap's
+    * rescue pass ([[IndexFs.swapCompactRescue]]) re-carries it into the
+    * promoted directory instead of deleting it with `.old`
+    * (spec-staged through the deterministic race seam). Maintenance
+    * verbs themselves remain single-writer among each other.
     */
   def requestGramTakedown(docIds: DataFrame, indexDir: String): Unit = {
     val spark = docIds.sparkSession
@@ -1783,7 +1825,10 @@ object Dedup {
       buckets: Int = 0): Boolean = {
     val spark = corpus.sparkSession
     IndexFs.recoverSwap(spark, indexDir)
-    if (!IndexFs.exists(spark, pendingDeletesPath(indexDir))) false
+    // pending ROWS, not directory existence: a zero-row ledger (an
+    // empty request, or a dir left by a prior drain's rescue pass)
+    // must not bill the index-sized rebuild for applying nothing
+    if (pendingGramTakedowns(spark, indexDir).isEmpty) false
     else {
       takedownGramIndex(corpus, indexDir, k, buckets)
       true

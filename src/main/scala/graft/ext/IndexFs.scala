@@ -179,4 +179,66 @@ object IndexFs {
     f.rename(new Path(liveDir + ".compact"), live)
     f.delete(old, true)
   }
+
+  /** Copy the flat files under `fromDir` whose names are neither in
+    * `knownNames` nor already present under `toDir` — the RESCUE half
+    * of [[swapCompactRescue]]. Copy (never move): the source is about
+    * to be deleted wholesale by the caller, and a crash mid-rescue must
+    * leave every file readable somewhere ([[recoverSwap]] cannot see
+    * inside a half-moved control dir). Skipping names that already
+    * exist at the destination makes a crashed-then-retried rescue
+    * idempotent. No-op when `fromDir` is absent.
+    */
+  def copyNewFiles(spark: SparkSession, fromDir: String, toDir: String,
+      knownNames: Set[String]): Unit = {
+    val f = fs(spark, fromDir)
+    val src = new Path(fromDir)
+    if (f.exists(src)) {
+      val dstFs = fs(spark, toDir)
+      val dst = new Path(toDir)
+      f.listStatus(src).filterNot(_.isDirectory).foreach { st =>
+        val name = st.getPath.getName
+        val to = new Path(dst, name)
+        if (!knownNames.contains(name) && !dstFs.exists(to)) {
+          dstFs.mkdirs(dst)
+          require(org.apache.hadoop.fs.FileUtil.copy(f, st.getPath, dstFs, to,
+            false, spark.sparkContext.hadoopConfiguration),
+            s"rescue copy ${st.getPath} -> $to failed")
+        }
+      }
+    }
+  }
+
+  /** [[swapCompact]] for tables that carry a request-side control-plane
+    * subdir (the gram index's `_pending_deletes` ledger): between the
+    * promotion and the final `.old` delete, files that LANDED in the
+    * carried subdir after the caller's snapshot (`appliedNames` — the
+    * ledger files the caller copied forward or applied in the rebuild)
+    * are rescued into the promoted directory. Without the rescue, a
+    * takedown request racing a maintenance verb's build window — the
+    * one verb pair a streaming deployment genuinely overlaps — would be
+    * swept away with `.old`, applied nowhere: a silently lost
+    * right-to-be-forgotten request, the failure class the ledger exists
+    * to prevent. Over-rescue is safe by set semantics (a re-carried
+    * already-applied request re-filters absent doc_ids — a no-op);
+    * under-rescue is the bug. Crash anywhere: before the demote =
+    * plain retry; between demote and promote = [[recoverSwap]]'s
+    * window; during the rescue = `.old` still holds every unrescued
+    * file and the state reads as "crashed before the final delete" —
+    * re-running the VERB re-reaches a consistent state (the ledger
+    * files inside `.old` are the only loss surface, and they are the
+    * ones being copied).
+    */
+  def swapCompactRescue(spark: SparkSession, liveDir: String,
+      carrySubdir: String, appliedNames: Set[String]): Unit = {
+    val f = fs(spark, liveDir)
+    val live = new Path(liveDir)
+    val old = new Path(liveDir + ".old")
+    f.delete(old, true)
+    f.rename(live, old)
+    f.rename(new Path(liveDir + ".compact"), live)
+    copyNewFiles(spark, s"$liveDir.old/$carrySubdir", s"$liveDir/$carrySubdir",
+      appliedNames)
+    f.delete(old, true)
+  }
 }

@@ -465,7 +465,8 @@ object Similarity {
     * it equal to the in-plan kNN chain on a mirror corpus.
     */
   def semanticChainOrderStoredKnn(spark: SparkSession, indexDir: String,
-      maxNeighbors: Int = 8, chainCellCap: Int = 1 << 18): DataFrame = {
+      maxNeighbors: Int = 8,
+      chainCellCap: Int = DefaultKnnChainCellCap): DataFrame = {
     require(maxNeighbors >= 1, s"maxNeighbors must be >= 1, got $maxNeighbors")
     IndexFs.recoverSwap(spark, indexDir) // a crashed whole-index REBUILD swap
     IndexFs.recoverSwap(spark, s"$indexDir/vectors")
@@ -478,6 +479,16 @@ object Similarity {
   /** Per-cell buffer bound for the chain fold — 4096 members buffers at
     * most ~128 MiB of adjacency longs in one task (4096² × 8 B). */
   private[graft] val DefaultChainCellCap = 4096
+
+  /** Member-count bound for the k-capped chain rungs — one shared
+    * default so [[semanticChainOrderKnn]] and
+    * [[semanticChainOrderStoredKnn]] cannot silently drift apart
+    * (the exact rungs share [[DefaultChainCellCap]] the same way).
+    * High by design: the k cap bounds list length, so the fold's heap
+    * is O(cap · k) and the guard protects member COUNT, not the
+    * |cell|² adjacency the exact fold buffers.
+    */
+  private[graft] val DefaultKnnChainCellCap = 1 << 18
 
   /** x143 — the MEMORY-BOUNDED chain rung: [[semanticChainOrder]] with
     * each member's candidate list capped at its `maxNeighbors` nearest
@@ -502,7 +513,7 @@ object Similarity {
     */
   def semanticChainOrderKnn(emb: DataFrame, centroidModulus: Int = 100,
       maxCentroids: Int = 1024, maxNeighbors: Int = 8,
-      chainCellCap: Int = 1 << 18): DataFrame = {
+      chainCellCap: Int = DefaultKnnChainCellCap): DataFrame = {
     require(maxNeighbors >= 1, s"maxNeighbors must be >= 1, got $maxNeighbors")
     val all = vecs(emb)
     val assigned = graft.tools.InternalCaches.persist(
@@ -836,7 +847,7 @@ object Similarity {
     * back to its arguments.
     */
   private def writeQuantizerStamp(spark: SparkSession, indexDir: String,
-      centroidModulus: Int, maxCentroids: Int, eligible: Long): Unit =
+      centroidModulus: Long, maxCentroids: Long, eligible: Long): Unit =
     IndexFs.writeSmall(spark, s"$indexDir/_quantizer",
       s"modulus=$centroidModulus\ncap=$maxCentroids\neligible=$eligible")
 
@@ -864,11 +875,13 @@ object Similarity {
     * `eligible` field — run [[storedSemanticOccupancy]] or rebuild to
     * mint one). ADVISORY by contract: exact under the exactly-once
     * append discipline ([[appendSemanticIndexOnce]]); an append-crash
-    * window undercounts (the safe-silence direction is covered by the
-    * scan audit); takedowns never decrement it (conservative — after
-    * heavy deletes the alarm fires EARLY, never late). The occupancy
-    * scan is the audit of record, and every rebuild recomputes the
-    * total exactly over the live corpus.
+    * window undercounts, as does a concurrent-append stamp race (the
+    * read-modify-write is single-writer by contract — a lost increment
+    * means the alarm fires LATE, and only the scan audit catches it);
+    * takedowns never decrement it (conservative — after heavy deletes
+    * THAT direction fires early). The occupancy scan is the audit of
+    * record, and every rebuild recomputes the total exactly over the
+    * live corpus.
     */
   def semanticIngestCapBind(spark: SparkSession,
       indexDir: String): Option[Boolean] = {
@@ -1043,12 +1056,17 @@ object Similarity {
       .getOrElse((100L, 1024L))
     val eligible = before.getAs[Long]("eligible_seeds")
     val bound = before.getAs[Boolean]("cap_bound")
+    // clamp where the decision is made, not at the call site: the
+    // rebuild takes an Int, so the ACTED cap is the clamped one and
+    // the reported/stamped new_cap must match it (an unclamped report
+    // would diverge from the stamp beyond 2^31 eligibility)
     val newCap =
-      if (bound) math.max(cap * widenFactor, eligible) else cap
+      if (bound) math.min(math.max(cap * widenFactor, eligible),
+        Int.MaxValue.toLong)
+      else cap
     val acted = bound && !dryRun
     if (acted)
-      rebuildSemanticIndex(spark, indexDir, mod.toInt,
-        math.min(newCap, Int.MaxValue.toLong).toInt)
+      rebuildSemanticIndex(spark, indexDir, mod.toInt, newCap.toInt)
     val after =
       if (acted) storedSemanticOccupancy(spark, indexDir).head() else before
     def row(phase: String, r: org.apache.spark.sql.Row) =
@@ -1122,6 +1140,13 @@ object Similarity {
     * between rebuilds, so one parquet-footer count serves every append
     * on the streaming cadence (the gram index's sidecar-cache
     * discipline; the build/rebuild invalidate).
+    *
+    * SINGLE-WRITER, explicitly including the `_quantizer` stamp: the
+    * ingest-time eligibility total is a non-atomic read-modify-write,
+    * so two appends racing it can lose an increment (the alarm would
+    * then fire late). Serialize appends like every stateful verb here;
+    * the occupancy scan remains the audit of record and every rebuild
+    * recomputes the total exactly.
     */
   def appendSemanticIndex(batch: DataFrame, indexDir: String,
       maxFilesPerCell: Int = 64): Unit = {
@@ -1131,8 +1156,14 @@ object Similarity {
     IndexFs.recoverSwap(spark, indexDir) // a crashed whole-index REBUILD swap
     IndexFs.recoverSwap(spark, s"$indexDir/vectors")
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    assignToCentroids(vecs(batch), cents)
-      .select(col("vec_id"), col("v"), col("centroid_id"))
+    // persisted because the eligibility probe below re-reads it: the
+    // stamp must count the frame ACTUALLY appended (post-assignment —
+    // rows the quantizer drops never land, so counting the raw batch
+    // would overcount), and re-deriving the assignment for one count
+    // would double the append's compute
+    val appended = assignToCentroids(vecs(batch), cents)
+      .select(col("vec_id"), col("v"), col("centroid_id")).persist()
+    appended
       .repartition(1)
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$indexDir/vectors")
@@ -1142,15 +1173,23 @@ object Similarity {
     // eligibility grows, not when a monitoring job next scans the
     // layout. Data before stamp (a crash between undercounts — the
     // advisory direction; [[semanticIngestCapBind]] documents the
-    // contract, the occupancy scan stays the audit of record). Silent
-    // no-op on pre-upgrade stamps without the field.
+    // contract, the occupancy scan stays the audit of record). The
+    // update is a non-atomic read-modify-write of the stamp:
+    // CONCURRENT appends can lose an increment (undercount — the alarm
+    // would fire LATE), which is why the stamp shares the append
+    // path's single-writer contract rather than merely its
+    // exactly-once one; the next rebuild recomputes the total exactly.
+    // Silent no-op on pre-upgrade stamps without the field.
     locally {
       val kv = readStampMap(spark, s"$indexDir/_quantizer")
       for (mod <- kv.get("modulus"); cap <- kv.get("cap");
            old <- kv.get("eligible")) {
-        val total = old +
-          batch.filter(col("vec_id") % mod === 0).count()
-        writeQuantizerStamp(spark, indexDir, mod.toInt, cap.toInt, total)
+        // distinct ids: a duplicate batch row lands twice physically
+        // but collapses at the next compaction's vec_id rewrite, so
+        // counting occurrences would inflate eligibility forever
+        val total = old + appended.filter(col("vec_id") % mod === 0)
+          .select("vec_id").distinct().count()
+        writeQuantizerStamp(spark, indexDir, mod, cap, total)
         if (total > cap)
           System.err.println(s"[graft] appendSemanticIndex($indexDir): " +
             s"eligible seeds $total exceed the stamped centroid cap $cap " +
@@ -1159,6 +1198,7 @@ object Similarity {
             "rebuildSemanticIndex at a wider cap.")
       }
     }
+    appended.unpersist(blocking = false)
     if (maxFilesPerCell > 0 &&
         graft.ext.Dedup.countDataFiles(spark, s"$indexDir/vectors") >
           maxFilesPerCell.toLong * cachedCentroidCount(spark, indexDir, cents))
@@ -2147,6 +2187,12 @@ object Similarity {
     * contract — production accepts codebook staleness between
     * retrains (so does FAISS: `add` never retrains), and the recall
     * monitor x57's audit column feeds decides when a rebuild is due.
+    *
+    * SINGLE-WRITER, explicitly including the `_quantizer` stamp: both
+    * running eligibility totals are a non-atomic read-modify-write, so
+    * two appends racing it can lose increments (the ingest alarm would
+    * fire late). Serialize appends; [[ivfPqOccupancy]] remains the
+    * audit of record and every rebuild recomputes the totals exactly.
     */
   def ivfPqAppendIndex(newEmb: DataFrame, indexDir: String): Unit = {
     IndexFs.recoverSwap(newEmb.sparkSession, indexDir) // whole-index REBUILD swap
@@ -2363,21 +2409,23 @@ object Similarity {
     val ccap = kv.getOrElse("code_cap", 256L)
     val coarseBound = before.getAs[Boolean]("cap_bound")
     val codeBound = before.getAs[Boolean]("code_cap_bound")
+    // clamped at the decision (the rebuild takes Ints): reported,
+    // stamped, and acted caps stay one number past 2^31 eligibility
     val newCap =
       if (coarseBound)
-        math.max(cap * widenFactor, before.getAs[Long]("eligible_seeds"))
+        math.min(math.max(cap * widenFactor,
+          before.getAs[Long]("eligible_seeds")), Int.MaxValue.toLong)
       else cap
     val newCodeCap =
       if (codeBound)
-        math.max(ccap * widenFactor,
-          before.getAs[Long]("eligible_code_seeds"))
+        math.min(math.max(ccap * widenFactor,
+          before.getAs[Long]("eligible_code_seeds")), Int.MaxValue.toLong)
       else ccap
     val acted = (coarseBound || codeBound) && !dryRun
     if (acted) {
       val m = storedM(spark.read.parquet(s"$indexDir/codebook"))
-      ivfPqRebuildIndex(corpus, indexDir, mod.toInt,
-        math.min(newCap, Int.MaxValue.toLong).toInt, m, cmod.toInt,
-        math.min(newCodeCap, Int.MaxValue.toLong).toInt, trainIters)
+      ivfPqRebuildIndex(corpus, indexDir, mod.toInt, newCap.toInt, m,
+        cmod.toInt, newCodeCap.toInt, trainIters)
     }
     val after =
       if (acted) ivfPqOccupancy(spark, indexDir).head() else before

@@ -147,6 +147,59 @@ class GramLedgerSpec extends SparkSpec {
     assert(hits(idx2, "a b c d e f") > 0, "not yet drained")
   }
 
+  test("a request racing a DRAIN's build window survives the swap: the " +
+      "rescue pass re-carries it instead of deleting it with .old") {
+    val idx = freshIdx("racedrain")
+    Dedup.writeGramIndexBucketed(corpus, idx, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(Seq(1L).toDF("doc_id"), idx)
+    // land a second request INSIDE the drain's window — after the
+    // ledger snapshot, before the swap (the deterministic race seam)
+    Dedup.afterLedgerSnapshotHook =
+      () => Dedup.requestGramTakedown(Seq(2L).toDF("doc_id"), idx)
+    try assert(Dedup.drainGramTakedowns(corpus, idx, k = 3))
+    finally Dedup.afterLedgerSnapshotHook = () => ()
+    assert(hits(idx, "a b c d e f") === 0, "the snapshotted request drained")
+    assert(hits(idx, "g h i j k l") > 0,
+      "the racing request is NOT yet applied (it landed after the " +
+        "snapshot) — at-drain semantics hold for it")
+    assert(Dedup.pendingGramTakedowns(spark, idx)
+      .as[Long].collect().toSeq === Seq(2L),
+      "the racing request was rescued into the promoted ledger, not lost")
+    assert(Dedup.drainGramTakedowns(corpus, idx, k = 3))
+    assert(hits(idx, "g h i j k l") === 0,
+      "the next drain applies the rescued request")
+  }
+
+  test("a request racing a COMPACTION (after its ledger copy) survives " +
+      "the swap alongside the carried one") {
+    val idx = freshIdx("racecompact")
+    Dedup.writeGramIndexBucketed(corpus, idx, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(Seq(1L).toDF("doc_id"), idx)
+    Dedup.afterLedgerSnapshotHook =
+      () => Dedup.requestGramTakedown(Seq(3L).toDF("doc_id"), idx)
+    try Dedup.compactGramIndex(spark, idx)
+    finally Dedup.afterLedgerSnapshotHook = () => ()
+    assert(Dedup.pendingGramTakedowns(spark, idx)
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L),
+      "carried request AND late-landing request both pend after the swap")
+    assert(Dedup.drainGramTakedowns(corpus, idx, k = 3))
+    assert(hits(idx, "a b c d e f") === 0 && hits(idx, "m n o p q r") === 0)
+    assert(hits(idx, "g h i j k l") > 0)
+  }
+
+  test("a ZERO-ROW request leaves the drain a cheap no-op (the trigger " +
+      "gate counts pending rows, not ledger-directory existence)") {
+    val idx = freshIdx("zerorow")
+    Dedup.writeGramIndexBucketed(corpus, idx, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(
+      corpus.filter(col("doc_id") < 0L).select("doc_id"), idx)
+    assert(IndexFs.exists(spark, s"$idx/_pending_deletes"),
+      "the empty request still minted a ledger directory")
+    assert(!Dedup.drainGramTakedowns(corpus, idx, k = 3),
+      "an empty ledger must not bill the index-sized rebuild")
+    assert(hits(idx, "a b c d e f") > 0, "the index is untouched")
+  }
+
   test("a direct takedownGramIndex applies AND clears the ledger too " +
       "(one rebuild, both sources of removal)") {
     val idx = freshIdx("direct")
