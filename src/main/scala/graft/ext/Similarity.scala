@@ -851,7 +851,7 @@ object Similarity {
     IndexFs.writeSmall(spark, s"$indexDir/_quantizer",
       s"modulus=$centroidModulus\ncap=$maxCentroids\neligible=$eligible")
 
-  private def readStampMap(spark: SparkSession,
+  private[graft] def readStampMap(spark: SparkSession,
       stampPath: String): Map[String, Long] =
     IndexFs.readSmall(spark, stampPath).map { s =>
       s.linesIterator.flatMap { ln =>
@@ -2251,7 +2251,7 @@ object Similarity {
     * so callers cannot mismatch the subvector split the index was
     * built with.
     */
-  private def storedM(cws: DataFrame): Int =
+  private[graft] def storedM(cws: DataFrame): Int =
     (cws.agg(max(col("subspace"))).head().getLong(0) + 1).toInt
 
   /** The stored `codes` table with takedown tombstones applied — the

@@ -96,6 +96,8 @@ object ExtQueries {
   private val x141Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
   private val x142Seq = new java.util.concurrent.atomic.AtomicLong(0L)
   private val x142Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
+  private val x144Seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val x144Prev = new java.util.concurrent.atomic.AtomicReference[java.io.File]()
 
   private val clusterCache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   /** The x27 curation pass (language-ID → quality gate → cluster-dedup
@@ -6127,7 +6129,80 @@ object ExtQueries {
               |  FROM pk p JOIN ordd d ON d.cell = p.cell AND d.cpos = p.cpos + 1)
               |SELECT CAST(cell AS VARCHAR) AS centroid_id, doc_id,
               |  cpos AS ord, n_tokens, bin_id
-              |FROM pk""".stripMargin))
+              |FROM pk""".stripMargin)),
+
+    // ---- x144: the ONE cronnable maintenance sweep ---------------------
+    // Round 17 closed every per-family lifecycle loop with a guarded
+    // verb; this is their composition — the single call a deployment
+    // actually crons. Three stores are staged so THREE triggers fire
+    // in one sweep: the semantic store under a forged-small stamp
+    // (modulus 10, cap 16 — cap-bind fires at every SF and
+    // retrainSemanticIfCapBound widens to max(32, eligible)), the gram
+    // store with a pending takedown ledger (doc_id % 9 == 1 — the
+    // ledger trigger drains it through ONE filtered rebuild), and the
+    // near-dup store at threshold 0 ("compact every sweep" — the
+    // file-count trigger folds it). The gram file-count rung re-checks
+    // AFTER the drain (a drain IS a rewrite) and stays quiet; the
+    // semantic file-count rung re-checks after the retrain likewise.
+    // Sweep ≡ the hand-composed verb sequence by construction (each
+    // trigger evaluates against the state its predecessors left —
+    // MaintenanceSweepSpec pins the equivalence literally, plus dryRun
+    // inertness and the IVF-PQ drift-coalescing rung the oracle cannot
+    // see). File-count GAUGES are filesystem state (task-count-
+    // dependent file tallies), masked to NULL here; fired/acted/verb
+    // on those rows and every data-derivable gauge stay hash-gated.
+    ("x144_maintenance_sweep",
+      (s: SparkSession, dir: String) => {
+        val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_x144_${s.sparkContext.applicationId}_${x144Seq.incrementAndGet()}")
+        Option(x144Prev.getAndSet(root))
+          .foreach(graft.tools.LocalFs.deleteRecursively)
+        graft.tools.LocalFs.deleteRecursively(root)
+        val sem = new java.io.File(root, "sem").getPath
+        val gram = new java.io.File(root, "gram").getPath
+        val nd = new java.io.File(root, "nd").getPath
+        val docs = t(s, dir, "documents")
+        Similarity.writeSemanticIndex(t(s, dir, "embeddings"), sem,
+          centroidModulus = 10, maxCentroids = 16)
+        Dedup.writeGramIndexBucketed(docs, gram, k = 8, buckets = 64)
+        Dedup.requestGramTakedown(
+          docs.filter(pmod(col("doc_id"), lit(9L)) === 1L)
+            .select(col("doc_id")), gram)
+        Dedup.writeNearDupIndex(docs, nd)
+        val sweep = graft.ext.Maintenance.maintenanceSweep(s, Seq(
+          graft.ext.Maintenance.SemanticStore("sem", sem),
+          graft.ext.Maintenance.GramStore("gram", gram, docs, k = 8,
+            buckets = 64, maxDataFiles = 100000L),
+          graft.ext.Maintenance.NearDupStore("nd", nd, maxDataFiles = 0L)))
+        sweep.withColumn("gauge_before",
+            when(col("trigger") === "file_count", lit(null).cast("long"))
+              .otherwise(col("gauge_before")))
+          .withColumn("gauge_after",
+            when(col("trigger") === "file_count", lit(null).cast("long"))
+              .otherwise(col("gauge_after")))
+      },
+      Some("""WITH elig AS (SELECT count(*) AS n FROM embeddings
+             |  WHERE vec_id % 10 = 0),
+             |pend AS (SELECT count(DISTINCT doc_id) AS n FROM documents
+             |  WHERE doc_id IS NOT NULL AND doc_id % 9 = 1)
+             |SELECT 'sem' AS store, 'cap_bind' AS "trigger", TRUE AS fired,
+             |  TRUE AS acted, 'retrainSemanticIfCapBound' AS verb,
+             |  CAST(16 AS BIGINT) AS gauge_before,
+             |  CAST((SELECT greatest(32, n) FROM elig) AS BIGINT)
+             |    AS gauge_after
+             |UNION ALL
+             |SELECT 'sem', 'file_count', FALSE, FALSE,
+             |  'compactSemanticIndex', CAST(NULL AS BIGINT),
+             |  CAST(NULL AS BIGINT)
+             |UNION ALL
+             |SELECT 'gram', 'ledger', TRUE, TRUE, 'drainGramTakedowns',
+             |  CAST((SELECT n FROM pend) AS BIGINT), CAST(0 AS BIGINT)
+             |UNION ALL
+             |SELECT 'gram', 'file_count', FALSE, FALSE, 'compactGramIndex',
+             |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+             |UNION ALL
+             |SELECT 'nd', 'file_count', TRUE, TRUE, 'compactNearDupIndex',
+             |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)""".stripMargin))
   )
 
   /** The x122 oracle — x08's capped assignment/probe CTE chain + the
