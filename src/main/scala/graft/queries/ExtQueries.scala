@@ -5898,6 +5898,15 @@ object ExtQueries {
     // leaves the member set — the oracle pins exactly that split
     // (cents from the FULL corpus, members filtered). Packing joins on
     // the chain, so deleted docs drop from bins by construction.
+    //
+    // Round 18: the gate covers BOTH stored rungs — a second phase
+    // runs semanticChainOrderStoredKnn (k = 4, the x143 setting where
+    // restarts genuinely fire) over the SAME staged index, pinned
+    // against the x143 oracle shape instantiated on the survivor set
+    // (cents frozen from the full corpus, members live). The
+    // {in-plan, stored} × {exact, k-capped} matrix now has a hash
+    // gate in every cell; ChainStoredSpec's mirror-corpus pin stays
+    // as the spec-level cross-check.
     ("x141_chain_pack_stored",
       (s: SparkSession, dir: String) => {
         val root = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -5919,11 +5928,15 @@ object ExtQueries {
           .select(col("vec_id"))
         Similarity.deleteFromSemanticIndex(takedown, idx)
         Similarity.deleteFromSemanticIndex(takedown, idx) // replayed request
-        val chain = Similarity.semanticChainOrderStored(s, idx)
-        graft.ext.Packing.packGreedyByOrder(
+        def pack(chain: DataFrame) = graft.ext.Packing.packGreedyByOrder(
           packable.join(chain, col("doc_id") === col("vec_id")),
           "centroid_id", "doc_id", col("chain_pos"), col("n_tokens"),
           budget = 256)
+        pack(Similarity.semanticChainOrderStored(s, idx))
+          .withColumn("phase", lit("exact"))
+          .unionByName(
+            pack(Similarity.semanticChainOrderStoredKnn(s, idx,
+              maxNeighbors = 4)).withColumn("phase", lit("knn")))
       },
       Some(s"""WITH RECURSIVE se AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
               |  FROM embeddings WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
@@ -5975,10 +5988,52 @@ object ExtQueries {
               |         ELSE p.fill + d.n_tokens END,
               |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin_id + 1
               |         ELSE p.bin_id END
-              |  FROM pk p JOIN ordd d ON d.cell = p.cell AND d.cpos = p.cpos + 1)
-              |SELECT CAST(cell AS VARCHAR) AS centroid_id, doc_id,
-              |  cpos AS ord, n_tokens, bin_id
-              |FROM pk""".stripMargin)),
+              |  FROM pk p JOIN ordd d ON d.cell = p.cell AND d.cpos = p.cpos + 1),
+              |-- second phase: the k-capped stored rung over the SAME
+              |-- staged index — the x143 chain shape instantiated on the
+              |-- survivor set (prs rank-capped at 4; restart rows rank
+              |-- below every neighbor; single union source so the
+              |-- recursive member references chk exactly once)
+              |prsk AS MATERIALIZED (SELECT cell, a, b, cs FROM
+              |    (SELECT *, row_number() OVER
+              |       (PARTITION BY cell, a ORDER BY cs DESC, b) AS rnk FROM prs)
+              |  WHERE rnk <= 4),
+              |srcsk AS MATERIALIZED (
+              |  SELECT cell, a, b, 1 AS isn, cs FROM prsk
+              |  UNION ALL
+              |  SELECT cell, CAST(NULL AS BIGINT) AS a, doc_id AS b,
+              |    0 AS isn, CAST(-2 AS DOUBLE) AS cs FROM mem),
+              |chk AS (
+              |  SELECT cell, [cur] AS vis, cur, CAST(1 AS BIGINT) AS cpos
+              |  FROM (SELECT cell, min(doc_id) AS cur FROM mem GROUP BY cell)
+              |  UNION ALL
+              |  SELECT c.cell, list_append(c.vis, s.b), s.b, c.cpos + 1
+              |  FROM chk c JOIN srcsk s ON s.cell = c.cell
+              |    AND (s.a = c.cur OR s.a IS NULL)
+              |  WHERE NOT list_contains(c.vis, s.b)
+              |  QUALIFY row_number() OVER
+              |    (PARTITION BY c.cell ORDER BY s.isn DESC, s.cs DESC, s.b) = 1),
+              |orddk AS MATERIALIZED (SELECT chk.cell, chk.cur AS doc_id,
+              |    chk.cpos, mem.n_tokens
+              |  FROM chk JOIN mem ON mem.cell = chk.cell AND mem.doc_id = chk.cur),
+              |pkk AS (
+              |  SELECT cell, doc_id, cpos, n_tokens,
+              |    n_tokens AS fill, CAST(1 AS BIGINT) AS bin_id
+              |  FROM orddk WHERE cpos = 1
+              |  UNION ALL
+              |  SELECT d.cell, d.doc_id, d.cpos, d.n_tokens,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+              |         ELSE p.fill + d.n_tokens END,
+              |    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin_id + 1
+              |         ELSE p.bin_id END
+              |  FROM pkk p JOIN orddk d ON d.cell = p.cell AND d.cpos = p.cpos + 1)
+              |SELECT 'exact' AS phase, CAST(cell AS VARCHAR) AS centroid_id,
+              |  doc_id, cpos AS ord, n_tokens, bin_id
+              |FROM pk
+              |UNION ALL
+              |SELECT 'knn', CAST(cell AS VARCHAR), doc_id, cpos, n_tokens,
+              |  bin_id
+              |FROM pkk""".stripMargin)),
 
     // ---- x142: gram takedown AMORTIZED — the pending-requests ledger ---
     // x133 priced the gram-grain takedown honestly: one filtered
