@@ -24,6 +24,25 @@ object IndexFs {
   def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Hash-partition `df` by `c` at the session's configured shuffle
+    * partition count, EXPLICITLY. The bare `repartition(col)` leaves
+    * the count to AQE, whose byte-based coalescing is blind to
+    * `partitionBy` DIRECTORY fanout: a byte-small frame coalesces to
+    * one task, which then commits every partition directory
+    * SEQUENTIALLY — measured 20.4 s → 5.3 s on the 1024-cell
+    * production-stamp semantic build once the explicit count restores
+    * the parallel commit (and ~1.4× even at 10× data; HEADROOM round
+    * 18). Each key still hashes to exactly one partition, so the
+    * one-file-per-directory-per-write layout every screen's
+    * partition pruning depends on is unchanged — only commit
+    * parallelism is.
+    */
+  def keyPartitioned(df: org.apache.spark.sql.DataFrame,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+      c)
+
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
 
@@ -227,13 +246,22 @@ object IndexFs {
     * file and the state reads as "crashed before the final delete" —
     * re-running the VERB re-reaches a consistent state (the ledger
     * files inside `.old` are the only loss surface, and they are the
-    * ones being copied).
+    * ones being copied). A crash DURING the rescue leaves a stale
+    * `.old` whose unrescued ledger files the next swap's opening
+    * delete would silently discard — so this verb COMPLETES a crashed
+    * predecessor's rescue first: any carry-subdir file still in the
+    * stale `.old` and absent from the live dir is re-carried before
+    * the delete (knownNames empty — over-rescue is safe by set
+    * semantics, and the re-carried file then rides the normal
+    * demote → rescue path of THIS swap).
     */
   def swapCompactRescue(spark: SparkSession, liveDir: String,
       carrySubdir: String, appliedNames: Set[String]): Unit = {
     val f = fs(spark, liveDir)
     val live = new Path(liveDir)
     val old = new Path(liveDir + ".old")
+    copyNewFiles(spark, s"$liveDir.old/$carrySubdir",
+      s"$liveDir/$carrySubdir", Set.empty)
     f.delete(old, true)
     f.rename(live, old)
     f.rename(new Path(liveDir + ".compact"), live)

@@ -829,7 +829,7 @@ object Similarity {
     val cents = ivfCentroids(c, centroidModulus, maxCentroids)
     assignToCentroids(c, cents)
       .select(col("vec_id"), col("v"), col("centroid_id"))
-      .repartition(col("centroid_id"))
+      .transform(IndexFs.keyPartitioned(_, col("centroid_id")))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/vectors")
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -938,7 +938,7 @@ object Similarity {
     // both writes complete BEFORE any mutation of the live directory
     assignToCentroids(v, cents)
       .select(col("vec_id"), col("v"), col("centroid_id"))
-      .repartition(col("centroid_id"))
+      .transform(IndexFs.keyPartitioned(_, col("centroid_id")))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir.compact/vectors")
     cents.write.mode("overwrite").parquet(s"$indexDir.compact/centroids")
@@ -1270,7 +1270,7 @@ object Similarity {
     // resurrected vector. Single-writer per the lifecycle convention.
     val v = liveVectors(spark, indexDir)
       .dropDuplicates("vec_id").persist()
-    v.repartition(col("centroid_id"))
+    v.transform(IndexFs.keyPartitioned(_, col("centroid_id")))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/vectors.compact")
     v.unpersist(blocking = false)
@@ -2140,7 +2140,7 @@ object Similarity {
     // — genuine partition pruning, not just row clustering. The write
     // exchange is the index's ONLY corpus-keyed shuffle (paid once at
     // build time, by design).
-    codes.repartition(col("centroid_id"))
+    codes.transform(IndexFs.keyPartitioned(_, col("centroid_id")))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/codes")
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -2203,7 +2203,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cws = spark.read.parquet(s"$indexDir/codebook")
     encodeAgainst(vecs(newEmb), cents, cws, storedM(cws))
-      .repartition(col("centroid_id"))
+      .transform(IndexFs.keyPartitioned(_, col("centroid_id")))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$indexDir/codes")
     // ingest-time cap-bind check at the compressed grain — BOTH running
@@ -2478,7 +2478,7 @@ object Similarity {
     // local persist, not the memoized registry: the frame reads the
     // very directory the swap replaces
     val c = liveCodes(spark, indexDir).persist()
-    c.repartition(col("centroid_id"))
+    c.transform(IndexFs.keyPartitioned(_, col("centroid_id")))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/codes.compact")
     c.unpersist(blocking = false)

@@ -200,6 +200,25 @@ class GramLedgerSpec extends SparkSpec {
     assert(hits(idx, "a b c d e f") > 0, "the index is untouched")
   }
 
+  test("a stale .old from a crash mid-rescue re-carries its ledger " +
+      "files before the next swap's opening delete") {
+    val idx = freshIdx("stalerescue")
+    Dedup.writeGramIndexBucketed(corpus, idx, k = 3, buckets = 2)
+    Dedup.requestGramTakedown(Seq(1L).toDF("doc_id"), idx)
+    // fabricate the crash-mid-rescue state: live index complete, a
+    // stale .old still holding a ledger file the crashed swap never
+    // copied out (a late-landed request for doc 3)
+    Seq(3L).toDF("doc_id").repartition(1).write.mode("append")
+      .parquet(s"$idx.old/_pending_deletes")
+    Dedup.compactGramIndex(spark, idx)
+    assert(Dedup.pendingGramTakedowns(spark, idx)
+      .as[Long].collect().sorted.toSeq === Seq(1L, 3L),
+      "the stale .old's request was completed, not deleted with it")
+    assert(!IndexFs.exists(spark, s"$idx.old"), "the stale .old is gone")
+    assert(Dedup.drainGramTakedowns(corpus, idx, k = 3))
+    assert(hits(idx, "a b c d e f") === 0 && hits(idx, "m n o p q r") === 0)
+  }
+
   test("a direct takedownGramIndex applies AND clears the ledger too " +
       "(one rebuild, both sources of removal)") {
     val idx = freshIdx("direct")
