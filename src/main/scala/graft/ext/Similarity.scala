@@ -981,11 +981,16 @@ object Similarity {
     * is then binding, which was measured as the dominant recall-loss
     * mode of the capped miners at 100× (~10 of 14 points; 0.862 →
     * 0.9646 when every eligible seed becomes a centroid) and which
-    * widening nprobe CANNOT reclaim (saturates at 0.867). The remedy
-    * fork: [[rebuildSemanticIndex]] at a wider `maxCentroids` reclaims
-    * the loss at the price of a proportionally larger assignment term;
-    * leaving the cap accepts the measured loss (document it, don't
-    * rediscover it). The modulus/cap audited against are the index's
+    * widening nprobe CANNOT reclaim (saturates at 0.867). On the
+    * TIGHT-CELL MoG fixture the stakes are larger, not smaller:
+    * recall at the binding 100× drops to 0.618 at nprobe=2, the cap
+    * fix alone reclaims +24.7 points (→ 0.865), and nprobe no longer
+    * saturates (0.550 → 0.824 across 1–8) — under realistic density
+    * both remedies matter and the cap is the single biggest lever
+    * (HEADROOM round 18). The remedy fork: [[rebuildSemanticIndex]]
+    * at a wider `maxCentroids` reclaims the loss at the price of a
+    * proportionally larger assignment term; leaving the cap accepts
+    * the measured loss (document it, don't rediscover it). The modulus/cap audited against are the index's
     * own `_quantizer` stamp (written at build/rebuild); the arguments
     * are the fallback for pre-stamp indexes. One extra per-row
     * conditional on ids the occupancy scan already reads — no new
