@@ -1464,7 +1464,7 @@ object Dedup {
       // every writer task opens every bucket directory (tasks x
       // buckets tiny files — measured 10x screen-cost overhead from
       // file listing alone at the probe scales)
-      .transform(IndexFs.keyPartitioned(_, col("bucket")))
+      .transform(IndexFs.keyPartitioned(_, col("bucket"), nBuckets.toLong))
       .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
     // after the parquet write: overwrite mode clears the directory
     val sc = GramSidecar(nBuckets, items, numBits, System.nanoTime(), bf)
@@ -1566,7 +1566,7 @@ object Dedup {
       // every writer task opens every bucket directory (tasks x
       // buckets tiny files — measured 10x screen-cost overhead from
       // file listing alone at the probe scales)
-      .transform(IndexFs.keyPartitioned(_, col("bucket")))
+      .transform(IndexFs.keyPartitioned(_, col("bucket"), buckets.toLong))
       .write.partitionBy("bucket").mode("append").parquet(indexDir)
     if (maxFilesPerBucket > 0 &&
         countDataFiles(spark, indexDir) > maxFilesPerBucket.toLong * buckets) {
@@ -1631,7 +1631,7 @@ object Dedup {
       // every writer task opens every bucket directory (tasks x
       // buckets tiny files — measured 10x screen-cost overhead from
       // file listing alone at the probe scales)
-      .transform(IndexFs.keyPartitioned(_, col("bucket")))
+      .transform(IndexFs.keyPartitioned(_, col("bucket"), nBuckets.toLong))
       .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
     val sc = GramSidecar(nBuckets, items, numBits, System.nanoTime(), bf)
     writeBloomSidecar(spark, tmp, sc)

@@ -35,13 +35,19 @@ object IndexFs {
     * 18). Each key still hashes to exactly one partition, so the
     * one-file-per-directory-per-write layout every screen's
     * partition pruning depends on is unchanged — only commit
-    * parallelism is.
+    * parallelism is. `maxKeys` caps the count at the caller's known
+    * key fanout (bucket count, centroid cap): more tasks than keys
+    * buys nothing — several write only empty output — and the first
+    * full-surface bench after the un-capped version showed exactly
+    * that as +0.5–1 s on every small-fanout index entry (16 forged
+    * centroids shuffled across 32 tasks), while the capped form keeps
+    * the 1024-dir production write at full session parallelism.
     */
   def keyPartitioned(df: org.apache.spark.sql.DataFrame,
-      c: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
-    df.repartition(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
-      c)
+      c: org.apache.spark.sql.Column, maxKeys: Long): org.apache.spark.sql.DataFrame =
+    df.repartition(math.min(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong,
+      math.max(1L, maxKeys)).toInt, c)
 
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))

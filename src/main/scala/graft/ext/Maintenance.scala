@@ -118,6 +118,16 @@ object Maintenance {
   final case class NearDupStore(name: String, indexDir: String,
       maxDataFiles: Long = 1024L) extends Store
 
+  /** Stored bigram LM (x109 family). One trigger: `file_count` over
+    * the `bigrams` table (appends add one file each; retraction rows
+    * from [[LanguageModel.deleteFromLmIndex]] accumulate the same
+    * way), remedied by [[LanguageModel.compactLmIndex]] — the distinct
+    * rewrite that folds appends and applies retractions durably.
+    * Thresholds as [[GramStore]].
+    */
+  final case class LmStore(name: String, indexDir: String,
+      maxDataFiles: Long = 64L) extends Store
+
   private final case class Action(store: String, trigger: String,
       fired: Boolean, acted: Boolean, verb: String,
       gaugeBefore: Option[Long], gaugeAfter: Option[Long])
@@ -135,6 +145,7 @@ object Maintenance {
       case s: IvfPqStore => ivfPqTriggers(spark, s, dryRun)
       case s: GramStore => gramTriggers(spark, s, dryRun)
       case s: NearDupStore => nearDupTriggers(spark, s, dryRun)
+      case s: LmStore => lmTriggers(spark, s, dryRun)
     }
     rows.map(a => (a.store, a.trigger, a.fired, a.acted, a.verb,
         a.gaugeBefore, a.gaugeAfter))
@@ -234,6 +245,13 @@ object Maintenance {
       if (s.maxDataFiles < 0) None else Some(s.maxDataFiles),
       "compactNearDupIndex",
       () => Dedup.compactNearDupIndex(spark, s.indexDir))
+
+  private def lmTriggers(spark: SparkSession, s: LmStore,
+      dryRun: Boolean): Seq[Action] =
+    fileCountTrigger(spark, s.name, s"${s.indexDir}/bigrams", dryRun,
+      if (s.maxDataFiles < 0) None else Some(s.maxDataFiles),
+      "compactLmIndex",
+      () => LanguageModel.compactLmIndex(spark, s.indexDir))
 
   /** The semantic/IVF-PQ file threshold: `maxFilesPerCell × |centroids|`
     * (the [[Similarity.appendSemanticIndex]] trigger). None disables

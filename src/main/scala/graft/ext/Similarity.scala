@@ -829,7 +829,7 @@ object Similarity {
     val cents = ivfCentroids(c, centroidModulus, maxCentroids)
     assignToCentroids(c, cents)
       .select(col("vec_id"), col("v"), col("centroid_id"))
-      .transform(IndexFs.keyPartitioned(_, col("centroid_id")))
+      .transform(IndexFs.keyPartitioned(_, col("centroid_id"), maxCentroids.toLong))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/vectors")
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -938,7 +938,7 @@ object Similarity {
     // both writes complete BEFORE any mutation of the live directory
     assignToCentroids(v, cents)
       .select(col("vec_id"), col("v"), col("centroid_id"))
-      .transform(IndexFs.keyPartitioned(_, col("centroid_id")))
+      .transform(IndexFs.keyPartitioned(_, col("centroid_id"), maxCentroids.toLong))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir.compact/vectors")
     cents.write.mode("overwrite").parquet(s"$indexDir.compact/centroids")
@@ -1275,7 +1275,8 @@ object Similarity {
     // resurrected vector. Single-writer per the lifecycle convention.
     val v = liveVectors(spark, indexDir)
       .dropDuplicates("vec_id").persist()
-    v.transform(IndexFs.keyPartitioned(_, col("centroid_id")))
+    v.transform(IndexFs.keyPartitioned(_, col("centroid_id"),
+      readQuantizerStamp(spark, indexDir).map(_._2).getOrElse(1024L)))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/vectors.compact")
     v.unpersist(blocking = false)
@@ -2145,7 +2146,7 @@ object Similarity {
     // — genuine partition pruning, not just row clustering. The write
     // exchange is the index's ONLY corpus-keyed shuffle (paid once at
     // build time, by design).
-    codes.transform(IndexFs.keyPartitioned(_, col("centroid_id")))
+    codes.transform(IndexFs.keyPartitioned(_, col("centroid_id"), maxCentroids.toLong))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/codes")
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -2208,7 +2209,8 @@ object Similarity {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cws = spark.read.parquet(s"$indexDir/codebook")
     encodeAgainst(vecs(newEmb), cents, cws, storedM(cws))
-      .transform(IndexFs.keyPartitioned(_, col("centroid_id")))
+      .transform(IndexFs.keyPartitioned(_, col("centroid_id"),
+        cachedCentroidCount(spark, indexDir, cents)))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$indexDir/codes")
     // ingest-time cap-bind check at the compressed grain — BOTH running
@@ -2483,7 +2485,8 @@ object Similarity {
     // local persist, not the memoized registry: the frame reads the
     // very directory the swap replaces
     val c = liveCodes(spark, indexDir).persist()
-    c.transform(IndexFs.keyPartitioned(_, col("centroid_id")))
+    c.transform(IndexFs.keyPartitioned(_, col("centroid_id"),
+      readStampMap(spark, s"$indexDir/_quantizer").getOrElse("cap", 1024L)))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/codes.compact")
     c.unpersist(blocking = false)

@@ -189,6 +189,32 @@ class MaintenanceSweepSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("LM store file_count rung compacts (folding appends) without " +
+      "changing scores") {
+    val r = root("lm")
+    val docs = Seq(
+      1L -> ("en", "the cat sat on the mat"),
+      2L -> ("en", "the dog sat on the rug")
+    ).map { case (id, (lang, text)) => (id, lang, text) }
+      .toDF("doc_id", "lang", "text")
+    graft.ext.LanguageModel.writeLmIndex(docs, s"$r/lm")
+    // appends accumulate files past a tiny threshold
+    graft.ext.LanguageModel.appendLmIndex(
+      Seq((3L, "en", "a bird sat on the fence")).toDF("doc_id", "lang", "text"),
+      s"$r/lm", "b1", maxFiles = 0)
+    val probe = Seq((9L, "en", "the cat sat on the rug"))
+      .toDF("doc_id", "lang", "text")
+    val before = graft.ext.LanguageModel
+      .scoreAgainstLmIndex(probe, s"$r/lm").collect().toSeq
+    val out = actions(Maintenance.maintenanceSweep(spark, Seq(
+      Maintenance.LmStore("lm", s"$r/lm", maxDataFiles = 1L))))
+    assert(out(("lm", "file_count"))._1 && out(("lm", "file_count"))._2)
+    assert(out(("lm", "file_count"))._3 === "compactLmIndex")
+    assert(graft.ext.LanguageModel
+      .scoreAgainstLmIndex(probe, s"$r/lm").collect().toSeq === before,
+      "compaction folds files without changing the model's scores")
+  }
+
   test("near-dup store file_count rung compacts without changing " +
       "screen verdicts") {
     val r = root("neardup")
