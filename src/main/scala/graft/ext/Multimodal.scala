@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.11): media as opaque
@@ -58,6 +58,22 @@ object Multimodal {
 
   def mediaTypeOf(docId: Long): String =
     (docId % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+
+  /** [[mediaTypeOf]] as a codegen'd Column over `doc_id` — the
+    * PRE-payload filter the single-modality stacks push below
+    * [[withPayload]]'s opaque typed boundary. Catalyst cannot push a
+    * `media_type` filter through the mapPartitions that manufactures
+    * the payload, so filtering after it builds (and discards) payload
+    * bytes for the other two thirds of the corpus; filtering on this
+    * expression FIRST is semantically identical (media_type is a pure
+    * function of doc_id — `%` is truncated remainder on both engines,
+    * so negatives fall to the `video` arm exactly as the Scala match
+    * does) and skips their payload generation outright.
+    */
+  private def mediaTypeCol(docId: Column): Column =
+    when(docId % 3 === 0, "image")
+      .when(docId % 3 === 1, "audio")
+      .otherwise("video")
 
   /** Raster dims/channels for image & video payloads (small on purpose:
     * ≤ 76×44×3 per frame keeps the synthetic corpus in tens of MB).
@@ -387,7 +403,8 @@ object Multimodal {
       minJaccard: Double = 0.3,
       maxFrameDf: Int = 20): DataFrame =
     videoNearDupClustersFromPayload(spark,
-      withPayload(docs).filter(col("media_type") === "video")
+      withPayload(docs.filter(mediaTypeCol(col("doc_id")) === "video"))
+        .filter(col("media_type") === "video")
         .select(col("doc_id"), col("payload")),
       minJaccard, maxFrameDf)
 
@@ -431,7 +448,8 @@ object Multimodal {
     */
   def dHashImages(spark: SparkSession, docs: DataFrame): DataFrame =
     dHashImagesFromPayload(spark,
-      withPayload(docs).filter(col("media_type") === "image"))
+      withPayload(docs.filter(mediaTypeCol(col("doc_id")) === "image"))
+        .filter(col("media_type") === "image"))
 
   /** x86 pairs — near-duplicate images by dHash Hamming distance, found
     * via 5×13-bit chunk bucketing (the x05 SimHash shape). For
@@ -594,7 +612,8 @@ object Multimodal {
 
   def aHashAudio(spark: SparkSession, docs: DataFrame): DataFrame =
     aHashAudioFromPayload(spark,
-      withPayload(docs).filter(col("media_type") === "audio"))
+      withPayload(docs.filter(mediaTypeCol(col("doc_id")) === "audio"))
+        .filter(col("media_type") === "audio"))
 
   /** x91 — audio near-dup CLUSTER resolution over the energy-envelope
     * hash. REGISTERED ONLY in cluster form, by measurement made BEFORE

@@ -3864,11 +3864,21 @@ object ExtQueries {
     ("x98_curation_multimodal",
       (s: SparkSession, dir: String) => {
         val docs = t(s, dir, "documents")
+        // localCheckpoint (round 18): the three cluster stacks re-expand
+        // at every downstream reference, and the curation chain over the
+        // anti-joined corpus re-expands THAT — the un-truncated x98 plan
+        // formatted to 3.6 MB (plans/r18/x98_*_before.txt) and Catalyst
+        // re-analyzed it every run. `drops` is the tiny single-column
+        // proxy (non-representative doc_ids, O(duplicate members) longs)
+        // — materializing it truncates the whole media subtree to one
+        // leaf (guide §3.3/§5) without caching anything across runs
+        // (checkpoint blocks are per-invocation and GC-reclaimed).
         val drops = Multimodal.imageNearDupClusters(s, docs, maxHamming = 4)
           .unionByName(Multimodal.audioNearDupClusters(s, docs, maxHamming = 4))
           .unionByName(Multimodal.videoNearDupClusters(s, docs,
             minJaccard = 0.3, maxFrameDf = 20))
           .filter(!col("keep")).select("doc_id")
+          .localCheckpoint()
         curationV2(docs.join(drops, Seq("doc_id"), "left_anti"))
       },
       Some(curationV2Sql(mediaDropCtes + ",\n",
