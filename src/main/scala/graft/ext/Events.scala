@@ -251,22 +251,44 @@ object Events {
       batch: DataFrame,
       openState: DataFrame,
       gapMinutes: Int = 30): DataFrame = {
-    val gapUs = gapMinutes * 60L * 1000000L
-    val st = openState.select(col("user_id"),
-      col("session_start_us").as("st_start"),
-      col("session_end_us").as("st_end"),
-      col("n_events").as("st_n"))
     // append-only time guard (global form — cheap, sufficient for
     // time-ranged arrival). Both aggregates ride ONE driver action via
     // the cross join: per-increment driver roundtrips are the dominant
     // steady-state cost of a fold, so the guard pays one, not two.
     val guard = batch.select(tsMicros.as("ts_us"))
       .agg(min(col("ts_us")).as("b_min"))
-      .crossJoin(st.agg(max(col("st_end")).as("st_max"))).head()
-    require(guard.isNullAt(1) || guard.isNullAt(0) ||
-        guard.getLong(0) > guard.getLong(1),
+      .crossJoin(openState.agg(max(col("session_end_us")).as("st_max"))).head()
+    requireAppendOnly(
+      if (guard.isNullAt(0)) None else Some(guard.getLong(0)),
+      if (guard.isNullAt(1)) None else Some(guard.getLong(1)))
+    sessionizeIncrementalUnguarded(batch, openState, gapMinutes)
+  }
+
+  /** The append-only guard assertion shared by the in-plan fold (which
+    * pays a dedicated aggregate for it) and the stored fold (which
+    * reads both bounds off the fingerprint row it already computes —
+    * one driver action serves retry detection AND the guard).
+    */
+  private def requireAppendOnly(batchMin: Option[Long],
+      stateMax: Option[Long]): Unit =
+    require(stateMax.isEmpty || batchMin.isEmpty ||
+        batchMin.get > stateMax.get,
       "sessionizeIncremental: batch contains events at or before an " +
         "open session's end — feed batches in time order")
+
+  /** [[sessionizeIncremental]] body without the guard action — for
+    * callers that have already asserted append-only order from bounds
+    * they computed anyway ([[sessionizeIncrementalStored]]).
+    */
+  private def sessionizeIncrementalUnguarded(
+      batch: DataFrame,
+      openState: DataFrame,
+      gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val st = openState.select(col("user_id"),
+      col("session_start_us").as("st_start"),
+      col("session_end_us").as("st_end"),
+      col("n_events").as("st_n"))
     val mini = sessionize(batch, gapMinutes)
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("session_start_us"), col("session_end_us"))
@@ -374,10 +396,17 @@ object Events {
     // partition's commit marker before doing any work
     IndexFs.listNames(spark, closedDir).filter(_.startsWith(".batch="))
       .foreach(nm => IndexFs.delete(spark, s"$closedDir/$nm"))
+    // ONE driver action carries the batch fingerprint (count/min/max/
+    // xor-hash), the state's max session end for the append-only guard
+    // (round 18: the guard's dedicated aggregate inside the in-plan
+    // fold was a second batch scan + job per fold — ~0.4 s of the
+    // fold's ~2.5 s at sf0.1), and the retry-path stMax read.
     val fpRow = batch.selectExpr("count(*) as c", "min(ts div 1000) as mn",
-      "max(ts div 1000) as mx", "bit_xor(xxhash64(event_id, ts)) as h").head()
+      "max(ts div 1000) as mx", "bit_xor(xxhash64(event_id, ts)) as h")
+      .crossJoin(state.agg(max(col("session_end_us")).as("st_max"))).head()
     def fpPart(i: Int) = if (fpRow.isNullAt(i)) "-" else fpRow.getLong(i).toString
     val fp = s"${fpRow.getLong(0)}:${fpPart(1)}:${fpPart(2)}:${fpPart(3)}"
+    val stMax = if (fpRow.isNullAt(4)) None else Some(fpRow.getLong(4))
     // heal crashed erasure-compaction swaps BEFORE computing the next
     // batch id: a crash between a partition's aside-rename and its
     // promotion leaves batch=N only as batch=N.compact, and a lastId
@@ -394,10 +423,8 @@ object Events {
     val lastMarker = if (lastId < 0) None
       else IndexFs.readSmall(spark, s"$closedDir/batch=$lastId/_graft_commit")
     val retryOfLast = lastMarker.contains(fp)
-    val stateIncludesBatch = retryOfLast && {
-      val stMax = state.agg(max(col("session_end_us"))).head()
-      fpRow.isNullAt(1) || (!stMax.isNullAt(0) && fpRow.getLong(1) <= stMax.getLong(0))
-    }
+    val stateIncludesBatch = retryOfLast && (
+      fpRow.isNullAt(1) || stMax.exists(fpRow.getLong(1) <= _))
     if (stateIncludesBatch) {
       // the prior attempt finished both the partition commit and the
       // state swap — the batch is done; hand back its committed output
@@ -405,10 +432,14 @@ object Events {
     } else {
       if (retryOfLast) IndexFs.delete(spark, s"$closedDir/batch=$lastId")
       val batchId = if (retryOfLast) lastId else lastId + 1
+      // the guard asserts off the fingerprint row's bounds — the
+      // unguarded body skips the in-plan fold's dedicated guard action
+      requireAppendOnly(
+        if (fpRow.isNullAt(1)) None else Some(fpRow.getLong(1)), stMax)
       // one pass for both writes: the batch window + state joins are the
       // operator's whole cost, and the open/closed splits would each
       // recompute the uncached lineage
-      val out = sessionizeIncremental(batch, state, gapMinutes).persist()
+      val out = sessionizeIncrementalUnguarded(batch, state, gapMinutes).persist()
       try {
         val cols = Seq("user_id", "session_start_us", "session_end_us", "n_events")
         out.filter(col("is_open")).select(cols.map(col): _*)
@@ -565,15 +596,36 @@ object Events {
     val del = s"$closedDir/_deletes"
     if (!IndexFs.exists(spark, del)) return
     healClosedPartitions(spark, closedDir)
-    IndexFs.listNames(spark, closedDir).filter(_.matches("batch=\\d+"))
-      .foreach { p =>
-        val src = s"$closedDir/$p"
-        erasureFilter(spark.read.parquet(src), spark, closedDir)
-          .write.mode("overwrite").parquet(s"$src.compact")
-        IndexFs.readSmall(spark, s"$src/_graft_commit").foreach(fp =>
-          IndexFs.writeSmall(spark, s"$src.compact/_graft_commit", fp))
-        IndexFs.swapCompact(spark, src)
+    // The per-partition rewrites are independent (each reads and swaps
+    // only its own batch=<n> directory; the shared tombstone read is
+    // immutable until the delete below), so they run from a small
+    // driver thread pool — Spark schedules concurrent jobs FIFO and the
+    // next rewrite's tasks back-fill the tail of the previous one
+    // (guide §2.6). Sequentially this was one tiny write job per
+    // partition, each paying full job latency; crash semantics are
+    // unchanged — every partition still goes through its own
+    // swapCompact, and a crash mid-pool leaves each partition either
+    // swapped or untouched (the no-live window is healed on next entry,
+    // same as the sequential fold).
+    val parts = IndexFs.listNames(spark, closedDir).filter(_.matches("batch=\\d+"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(4, parts.size)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val done = parts.map { p =>
+        scala.concurrent.Future {
+          val src = s"$closedDir/$p"
+          erasureFilter(spark.read.parquet(src), spark, closedDir)
+            .write.mode("overwrite").parquet(s"$src.compact")
+          IndexFs.readSmall(spark, s"$src/_graft_commit").foreach(fp =>
+            IndexFs.writeSmall(spark, s"$src.compact/_graft_commit", fp))
+          IndexFs.swapCompact(spark, src)
+        }
       }
+      done.foreach(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
     IndexFs.delete(spark, del)
   }
 }
