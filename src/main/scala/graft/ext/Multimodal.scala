@@ -68,12 +68,17 @@ object Multimodal {
     * expression FIRST is semantically identical (media_type is a pure
     * function of doc_id — `%` is truncated remainder on both engines,
     * so negatives fall to the `video` arm exactly as the Scala match
-    * does) and skips their payload generation outright.
+    * does) and skips their payload generation outright. A NULL doc_id
+    * classifies as NULL (both `when` arms are null ⇒ the isNotNull
+    * conjunct gates the `otherwise`), so a nullable input can never
+    * silently route null docs into the video stack — the typed path
+    * would instead fail in [[withPayload]], and the two classifications
+    * must not diverge (round-18 advisory).
     */
   private def mediaTypeCol(docId: Column): Column =
     when(docId % 3 === 0, "image")
       .when(docId % 3 === 1, "audio")
-      .otherwise("video")
+      .when(docId.isNotNull, "video")
 
   /** Raster dims/channels for image & video payloads (small on purpose:
     * ≤ 76×44×3 per frame keeps the synthetic corpus in tens of MB).

@@ -3873,12 +3873,22 @@ object ExtQueries {
         // — materializing it truncates the whole media subtree to one
         // leaf (guide §3.3/§5) without caching anything across runs
         // (checkpoint blocks are per-invocation and GC-reclaimed).
+        // eager = false (round 19, the round-18 advisory): the plan is
+        // truncated identically at construction (LogicalRDD either
+        // way), but the stacks execute at the first ACTION instead of
+        // at DataFrame construction — a plan/schema-only enumeration of
+        // SparkEntry.queries no longer runs three cluster stacks as a
+        // side effect. Caveat (documented, accepted): local-checkpoint
+        // blocks do not survive executor loss on a real cluster —
+        // unlike the recomputable lineage they replace, a lost block
+        // fails the query; the trade is deliberate (the 3.6 MB →
+        // 128 KB plan truncation is what made x98 plannable at all).
         val drops = Multimodal.imageNearDupClusters(s, docs, maxHamming = 4)
           .unionByName(Multimodal.audioNearDupClusters(s, docs, maxHamming = 4))
           .unionByName(Multimodal.videoNearDupClusters(s, docs,
             minJaccard = 0.3, maxFrameDf = 20))
           .filter(!col("keep")).select("doc_id")
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         curationV2(docs.join(drops, Seq("doc_id"), "left_anti"))
       },
       Some(curationV2Sql(mediaDropCtes + ",\n",
