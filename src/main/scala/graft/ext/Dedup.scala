@@ -861,9 +861,16 @@ object Dedup {
     requireNearDupFormat(spark, indexDir)
     docIds.select(col("doc_id")).filter(col("doc_id").isNotNull).distinct()
       .repartition(1).write.mode("append").parquet(s"$indexDir/deletes")
-    // a screen memoized before the takedown would keep matching against
-    // the deleted documents — the rebuild staleness class
-    graft.tools.InternalCaches.releaseByPath(spark, indexDir)
+    // a frame memoized over the OLD tombstone set would keep matching
+    // against the deleted documents — the rebuild staleness class. The
+    // release is scoped to the tombstone dir (round 19 — was the whole
+    // indexDir): a takedown changes no stored artifact except
+    // `deletes/` (hot/hashes/shingles/sizes files are immutable until
+    // a compaction, which releases its swapped tables itself), and
+    // the screen's memoized batch-side frame reads only the
+    // frozen hot list — the whole-prefix release forced every
+    // subsequent screen of the same probe to re-shingle it.
+    graft.tools.InternalCaches.releaseByPath(spark, s"$indexDir/deletes")
   }
 
   /** Heal any crashed tmp → old → live swap on the near-dup index —
@@ -970,6 +977,12 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$indexDir/hashes.compact")))
     swap("shingles"); swap("sizes"); swap("hashes")
     IndexFs.delete(spark, s"$indexDir/deletes")
+    // the swaps replaced the three tables' files and cleared the
+    // tombstones — drop any memoized frame reading them (scoped: the
+    // frozen hot list is untouched, so batch-side shingle caps keyed
+    // on it stay warm)
+    Seq("shingles", "sizes", "hashes", "deletes").foreach(t =>
+      graft.tools.InternalCaches.releaseByPath(spark, s"$indexDir/$t"))
   }
 
   /** x104 screen half — [[incrementalScreen]] semantics (same output
@@ -1542,15 +1555,22 @@ object Dedup {
     val items = math.max(expectedItems.getOrElse(g.count()), 64L)
     val nBuckets = if (buckets > 0) buckets else autoBucketCount(items)
     val numBits = BloomFilter.optimalNumOfBits(items, fpp)
-    val bf = buildBloomOfLongs(g, "g", items, numBits)
-    g.withColumn("bucket", pmod(col("g"), lit(nBuckets.toLong)).cast("int"))
-      // ONE file per bucket per write: without the bucket repartition
-      // every writer task opens every bucket directory (tasks x
-      // buckets tiny files — measured 10x screen-cost overhead from
-      // file listing alone at the probe scales)
-      .transform(IndexFs.keyPartitioned(_, col("bucket"), nBuckets.toLong))
-      .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)
-    // after the parquet write: overwrite mode clears the directory
+    // the Bloom build and the bucketed write both read the cached gram
+    // set (materialized by the count above) and share nothing else —
+    // overlap them (guide §2.6). The sidecar still writes strictly
+    // AFTER the parquet write below: overwrite mode clears the
+    // directory, so a sidecar written first would be deleted with it.
+    @volatile var bfSlot: BloomFilter = null
+    graft.tools.DriverPool.awaitAll(Seq(
+      () => { bfSlot = buildBloomOfLongs(g, "g", items, numBits) },
+      () => g.withColumn("bucket", pmod(col("g"), lit(nBuckets.toLong)).cast("int"))
+        // ONE file per bucket per write: without the bucket repartition
+        // every writer task opens every bucket directory (tasks x
+        // buckets tiny files — measured 10x screen-cost overhead from
+        // file listing alone at the probe scales)
+        .transform(IndexFs.keyPartitioned(_, col("bucket"), nBuckets.toLong))
+        .write.partitionBy("bucket").mode("overwrite").parquet(indexDir)))
+    val bf = bfSlot
     val sc = GramSidecar(nBuckets, items, numBits, System.nanoTime(), bf)
     writeBloomSidecar(spark, indexDir, sc)
     // seed the driver cache with the state just written: the first
@@ -1708,15 +1728,21 @@ object Dedup {
     val items = math.max(g.count(), 64L)
     val nBuckets = if (buckets > 0) buckets else autoBucketCount(items)
     val numBits = BloomFilter.optimalNumOfBits(items, fpp)
-    val bf = buildBloomOfLongs(g, "g", items, numBits)
     val tmp = indexDir + ".compact"
-    g.withColumn("bucket", pmod(col("g"), lit(nBuckets.toLong)).cast("int"))
-      // ONE file per bucket per write: without the bucket repartition
-      // every writer task opens every bucket directory (tasks x
-      // buckets tiny files — measured 10x screen-cost overhead from
-      // file listing alone at the probe scales)
-      .transform(IndexFs.keyPartitioned(_, col("bucket"), nBuckets.toLong))
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+    // Bloom rebuild and compacted write share only the cached gram set
+    // (materialized by the count above) — overlap them (guide §2.6);
+    // the sidecar writes after both, before any directory mutation
+    @volatile var bfSlot: BloomFilter = null
+    graft.tools.DriverPool.awaitAll(Seq(
+      () => { bfSlot = buildBloomOfLongs(g, "g", items, numBits) },
+      () => g.withColumn("bucket", pmod(col("g"), lit(nBuckets.toLong)).cast("int"))
+        // ONE file per bucket per write: without the bucket repartition
+        // every writer task opens every bucket directory (tasks x
+        // buckets tiny files — measured 10x screen-cost overhead from
+        // file listing alone at the probe scales)
+        .transform(IndexFs.keyPartitioned(_, col("bucket"), nBuckets.toLong))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp)))
+    val bf = bfSlot
     val sc = GramSidecar(nBuckets, items, numBits, System.nanoTime(), bf)
     writeBloomSidecar(spark, tmp, sc)
     // CARRY the pending-takedown ledger across the swap: a compaction

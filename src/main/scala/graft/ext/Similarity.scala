@@ -827,15 +827,20 @@ object Similarity {
       maxCentroids: Int = 1024): Unit = {
     val c = vecs(corpus)
     val cents = ivfCentroids(c, centroidModulus, maxCentroids)
-    assignToCentroids(c, cents)
-      .select(col("vec_id"), col("v"), col("centroid_id"))
-      .transform(IndexFs.keyPartitioned(_, col("centroid_id"), maxCentroids.toLong))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$indexDir/vectors")
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    writeQuantizerStamp(corpus.sparkSession, indexDir, centroidModulus,
-      maxCentroids,
-      c.filter(col("vec_id") % centroidModulus === 0).count())
+    // the three materializations are independent (the vectors plan
+    // consumes `cents` as its own broadcast aggregate), so they overlap
+    // from a driver pool (guide §2.6) — the tiny centroid write and the
+    // eligibility count back-fill the partitioned vectors write's tail
+    graft.tools.DriverPool.awaitAll(Seq(
+      () => assignToCentroids(c, cents)
+        .select(col("vec_id"), col("v"), col("centroid_id"))
+        .transform(IndexFs.keyPartitioned(_, col("centroid_id"), maxCentroids.toLong))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$indexDir/vectors"),
+      () => cents.write.mode("overwrite").parquet(s"$indexDir/centroids"),
+      () => writeQuantizerStamp(corpus.sparkSession, indexDir, centroidModulus,
+        maxCentroids,
+        c.filter(col("vec_id") % centroidModulus === 0).count())))
     invalidateCentroidCount(corpus.sparkSession, indexDir)
   }
 
@@ -1755,15 +1760,24 @@ object Similarity {
           explode(array(pq_argmin(
             col("sv"), col("__cb_ids"), col("__cb_flat")))).as("__best"))
         .select(col("subspace"), col("__best.code_id").as("code_id"), col("sv"))
+      // per-dim sums as agg COLUMNS, one exchange (round 19 — was
+      // posexplode to (sub, code, dim) rows then TWO keyed exchanges
+      // plus a collect_list re-assembly): subDim is a plan-time
+      // constant (Dims/m, 4 at the defaults), so the elementwise mean
+      // is subDim aggregate columns over the un-exploded subvector
+      // rows. Arithmetic identical: exact DECIMAL sums (order-free),
+      // one rounded double division per cell — and the per-(sub,code,
+      // dim) count the old form divided by is exactly the group count
+      // (every sv has subDim cells, none null).
+      val subDim = Dims / m
+      val sumCols = (0 until subDim).map(d =>
+        sum(col("sv")(d).cast("decimal(28,10)")).as(s"__s$d"))
       val means = assigned
-        .select(col("subspace"), col("code_id"),
-          posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("subspace"), col("code_id"), col("dim"))
-        .agg(round(sum(col("x").cast("decimal(28,10)")).cast("double") /
-          count(lit(1)), 6).as("mv"))
         .groupBy(col("subspace"), col("code_id"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
-          s => s("mv")).as("ncw"))
+        .agg(count(lit(1)).as("__n"), sumCols: _*)
+        .select(col("subspace"), col("code_id"),
+          array((0 until subDim).map(d =>
+            round(col(s"__s$d").cast("double") / col("__n"), 6)): _*).as("ncw"))
       cws = graft.tools.InternalCaches.persist(
         cws.join(means, Seq("subspace", "code_id"), "left")
           .select(col("code_id"), col("subspace"),
@@ -2146,27 +2160,39 @@ object Similarity {
     // — genuine partition pruning, not just row clustering. The write
     // exchange is the index's ONLY corpus-keyed shuffle (paid once at
     // build time, by design).
-    codes.transform(IndexFs.keyPartitioned(_, col("centroid_id"), maxCentroids.toLong))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$indexDir/codes")
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    cws.write.mode("overwrite").parquet(s"$indexDir/codebook")
-    // both quantizer caps stamped for the drift audit ([[ivfPqOccupancy]])
-    // — the alarm must read the REAL build parameters, not a monitoring
-    // job's defaults (the semantic index's _quantizer discipline) —
-    // plus both eligibility totals for the ingest-time cap-bind probe
-    // ([[ivfPqIngestCapBind]]), computed in ONE aggregate over the
-    // corpus the build just scanned anyway
-    val eligRow = vecs(emb).agg(
-      coalesce(sum(when(col("vec_id") % centroidModulus === 0, 1L)),
-        lit(0L)),
-      coalesce(sum(when(col("vec_id") % codeModulus === 0, 1L)),
-        lit(0L))).head()
-    IndexFs.writeSmall(emb.sparkSession, s"$indexDir/_quantizer",
-      s"modulus=$centroidModulus\ncap=$maxCentroids\n" +
-        s"code_modulus=$codeModulus\ncode_cap=$maxCodes\n" +
-        s"eligible=${eligRow.getLong(0)}\n" +
-        s"code_eligible=${eligRow.getLong(1)}")
+    // the four materializations share only read-only lazy inputs (the
+    // registry-persisted codebook chain computes once under its
+    // per-partition lock), so they overlap from a driver pool (guide
+    // §2.6): the tiny centroid/codebook/stamp jobs back-fill the codes
+    // write's tail instead of each paying full job latency after it.
+    // Crash exposure is unchanged — a torn build directory was already
+    // possible at any point of the sequential form; rebuild callers
+    // write into a tmp dir and swap ([[rebuildIvfPqIndex]]).
+    graft.tools.DriverPool.awaitAll(Seq(
+      () => codes
+        .transform(IndexFs.keyPartitioned(_, col("centroid_id"), maxCentroids.toLong))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$indexDir/codes"),
+      () => cents.write.mode("overwrite").parquet(s"$indexDir/centroids"),
+      () => cws.write.mode("overwrite").parquet(s"$indexDir/codebook"),
+      // both quantizer caps stamped for the drift audit ([[ivfPqOccupancy]])
+      // — the alarm must read the REAL build parameters, not a monitoring
+      // job's defaults (the semantic index's _quantizer discipline) —
+      // plus both eligibility totals for the ingest-time cap-bind probe
+      // ([[ivfPqIngestCapBind]]), computed in ONE aggregate over the
+      // corpus the build just scanned anyway
+      () => {
+        val eligRow = vecs(emb).agg(
+          coalesce(sum(when(col("vec_id") % centroidModulus === 0, 1L)),
+            lit(0L)),
+          coalesce(sum(when(col("vec_id") % codeModulus === 0, 1L)),
+            lit(0L))).head()
+        IndexFs.writeSmall(emb.sparkSession, s"$indexDir/_quantizer",
+          s"modulus=$centroidModulus\ncap=$maxCentroids\n" +
+            s"code_modulus=$codeModulus\ncode_cap=$maxCodes\n" +
+            s"eligible=${eligRow.getLong(0)}\n" +
+            s"code_eligible=${eligRow.getLong(1)}")
+      }))
   }
 
   /** x61 — INCREMENTAL append to a persisted IVF-PQ index: the ingest
